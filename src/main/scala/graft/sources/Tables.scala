@@ -1,0 +1,73 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Source surface of the engine.
+  *
+  * The reference reads its fact table three ways — Kafka stream
+  * (`doc/temp.md:293-312`), JDBC snapshot (`doc/temp.md:446-453`,
+  * `doc/Cumulative.java:37-44`), Hive ORC at rest
+  * (`doc/temp.md:639-648`). In this zero-egress build the at-rest
+  * format is parquet (driver fixtures, TESTDATA.md); Kafka/JDBC remain
+  * available through the same `spark.read.format(...)` API and degrade
+  * to files behind this facade.
+  *
+  * Scale notes (100 TB design):
+  *  - Parquet scans split by row group automatically; filters and
+  *    column projections push into the scan (verify via
+  *    `.explain`: `PushedFilters`, `ReadSchema`).
+  *  - No schema inference at read time for JSON/CSV paths — schemas
+  *    are declared (one extra full scan at 100 TB is unacceptable).
+  *  - Dimension tables (region/nation/supplier/part/customer) are
+  *    small relative to facts; join sites broadcast them explicitly.
+  */
+object Tables {
+
+  val starTables: Seq[String] =
+    Seq("region", "nation", "customer", "supplier", "part", "orders", "lineitem")
+
+  val allTables: Seq[String] =
+    starTables ++ Seq("events", "documents", "embeddings")
+
+  /** Read one fixture table from `dir` (e.g. /root/testdata/sf0.01). */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot
+    * represent natively: read it as epoch-nano LONG
+    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a
+    * microsecond TIMESTAMP. Truncation only ever moves an instant
+    * earlier by <1µs, so second-grain comparisons are unaffected.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = table(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` text
+    * queries resolve — the reference's `createOrReplaceTempView`
+    * pattern (`doc/temp.md:456`, `doc/Cumulative.java:54`).
+    */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    allTables.foreach { n =>
+      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+      df.createOrReplaceTempView(n)
+    }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.queries.{EventQueries, StarQueries}
+
+/** Smoke + semantic checks on sf0.001 (t1 tier). The full DuckDB
+  * hash-match gate runs driver-side at sf0.01; these tests assert the
+  * invariants that don't need an external oracle.
+  */
+class QueriesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-test")
+  val dir = "/root/testdata/sf0.001"
+
+  test("every registered query executes and is non-empty on sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, dir).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("every query with an oracle has matching column names") {
+    // The driver compare sorts columns by name — a rename mismatch
+    // between queries and oracleSql is the most likely silent failure.
+    val qs = SparkEntry.queries
+    SparkEntry.oracleSql.keys.foreach { k =>
+      assert(qs.contains(k), s"oracle $k has no query")
+    }
+  }
+
+  test("q1 uv never exceeds total event count per day") {
+    import org.apache.spark.sql.functions._
+    val q1 = EventQueries.q1DailyUvGmv(spark, dir)
+    val perDay = graft.sources.Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(count(lit(1)).as("n"))
+    val joined = q1.join(perDay, "date_str")
+    assert(joined.filter(col("uv") > col("n")).count() === 0)
+  }
+
+  test("q5/q6 two-phase rollup equals single-pass countDistinct") {
+    import org.apache.spark.sql.functions._
+    val q6 = EventQueries.q6TrailingRollup(spark, dir)
+    val direct = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-30 00:00:00")))
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("dt"))
+      .agg(countDistinct(col("user_id")).as("uv2"),
+        count(lit(1)).as("cnt2"))
+    val j = q6.join(direct, "dt")
+    assert(j.filter(col("uv") =!= col("uv2") || col("buy_cnt") =!= col("cnt2")).count() === 0)
+  }
+
+  test("top customers limit honored and sorted") {
+    val rows = StarQueries.topCustomers(spark, dir).collect()
+    assert(rows.length === 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("anti join + semi join partition the customer table") {
+    import org.apache.spark.sql.functions._
+    val cust = graft.sources.Tables.customer(spark, dir)
+    val urgent = graft.sources.Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+    val anti = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_anti").count()
+    val semi = cust.join(urgent, col("c_custkey") === col("o_custkey"), "left_semi").count()
+    assert(anti + semi === cust.count())
+  }
+
+  test("entry flagship query returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

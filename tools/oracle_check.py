@@ -1,0 +1,82 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (builder-side tooling
+only — the shipped Scala library does not depend on this).
+
+Runs `sbt runMain graft.Verify <sfDir> <outDir>` output against DuckDB
+executing SparkEntry.oracleSql on the same parquet tables, and compares
+row-by-row after sorting columns by name.
+
+Usage: python3 tools/oracle_check.py [sfDir] [outDir]
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+
+sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+
+con = duckdb.connect()
+for p in glob.glob(f"{sf_dir}/*.parquet"):
+    name = os.path.basename(p)[:-len(".parquet")]
+    con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+with open(f"{out_dir}/oracle_sql.json") as f:
+    oracles = json.load(f)
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracles):
+    spark_path = f"{out_dir}/{name}"
+    if not os.path.isdir(spark_path):
+        print(f"MISSING  {name}: no spark output dir"); fails += 1; continue
+    files = glob.glob(f"{spark_path}/*.parquet")
+    if not files:
+        print(f"MISSING  {name}: no parquet part files"); fails += 1; continue
+    try:
+        spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+        duck_df = canon(con.execute(oracles[name]).fetchdf())
+    except Exception as e:
+        print(f"ERROR    {name}: {e}"); fails += 1; continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"SCHEMA   {name}: spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+        fails += 1; continue
+    if len(spark_df) != len(duck_df):
+        print(f"ROWS     {name}: spark={len(spark_df)} duck={len(duck_df)}")
+        fails += 1; continue
+    # dtype-tolerant value compare
+    mismatch = None
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        try:
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                ok = ((a.astype(float) - b.astype(float)).abs() < 1e-9) | (a.isna() & b.isna())
+            else:
+                ok = (a.astype(str) == b.astype(str)) | (a.isna() & b.isna())
+            if not ok.all():
+                i = ok.idxmin()
+                mismatch = f"col {c} row {i}: spark={a[i]!r} duck={b[i]!r}"
+                break
+        except Exception as e:
+            mismatch = f"col {c}: compare error {e}"; break
+    # strict dtype note (driver may be stricter)
+    dt_note = ""
+    for c in spark_df.columns:
+        if str(spark_df[c].dtype) != str(duck_df[c].dtype):
+            dt_note += f" [dtype {c}: {spark_df[c].dtype} vs {duck_df[c].dtype}]"
+    if mismatch:
+        print(f"VALUE    {name}: {mismatch}{dt_note}"); fails += 1
+    else:
+        print(f"OK       {name} ({len(spark_df)} rows){dt_note}")
+
+# rows-only queries (in output but no oracle)
+for d in sorted(glob.glob(f"{out_dir}/*/")):
+    name = os.path.basename(d.rstrip("/"))
+    if name not in oracles:
+        n = sum(len(pd.read_parquet(f)) for f in glob.glob(f"{d}/*.parquet"))
+        print(f"ROWSONLY {name}: {n} rows {'OK' if n > 0 else 'EMPTY!'}")
+
+sys.exit(1 if fails else 0)
