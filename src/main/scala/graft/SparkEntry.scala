@@ -2,7 +2,10 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.gen.OrderGen
 import graft.queries.{EventQueries, StarQueries}
+import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,12 +20,32 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     StarQueries.revenueByNation(spark, "/root/testdata/sf0.001")
 
+  /** GEN (SURVEY.md §2.1): the reference's order generator as a
+    * deterministic distributed source, JSON wire round-trip included,
+    * then a Q1-shape daily rollup over the generated orders. Pure
+    * Spark hash derivations → no DuckDB twin (rows-only at the gate);
+    * determinism is asserted in GenSpec.
+    */
+  private def genRollup(spark: SparkSession, dir: String): DataFrame = {
+    val orders = OrderGen.decodeJson(OrderGen.ordersJson(spark, 100000L))
+    orders
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(countDistinct(col("user_id")).as("uv"),
+        sum(col("amount")).as("gmv"),
+        count(lit(1)).as("orders"))
+      .orderBy(col("date_str"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    EventQueries.queries ++ StarQueries.queries
+    EventQueries.queries ++ StarQueries.queries ++
+      TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
+      Multimodal.queries + ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    EventQueries.oracles ++ StarQueries.oracles
+    EventQueries.oracles ++ StarQueries.oracles ++
+      TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
+      Multimodal.oracles
 }

@@ -1,0 +1,215 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.SimHash64
+import graft.sources.Tables
+
+/** Deduplication operators for a training-data pipeline, over the
+  * `documents` fixture table. Five families (builder-prompt contract):
+  * exact (hash-groupBy), MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup (the last lives in [[Similarity]]).
+  *
+  * Scale design notes (the point of each implementation choice):
+  *  - Exact dedup keys on `xxhash64(text)` — grouping 100 TB of raw
+  *    text shuffles the full corpus; grouping 8-byte hashes shuffles
+  *    ~nothing. Collision check: exact-text equality within a hash
+  *    group is a no-op map after the tiny shuffle.
+  *  - MinHash is computed with higher-order array functions
+  *    (`transform`/`aggregate`) entirely inside codegen — the corpus
+  *    is scanned once, producing `bands` small keys per doc; the only
+  *    shuffle is on band keys (LSH's whole purpose: candidate
+  *    generation without the O(n²) cross join).
+  *  - SimHash is a custom native Catalyst expression
+  *    ([[graft.functions.SimHash64]]) — one long per document.
+  *  - Exact pairwise Jaccard runs only *within LSH buckets* (or an
+  *    explicit blocking key) — never across the full corpus.
+  */
+object Dedup {
+
+  /** Normalized text: lowercase, collapse whitespace — the canonical
+    * form for near-exact dedup.
+    */
+  def normText(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Word k-shingles of the normalized text. */
+  def shingles(text: Column, k: Int = 3): Column = {
+    val toks = split(normText(text), " ")
+    // sequence(0, n-k) -> join k consecutive tokens; empty when n < k
+    array_distinct(
+      when(size(toks) >= k,
+        transform(sequence(lit(0), size(toks) - lit(k)),
+          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  // ----------------------------------------------------------- exact
+
+  /** Exact dedup via hash-groupBy: one representative (min doc_id) per
+    * distinct text + duplicate count.
+    */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+
+  /** Exact dedup on a user key (first-by-doc_id per (lang, source)) —
+    * the `dropDuplicates` surface, expressed as groupBy-min so the
+    * result is deterministic (dropDuplicates keeps an arbitrary row).
+    */
+  def exactByKey(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"), col("source"))
+      .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
+
+  // --------------------------------------------------------- minhash
+
+  /** MinHash signature: for seed s, min over shingles of
+    * xxhash64(shingle, s). `numHashes` independent permutation
+    * approximations, computed per-row inside codegen (no explode, no
+    * shuffle).
+    */
+  def minhashSignature(sh: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { s =>
+      array_min(transform(sh, x => xxhash64(x, lit(s))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * banding: `bands` bands of `rowsPerBand` signature slots; docs
+    * sharing any band key are candidates; candidates are verified with
+    * exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * Dataflow: scan → per-doc signature (narrow) → explode bands
+    * (×bands) → shuffle on (band, key) → per-bucket pair generation →
+    * exact verify on the (small) candidate set. The cross join only
+    * ever happens inside a bucket.
+    */
+  def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    val withSig = docs
+      .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",",
+          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
+            x => x.cast("string"))), b)))
+        .as(Seq("band", "band_key")))
+    val a = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("band_key"),
+      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+    val candidates = a.join(b, Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // --------------------------------------------------------- simhash
+
+  /** Per-doc 64-bit SimHash signature (native expression). */
+  def simhash(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      SimHash64.simhash64(split(normText(col("text")), " ")).as("simhash"))
+
+  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
+    * signature (a pair within Hamming distance ≤ maxHamming must agree
+    * exactly on ≥1 quarter when maxHamming < 4 — pigeonhole), then
+    * verify true Hamming distance. Same LSH shape as MinHash: narrow
+    * map → small-key shuffle → in-bucket verify.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4, "quarter-blocking is exact only for maxHamming < 4")
+    val sigs = simhash(docs)
+    val blocked = sigs.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(q =>
+        col("simhash").bitwiseAND(lit(0xFFFFL << (q * 16)))): _*))
+        .as(Seq("quarter", "qkey")))
+    val a = blocked.select(col("quarter"), col("qkey"),
+      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+    val b = blocked.select(col("quarter"), col("qkey"),
+      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+    a.join(b, Seq("quarter", "qkey"))
+      .filter(col("doc_a") < col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+      .withColumn("hamming", SimHash64.hamming64(col("sig_a"), col("sig_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  // --------------------------------------------------- exact jaccard
+
+  /** Exact word-set Jaccard pairs within a blocking key (`source`) —
+    * the oracle-checkable exact form of near-dup detection. Blocking
+    * bounds the pair count: O(Σ block²) not O(n²).
+    */
+  def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    val withToks = docs.select(col("doc_id"), col("source"),
+      array_distinct(split(normText(col("text")), " ")).as("toks"))
+    val a = withToks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
+    val b = withToks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
+    a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> ((s, d) =>
+      exact(Tables.documents(s, d))
+        .select(col("keep_doc_id"), col("dup_count"))
+        .orderBy(col("keep_doc_id"))),
+    "dedup_exact_by_key" -> ((s, d) =>
+      exactByKey(Tables.documents(s, d)).orderBy(col("lang"), col("source"))),
+    "dedup_minhash_pairs" -> ((s, d) =>
+      minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_simhash" -> ((s, d) =>
+      simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "dedup_jaccard_by_source" -> ((s, d) =>
+      jaccardPairsBySource(Tables.documents(s, d), threshold = 0.6)
+        .orderBy(col("doc_a"), col("doc_b")))
+  )
+
+  /** DuckDB twins. `dedup_exact` hashes with xxhash64 (no DuckDB
+    * equivalent), so its oracle groups by raw text — same groups,
+    * same (keep_doc_id, dup_count) rows. MinHash/SimHash pairs are
+    * approximation-specific → rows-only (no oracle). The exact
+    * Jaccard query has a full oracle.
+    */
+  val oracles: Map[String, String] = Map(
+    "dedup_exact" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "dedup_exact_by_key" ->
+      """SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS group_size
+        |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "dedup_jaccard_by_source" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents)
+        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |             len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
+        |ORDER BY doc_a, doc_b""".stripMargin
+  )
+}

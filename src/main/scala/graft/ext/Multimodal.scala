@@ -1,0 +1,149 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Multimodal-column plumbing for a training-data pipeline.
+  *
+  * Media (image/audio/video) is carried as an opaque `BINARY` payload
+  * column plus a typed metadata struct — the layout every large-scale
+  * multimodal corpus uses (payload stays a byte blob until a compute
+  * stage needs to decode it; metadata is columnar and prunable, so
+  * queries that only touch metadata never read payload bytes —
+  * parquet column pruning does the 1000× I/O saving at 100 TB).
+  *
+  * The actual codec step is STUBBED (this container has no image/audio
+  * libraries): [[FakeCodec.decode]] is a clearly-marked deterministic
+  * fake. Everything around it — schema, batch iteration, partition
+  * shape, typed Dataset surface — is real and tested, so swapping the
+  * fake for libjpeg/ffmpeg bindings changes one function.
+  *
+  * Scala equivalent of the pandas-UDF/`mapInPandas` pattern: a typed
+  * `Dataset.mapPartitions`, which gives the same whole-partition batch
+  * iteration (amortized per-batch setup — exactly what a real decoder
+  * needs for codec-context reuse).
+  */
+object Multimodal {
+
+  /** One media row: payload + typed metadata. */
+  final case class MediaRow(
+      media_id: Long,
+      payload: Array[Byte],
+      format: String,
+      width: Int,
+      height: Int,
+      n_frames: Int)
+
+  final case class MediaFeatures(
+      media_id: Long,
+      format: String,
+      byte_len: Long,
+      features: Array[Float])
+
+  final case class Frame(
+      media_id: Long,
+      frame_idx: Int,
+      frame_bytes: Array[Byte])
+
+  /** STUB codec — deterministic fake standing in for a real decoder.
+    * Replace `decode` with real bindings (libjpeg/ffmpeg) when
+    * available; signatures and dataflow stay unchanged.
+    */
+  object FakeCodec {
+    /** "Decode" payload bytes to a feature vector: 8 floats derived
+      * from a rolling hash of the bytes. Deterministic, pure.
+      */
+    def decode(payload: Array[Byte]): Array[Float] = {
+      var h = 1125899906842597L
+      val acc = new Array[Long](8)
+      var i = 0
+      while (i < payload.length) {
+        h = 31 * h + (payload(i) & 0xff)
+        acc(i % 8) ^= h
+        i += 1
+      }
+      acc.map(v => ((v >>> 11).toDouble / (1L << 53).toDouble).toFloat)
+    }
+  }
+
+  /** Build a deterministic media table from `documents`: payload =
+    * UTF-8 bytes of the text (a stand-in blob), metadata derived
+    * columnar-side. In production this is `spark.read.format("binaryFile")`
+    * or a parquet corpus with the same schema.
+    */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(
+      col("doc_id").as("media_id"),
+      encode(col("text"), "UTF-8").as("payload"),
+      element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
+        (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
+      (lit(64) + pmod(xxhash64(col("doc_id"), lit("w")), lit(1024))).cast("int").as("width"),
+      (lit(64) + pmod(xxhash64(col("doc_id"), lit("h")), lit(1024))).cast("int").as("height"),
+      (lit(1) + pmod(xxhash64(col("doc_id"), lit("f")), lit(30))).cast("int").as("n_frames"))
+
+  /** Feature extraction over media payloads: typed mapPartitions —
+    * the Scala analogue of `mapInPandas` (whole-partition batches, no
+    * per-row codec setup). The decode call is the [[FakeCodec]] stub.
+    */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec context would be initialized HERE (once),
+      // then reused across the batch — the point of partition batching.
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.format, r.payload.length.toLong,
+          FakeCodec.decode(r.payload))
+      }
+    }
+  }
+
+  /** Frame sampling for video rows: every `stride`-th frame index,
+    * payload sliced per frame — pure columnar explode, no UDF.
+    */
+  def sampleFrames(media: DataFrame, stride: Int = 10): DataFrame =
+    media.filter(col("format") === "video/mp4")
+      .select(col("media_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        // fake per-frame byte range: a real demuxer seeks; we slice
+        substring(base64(col("payload")), 1, 16).as("frame_token"))
+
+  // ------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // metadata-only plumbing: oracle-checkable (no codec involved)
+    "mm_media_meta" -> ((s, d) =>
+      mediaTable(s, d)
+        .select(col("media_id"), col("format"),
+          octet_length(col("payload")).cast("long").as("byte_len"))
+        .orderBy(col("media_id"))),
+    // full decode path (stub codec) — deterministic, rows-only
+    "mm_features" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      extractFeatures(mediaTable(s, d).as[MediaRow])
+        .select(col("media_id"), col("format"), col("byte_len"))
+        .orderBy(col("media_id"))
+    }),
+    "mm_frame_sample" -> ((s, d) =>
+      sampleFrames(mediaTable(s, d))
+        .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
+        .orderBy(col("media_id"), col("frame_idx")))
+  )
+
+  /** Oracles cover the metadata/plumbing queries (byte lengths,
+    * format assignment, frame-index explosion) — the codec stub has no
+    * SQL equivalent and stays rows-only.
+    */
+  val oracles: Map[String, String] = Map(
+    "mm_media_meta" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                       WHEN 1 THEN 'audio/wav'
+        |                       ELSE 'video/mp4' END AS format,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin
+  )
+}

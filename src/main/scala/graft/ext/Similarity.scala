@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Similarity search over the `embeddings` fixture table
+  * (`embedding: array<float>`, dim 64).
+  *
+  * Three tiers, per the builder contract:
+  *  1. brute-force cosine (exact baseline) — threshold join and
+  *     top-k, both oracle-checkable;
+  *  2. random-hyperplane LSH (sign-bit buckets) — the scale path:
+  *     candidate generation via bucket equi-join instead of the
+  *     O(n²) cross product;
+  *  3. embedding-cosine near-dup (the 5th dedup family).
+  *
+  * All arithmetic is double-precision, sequential left-fold over the
+  * array (`aggregate`/`zip_with` higher-order functions, codegen'd) —
+  * bit-compatible with the oracle's `list_cosine_similarity` over
+  * `DOUBLE[]`, so results hash-match exactly.
+  *
+  * Scale notes: the brute-force form broadcasts the (small) query
+  * set and never shuffles the corpus; the LSH form's only shuffle is
+  * on (table, bucket) keys. At 100 TB one would add an IVF
+  * (cluster-then-probe) layer; the bucket-join dataflow is identical.
+  */
+object Similarity {
+
+  /** cosine(a, b) in double precision: Σab / (√Σa²·√Σb²). */
+  def cosine(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column) =
+      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+    def norm(x: Column) =
+      sqrt(aggregate(x, lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double")))
+    dot(a, b) / (norm(a) * norm(b))
+  }
+
+  /** Pairs with cosine ≥ threshold (brute force, a < b). The exact
+    * near-dup / similarity-join baseline.
+    */
+  def thresholdJoin(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
+    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector (brute
+    * force): broadcast the query set, score the corpus once, per-query
+    * top-k via window row_number (ties broken by neighbor id).
+    */
+  def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("e_q"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Random-hyperplane LSH bucket id: `bits` sign bits of dot
+    * products with deterministic pseudo-random ±1 hyperplanes
+    * (hyperplane j, dim d has sign + iff xxhash64(j·dim+d, seed) is
+    * even — seeded, reproducible, no stored model).
+    */
+  def lshBucket(e: Column, bits: Int, dim: Int, seed: Int = 7): Column = {
+    val bitCols = (0 until bits).map { j =>
+      val dotJ = aggregate(
+        zip_with(e, sequence(lit(j * dim), lit(j * dim + dim - 1)),
+          (v, idx) => v.cast("double") *
+            when(pmod(xxhash64(idx, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
+        lit(0.0), (acc, v) => acc + v)
+      when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** ANN via LSH: `tables` independent bucketings; candidates = pairs
+    * sharing a bucket in any table; exact cosine re-rank of the
+    * candidates, top-k per query. Approximate (LSH recall < 1) —
+    * verified against [[bruteTopK]] in tests, rows-only at the gate.
+    */
+  def annLsh(emb: DataFrame, queries: DataFrame, k: Int,
+      bits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
+    def bucketed(df: DataFrame, idCol: String, eCol: String) =
+      df.select(col(idCol), col(eCol),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(eCol), bits, dim, seed = 7 + t)): _*))
+          .as(Seq("tbl", "bucket")))
+    val cand = bucketed(
+        emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c")),
+        "neighbor_id", "e_c")
+      .join(bucketed(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("e_q")),
+        "query_id", "e_q"), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    cand.withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs — dedup family #5. */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
+    thresholdJoin(emb, threshold)
+
+  // ------------------------------------------------------------ queries
+
+  /** Query vectors: the first 5 ids — deterministic, tiny, broadcast. */
+  private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 5)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_threshold_join" -> ((s, d) =>
+      thresholdJoin(Tables.embeddings(s, d), threshold = 0.3)
+        .orderBy(col("id_a"), col("id_b"))),
+    "sim_brute_topk" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      bruteTopK(emb, querySet(emb), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_lsh" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annLsh(emb, querySet(emb), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  /** DuckDB twins force DOUBLE[] so both engines do double-precision
+    * sequential accumulation — results match to the last bit, surviving
+    * round(…, 6). `sim_ann_lsh` is approximate → rows-only.
+    */
+  val oracles: Map[String, String] = Map(
+    "sim_threshold_join" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(
+        |         a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
+        |ORDER BY id_a, id_b""".stripMargin,
+    "sim_brute_topk" ->
+      """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]) DESC,
+        |                    c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 5)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+  )
+}

