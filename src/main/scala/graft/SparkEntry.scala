@@ -40,12 +40,13 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ StarQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries + ("gen_orders_rollup" -> (genRollup _))
+      Multimodal.queries ++ graft.streaming.StreamingQueries.queries +
+      ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ StarQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles
+      Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles
 }

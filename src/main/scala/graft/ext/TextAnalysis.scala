@@ -92,11 +92,16 @@ object TextAnalysis {
     val punctDensity =
       (length(col("text")) - length(regexp_replace(col("text"), PunctClass, "")))
         .cast("double") / length(col("text")).cast("double")
-    docs.select(
-      col("doc_id"),
-      round(lit(0.3) * lenSat + lit(0.3) * diversity +
-        lit(0.2) * stopRatio + lit(0.2) * (lit(1.0) - punctDensity), 4)
-        .as("quality"))
+    val q = lit(0.3) * lenSat + lit(0.3) * diversity +
+      lit(0.2) * stopRatio + lit(0.2) * (lit(1.0) - punctDensity)
+    // Integer score (×10⁴), not round(q, 4): the weighted sum of
+    // decimal-weighted rationals can land *exactly* on a .00005
+    // boundary (observed at sf0.001), where Spark's string-based
+    // HALF_UP and an oracle's scaled-multiply round disagree.
+    // floor(q·10⁴ + 0.5) is computed identically on the bit-identical
+    // doubles both engines produce for this expression.
+    docs.select(col("doc_id"),
+      floor(q * lit(10000.0) + lit(0.5)).as("quality_x10k"))
   }
 
   /** Exact content fingerprint (md5 of raw text) — the anchor for
@@ -153,12 +158,12 @@ object TextAnalysis {
     },
     "text_quality" -> {
       val enList = sqlList(lexicon.head._2)
-      s"""SELECT doc_id, round(
+      s"""SELECT doc_id, CAST(floor((
          |  0.3 * least(1.0, len($sqlToks) / 100.0) +
          |  0.3 * (len(list_distinct($sqlToks)) * 1.0 / len($sqlToks)) +
          |  0.2 * (len(list_filter($sqlToks, t -> t IN $enList)) * 1.0 / len($sqlToks)) +
          |  0.2 * (1.0 - (length(text) - length(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / length(text))
-         |, 4) AS quality
+         |) * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "text_fingerprint" ->

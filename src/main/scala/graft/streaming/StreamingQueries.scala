@@ -1,0 +1,164 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+
+/** Streaming twins of the reference's four Flink SQL queries
+  * (Q1–Q4, `doc/temp.md:375-411`), as Structured Streaming pipelines
+  * over any streaming DataFrame with the event shape
+  * `(ts TIMESTAMP, user_id LONG, value DOUBLE, event_type STRING)` —
+  * the same shape [[graft.queries.EventQueries]] uses in batch, so
+  * stream≡batch consistency is directly testable.
+  *
+  * Watermark: 5 seconds, matching the reference's
+  * `WATERMARK FOR ts AS ts - INTERVAL '5' SECOND` (`doc/temp.md:303`).
+  *
+  * Output modes mirror Flink's sink semantics (SURVEY.md §2.9):
+  *  - Q2 (windowed) → `append`: a window emits once, when the
+  *    watermark passes its end; later rows are dropped — Flink's
+  *    default behavior for a closed window.
+  *  - Q1/Q3/Q4 (unbounded aggs) → `update`: each micro-batch emits
+  *    changed keys; the PK upsert sink ([[UpsertSink]]) absorbs them
+  *    exactly as the reference's MySQL `PRIMARY KEY` tables do.
+  *
+  * Scale notes: state for Q1's exact distinct grows with
+  * |days × users| — bounded and small. The aggregations are
+  * keyed-state streaming aggs: partial aggregation happens per
+  * micro-batch task before the keyed shuffle, identical to the batch
+  * plan shape. At production scale the state store moves to RocksDB
+  * (`spark.sql.streaming.stateStore.providerClass`) with no code
+  * change.
+  */
+object StreamingQueries {
+
+  /** Q1a — per-day exact distinct UV, streaming.
+    *
+    * `COUNT(DISTINCT)` is disallowed in streaming (SURVEY.md §7.5);
+    * the scalable equivalent: watermarked `dropDuplicates` on
+    * (day, user) — state holds one entry per distinct pair — then a
+    * running count per day. Update mode.
+    */
+  def q1DailyUv(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "5 seconds")
+      .select(col("ts"), date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        col("user_id"))
+      .dropDuplicates("date_str", "user_id")
+      .groupBy(col("date_str"))
+      .agg(count(lit(1)).as("uv"))
+
+  /** Q1b — per-day GMV + latest time-of-day, streaming (must NOT be
+    * deduplicated, hence a separate aggregation from Q1a; the sink
+    * merges both under the same `date_str` key — the dual-state plan
+    * from SURVEY.md §7.5).
+    */
+  def q1DailyGmv(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "5 seconds")
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(round(sum(col("value")), 2).as("payment"),
+        max(date_format(col("ts"), "HH:mm")).as("time_str"))
+
+  /** Q2 — orders per 1-minute tumbling event-time window, append mode
+    * (`doc/temp.md:390-394`): emits a row once per closed window;
+    * rows later than watermark past window end are dropped.
+    */
+  def q2PerMinute(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "5 seconds")
+      .groupBy(window(col("ts"), "1 minute"))
+      .agg(count(lit(1)).as("buy_cnt"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("min_of_day"),
+        col("buy_cnt"))
+
+  /** Q3 — running GMV per user (`doc/temp.md:398-402`), update mode. */
+  def q3UserGmv(stream: DataFrame): DataFrame =
+    stream.groupBy(col("user_id"))
+      .agg(round(sum(col("value")), 2).as("amount"))
+
+  /** Q4 — running GMV per channel (`doc/temp.md:405-410`), update mode. */
+  def q4ChannelGmv(stream: DataFrame): DataFrame =
+    stream.groupBy(col("event_type").as("channel_id"))
+      .agg(round(sum(col("value")), 2).as("amount"))
+
+  /** Ingestion path (reference entry point C, SURVEY.md §3.3): one
+    * Structured Streaming hop replaces generator→Kafka→Flume→Hive.
+    * Exactly-once via checkpoint WAL instead of Hive ACID
+    * transactions; bucketed-ORC at rest becomes partitioned parquet.
+    */
+  def ingest(stream: DataFrame, outDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream
+      .withColumn("event_date", date_format(col("ts"), "yyyy-MM-dd"))
+      .writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("event_date")
+      .outputMode("append")
+      .start()
+
+  // ------------------------------------------------- gate-facing replay
+
+  /** Fixture `events.parquet` as a *streaming* source (file source,
+    * explicit schema — `ts` read as epoch-nanos LONG, see
+    * [[graft.sources.Tables.events]]).
+    */
+  private val rawEventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Replay the fixture through a streaming pipeline (update mode →
+    * PK upsert sink), return the sink's final state. This is the
+    * reference's end-to-end verification flow ("run the job, then
+    * query the MySQL table", `doc/temp.md:904`) made synchronous: the
+    * result must equal the equivalent batch query, so the replay
+    * queries share the batch oracles at the correctness gate.
+    */
+  def replay(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame, keys: Seq[String]): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet") // file source needs a dir
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val sink = new UpsertSink(keys)
+    val q = sink.writeTo(build(src).writeStream.outputMode("update"))
+    try { q.processAllAvailable() } finally q.stop()
+    sink.toDF(spark)
+  }
+
+  /** Streaming queries surfaced at the correctness gate. Each shares
+    * its batch twin's DuckDB oracle — the gate itself asserts
+    * stream ≡ batch.
+    */
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_q1_daily_uv" -> ((s, d) =>
+      replay(s, d, q1DailyUv, Seq("date_str")).orderBy(col("date_str"))),
+    "stream_q2_per_minute" -> ((s, d) =>
+      replay(s, d, q2PerMinute, Seq("min_of_day")).orderBy(col("min_of_day"))),
+    "stream_q3_user_gmv" -> ((s, d) =>
+      replay(s, d, q3UserGmv, Seq("user_id")).orderBy(col("user_id"))),
+    "stream_q4_channel_gmv" -> ((s, d) =>
+      replay(s, d, q4ChannelGmv, Seq("channel_id")).orderBy(col("channel_id")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "stream_q1_daily_uv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+        |       count(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_q2_per_minute" ->
+      """SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M') AS min_of_day,
+        |       count(*) AS buy_cnt
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_q3_user_gmv" ->
+      """SELECT user_id, round(sum(value), 2) AS amount
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "stream_q4_channel_gmv" ->
+      """SELECT event_type AS channel_id, round(sum(value), 2) AS amount
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

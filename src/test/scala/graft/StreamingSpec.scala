@@ -1,0 +1,144 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.{StreamingQueries, UpsertSink}
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double, event_type: String)
+
+/** Streaming parity (SURVEY.md §5.2): stream results equal batch
+  * results on the same data; watermark drops late rows; upsert sink is
+  * idempotent. MemoryStream + processAllAvailable makes all of it
+  * synchronous and deterministic.
+  */
+class StreamingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-streaming-test")
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private def eventsFromFixture(n: Int): Seq[Ev] = {
+    val rows = graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .select("ts", "user_id", "value", "event_type")
+      .limit(n).collect()
+    rows.map(r => Ev(r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getString(3))).toSeq
+  }
+
+  test("stream q3/q4 final state equals batch aggregation on same data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsFromFixture(500)
+
+    val in = MemoryStream[Ev]
+    val sink = new UpsertSink(Seq("user_id"))
+    val q = sink.writeTo(
+      StreamingQueries.q3UserGmv(in.toDF()).writeStream.outputMode("update"))
+    in.addData(data.take(200))
+    q.processAllAvailable()
+    in.addData(data.drop(200))
+    q.processAllAvailable()
+    q.stop()
+
+    val batch = data.toDF()
+      .groupBy(col("user_id")).agg(round(sum(col("value")), 2).as("amount"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val streamed = sink.snapshot.map { case (k, row) =>
+      k.head.asInstanceOf[Long] -> row.getAs[Double]("amount") }
+    assert(streamed === batch)
+  }
+
+  test("stream q1 dual-state (dedup UV + sum GMV) equals batch countDistinct/sum") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsFromFixture(400)
+
+    val inUv = MemoryStream[Ev]
+    val uvSink = new UpsertSink(Seq("date_str"))
+    val qUv = uvSink.writeTo(
+      StreamingQueries.q1DailyUv(inUv.toDF()).writeStream.outputMode("update"))
+    inUv.addData(data)
+    qUv.processAllAvailable(); qUv.stop()
+
+    val inG = MemoryStream[Ev]
+    val gSink = new UpsertSink(Seq("date_str"))
+    val qG = gSink.writeTo(
+      StreamingQueries.q1DailyGmv(inG.toDF()).writeStream.outputMode("update"))
+    inG.addData(data)
+    qG.processAllAvailable(); qG.stop()
+
+    val batch = data.toDF()
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(countDistinct(col("user_id")).as("uv"),
+        round(sum(col("value")), 2).as("payment"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+
+    val uv = uvSink.snapshot.map { case (k, r) =>
+      k.head.asInstanceOf[String] -> r.getAs[Long]("uv") }
+    val gmv = gSink.snapshot.map { case (k, r) =>
+      k.head.asInstanceOf[String] -> r.getAs[Double]("payment") }
+    assert(uv === batch.view.mapValues(_._1).toMap)
+    assert(gmv === batch.view.mapValues(_._2).toMap)
+  }
+
+  test("q2 append mode emits closed windows and drops late data past watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingQueries.q2PerMinute(in.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("q2_out").start()
+
+    // window 10:00–10:01 gets 2 rows; then an event at 10:02:10 pushes
+    // the watermark (10:02:05) past the window end → window closes.
+    in.addData(
+      Ev(ts("2024-01-01 10:00:10"), 1, 1.0, "a"),
+      Ev(ts("2024-01-01 10:00:40"), 2, 1.0, "a"))
+    q.processAllAvailable()
+    in.addData(Ev(ts("2024-01-01 10:02:10"), 3, 1.0, "a"))
+    q.processAllAvailable()
+    // late row for the closed 10:00 window — must be dropped
+    in.addData(Ev(ts("2024-01-01 10:00:55"), 4, 1.0, "a"))
+    q.processAllAvailable()
+    // close remaining windows
+    in.addData(Ev(ts("2024-01-01 10:10:00"), 5, 1.0, "a"))
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("q2_out").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("2024-01-01 10:00") === 2L, s"late row must not count: $out")
+  }
+
+  test("upsert sink: replaying the same epoch is a no-op (idempotence)") {
+    import spark.implicits._
+    val sink = new UpsertSink(Seq("k"))
+    val batch = Seq(("a", 1.0), ("b", 2.0)).toDF("k", "v")
+    sink.apply(batch, 0L)
+    val snap1 = sink.snapshot
+    sink.apply(batch, 0L) // replay
+    assert(sink.snapshot === snap1)
+    assert(sink.size === 2)
+    // a later epoch updating a key replaces it
+    sink.apply(Seq(("a", 9.0)).toDF("k", "v"), 1L)
+    assert(sink.snapshot(Seq("a")).getAs[Double]("v") === 9.0)
+  }
+
+  test("ingestion path: stream to partitioned parquet with checkpoint, exactly-once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ingest").toString
+    val in = MemoryStream[Ev]
+    val q = StreamingQueries.ingest(in.toDF(), s"$tmp/data", s"$tmp/ckpt")
+    val data = eventsFromFixture(300)
+    in.addData(data)
+    q.processAllAvailable(); q.stop()
+    val written = spark.read.parquet(s"$tmp/data")
+    assert(written.count() === 300)
+    assert(written.columns.contains("event_date"))
+  }
+}
