@@ -20,6 +20,7 @@ import org.apache.spark.sql.SparkSession
 object GraftSession {
 
   def configure(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .withExtensions(new graft.plans.GraftExtensions)
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")

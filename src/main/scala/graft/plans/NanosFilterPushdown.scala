@@ -1,0 +1,107 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{LongType, TimestampType}
+
+/** Optimizer rule: make time filters on nanosecond-sourced event
+  * columns reach the parquet scan.
+  *
+  * The fixture `events.ts` is parquet TIMESTAMP(NANOS), which Spark
+  * reads as an epoch-nanos LONG; [[graft.sources.Tables.events]]
+  * converts it with `timestamp_micros(ts div 1000)`. A filter written
+  * against the *converted* column —
+  * `Filter(timestamp_micros(ts_ns div 1000) >= TS_LIT)` — cannot be
+  * pushed into the scan by Catalyst (the conversion wraps the
+  * attribute), so at 100 TB every row group is read even for a
+  * last-day query.
+  *
+  * `floor(n / 1000)` is monotone non-decreasing in `n`, so each
+  * comparison against a literal implies an equivalent raw-nanos
+  * bound:
+  *   floor(n/1000) ≥ C  ⟺  n ≥ 1000·C
+  *   floor(n/1000) >  C  ⟺  n ≥ 1000·(C+1)   (⟸ n > 1000·C+999)
+  *   floor(n/1000) ≤ C  ⟺  n < 1000·(C+1)   (n ≤ 1000·C+999)
+  *   floor(n/1000) <  C  ⟺  n < 1000·C
+  *
+  * The rule ADDS the implied raw conjunct and keeps the original
+  * predicate — semantics are trivially preserved (the new conjunct is
+  * implied), and Catalyst's own `PushDownPredicates` +
+  * parquet-filter conversion then push the raw-attribute conjunct to
+  * the scan, where row-group min/max statistics skip data.
+  *
+  * This is the rewrite SURVEY.md §7.3 anticipated ("rewrite
+  * filter-on-converted-time into a raw range for parquet pushdown"),
+  * registered through `SparkSessionExtensions`
+  * ([[GraftExtensions]]).
+  */
+object NanosFilterPushdown extends Rule[LogicalPlan] {
+
+  /** Matches `timestamp_micros(x div 1000)` where x is a LONG
+    * attribute, returning x.
+    */
+  private object MicrosOfNanos {
+    def unapply(e: Expression): Option[Attribute] = e match {
+      case MicrosToTimestamp(IntegralDivide(a: Attribute, Literal(1000L, LongType), _))
+          if a.dataType == LongType => Some(a)
+      case _ => None
+    }
+  }
+
+  private def tsLitMicros(l: Literal): Option[Long] = l match {
+    case Literal(v: Long, TimestampType) => Some(v) // micros since epoch
+    case _ => None
+  }
+
+  /** The implied raw-nanos predicate for one comparison, if any. */
+  private def implied(cmp: BinaryComparison): Option[Expression] = {
+    def nanos(us: Long) = Literal(us * 1000L, LongType)
+    cmp match {
+      case GreaterThanOrEqual(MicrosOfNanos(a), l: Literal) =>
+        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us)))
+      case GreaterThan(MicrosOfNanos(a), l: Literal) =>
+        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us + 1)))
+      case LessThanOrEqual(MicrosOfNanos(a), l: Literal) =>
+        tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
+      case LessThan(MicrosOfNanos(a), l: Literal) =>
+        tsLitMicros(l).map(us => LessThan(a, nanos(us)))
+      case EqualTo(MicrosOfNanos(a), l: Literal) =>
+        tsLitMicros(l).map(us =>
+          And(GreaterThanOrEqual(a, nanos(us)), LessThan(a, nanos(us + 1))))
+      // literal-on-the-left mirrors
+      case GreaterThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
+        tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
+      case LessThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
+        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us)))
+      case _ => None
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, child) =>
+      val conjuncts = splitConjunctivePredicates(cond)
+      val extra = conjuncts.collect {
+        case c: BinaryComparison => implied(c)
+      }.flatten
+      // only add conjuncts not already present
+      val novel = extra.filterNot(e => conjuncts.exists(_.semanticEquals(e)))
+      if (novel.isEmpty) f
+      else Filter((conjuncts ++ novel).reduce(And), child)
+  }
+
+  private def splitConjunctivePredicates(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjunctivePredicates(l) ++ splitConjunctivePredicates(r)
+    case other => Seq(other)
+  }
+}
+
+/** Engine extensions, registered with
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    e.injectOptimizerRule(_ => NanosFilterPushdown)
+}
