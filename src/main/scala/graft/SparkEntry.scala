@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.gen.OrderGen
-import graft.queries.{EventQueries, StarQueries}
+import graft.queries.{EventQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -40,13 +40,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ StarQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
-      Multimodal.queries ++ graft.streaming.StreamingQueries.queries +
-      ("gen_orders_rollup" -> (genRollup _))
+      Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
+      WindowQueries.queries + ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     EventQueries.oracles ++ StarQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
-      Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles
+      Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
+      WindowQueries.oracles
 }

@@ -113,7 +113,23 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ queries
 
+  /** Per-language corpus stats via the typed
+    * [[graft.functions.TextStatsAggregator]] (custom Aggregator
+    * surface, SURVEY.md §2.10), exposed untyped through `udaf`.
+    */
+  def statsByLang(docs: DataFrame): DataFrame = {
+    import graft.functions.TextStatsAggregator
+    val stats = udaf(TextStatsAggregator.TextStats,
+      org.apache.spark.sql.Encoders.STRING)
+    docs.groupBy(col("lang")).agg(stats(col("text")).as("st"))
+      .select(col("lang"), col("st.n_docs"), col("st.total_tokens"),
+        col("st.max_tokens"), round(col("st.avg_tokens"), 2).as("avg_tokens"),
+        col("st.total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_stats_by_lang" -> ((s, d) =>
+      statsByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_token_counts" -> ((s, d) =>
       tokenCounts(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_lang_id" -> ((s, d) =>
@@ -139,6 +155,13 @@ object TextAnalysis {
     s"CAST(len(list_filter($sqlToks, t -> t IN ${sqlList(words)})) AS BIGINT)"
 
   val oracles: Map[String, String] = Map(
+    "text_stats_by_lang" ->
+      s"""SELECT lang, count(*) AS n_docs,
+         |       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
+         |       CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens,
+         |       round(sum(len(string_split_regex(trim(text), '\\s+'))) * 1.0 / count(*), 2) AS avg_tokens,
+         |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_token_counts" ->
       s"""SELECT doc_id,
          |       CAST(len($sqlToks) AS BIGINT) AS ws_tokens,

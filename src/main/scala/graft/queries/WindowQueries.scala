@@ -1,0 +1,96 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Streaming-window surface beyond the reference's single tumbling
+  * window (SURVEY.md §2.5 lists sliding/session windows as engine
+  * surface the reference never exercises): sliding windows, session
+  * windows, and the approximate-distinct variant of Q1 — all in batch
+  * form over `events`, oracle-gated where exact.
+  *
+  * Scale notes: sliding windows multiply each row by L/s window
+  * assignments before the shuffle — the expansion happens map-side and
+  * the shuffle carries (window, partial-count) only. Session windows
+  * shuffle once on the session key (user), then sessionize within
+  * partitions — the same dataflow Spark's streaming
+  * `session_window` state operator uses.
+  */
+object WindowQueries {
+
+  /** Sliding 10-minute windows, 5-minute slide: every event lands in
+    * exactly 2 windows.
+    */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+        col("n_events"), col("total_value"))
+      .orderBy(col("win_start"))
+
+  /** Session windows per user, 30-minute inactivity gap:
+    * one output row per session with its event count and value sum.
+    * Batch form of `session_window(ts, "30 minutes")`.
+    */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+      .orderBy(col("user_id"), col("session_start"))
+
+  /** Q1's UV with `approx_count_distinct` (HLL++): the sketch-based
+    * alternative SURVEY.md §7.5 names for streaming exact-distinct at
+    * scale. Approximation ⇒ rows-only at the gate; accuracy vs exact
+    * is asserted in tests.
+    */
+  def approxDailyUv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(approx_count_distinct(col("user_id")).as("approx_uv"))
+      .orderBy(col("date_str"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_sliding_counts" -> (slidingCounts _),
+    "win_user_sessions" -> (userSessions _),
+    "win_approx_daily_uv" -> (approxDailyUv _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // each event belongs to windows k=0,1: start = 5-min-floor(ts) − k·5min
+    "win_sliding_counts" ->
+      """SELECT strftime(make_timestamp(
+        |         (CAST(floor(epoch(ts) / 300) AS BIGINT) * 300 - k * 300) * 1000000),
+        |         '%Y-%m-%d %H:%M') AS win_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // gaps-and-islands sessionization: new session when the gap to the
+    // previous event of the same user is >= 30 minutes
+    "win_user_sessions" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
+  )
+}

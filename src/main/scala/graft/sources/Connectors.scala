@@ -1,0 +1,104 @@
+package graft.sources
+
+import java.util.Properties
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Connector surface mirroring the reference's external I/O
+  * (SURVEY.md §2.1), kept thin over Spark's own readers/writers. The
+  * zero-egress build can't reach a MySQL/Kafka/Hive endpoint, so
+  * network connectors are configuration builders (exercised for SQL
+  * generation and config shape in tests); the file-based equivalents
+  * run for real.
+  */
+object Connectors {
+
+  // ------------------------------------------------------------- JDBC
+
+  /** Batch JDBC source (`doc/temp.md:446-453`,
+    * `doc/Cumulative.java:37-44`). Unlike the reference (single-task
+    * full-table read), a partitioned read is REQUIRED here: at any
+    * real size an unpartitioned JDBC scan is one task on one
+    * connection.
+    */
+  def jdbcSource(spark: SparkSession, url: String, table: String,
+      partitionColumn: String, lowerBound: Long, upperBound: Long,
+      numPartitions: Int, user: String, password: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", url)
+      .option("dbtable", table)
+      .option("partitionColumn", partitionColumn)
+      .option("lowerBound", lowerBound)
+      .option("upperBound", upperBound)
+      .option("numPartitions", numPartitions)
+      .option("user", user)
+      .option("password", password)
+      .load()
+
+  /** Batch JDBC sink, append/overwrite (`doc/temp.md:477-485`,
+    * `doc/Cumulative.java:84-90`).
+    */
+  def jdbcSink(df: DataFrame, url: String, table: String, mode: SaveMode,
+      props: Properties): Unit =
+    df.write.mode(mode).jdbc(url, table, props)
+
+  /** MySQL upsert statement for a keyed result table — the SQL the
+    * production `foreachBatch` JDBC upsert executes per row batch
+    * (`INSERT ... ON DUPLICATE KEY UPDATE`, the MySQL equivalent of
+    * the Flink sink's PK upsert, `doc/temp.md:317-329`).
+    */
+  def mysqlUpsertSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+    require(columns.nonEmpty && keyCols.forall(columns.contains))
+    val collist = columns.mkString("(", ", ", ")")
+    val placeholders = columns.map(_ => "?").mkString("(", ", ", ")")
+    val updates = columns.filterNot(keyCols.contains)
+      .map(c => s"$c = VALUES($c)").mkString(", ")
+    s"INSERT INTO $table $collist VALUES $placeholders" +
+      (if (updates.nonEmpty) s" ON DUPLICATE KEY UPDATE $updates" else "")
+  }
+
+  // ------------------------------------------------------------ Kafka
+
+  /** Kafka streaming source (`doc/temp.md:293-312`): value bytes →
+    * JSON decode with the declared schema. The returned builder is
+    * ready to `.load()` where a broker exists; offline tests use
+    * [[kafkaWireDecode]] on any DataFrame with a `value` column.
+    */
+  def kafkaSourceReader(spark: SparkSession, bootstrap: String, topic: String,
+      startingOffsets: String = "earliest") =
+    spark.readStream.format("kafka")
+      .option("kafka.bootstrap.servers", bootstrap)
+      .option("subscribe", topic)
+      .option("startingOffsets", startingOffsets)
+
+  /** The wire decode every Kafka consumer applies: bytes → string →
+    * `from_json` with the order schema + event-time column + watermark
+    * (the Flink DDL's computed column + watermark,
+    * `doc/temp.md:301-303`).
+    */
+  def kafkaWireDecode(wire: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    wire.select(from_json(col("value").cast("string"),
+        graft.model.Schemas.orderSchema).as("o"))
+      .select(col("o.*"))
+      .withColumn("ts", timestamp_seconds(col("order_time")))
+      .withWatermark("ts", "5 seconds")
+  }
+
+  // ---------------------------------------------------- Hive-style ORC
+
+  /** Bucketed ORC table at rest — the reference's Hive fact table
+    * (`clustered by(order_id) into 2 buckets stored as orc`,
+    * `doc/temp.md:636-651`) minus ACID (Spark checkpointing provides
+    * the delivery guarantee instead, SURVEY.md §3.3). Bucketing
+    * pre-shuffles by key at write time so later joins/aggs on
+    * `order_id` skip their exchange.
+    */
+  def writeBucketedOrc(df: DataFrame, table: String, bucketCol: String,
+      buckets: Int = 2): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("orc")
+      .saveAsTable(table)
+}
