@@ -1,0 +1,79 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.AsOfJoin
+import graft.sources.Tables
+
+/** Remaining engine-surface operators: as-of join (composed — see
+  * [[graft.ops.AsOfJoin]]), CUBE grouping sets, and JSON field
+  * extraction from the `props` payload (the schema-on-read surface
+  * the reference's `'format'='json'` tables imply).
+  */
+object ExtraQueries {
+
+  /** For every event, the timestamp of the user's most recent error
+    * event at-or-before it — time-series enrichment via as-of join.
+    * Oracle: DuckDB's native `ASOF LEFT JOIN`.
+    */
+  def lastErrorAsOf(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"))
+    AsOfJoin.asOf(ev, errors, Seq("user_id"), "ts", "ts",
+        Map("ts" -> "last_error_ts"))
+      .select(col("event_id"),
+        date_format(col("last_error_ts"), "yyyy-MM-dd HH:mm:ss").as("last_error"))
+      .orderBy(col("event_id"))
+  }
+
+  /** CUBE over (event_type, day-of-week): all 4 grouping sets in one
+    * pass (SURVEY.md §2.4 lists cube as engine surface).
+    */
+  def cubeTypeDow(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .cube(col("event_type"), date_format(col("ts"), "EEEE").as("dow"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
+      .orderBy(col("event_type").asc_nulls_first, col("dow").asc_nulls_first)
+
+  /** JSON payload extraction: `props` is a JSON string column;
+    * `get_json_object` (codegen'd) pulls `$.k` — schema-on-read
+    * without a full `from_json` when one field is needed (reads less,
+    * same pushdown story as column pruning).
+    */
+  def propsExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_mod"))
+      .agg(count(lit(1)).as("n"), round(avg(col("k")), 2).as("avg_k"))
+      .orderBy(col("k_mod"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "asof_last_error" -> (lastErrorAsOf _),
+    "cube_type_dow" -> (cubeTypeDow _),
+    "props_extract" -> (propsExtract _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    "asof_last_error" ->
+      """SELECT e.event_id,
+        |       strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS last_error
+        |FROM events e ASOF LEFT JOIN
+        |     (SELECT user_id, ts FROM events WHERE event_type = 'error') err
+        |  ON e.user_id = err.user_id AND e.ts >= err.ts
+        |ORDER BY e.event_id""".stripMargin,
+    "cube_type_dow" ->
+      """SELECT event_type, strftime(ts, '%A') AS dow,
+        |       count(*) AS n, round(sum(value), 2) AS total
+        |FROM events
+        |GROUP BY CUBE(event_type, strftime(ts, '%A'))
+        |ORDER BY event_type NULLS FIRST, dow NULLS FIRST""".stripMargin,
+    "props_extract" ->
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+        |       count(*) AS n,
+        |       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -99,6 +99,38 @@ object StreamingQueries {
       .outputMode("append")
       .start()
 
+  // ------------------------------------- custom keyed state (SURVEY §2.10)
+
+  final case class KeyedEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Q3 re-expressed through `flatMapGroupsWithState` — the custom
+    * keyed-state surface (`KeyValueGroupedDataset`) for logic a
+    * built-in agg can't express (here it CAN, which makes the built-in
+    * result the exactness oracle in tests). State: one running
+    * `UserTotals` per user; each micro-batch folds its rows in and
+    * emits the updated total (update-mode semantics).
+    *
+    * At scale: state lives in the state store per shuffle partition of
+    * the user key — identical placement to the built-in streaming agg.
+    */
+  def userTotalsWithState(events: org.apache.spark.sql.Dataset[KeyedEvent])
+      : org.apache.spark.sql.Dataset[UserTotals] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[KeyedEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserTotals(uid, n, tot)
+          state.update(next)
+          Iterator.single(next)
+      }
+  }
+
   // ------------------------------------------------- gate-facing replay
 
   /** Fixture `events.parquet` as a *streaming* source (file source,

@@ -128,6 +128,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(sink.snapshot(Seq("a")).getAs[Double]("v") === 9.0)
   }
 
+  test("flatMapGroupsWithState totals equal the built-in streaming agg") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val data = eventsFromFixture(600)
+    val in = MemoryStream[StreamingQueries.KeyedEvent]
+    val q = StreamingQueries.userTotalsWithState(in.toDS())
+      .writeStream.outputMode("update")
+      .format("memory").queryName("state_out").start()
+    in.addData(data.take(300).map(e => StreamingQueries.KeyedEvent(e.user_id, e.value)))
+    q.processAllAvailable()
+    in.addData(data.drop(300).map(e => StreamingQueries.KeyedEvent(e.user_id, e.value)))
+    q.processAllAvailable()
+    q.stop()
+    // last update per user == batch totals
+    val got = spark.table("state_out")
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("n_events"), col("total_value"))).as("s"))
+      .select(col("user_id"), col("s.n_events"), round(col("s.total_value"), 2).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val want = data.toDF()
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("tv"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === want)
+  }
+
   test("ingestion path: stream to partitioned parquet with checkpoint, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
