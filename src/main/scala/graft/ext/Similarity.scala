@@ -29,15 +29,16 @@ import graft.sources.Tables
   */
 object Similarity {
 
-  /** cosine(a, b) in double precision: Σab / (√Σa²·√Σb²). */
+  /** cosine(a, b) in double precision: Σab / (√Σa²·√Σb²), on the
+    * native [[graft.functions.VecDot]] expression (sequential
+    * accumulation — bit-identical to the higher-order-function fold
+    * and the oracle). Inputs may be float arrays; cast once here.
+    */
   def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) =
-      aggregate(zip_with(x, y, (p, q) => p.cast("double") * q.cast("double")),
-        lit(0.0), (acc, v) => acc + v)
-    def norm(x: Column) =
-      sqrt(aggregate(x, lit(0.0),
-        (acc, v) => acc + v.cast("double") * v.cast("double")))
-    dot(a, b) / (norm(a) * norm(b))
+    import graft.functions.VecDot.vec_dot
+    val aD = transform(a, v => v.cast("double"))
+    val bD = transform(b, v => v.cast("double"))
+    vec_dot(aD, bD) / (sqrt(vec_dot(aD, aD)) * sqrt(vec_dot(bD, bD)))
   }
 
   /** Pairs with cosine ≥ threshold (brute force, a < b). The exact
@@ -81,18 +82,19 @@ object Similarity {
   }
 
   /** Random-hyperplane LSH bucket id: `bits` sign bits of dot
-    * products with deterministic pseudo-random ±1 hyperplanes
-    * (hyperplane j, dim d has sign + iff xxhash64(j·dim+d, seed) is
-    * even — seeded, reproducible, no stored model).
+    * products with deterministic ±1 hyperplanes (seeded JVM-spec PRNG
+    * — reproducible, no stored model). Hyperplanes are baked in as
+    * array literals and dotted with the native `vec_dot` expression:
+    * constant-folded plane vectors + one tight loop per bit, versus
+    * the composable form's per-bit sequence/zip_with allocations.
+    * Expects an `array<double>` input (callers pre-cast once).
     */
   def lshBucket(e: Column, bits: Int, dim: Int, seed: Int = 7): Column = {
+    import graft.functions.VecDot.vec_dot
     val bitCols = (0 until bits).map { j =>
-      val dotJ = aggregate(
-        zip_with(e, sequence(lit(j * dim), lit(j * dim + dim - 1)),
-          (v, idx) => v.cast("double") *
-            when(pmod(xxhash64(idx, lit(seed)), lit(2)) === 0, lit(1.0)).otherwise(lit(-1.0))),
-        lit(0.0), (acc, v) => acc + v)
-      when(dotJ >= 0, lit(1L << j)).otherwise(lit(0L))
+      val rnd = new scala.util.Random((seed.toLong << 16) | j.toLong)
+      val plane = Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
+      when(vec_dot(e, typedlit(plane)) >= 0, lit(1L << j)).otherwise(lit(0L))
     }
     bitCols.reduce(_ + _)
   }
@@ -105,10 +107,12 @@ object Similarity {
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, eCol: String) =
-      df.select(col(idCol), col(eCol),
-        posexplode(array((0 until tables).map(t =>
-          lshBucket(col(eCol), bits, dim, seed = 7 + t)): _*))
-          .as(Seq("tbl", "bucket")))
+      df.select(col(idCol),
+          transform(col(eCol), v => v.cast("double")).as(eCol))
+        .select(col(idCol), col(eCol),
+          posexplode(array((0 until tables).map(t =>
+            lshBucket(col(eCol), bits, dim, seed = 7 + t)): _*))
+            .as(Seq("tbl", "bucket")))
     val cand = bucketed(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c")),
         "neighbor_id", "e_c")
