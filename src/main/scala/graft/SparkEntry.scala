@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.gen.OrderGen
-import graft.queries.{EventQueries, ExtraQueries, StarQueries, WindowQueries}
+import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -41,7 +41,7 @@ object SparkEntry {
     EventQueries.queries ++ StarQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
-      WindowQueries.queries ++ ExtraQueries.queries +
+      WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -50,5 +50,5 @@ object SparkEntry {
     EventQueries.oracles ++ StarQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
-      WindowQueries.oracles ++ ExtraQueries.oracles
+      WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles
 }

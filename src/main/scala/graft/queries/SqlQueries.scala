@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.sources.Tables
+
+/** The reference's second entry point: SQL text over registered temp
+  * views (`spark.sql(...)` after `createOrReplaceTempView`,
+  * SURVEY.md §3.2, `doc/Cumulative.java:54-80`). Each query here is
+  * the Spark-SQL-text twin of a DataFrame pipeline elsewhere in the
+  * engine and shares its DuckDB oracle — proving the two surfaces
+  * (typed DataFrame and SQL text) resolve to the same plans/results.
+  */
+object SqlQueries {
+
+  /** Q6 as SQL text — structurally the reference's query
+    * (`doc/Cumulative.java:63-80`): two-phase rollup + trailing
+    * filter + desc sort, with the §7.6 time-semantics corrections
+    * (raw `ts` range filter, pinned asOf).
+    */
+  def sqlQ6(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT dt, count(user_id) AS uv, sum(cnt) AS buy_cnt,
+        |       round(sum(amt), 2) AS amount
+        |FROM (SELECT date_format(ts, 'yyyy-MM-dd HH') AS dt, user_id,
+        |             count(1) AS cnt, sum(value) AS amt
+        |      FROM events
+        |      WHERE ts >= timestamp'2024-01-30 00:00:00'
+        |      GROUP BY 1, 2)
+        |GROUP BY dt
+        |ORDER BY dt DESC""".stripMargin)
+  }
+
+  /** TPC-H-style revenue join as SQL text (twin of
+    * [[StarQueries.revenueByNation]], broadcast hints included the
+    * SQL way).
+    */
+  def sqlRevenue(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT /*+ BROADCAST(customer), BROADCAST(nation) */
+        |       n_name AS nation, year(o_orderdate) AS order_year,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name, year(o_orderdate)
+        |ORDER BY nation, order_year""".stripMargin)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_q6_trailing" -> (sqlQ6 _),
+    "sql_revenue_by_nation" -> (sqlRevenue _)
+  )
+
+  /** Shared with the DataFrame twins' oracles. */
+  val oracles: Map[String, String] = Map(
+    "sql_q6_trailing" -> EventQueries.oracles("q6_trailing_rollup"),
+    "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation")
+  )
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.functions.{SimHash64, VecDot}
+import graft.sources.Connectors
+
+/** ScalaCheck properties over the engine's pure kernels (the parts
+  * generated code calls) — no SparkSession needed, hundreds of cases
+  * per property.
+  */
+object PropertiesSpec extends Properties("graft.kernels") {
+
+  private def arr(tokens: Seq[String]) =
+    new GenericArrayData(tokens.map(t => UTF8String.fromString(t)).toArray[Any])
+
+  private val tokenGen: Gen[List[String]] =
+    Gen.listOf(Gen.identifier.suchThat(_.nonEmpty))
+
+  property("simhash permutation-invariant (multiset semantics)") =
+    forAll(tokenGen) { tokens =>
+      val shuffled = new scala.util.Random(42).shuffle(tokens)
+      SimHash64.compute(arr(tokens)) == SimHash64.compute(arr(shuffled))
+    }
+
+  property("simhash: one-token mutation moves few bits") =
+    forAll(tokenGen.suchThat(_.size >= 20)) { tokens =>
+      val mutated = tokens.updated(tokens.size / 2, "xXmutationXx")
+      val h = java.lang.Long.bitCount(
+        SimHash64.compute(arr(tokens)) ^ SimHash64.compute(arr(mutated)))
+      (h <= 32) :| s"one-token change moved $h/64 bits"
+    }
+
+  property("vec_dot equals the naive fold bit-exactly") = {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-1e3, 1e3))
+    forAll(vecGen, vecGen) { (a, b) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      VecDot.dot(new GenericArrayData(a.toArray[Any]),
+        new GenericArrayData(b.toArray[Any])) == expected
+    }
+  }
+
+  property("order_id affine map is injective on distinct indices") = {
+    val M = 900000000000000L
+    val A = 1000000007L
+    def oid(i: Long) = java.lang.Math.floorMod(i * A + 42L, M)
+    forAll(Gen.chooseNum(0L, 10000000L), Gen.chooseNum(0L, 10000000L)) { (i, j) =>
+      (i == j) || oid(i) != oid(j)
+    }
+  }
+
+  property("mysql upsert SQL covers all non-key columns, never keys") =
+    forAll(Gen.nonEmptyListOf(Gen.identifier.suchThat(_.nonEmpty)).map(_.distinct)) { cols =>
+      (cols.nonEmpty) ==> {
+        val keys = cols.take(1)
+        val sql = Connectors.mysqlUpsertSql("t", cols, keys)
+        sql.startsWith("INSERT INTO t (") &&
+          cols.forall(sql.contains) &&
+          keys.forall(k => !sql.contains(s"$k = VALUES($k)")) &&
+          cols.filterNot(keys.contains).forall(c => sql.contains(s"$c = VALUES($c)"))
+      }
+    }
+}
