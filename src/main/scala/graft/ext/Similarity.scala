@@ -134,6 +134,86 @@ object Similarity {
   def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
     thresholdJoin(emb, threshold)
 
+  /** IVF-style ANN (cluster-then-probe): the other scale path the
+    * contract names besides LSH.
+    *
+    * Coarse quantizer: deterministic seeded centroids refined by a
+    * few Lloyd iterations expressed AS DATAFRAME AGGREGATIONS (assign
+    * = broadcast-centroid argmin map; update = groupBy(cluster) mean)
+    * — no driver-side loops over data, only over the handful of
+    * centroids collected per iteration (k × dim doubles, inherently
+    * tiny). Probe: each query scans its `nprobe` nearest clusters
+    * only — the corpus shuffle key is the cluster id, and search cost
+    * drops by ~k/nprobe versus brute force.
+    */
+  def annIvf(emb: DataFrame, queries: DataFrame, k: Int,
+      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
+      dim: Int = 64): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val spark = emb.sparkSession
+
+    val corpus = emb.select(col("vec_id"),
+      transform(col("embedding"), v => v.cast("double")).as("e"))
+
+    // deterministic init: first nClusters vectors as seeds
+    var centroids: Array[(Int, Seq[Double])] = corpus
+      .orderBy(col("vec_id")).limit(nClusters).collect()
+      .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+
+    def centroidArray = array(centroids.map { case (_, c) => typedlit(c) }: _*)
+    def nearestCluster(e: Column) =
+      // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²)
+      expr("array_position(" +
+        "transform(__scores, s -> s = array_max(__scores)), true)").cast("int") - 1
+
+    def scored(df: DataFrame, e: Column) = {
+      val scores = centroids.map { case (_, c) =>
+        val c2 = c.map(x => x * x).sum
+        vec_dot(e, typedlit(c)) * 2.0 - lit(c2)
+      }
+      df.withColumn("__scores", array(scores: _*))
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val assigned = scored(corpus, col("e"))
+        .withColumn("cluster", nearestCluster(col("e")))
+      val means = assigned.groupBy(col("cluster"))
+        .agg(array((0 until dim).map(d =>
+          avg(element_at(col("e"), d + 1))): _*).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getSeq[Double](1)))
+      // keep old centroid for any emptied cluster
+      val byId = means.toMap
+      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+    }
+
+    val assignedCorpus = scored(corpus, col("e"))
+      .withColumn("cluster", nearestCluster(col("e")))
+      .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("cluster"))
+
+    // probe lists: nProbe best clusters per query
+    val qPrepped = queries.select(col("vec_id").as("query_id"),
+      transform(col("embedding"), v => v.cast("double")).as("e_q"))
+    val qProbes = scored(qPrepped, col("e_q"))
+      .select(col("query_id"), col("e_q"),
+        posexplode(slice(array_sort(
+          // sort (score, cluster) descending by score via negated score
+          array(centroids.indices.map(i =>
+            struct((element_at(col("__scores"), i + 1) * -1.0).as("ns"),
+              lit(i).as("cluster"))): _*)), 1, nProbe))
+          .as(Seq("p", "probe")))
+      .select(col("query_id"), col("e_q"), col("probe.cluster").as("cluster"))
+
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    qProbes.join(assignedCorpus, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Query vectors: the first 5 ids — deterministic, tiny, broadcast. */
@@ -151,6 +231,11 @@ object Similarity {
     "sim_ann_lsh" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       annLsh(emb, querySet(emb), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annIvf(emb, querySet(emb), k = 10)
         .orderBy(col("query_id"), col("rank"))
     })
   )

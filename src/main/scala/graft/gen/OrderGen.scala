@@ -62,4 +62,30 @@ object OrderGen {
     wire.select(from_json(col("value"), graft.model.Schemas.orderSchema).as("o"))
       .select(col("o.*"))
       .withColumn("ts", timestamp_seconds(col("order_time")))
+
+  /** GEN as a STREAM — the reference's actual shape (an endless
+    * producer, `__init__.py:13-25`): Spark's rate source supplies a
+    * monotonically increasing row index (`value`), and the same pure
+    * per-index derivations produce the order columns. Deterministic
+    * given the index, so a replay regenerates identical orders —
+    * which is what makes downstream exactly-once achievable.
+    */
+  def ordersStream(spark: SparkSession, rowsPerSecond: Int = 100,
+      seed: Long = 42L): DataFrame = {
+    val i = col("value")
+    def h(field: String) = xxhash64(i, lit(field), lit(seed))
+    spark.readStream.format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(
+        (lit(100000000000000L) + pmod(i * lit(A) + lit(seed), lit(M))).as("order_id"),
+        (lit(1L) + pmod(h("user_id"), lit(5000L))).as("user_id"),
+        lit("beijing").as("order_tz"),
+        (lit(1L) + pmod(h("amount"), lit(10000L))).as("amount"),
+        lit("rmb").as("currency"),
+        pmod(h("channel_id"), lit(201L)).as("channel_id"),
+        (lit(BaseEpoch) + i * lit(3L) + pmod(h("jitter"), lit(8L))).as("order_time"))
+      .withColumn("ts", timestamp_seconds(col("order_time")))
+      .withWatermark("ts", "5 seconds")
+  }
 }

@@ -86,6 +86,20 @@ class ExtSpec extends AnyFunSuite {
     assert(recall > 0.5, s"ANN hits mostly outside brute top-50 (recall=$recall)")
   }
 
+  test("IVF ANN: top-1 recall vs brute force is high") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, 10)
+      .filter(col("rank") === 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val ivf = Similarity.annIvf(emb, qs, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // the true nearest neighbor should be found for most queries when
+    // probing 4/16 clusters
+    val hit = brute.count(ivf.contains)
+    assert(hit >= 3, s"IVF missed too many true top-1 neighbors: $hit/5")
+  }
+
   test("multimodal feature extraction is deterministic and metadata prunes payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaRow]

@@ -154,6 +154,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("GEN as a rate-source stream produces valid orders") {
+    val q = graft.gen.OrderGen.ordersStream(spark, rowsPerSecond = 500)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("gen_stream_out").start()
+    try {
+      // rate source is unbounded: let a couple of micro-batches land
+      val deadline = System.currentTimeMillis() + 15000
+      while (spark.table("gen_stream_out").isEmpty && System.currentTimeMillis() < deadline) {
+        Thread.sleep(250)
+      }
+    } finally q.stop()
+    val out = spark.table("gen_stream_out")
+    assert(out.count() > 0, "no rows from rate-source GEN")
+    val bad = out.filter(
+      col("user_id") < 1 || col("user_id") > 5000 ||
+        col("amount") < 1 || col("amount") > 10000 ||
+        col("channel_id") < 0 || col("channel_id") > 200 ||
+        col("order_tz") =!= "beijing" || col("currency") =!= "rmb")
+    assert(bad.count() === 0, "field domains violated")
+  }
+
   test("ingestion path: stream to partitioned parquet with checkpoint, exactly-once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
