@@ -44,11 +44,18 @@ object EventQueries {
     */
   def q1DailyUvGmv(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
-      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      // group on the 8-byte truncated timestamp, format AFTER the agg:
+      // at 20M rows this halves the rollup (no per-row string key, and
+      // the shuffle carries longs). Within a day, max(ts) is the
+      // latest event, so its HH:mm equals max of the per-row strings.
+      .groupBy(date_trunc("DAY", col("ts")).as("d"))
       .agg(
         countDistinct(col("user_id")).as("uv"),
         round(sum(col("value")), 2).as("payment"),
-        max(date_format(col("ts"), "HH:mm")).as("time_str"))
+        max(col("ts")).as("max_ts"))
+      .select(date_format(col("d"), "yyyy-MM-dd").as("date_str"),
+        col("uv"), col("payment"),
+        date_format(col("max_ts"), "HH:mm").as("time_str"))
       .orderBy(col("date_str"))
 
   /** Q2 — orders per 1-minute tumbling window (`doc/temp.md:390-394`).
@@ -93,17 +100,23 @@ object EventQueries {
     */
   def q5HourlyRollup(spark: SparkSession, dir: String): DataFrame = {
     val lastHour = "2024-01-30 23"
+    // hour filter as a timestamp RANGE on the raw column (reaches the
+    // parquet scan via NanosFilterPushdown), not a string equality on
+    // a computed column (which scans everything — the reference's
+    // shape, doc/temp.md:470)
     val perUser = Tables.events(spark, dir)
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd HH"))
-      .filter(col("dt") === lit(lastHour))
-      .groupBy(col("dt"), col("user_id"))
+      .filter(col("ts") >= to_timestamp(lit(s"$lastHour:00:00")) &&
+        col("ts") < to_timestamp(lit("2024-01-31 00:00:00")))
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("user_id"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("amt"))
     perUser
-      .groupBy(col("dt"))
+      .groupBy(col("h"))
       .agg(
         count(lit(1)).as("uv"),
         sum(col("cnt")).as("buy_cnt"),
         round(sum(col("amt")), 2).as("amount"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH").as("dt"),
+        col("uv"), col("buy_cnt"), col("amount"))
       .orderBy(col("dt"))
   }
 
@@ -120,15 +133,16 @@ object EventQueries {
     val cutoff = "2024-01-30 00:00:00" // AsOf - 24h, driver-side constant fold
     val perUser = Tables.events(spark, dir)
       .filter(col("ts") >= to_timestamp(lit(cutoff)))
-      .withColumn("dt", date_format(col("ts"), "yyyy-MM-dd HH"))
-      .groupBy(col("dt"), col("user_id"))
+      .groupBy(date_trunc("HOUR", col("ts")).as("h"), col("user_id"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("amt"))
     perUser
-      .groupBy(col("dt"))
+      .groupBy(col("h"))
       .agg(
         count(col("user_id")).as("uv"),
         sum(col("cnt")).as("buy_cnt"),
         round(sum(col("amt")), 2).as("amount"))
+      .select(date_format(col("h"), "yyyy-MM-dd HH").as("dt"),
+        col("uv"), col("buy_cnt"), col("amount"))
       .orderBy(col("dt").desc)
   }
 

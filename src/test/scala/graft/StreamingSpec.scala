@@ -154,6 +154,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("streaming agg runs on the RocksDB state store (production state path)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // at 100 TB, keyed state outgrows executor heaps: RocksDB is the
+    // spill-to-disk provider. Same query code, one config.
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val data = eventsFromFixture(400)
+      val in = MemoryStream[Ev]
+      val sink = new UpsertSink(Seq("user_id"))
+      val q = sink.writeTo(
+        StreamingQueries.q3UserGmv(in.toDF()).writeStream.outputMode("update"))
+      in.addData(data)
+      q.processAllAvailable(); q.stop()
+      val batch = data.toDF()
+        .groupBy(col("user_id")).agg(round(sum(col("value")), 2).as("amount"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val streamed = sink.snapshot.map { case (k, row) =>
+        k.head.asInstanceOf[Long] -> row.getAs[Double]("amount") }
+      assert(streamed === batch)
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("GEN as a rate-source stream produces valid orders") {
     val q = graft.gen.OrderGen.ordersStream(spark, rowsPerSecond = 500)
       .writeStream.outputMode("append")
