@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DataQuality, Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.gen.OrderGen
 import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -41,8 +41,8 @@ object SparkEntry {
     EventQueries.queries ++ StarQueries.queries ++
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
-      WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries +
-      ("gen_orders_rollup" -> (genRollup _))
+      WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
+      DataQuality.queries + ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -50,5 +50,6 @@ object SparkEntry {
     EventQueries.oracles ++ StarQueries.oracles ++
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
-      WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles
+      WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
+      DataQuality.oracles
 }

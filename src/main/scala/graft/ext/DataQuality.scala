@@ -1,0 +1,103 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Data-quality / validation operators — the capability the reference
+  * itself names as its missing piece ("清洗/验证/监控" — cleaning /
+  * validation / monitoring, `doc/temp.md:929`, SURVEY.md §5.1).
+  *
+  * Shape: one scan computes a per-row rule bitmap; from it derive
+  * (a) the clean subset, (b) the quarantine subset with reasons,
+  * (c) an aggregated rule-violation report. All three come from the
+  * SAME narrow projection — at 100 TB you never scan twice to split
+  * clean/dirty, and the report shuffle carries only rule counters.
+  */
+object DataQuality {
+
+  /** Validation rules for the `events` table: (name, predicate-OK). */
+  def eventRules: Seq[(String, Column)] = Seq(
+    "ts_in_range" ->
+      (col("ts") >= to_timestamp(lit("2024-01-01 00:00:00")) &&
+        col("ts") < to_timestamp(lit("2025-01-01 00:00:00"))),
+    "user_id_positive" -> (col("user_id") > 0),
+    "value_non_negative" -> (col("value") >= 0.0),
+    "event_type_known" ->
+      col("event_type").isInCollection(Seq("click", "view", "purchase", "signup", "error")),
+    "props_valid_json" ->
+      get_json_object(col("props"), "$.k").isNotNull
+  )
+
+  /** Rows + a boolean column per rule + overall validity. */
+  def validated(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val withFlags = rules.foldLeft(df) { case (d, (name, ok)) =>
+      d.withColumn(s"ok_$name", coalesce(ok, lit(false)))
+    }
+    withFlags.withColumn("is_valid",
+      rules.map { case (n, _) => col(s"ok_$n") }.reduce(_ && _))
+  }
+
+  def clean(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    validated(df, rules).filter(col("is_valid")).drop(
+      ("is_valid" +: rules.map { case (n, _) => s"ok_$n" }): _*)
+
+  def quarantine(df: DataFrame, rules: Seq[(String, Column)]): DataFrame =
+    validated(df, rules).filter(!col("is_valid"))
+      .withColumn("violations",
+        concat_ws(",", rules.map { case (n, _) =>
+          when(!col(s"ok_$n"), lit(n)).otherwise(lit(null))
+        }: _*))
+
+  /** Violation report: per-rule failure counts in ONE aggregation
+    * (conditional sums — no per-rule scans).
+    */
+  def report(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    val v = validated(df, rules)
+    val aggs = Seq(
+      count(lit(1)).as("total_rows"),
+      sum(when(col("is_valid"), 1L).otherwise(0L)).as("valid_rows")) ++
+      rules.map { case (n, _) =>
+        sum(when(!col(s"ok_$n"), 1L).otherwise(0L)).as(s"fail_$n")
+      }
+    v.agg(aggs.head, aggs.tail: _*)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_report" -> ((s, d) => report(Tables.events(s, d), eventRules)),
+    "dq_clean_count" -> ((s, d) =>
+      clean(Tables.events(s, d), eventRules)
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type")))
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dq_report" ->
+      """SELECT count(*) AS total_rows,
+        |  CAST(sum(CASE WHEN ok_ts AND ok_uid AND ok_val AND ok_type AND ok_json
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS valid_rows,
+        |  CAST(sum(CASE WHEN NOT ok_ts THEN 1 ELSE 0 END) AS BIGINT) AS fail_ts_in_range,
+        |  CAST(sum(CASE WHEN NOT ok_uid THEN 1 ELSE 0 END) AS BIGINT) AS fail_user_id_positive,
+        |  CAST(sum(CASE WHEN NOT ok_val THEN 1 ELSE 0 END) AS BIGINT) AS fail_value_non_negative,
+        |  CAST(sum(CASE WHEN NOT ok_type THEN 1 ELSE 0 END) AS BIGINT) AS fail_event_type_known,
+        |  CAST(sum(CASE WHEN NOT ok_json THEN 1 ELSE 0 END) AS BIGINT) AS fail_props_valid_json
+        |FROM (SELECT
+        |  coalesce(ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |           AND ts < TIMESTAMP '2025-01-01 00:00:00', false) AS ok_ts,
+        |  coalesce(user_id > 0, false) AS ok_uid,
+        |  coalesce(value >= 0.0, false) AS ok_val,
+        |  coalesce(event_type IN ('click','view','purchase','signup','error'), false) AS ok_type,
+        |  coalesce(json_extract(props, '$.k') IS NOT NULL, false) AS ok_json
+        |FROM events)""".stripMargin,
+    "dq_clean_count" ->
+      """SELECT event_type, count(*) AS n FROM events
+        |WHERE coalesce(ts >= TIMESTAMP '2024-01-01 00:00:00'
+        |               AND ts < TIMESTAMP '2025-01-01 00:00:00', false)
+        |  AND coalesce(user_id > 0, false)
+        |  AND coalesce(value >= 0.0, false)
+        |  AND coalesce(event_type IN ('click','view','purchase','signup','error'), false)
+        |  AND coalesce(json_extract(props, '$.k') IS NOT NULL, false)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -157,7 +157,24 @@ object StarQueries {
       .orderBy(col("bucket"))
   }
 
+  /** Distribution statistics per group: exact interpolated percentiles
+    * (`percentile`), sample stddev, extremes — the numeric-profiling
+    * surface (DuckDB twin uses the same continuous-quantile
+    * definition, `quantile_cont`).
+    */
+  def valueStats(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(value, 0.5)"), 4).as("median_value"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95_value"),
+        round(stddev_samp(col("value")), 4).as("stddev_value"),
+        round(min(col("value")), 2).as("min_value"),
+        round(max(col("value")), 2).as("max_value"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stats_value_by_type" -> (valueStats _),
     "star_pricing_summary" -> (pricingSummary _),
     "star_revenue_by_nation" -> (revenueByNation _),
     "star_top_customers" -> (topCustomers _),
@@ -170,6 +187,14 @@ object StarQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stats_value_by_type" ->
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS median_value,
+        |       round(quantile_cont(value, 0.95), 4) AS p95_value,
+        |       round(stddev_samp(value), 4) AS stddev_value,
+        |       round(min(value), 2) AS min_value,
+        |       round(max(value), 2) AS max_value
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "star_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

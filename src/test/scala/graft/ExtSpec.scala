@@ -113,6 +113,22 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("payload") || plan.contains("ReadSchema"))
   }
 
+  test("data quality: clean + quarantine partition the input; report is consistent") {
+    import graft.ext.DataQuality
+    val ev = Tables.events(spark, dir)
+    val rules = DataQuality.eventRules
+    val nClean = DataQuality.clean(ev, rules).count()
+    val nQuar = DataQuality.quarantine(ev, rules).count()
+    assert(nClean + nQuar === ev.count())
+    val rep = DataQuality.report(ev, rules).collect()(0)
+    assert(rep.getAs[Long]("total_rows") === ev.count())
+    assert(rep.getAs[Long]("valid_rows") === nClean)
+    // quarantined rows carry at least one named violation
+    val unnamed = DataQuality.quarantine(ev, rules)
+      .filter(length(col("violations")) === 0).count()
+    assert(unnamed === 0)
+  }
+
   test("exact dedup groups sum to the corpus size") {
     val docs = Tables.documents(spark, dir)
     val total = Dedup.exact(docs).agg(sum("dup_count")).collect()(0).getLong(0)
