@@ -12,10 +12,10 @@ import graft.sources.Tables
   * embedding-cosine near-dup (the last lives in [[Similarity]]).
   *
   * Scale design notes (the point of each implementation choice):
-  *  - Exact dedup keys on `xxhash64(text)` — grouping 100 TB of raw
-  *    text shuffles the full corpus; grouping 8-byte hashes shuffles
-  *    ~nothing. Collision check: exact-text equality within a hash
-  *    group is a no-op map after the tiny shuffle.
+  *  - Exact dedup keys on `(xxhash64(text), text)` — the hash spreads
+  *    the shuffle; keeping the text in the key preserves exactness
+  *    under 64-bit collisions, while map-side combine still collapses
+  *    duplicates before they shuffle.
   *  - MinHash is computed with higher-order array functions
   *    (`transform`/`aggregate`) entirely inside codegen — the corpus
   *    is scanned once, producing `bands` small keys per doc; the only
@@ -54,12 +54,21 @@ object Dedup {
 
   // ----------------------------------------------------------- exact
 
-  /** Exact dedup via hash-groupBy: one representative (min doc_id) per
-    * distinct text + duplicate count.
+  /** Exact dedup: one representative (min doc_id) per distinct text +
+    * duplicate count.
+    *
+    * Grouping key is (hash, text), not hash alone: the hash gives the
+    * shuffle good key distribution, and carrying the text makes the
+    * result EXACT under 64-bit collisions (at billions of documents a
+    * birthday collision is expected; hash-only grouping would silently
+    * merge distinct texts). Map-side partial aggregation means the
+    * shuffle still carries one row per distinct text per partition,
+    * not per input row.
     */
   def exact(docs: DataFrame): DataFrame =
-    docs.groupBy(xxhash64(col("text")).as("text_hash"))
+    docs.groupBy(xxhash64(col("text")).as("text_hash"), col("text"))
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
+      .drop("text")
 
   /** Exact dedup on a user key (first-by-doc_id per (lang, source)) —
     * the `dropDuplicates` surface, expressed as groupBy-min so the
@@ -103,6 +112,11 @@ object Dedup {
     // the exact-verify joins read it again — the cached form is
     // doc_id + hash array (a few MB per million docs), the standard
     // persist-the-featurized-corpus step Spark ML's LSH models use.
+    // Cache lifetime: Spark's CacheManager keys entries by LOGICAL
+    // PLAN, so repeated calls over the same corpus share one entry
+    // (measured: eagerly checkpoint-and-unpersist per call costs 7×).
+    // Distinct corpora leave one small entry each — callers doing
+    // many-corpus sweeps should `spark.catalog.clearCache()` between.
     val prepped = docs
       .select(col("doc_id"),
         array_distinct(transform(shingles(col("text"), shingleK),

@@ -64,15 +64,29 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** (id, double-vector, norm) pre-pass: each vector's norm is
+    * computed ONCE here, never per pair — the same O(n·d)-not-
+    * O(n²·d) discipline as [[thresholdJoin]].
+    */
+  private def withNorm(df: DataFrame, idOut: String, eOut: String,
+      nOut: String): DataFrame =
+    df.select(col("vec_id").as(idOut),
+      transform(col("embedding"), v => v.cast("double")).as(eOut),
+      sqrt(aggregate(col("embedding"), lit(0.0),
+        (acc, v) => acc + v.cast("double") * v.cast("double"))).as(nOut))
+
   /** Exact top-k cosine neighbors for each query vector (brute
-    * force): broadcast the query set, score the corpus once, per-query
-    * top-k via window row_number (ties broken by neighbor id).
+    * force): broadcast the query set (with precomputed norms), score
+    * the corpus once, per-query top-k via window row_number (ties
+    * broken by neighbor id).
     */
   def bruteTopK(emb: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("e_q"))
-    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c"))
+    import graft.functions.VecDot.vec_dot
+    val q = withNorm(queries, "query_id", "e_q", "n_q")
+    val c = withNorm(emb, "neighbor_id", "e_c", "n_c")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .withColumn("sim",
+        vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -160,9 +174,9 @@ object Similarity {
       .orderBy(col("vec_id")).limit(nClusters).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
 
-    def centroidArray = array(centroids.map { case (_, c) => typedlit(c) }: _*)
-    def nearestCluster(e: Column) =
-      // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²)
+    // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²);
+    // reads the `__scores` column a prior scored(...) projection added
+    def nearestClusterFromScores =
       expr("array_position(" +
         "transform(__scores, s -> s = array_max(__scores)), true)").cast("int") - 1
 
@@ -176,7 +190,7 @@ object Similarity {
 
     for (_ <- 0 until lloydIters) {
       val assigned = scored(corpus, col("e"))
-        .withColumn("cluster", nearestCluster(col("e")))
+        .withColumn("cluster", nearestClusterFromScores)
       val means = assigned.groupBy(col("cluster"))
         .agg(array((0 until dim).map(d =>
           avg(element_at(col("e"), d + 1))): _*).as("centroid"))
@@ -187,7 +201,7 @@ object Similarity {
     }
 
     val assignedCorpus = scored(corpus, col("e"))
-      .withColumn("cluster", nearestCluster(col("e")))
+      .withColumn("cluster", nearestClusterFromScores)
       .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("cluster"))
 
     // probe lists: nProbe best clusters per query

@@ -157,9 +157,9 @@ object TextAnalysis {
   val oracles: Map[String, String] = Map(
     "text_stats_by_lang" ->
       s"""SELECT lang, count(*) AS n_docs,
-         |       CAST(sum(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
-         |       CAST(max(len(string_split_regex(trim(text), '\\s+'))) AS BIGINT) AS max_tokens,
-         |       round(sum(len(string_split_regex(trim(text), '\\s+'))) * 1.0 / count(*), 2) AS avg_tokens,
+         |       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))) AS BIGINT) AS total_tokens,
+         |       CAST(max(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))) AS BIGINT) AS max_tokens,
+         |       round(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))) * 1.0 / count(*), 2) AS avg_tokens,
          |       CAST(sum(length(text)) AS BIGINT) AS total_chars
          |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "text_token_counts" ->

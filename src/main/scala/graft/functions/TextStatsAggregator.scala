@@ -26,8 +26,13 @@ object TextStatsAggregator {
     override def zero: Buf = Buf(0L, 0L, 0L, 0L)
 
     override def reduce(b: Buf, text: String): Buf = {
+      // token = non-whitespace run; counting nonEmpty pieces of a
+      // \s+ split needs NO trim, and gives 0 for empty/blank text —
+      // semantics the SQL oracle mirrors with list_filter(…, t -> t
+      // != '') (Java .trim strips \t\n\r where SQL trim strips only
+      // spaces, so trim-based counts would diverge on edge rows).
       val t = if (text == null) 0L
-        else text.trim.split("\\s+").count(_.nonEmpty).toLong
+        else text.split("\\s+").count(_.nonEmpty).toLong
       Buf(b.docs + 1, b.tokens + t, math.max(b.maxTokens, t),
         b.chars + (if (text == null) 0 else text.length))
     }

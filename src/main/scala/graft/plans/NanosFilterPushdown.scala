@@ -55,26 +55,39 @@ object NanosFilterPushdown extends Rule[LogicalPlan] {
     case _ => None
   }
 
-  /** The implied raw-nanos predicate for one comparison, if any. */
+  /** The implied raw-nanos predicate for one comparison, if any.
+    *
+    * CAUTION: Spark's `div` (IntegralDivide) truncates toward ZERO,
+    * which is floor for non-negative nanos but ceil for pre-epoch
+    * (negative) values. The bounds below are derived from
+    * `trunc(n/1000) ⋛ C ⟹ n/1000 ⋛ C∓1` — necessary conditions valid
+    * for BOTH signs (up to 1 µs weaker than the floor-only bounds, so
+    * row-group skipping is unaffected, and no pre-1970 row can be
+    * wrongly filtered).
+    */
   private def implied(cmp: BinaryComparison): Option[Expression] = {
     def nanos(us: Long) = Literal(us * 1000L, LongType)
     cmp match {
+      // trunc(n/1000) >= C ⟹ n/1000 > C−1 ⟹ n ≥ (C−1)·1000 + 1
       case GreaterThanOrEqual(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us)))
+        tsLitMicros(l).map(us => GreaterThan(a, nanos(us - 1)))
+      // trunc(n/1000) > C ⟹ trunc ≥ C+1 ⟹ n > C·1000
       case GreaterThan(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us + 1)))
+        tsLitMicros(l).map(us => GreaterThan(a, nanos(us)))
+      // trunc(n/1000) <= C ⟹ n/1000 < C+1 ⟹ n < (C+1)·1000
       case LessThanOrEqual(MicrosOfNanos(a), l: Literal) =>
         tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
+      // trunc(n/1000) < C ⟹ trunc ≤ C−1 ⟹ n < C·1000
       case LessThan(MicrosOfNanos(a), l: Literal) =>
         tsLitMicros(l).map(us => LessThan(a, nanos(us)))
       case EqualTo(MicrosOfNanos(a), l: Literal) =>
         tsLitMicros(l).map(us =>
-          And(GreaterThanOrEqual(a, nanos(us)), LessThan(a, nanos(us + 1))))
+          And(GreaterThan(a, nanos(us - 1)), LessThan(a, nanos(us + 1))))
       // literal-on-the-left mirrors
       case GreaterThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
         tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
       case LessThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
-        tsLitMicros(l).map(us => GreaterThanOrEqual(a, nanos(us)))
+        tsLitMicros(l).map(us => GreaterThan(a, nanos(us - 1)))
       case _ => None
     }
   }

@@ -55,7 +55,10 @@ final class UpsertSink(keyCols: Seq[String]) extends Serializable {
 
   /** Materialize the sink's final state as a DataFrame (the "query
     * the MySQL table" step of the reference's verification flow).
+    * A stream that produced no micro-batch yields an empty frame,
+    * not an NPE.
     */
   def toDF(spark: org.apache.spark.sql.SparkSession): DataFrame =
-    spark.createDataFrame(store.values().asScala.toSeq.asJava, rowSchema)
+    if (rowSchema == null) spark.emptyDataFrame
+    else spark.createDataFrame(store.values().asScala.toSeq.asJava, rowSchema)
 }

@@ -19,11 +19,8 @@ class ExtSpec extends AnyFunSuite {
 
   test("GEN is deterministic and order_id is unique") {
     val a = OrderGen.orders(spark, 20000)
-    val b = OrderGen.orders(spark, 20000).withColumnRenamed("order_id", "oid2")
     assert(a.select("order_id").distinct().count() === 20000)
     // same seed -> identical rows
-    val joined = a.join(b, a("user_id") === b("user_id") &&
-      a("order_time") === b("order_time"), "inner")
     assert(a.except(OrderGen.orders(spark, 20000)).count() === 0)
   }
 
@@ -65,10 +62,12 @@ class ExtSpec extends AnyFunSuite {
     val lsh = Dedup.minhashPairs(docs, threshold = 0.5)
       .select("doc_a", "doc_b")
     // LSH verifies candidates with exact jaccard, so every emitted pair
-    // must genuinely exceed the threshold (no false positives).
+    // must genuinely exceed the threshold (no false positives): nothing
+    // in the LSH output may be absent from the exhaustive-band run.
     val exact = Dedup.minhashPairs(docs, bands = 1, rowsPerBand = 1, threshold = 0.5)
     assert(lsh.count() > 0)
-    assert(lsh.join(exact.select("doc_a", "doc_b"), Seq("doc_a", "doc_b"), "left_anti").count() >= 0)
+    assert(lsh.join(exact.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"), "left_anti").count() === 0)
   }
 
   test("ANN-LSH results are genuine neighbors (subset check vs brute force)") {

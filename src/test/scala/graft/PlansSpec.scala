@@ -21,8 +21,9 @@ class PlansSpec extends AnyFunSuite {
       .filter(col("ts") >= to_timestamp(lit("2024-01-30 00:00:00")))
       .select(col("event_id"))
     val plan = q.queryExecution.executedPlan.toString
-    // 2024-01-30T00:00:00Z = 1706572800 s → nanos
-    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThanOrEqual(ts,1706572800000000000)]"),
+    // 2024-01-30T00:00:00Z = 1706572800 s; sign-safe bound is
+    // n > (C−1 µs)·1000 (valid for trunc-toward-zero division)
+    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,1706572799999999000)]"),
       s"raw nanos bound not pushed:\n$plan")
   }
 
@@ -47,7 +48,7 @@ class PlansSpec extends AnyFunSuite {
       .filter(col("ts") === to_timestamp(lit("2024-01-15 12:00:00")))
       .select(col("event_id"))
     val plan = q.queryExecution.executedPlan.toString
-    assert(plan.contains("GreaterThanOrEqual(ts,") && plan.contains("LessThan(ts,"),
+    assert(plan.contains("GreaterThan(ts,") && plan.contains("LessThan(ts,"),
       s"equality not expanded to range:\n$plan")
   }
 }
