@@ -45,6 +45,39 @@ class ConnectorsSpec extends AnyFunSuite {
     spark.sql("DROP TABLE user_behavior_test")
   }
 
+  test("bucketed tables join without a shuffle exchange (co-located join)") {
+    import graft.sources.Connectors
+    val orders = OrderGen.orders(spark, 5000)
+    val payments = OrderGen.orders(spark, 5000)
+      .select(col("order_id"), (col("amount") * 2).as("paid"))
+    Seq("bk_orders", "bk_payments").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"/tmp/graft_warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    // both sides bucketed on the join key at write time: the join
+    // plan must read buckets directly, with no Exchange on either side
+    orders.write.mode("overwrite").bucketBy(4, "order_id")
+      .sortBy("order_id").format("parquet").saveAsTable("bk_orders")
+    payments.write.mode("overwrite").bucketBy(4, "order_id")
+      .sortBy("order_id").format("parquet").saveAsTable("bk_payments")
+    // force a merge join (broadcast would hide the bucketing story)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bk_orders")
+        .join(spark.table("bk_payments"), "order_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(!plan.contains("ShuffleExchange") && !plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should have no shuffle:\n$plan")
+      assert(joined.count() === 5000)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE bk_orders"); spark.sql("DROP TABLE bk_payments")
+    }
+  }
+
   test("salted join equals plain join (skew mitigation is semantics-free)") {
     val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_partkey", "l_quantity")
     val ord = Tables.orders(spark, dir)
