@@ -226,6 +226,32 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact word-TRIGRAM Jaccard near-dup pairs within a blocking key —
+    * the n-gram (n=3) family with a full oracle (the unigram form is
+    * [[jaccardPairsBySource]]; MinHash approximates THIS measure).
+    * Trigram construction mirrors the oracle exactly: empty for
+    * docs under 3 tokens (no whole-text fallback).
+    */
+  def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    val toks = tokensNorm(col("text"))
+    val grams = when(size(toks) >= 3,
+      array_distinct(transform(sequence(lit(0), size(toks) - lit(3)),
+        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
+      .otherwise(array().cast("array<string>"))
+    val withG = docs.select(col("doc_id"), col("source"), grams.as("g"))
+      .filter(size(col("g")) > 0)
+    val a = withG.select(col("source"), col("doc_id").as("doc_a"), col("g").as("g_a"))
+    val b = withG.select(col("source"), col("doc_id").as("doc_b"), col("g").as("g_b"))
+    a.join(b, "source")
+      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
+          size(array_union(col("g_a"), col("g_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -241,7 +267,15 @@ object Dedup {
       simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_jaccard_by_source" -> ((s, d) =>
       jaccardPairsBySource(Tables.documents(s, d), threshold = 0.6)
-        .orderBy(col("doc_a"), col("doc_b")))
+        .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_ngram_jaccard" -> ((s, d) =>
+      ngramJaccardPairs(Tables.documents(s, d), threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
+    // dedup family #5: embedding-cosine near-dup (same engine path as
+    // the similarity threshold join, registered under its dedup role)
+    "dedup_embedding_cosine" -> ((s, d) =>
+      graft.ext.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy(col("id_a"), col("id_b")))
   )
 
   /** DuckDB twins. `dedup_exact` hashes with xxhash64 (no DuckDB
@@ -257,6 +291,30 @@ object Dedup {
     "dedup_exact_by_key" ->
       """SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "dedup_ngram_jaccard" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |           i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |                string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(lower(trim(text)), '\s+')[i+2])) AS g
+        |  FROM documents)
+        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.g, b.g)) * 1.0 /
+        |             len(list_distinct(list_concat(a.g, b.g))), 4) AS jaccard
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE len(a.g) > 0 AND len(b.g) > 0
+        |  AND len(list_intersect(a.g, b.g)) * 1.0 /
+        |      len(list_distinct(list_concat(a.g, b.g))) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_embedding_cosine" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |       round(list_cosine_similarity(
+        |         a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
+        |ORDER BY id_a, id_b""".stripMargin,
     "dedup_jaccard_by_source" ->
       """WITH t AS (
         |  SELECT doc_id, source,

@@ -99,6 +99,34 @@ object Multimodal {
     }
   }
 
+  final case class ResizedMedia(
+      media_id: Long,
+      width: Int,
+      height: Int,
+      payload: Array[Byte])
+
+  /** Resize for image rows: longest side clamped to `maxSide`, aspect
+    * preserved (integer math). The pixel resample itself is the STUB
+    * (`FakeCodec`-style deterministic fake: payload passed through) —
+    * the real implementation swaps ONE line for an imaging library
+    * call. Metadata math, typed batch iteration, and partition shape
+    * are real.
+    */
+  def resize(media: Dataset[MediaRow], maxSide: Int = 256): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    media.filter(_.format == "image/png").mapPartitions { rows =>
+      // per-partition image codec context would initialize here
+      rows.map { r =>
+        val long = math.max(r.width, r.height)
+        val (w, h) =
+          if (long <= maxSide) (r.width, r.height)
+          else (r.width * maxSide / long, r.height * maxSide / long)
+        // STUB: real code resamples r.payload to (w, h) here
+        ResizedMedia(r.media_id, w, h, r.payload)
+      }
+    }
+  }
+
   /** Frame sampling for video rows: every `stride`-th frame index,
     * payload sliced per frame — pure columnar explode, no UDF.
     */
@@ -130,7 +158,15 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) =>
       sampleFrames(mediaTable(s, d))
         .select(col("media_id"), col("frame_idx").cast("long").as("frame_idx"))
-        .orderBy(col("media_id"), col("frame_idx")))
+        .orderBy(col("media_id"), col("frame_idx"))),
+    "mm_resize" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      resize(mediaTable(s, d).as[MediaRow])
+        .select(col("media_id"), col("width").cast("long").as("width"),
+          col("height").cast("long").as("height"))
+        .orderBy(col("media_id"))
+    })
   )
 
   /** Oracles cover the metadata/plumbing queries (byte lengths,

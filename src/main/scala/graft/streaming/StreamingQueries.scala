@@ -99,6 +99,31 @@ object StreamingQueries {
       .outputMode("append")
       .start()
 
+  /** Stream-stream interval join: purchases joined to the same user's
+    * clicks from the preceding `window` — sessions-to-conversion
+    * attribution, the canonical stream-stream join shape. Both sides
+    * carry watermarks; the time-range condition bounds each side's
+    * join state (Spark evicts rows once the other side's watermark
+    * passes the interval), so state stays O(window × rate), not
+    * O(stream).
+    */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "5 seconds")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "5 seconds")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"))
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"))
+  }
+
   // ------------------------------------- custom keyed state (SURVEY §2.10)
 
   final case class KeyedEvent(user_id: Long, value: Double)

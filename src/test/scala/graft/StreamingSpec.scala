@@ -154,6 +154,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventsFromFixture(1000)
+    val clicks = all.filter(_.event_type == "click")
+    val purchases = all.filter(_.event_type == "purchase")
+
+    val inC = MemoryStream[Ev]
+    val inP = MemoryStream[Ev]
+    val q = StreamingQueries.clickToPurchase(inC.toDF(), inP.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_join_out").start()
+    inC.addData(clicks); inP.addData(purchases)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ss_join_out")
+      .select("user_id", "purchase_ts", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    val batch = purchases.toDF().select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"), col("value"))
+      .join(clicks.toDF().select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 minutes"))
+      .select(col("p_user"), col("purchase_ts"), col("click_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2))).toSet
+    assert(streamed === batch)
+    assert(batch.nonEmpty, "fixture should contain click->purchase pairs")
+  }
+
   test("streaming agg runs on the RocksDB state store (production state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
