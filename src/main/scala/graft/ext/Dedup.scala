@@ -119,8 +119,8 @@ object Dedup {
     // many-corpus sweeps should `spark.catalog.clearCache()` between.
     val prepped = docs
       .select(col("doc_id"),
-        array_distinct(transform(shingles(col("text"), shingleK),
-          x => xxhash64(x))).as("sh"))
+        array_distinct(graft.functions.NgramHash64.ngram_hash64(
+          tokensNorm(col("text")), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Signature computed ONCE per doc; band keys are a pure
@@ -205,15 +205,16 @@ object Dedup {
     * bounds the pair count: O(Σ block²) not O(n²).
     */
   def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
+    // UNIGRAM sets over a small vocabulary are DENSE: an inverted
+    // index degenerates (every posting list ≈ the whole block, so the
+    // posting join materializes near the full cross product — measured
+    // 27% slower than intersecting). The blocked self-join with
+    // array_intersect over hashed tokens is the right shape here;
+    // [[ngramJaccardPairs]] uses the posting join because trigram
+    // vocabularies are sparse. Same operator, two data-shaped plans.
     val withToks = docs.select(col("doc_id"), col("source"),
-      array_distinct(tokensNorm(col("text"))).as("toks"))
-    // Deliberately a SELF-JOIN, unlike minhashPairs' groupBy-collect:
-    // blocking keys here are FEW and LARGE (tens of sources × hundreds
-    // of docs), so collecting a block to one row collapses parallelism
-    // to #blocks and balloons row size (measured 20% slower). The
-    // groupBy-collect shape wins only when buckets are small and
-    // numerous (LSH); with large blocks, the shuffled self-join keeps
-    // every core busy on the O(block²) comparison work.
+      array_distinct(graft.functions.NgramHash64.ngram_hash64(
+        tokensNorm(col("text")), 1)).as("toks"))
     val a = withToks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
     val b = withToks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
     a.join(b, "source")
@@ -226,6 +227,32 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Exact set-similarity join over a prepared (doc_id, source,
+    * g: array<long>, sz) frame: explode to postings, equi-join on
+    * (source, gram), count shared grams per pair, Jaccard =
+    * shared / (|A|+|B|−shared). Touches only pairs sharing ≥1 gram —
+    * never the full O(block²) cross product — and shuffles 8-byte
+    * postings, not documents.
+    */
+  private def postingJaccard(withG: DataFrame, threshold: Double): DataFrame = {
+    val posting = withG.select(col("source"), col("doc_id"), col("sz"),
+      explode(col("g")).as("gram"))
+    val a = posting.select(col("source"), col("gram"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = posting.select(col("source"), col("gram"),
+      col("doc_id").as("doc_b"), col("sz").as("sz_b"))
+    a.join(b, Seq("source", "gram"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"),
+        col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("jaccard", col("shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("shared")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Exact word-TRIGRAM Jaccard near-dup pairs within a blocking key —
     * the n-gram (n=3) family with a full oracle (the unigram form is
     * [[jaccardPairsBySource]]; MinHash approximates THIS measure).
@@ -233,23 +260,19 @@ object Dedup {
     * docs under 3 tokens (no whole-text fallback).
     */
   def ngramJaccardPairs(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
-    val toks = tokensNorm(col("text"))
-    val grams = when(size(toks) >= 3,
-      array_distinct(transform(sequence(lit(0), size(toks) - lit(3)),
-        i => concat_ws(" ", slice(toks, i + 1, lit(3))))))
-      .otherwise(array().cast("array<string>"))
-    val withG = docs.select(col("doc_id"), col("source"), grams.as("g"))
+    // Grams are hashed by the native [[graft.functions.NgramHash64]]
+    // expression — the composable HOF form (transform + slice +
+    // concat_ws + xxhash64 per gram) runs interpreted and cost 9.4 s
+    // of construction alone at sf0.1. Long gram-hashes also make the
+    // postings 8 bytes; a 64-bit collision inside one pair's
+    // ~160-gram union is ~1e-15, far below the oracle's 4-dp
+    // rounding of the Jaccard value.
+    val withG = docs.select(col("doc_id"), col("source"),
+        array_distinct(graft.functions.NgramHash64.ngram_hash64(
+          tokensNorm(col("text")), 3)).as("g"))
       .filter(size(col("g")) > 0)
-    val a = withG.select(col("source"), col("doc_id").as("doc_a"), col("g").as("g_a"))
-    val b = withG.select(col("source"), col("doc_id").as("doc_b"), col("g").as("g_b"))
-    a.join(b, "source")
-      .filter(col("doc_a") < col("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("g_a"), col("g_b"))).cast("double") /
-          size(array_union(col("g_a"), col("g_b"))).cast("double"))
-      .filter(col("jaccard") >= threshold)
-      .select(col("source"), col("doc_a"), col("doc_b"),
-        round(col("jaccard"), 4).as("jaccard"))
+      .withColumn("sz", size(col("g")))
+    postingJaccard(withG, threshold)
   }
 
   // ------------------------------------------------------------ queries

@@ -57,17 +57,25 @@ class ExtSpec extends AnyFunSuite {
     assert(rows(1).getAs[Int]("ham") < 32) // near-dup = small distance
   }
 
-  test("minhash LSH pairs are a subset of exact-jaccard pairs at the same threshold") {
+  test("minhash LSH emits no false positives (independent jaccard recomputation)") {
+    import graft.functions.NgramHash64
     val docs = Tables.documents(spark, dir)
     val lsh = Dedup.minhashPairs(docs, threshold = 0.5)
-      .select("doc_a", "doc_b")
-    // LSH verifies candidates with exact jaccard, so every emitted pair
-    // must genuinely exceed the threshold (no false positives): nothing
-    // in the LSH output may be absent from the exhaustive-band run.
-    val exact = Dedup.minhashPairs(docs, bands = 1, rowsPerBand = 1, threshold = 0.5)
     assert(lsh.count() > 0)
-    assert(lsh.join(exact.select("doc_a", "doc_b"),
-      Seq("doc_a", "doc_b"), "left_anti").count() === 0)
+    // recompute each emitted pair's true shingle jaccard independently
+    val sh = docs.select(col("doc_id"),
+      array_distinct(NgramHash64.ngram_hash64(
+        Dedup.tokensNorm(col("text")), 3)).as("sh"))
+    val checked = lsh
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .withColumn("true_j",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    assert(checked.filter(col("true_j") < 0.5).count() === 0,
+      "LSH emitted a pair below the verify threshold")
+    assert(checked.filter(abs(col("jaccard") - round(col("true_j"), 4)) > 1e-9).count() === 0,
+      "operator-reported jaccard disagrees with recomputation")
   }
 
   test("ANN-LSH results are genuine neighbors (subset check vs brute force)") {
