@@ -8,6 +8,15 @@ import org.apache.spark.sql.SparkSession
   * cache + parquet footer cache), then `runs` measured executions,
   * median reported. A JVM-cold first query would otherwise absorb
   * ~5 s of session/codegen startup and dominate its number.
+  *
+  * Evaluation is forced through `queryExecution.toRdd.count()`:
+  * the RDD boundary sits ABOVE the optimized physical plan, so
+  * Catalyst cannot prune output columns or drop the final sort the
+  * way it can under `df.count()` — narrow-map queries are measured
+  * producing every output column, not as a parquet row count.
+  *
+  * Failures are loud: a query that throws prints the stack to stderr,
+  * reports -1.0 in the JSON, and the process exits nonzero.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -22,16 +31,24 @@ object Bench {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    // stable ordering; streaming replays excluded from warm-up
-    // repetition cost by timing them like any other query (their
-    // checkpoint dirs are unique per run).
+    var failed = List.empty[String]
+    // stable ordering; streaming replays timed like any other query
+    // (their checkpoint dirs are unique per run).
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t =
         try {
-          time(fn(spark, sfDir).count()) // warm-up
-          val samples = Seq.fill(runs)(time(fn(spark, sfDir).count())).sorted
+          def once(): Double = time(fn(spark, sfDir).queryExecution.toRdd.count())
+          once() // warm-up
+          val samples = Seq.fill(runs)(once()).sorted
+          System.err.println(f"[bench] $name samples=${samples.map(s => f"$s%.2f").mkString(",")}")
           samples(samples.length / 2)
-        } catch { case _: Throwable => -1.0 }
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            e.printStackTrace()
+            failed ::= name
+            -1.0
+        }
       name -> t
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
@@ -39,5 +56,9 @@ object Bench {
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    if (failed.nonEmpty) {
+      System.err.println(s"[bench] FAILED queries: ${failed.reverse.mkString(", ")}")
+      sys.exit(1)
+    }
   }
 }

@@ -66,28 +66,44 @@ object NanosFilterPushdown extends Rule[LogicalPlan] {
     * wrongly filtered).
     */
   private def implied(cmp: BinaryComparison): Option[Expression] = {
-    def nanos(us: Long) = Literal(us * 1000L, LongType)
+    // (us+delta)·1000 with overflow checks: a literal past ±year 2262
+    // cannot be represented in raw nanos, so it implies no useful bound
+    // — skip the rewrite rather than emit a wrapped (wrong-sign) one.
+    def nanos(us: Long, delta: Long = 0L): Option[Literal] =
+      try Some(Literal(Math.multiplyExact(Math.addExact(us, delta), 1000L), LongType))
+      catch { case _: ArithmeticException => None }
     cmp match {
       // trunc(n/1000) >= C ⟹ n/1000 > C−1 ⟹ n ≥ (C−1)·1000 + 1
       case GreaterThanOrEqual(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => GreaterThan(a, nanos(us - 1)))
+        tsLitMicros(l).flatMap(us => nanos(us, -1).map(GreaterThan(a, _)))
       // trunc(n/1000) > C ⟹ trunc ≥ C+1 ⟹ n > C·1000
       case GreaterThan(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => GreaterThan(a, nanos(us)))
+        tsLitMicros(l).flatMap(us => nanos(us).map(GreaterThan(a, _)))
       // trunc(n/1000) <= C ⟹ n/1000 < C+1 ⟹ n < (C+1)·1000
       case LessThanOrEqual(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
+        tsLitMicros(l).flatMap(us => nanos(us, 1).map(LessThan(a, _)))
       // trunc(n/1000) < C ⟹ trunc ≤ C−1 ⟹ n < C·1000
       case LessThan(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us => LessThan(a, nanos(us)))
+        tsLitMicros(l).flatMap(us => nanos(us).map(LessThan(a, _)))
       case EqualTo(MicrosOfNanos(a), l: Literal) =>
-        tsLitMicros(l).map(us =>
-          And(GreaterThan(a, nanos(us - 1)), LessThan(a, nanos(us + 1))))
-      // literal-on-the-left mirrors
+        tsLitMicros(l).flatMap { us =>
+          for (lo <- nanos(us, -1); hi <- nanos(us, 1))
+            yield And(GreaterThan(a, lo), LessThan(a, hi))
+        }
+      // literal-on-the-left mirrors (C ⋛ trunc(n/1000) ⟺ flipped)
       case GreaterThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
-        tsLitMicros(l).map(us => LessThan(a, nanos(us + 1)))
+        tsLitMicros(l).flatMap(us => nanos(us, 1).map(LessThan(a, _)))
+      case GreaterThan(l: Literal, MicrosOfNanos(a)) =>
+        tsLitMicros(l).flatMap(us => nanos(us).map(LessThan(a, _)))
       case LessThanOrEqual(l: Literal, MicrosOfNanos(a)) =>
-        tsLitMicros(l).map(us => GreaterThan(a, nanos(us - 1)))
+        tsLitMicros(l).flatMap(us => nanos(us, -1).map(GreaterThan(a, _)))
+      case LessThan(l: Literal, MicrosOfNanos(a)) =>
+        tsLitMicros(l).flatMap(us => nanos(us).map(GreaterThan(a, _)))
+      case EqualTo(l: Literal, MicrosOfNanos(a)) =>
+        tsLitMicros(l).flatMap { us =>
+          for (lo <- nanos(us, -1); hi <- nanos(us, 1))
+            yield And(GreaterThan(a, lo), LessThan(a, hi))
+        }
       case _ => None
     }
   }
