@@ -203,27 +203,70 @@ object Dedup {
   /** Exact word-set Jaccard pairs within a blocking key (`source`) —
     * the oracle-checkable exact form of near-dup detection. Blocking
     * bounds the pair count: O(Σ block²) not O(n²).
+    *
+    * Scale shape — triangle sub-blocking. A naive blocked self-join
+    * keys the shuffle on `source` alone, so one task owns a whole
+    * block's O(n²) pair work: a dominant block degenerates to a
+    * near-cross-product on one executor (and on a single small file
+    * the broadcast probe runs in ONE task regardless of cores). Each
+    * block is instead split into `s = ⌈n/targetSubBlock⌉` hash
+    * sub-blocks and the pair space is covered by the s(s+1)/2
+    * sub-block combinations `(p ≤ q)`: a doc in sub-block v serves the
+    * a-side of keys (v, q≥v) and the b-side of keys (p≤v, v), so every
+    * unordered pair lands in exactly one combination — the diagonal
+    * (p = q) deduplicates by `doc_a < doc_b`, off-diagonal pairs are
+    * distinct by construction and get order-normalized on output.
+    * Replication is s+1 ≈ n/targetSubBlock copies per doc — the
+    * standard triangle-partitioning trade: O(n²/c²) uniform tasks for
+    * O(n/c) duplication. The explicit fixed-N repartition pins the
+    * probe parallelism (AQE would otherwise coalesce a tiny-but-CPU-
+    * heavy stage to one task; explicit N is exempt from coalescing).
+    *
+    * Per-pair cost: J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, checked before
+    * any set work; union size is derived as |A|+|B|−|A∩B| instead of
+    * materializing `array_union`. Both are identity rewrites — the
+    * DuckDB oracle hash-match is unaffected.
+    *
+    * UNIGRAM sets over a small vocabulary are DENSE: an inverted
+    * index degenerates (every posting list ≈ the whole block, so the
+    * posting join materializes near the full cross product — measured
+    * 27% slower than intersecting). The blocked self-join with
+    * array_intersect over hashed tokens is the right shape here;
+    * [[ngramJaccardPairs]] uses the posting join because trigram
+    * vocabularies are sparse. Same operator, two data-shaped plans.
     */
-  def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6): DataFrame = {
-    // UNIGRAM sets over a small vocabulary are DENSE: an inverted
-    // index degenerates (every posting list ≈ the whole block, so the
-    // posting join materializes near the full cross product — measured
-    // 27% slower than intersecting). The blocked self-join with
-    // array_intersect over hashed tokens is the right shape here;
-    // [[ngramJaccardPairs]] uses the posting join because trigram
-    // vocabularies are sparse. Same operator, two data-shaped plans.
+  def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6,
+                           targetSubBlock: Int = 64): DataFrame = {
+    val spark = docs.sparkSession
     val withToks = docs.select(col("doc_id"), col("source"),
       array_distinct(graft.functions.NgramHash64.ngram_hash64(
         tokensNorm(col("text")), 1)).as("toks"))
-    val a = withToks.select(col("source"), col("doc_id").as("doc_a"), col("toks").as("toks_a"))
-    val b = withToks.select(col("source"), col("doc_id").as("doc_b"), col("toks").as("toks_b"))
-    a.join(b, "source")
-      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("sz", size(col("toks")))
+    // Sub-block count per source from a broadcast count join (tiny:
+    // one row per distinct source); v = doc's own sub-block.
+    val counts = withToks.groupBy("source")
+      .agg(ceil(count(lit(1)).cast("double") / targetSubBlock).cast("int").as("nsub"))
+    val sub = withToks.join(broadcast(counts), "source")
+      .withColumn("v", pmod(xxhash64(col("doc_id")), col("nsub")).cast("int"))
+    val a = sub.select(col("source"), col("doc_id").as("doc_a"),
+        col("toks").as("toks_a"), col("sz").as("sz_a"),
+        col("v").as("p"), explode(sequence(col("v"), col("nsub") - 1)).as("q"))
+    val b = sub.select(col("source"), col("doc_id").as("doc_b"),
+        col("toks").as("toks_b"), col("sz").as("sz_b"),
+        explode(sequence(lit(0), col("v"))).as("p"), col("v").as("q"))
+    val par = spark.sparkContext.defaultParallelism
+    a.repartition(par, col("source"), col("p"), col("q"))
+      .join(b, Seq("source", "p", "q"))
+      .filter((col("p") =!= col("q") || col("doc_a") < col("doc_b")) &&
+        col("sz_b") * lit(threshold) <= col("sz_a") &&
+        col("sz_a") * lit(threshold) <= col("sz_b"))
+      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
       .withColumn("jaccard",
-        size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
-          size(array_union(col("toks_a"), col("toks_b"))).cast("double"))
+        col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("source"), col("doc_a"), col("doc_b"),
+      .select(col("source"),
+        least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"),
         round(col("jaccard"), 4).as("jaccard"))
   }
 

@@ -57,7 +57,13 @@ object Similarity {
         (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
     val a = prepped.select(col("vec_id").as("id_a"), col("e").as("e_a"), col("nrm").as("n_a"))
     val b = prepped.select(col("vec_id").as("id_b"), col("e").as("e_b"), col("nrm").as("n_b"))
-    a.join(b, col("id_a") < col("id_b"))
+    // The streamed side of the nested-loop probe inherits the scan's
+    // split count — a single small file means ONE task doing all n²/2
+    // dot products. Fixed-N round-robin repartition pins probe
+    // parallelism (explicit N is exempt from AQE coalescing); at scale
+    // its cost is noise next to the O(n²) stage it feeds.
+    a.repartition(emb.sparkSession.sparkContext.defaultParallelism)
+      .join(b, col("id_a") < col("id_b"))
       .withColumn("sim",
         graft.functions.VecDot.vec_dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
@@ -84,6 +90,8 @@ object Similarity {
     import graft.functions.VecDot.vec_dot
     val q = withNorm(queries, "query_id", "e_q", "n_q")
     val c = withNorm(emb, "neighbor_id", "e_c", "n_c")
+      // pin probe parallelism (see [[thresholdJoin]])
+      .repartition(emb.sparkSession.sparkContext.defaultParallelism)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("sim",
         vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
@@ -144,9 +152,118 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
-  /** Embedding-cosine near-duplicate pairs — dedup family #5. */
-  def cosineNearDupPairs(emb: DataFrame, threshold: Double): DataFrame =
-    thresholdJoin(emb, threshold)
+  /** Embedding-cosine near-duplicate pairs — dedup family #5.
+    *
+    * The scale path: IVF-style candidate generation with a
+    * triangle-inequality coverage GUARANTEE, then exact `vec_dot`
+    * verification. Not an all-pairs row join.
+    *
+    *  1. Coarse quantizer: spherical k-means (assign = argmax unit
+    *     dot, update = normalized mean; deterministic seed, Lloyd as
+    *     DataFrame aggs — driver holds only k×dim centroids + k radii).
+    *  2. Cluster-pair pruning: a pair with cos ≥ t has angular
+    *     distance θ(a,b) ≤ θ_t = arccos t, so its clusters satisfy
+    *     θ(c_a, c_b) ≤ r_a + θ_t + r_b (r = cluster angular radius).
+    *     Only cluster pairs meeting that bound (+1e-9 fp slack, which
+    *     can only ADD candidates) are joined — recall is 1.0 by
+    *     construction, for ANY data distribution. On clustered corpora
+    *     (the realistic near-dup case, tight θ_t) this prunes most of
+    *     the k² combinations; on adversarially uniform data it
+    *     degrades to the exact blocked join, never below recall 1.
+    *  3. Exact verify: `vec_dot` cosine on the ORIGINAL vectors, the
+    *     bit-identical expression the brute-force oracle twin uses —
+    *     so the gate hash-match is preserved.
+    *
+    * The join is an equi-join on (cluster_a, cluster_b) keys — both
+    * sides replicated only by their cluster's compatible-partner count
+    * (≤ k, typically far less). At 100 TB, k scales with corpus size
+    * (k ≈ √n keeps per-cluster work flat); a dominant cluster can
+    * additionally be hash-sub-blocked exactly as
+    * [[graft.ext.Dedup.jaccardPairsBySource]] does for blocks.
+    */
+  def cosineNearDupPairs(emb: DataFrame, threshold: Double,
+      nClusters: Int = 32, lloydIters: Int = 2, dim: Int = 64): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val spark = emb.sparkSession
+    val par = spark.sparkContext.defaultParallelism
+
+    // original double vector + norm (for the exact verify) and the
+    // unit-normalized vector (for clustering only)
+    val prepped = emb.select(col("vec_id"),
+        transform(col("embedding"), v => v.cast("double")).as("e"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
+      .withColumn("u", transform(col("e"), x => x / col("nrm")))
+      .repartition(par) // pin parallelism (see [[thresholdJoin]])
+
+    def normalize(c: Seq[Double]): Seq[Double] = {
+      val n = math.sqrt(c.map(x => x * x).sum)
+      if (n == 0.0) c else c.map(_ / n)
+    }
+    // deterministic init: first nClusters vectors (unit-normalized)
+    var centroids: Array[(Int, Seq[Double])] = prepped
+      .orderBy(col("vec_id")).limit(nClusters).collect()
+      .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](3))) }
+
+    def scoresCol = array(centroids.map { case (_, c) =>
+      vec_dot(col("u"), typedlit(c)) }: _*)
+    // argmax unit dot = nearest centroid by angle
+    def clusterCol =
+      expr("array_position(transform(__scores, s -> s = array_max(__scores)), true)")
+        .cast("int") - 1
+
+    for (_ <- 0 until lloydIters) {
+      val means = prepped.withColumn("__scores", scoresCol)
+        .withColumn("cluster", clusterCol)
+        .groupBy(col("cluster"))
+        .agg(array((0 until dim).map(d =>
+          avg(element_at(col("u"), d + 1))): _*).as("centroid"))
+        .collect().map(r => (r.getInt(0), normalize(r.getSeq[Double](1))))
+      val byId = means.toMap
+      centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
+    }
+
+    val assigned = prepped.withColumn("__scores", scoresCol)
+      .withColumn("cluster", clusterCol)
+      .withColumn("center_cos",
+        least(greatest(array_max(col("__scores")), lit(-1.0)), lit(1.0)))
+      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"),
+        acos(col("center_cos")).as("center_angle"))
+
+    // k angular radii — inherently tiny driver state, like the centroids
+    val radii: Map[Int, Double] = assigned.groupBy(col("cluster"))
+      .agg(max(col("center_angle")).as("r")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val thetaT = math.acos(math.min(1.0, math.max(-1.0, threshold)))
+    def angle(x: Seq[Double], y: Seq[Double]): Double = {
+      val d = x.zip(y).map { case (a, b) => a * b }.sum
+      math.acos(math.min(1.0, math.max(-1.0, d)))
+    }
+    val compat = for {
+      (i, ci) <- centroids.toSeq; (j, cj) <- centroids.toSeq
+      if i <= j && radii.contains(i) && radii.contains(j)
+      if angle(ci, cj) <= radii(i) + radii(j) + thetaT + 1e-9
+    } yield (i, j)
+    import spark.implicits._
+    val compatDf = compat.toDF("cluster_a", "cluster_b")
+
+    val aSide = assigned
+      .select(col("vec_id").as("id_a"), col("e").as("e_a"),
+        col("nrm").as("n_a"), col("cluster").as("cluster_a"))
+      .join(broadcast(compatDf), "cluster_a")
+    val bSide = assigned
+      .select(col("vec_id").as("id_b"), col("e").as("e_b"),
+        col("nrm").as("n_b"), col("cluster").as("cluster_b"))
+      .join(broadcast(compatDf), "cluster_b")
+    aSide.repartition(par, col("cluster_a"), col("cluster_b"))
+      .join(bSide, Seq("cluster_a", "cluster_b"))
+      .filter(col("cluster_a") =!= col("cluster_b") || col("id_a") < col("id_b"))
+      .withColumn("sim", vec_dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
+      .filter(col("sim") >= threshold)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        round(col("sim"), 6).as("sim"))
+  }
 
   /** IVF-style ANN (cluster-then-probe): the other scale path the
     * contract names besides LSH.

@@ -136,6 +136,46 @@ class ExtSpec extends AnyFunSuite {
     assert(unnamed === 0)
   }
 
+  test("cosine near-dup via IVF candidates equals the brute-force join exactly (recall 1.0)") {
+    val emb = Tables.embeddings(spark, dir)
+    val brute = Similarity.thresholdJoin(emb, 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    val ivf = Similarity.cosineNearDupPairs(emb, 0.4)
+      .orderBy("id_a", "id_b").collect().toSeq
+    // triangle-inequality cluster-pair pruning guarantees recall 1.0;
+    // the exact vec_dot verify guarantees precision 1.0 — so the two
+    // result sets must be IDENTICAL, row for row, sim for sim
+    assert(ivf === brute)
+    assert(ivf.nonEmpty)
+  }
+
+  test("minhash LSH recall >= 0.9 vs exact trigram jaccard at matched threshold") {
+    val docs = Tables.documents(spark, dir)
+    val t = 0.5
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_a", "doc_b").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // ground truth: the exact measure MinHash approximates, corpus-wide
+    // (drop the source blocking so truth covers every pair LSH may emit)
+    val truth = pairSet(Dedup.ngramJaccardPairs(
+      docs.withColumn("source", lit("all")), threshold = t))
+    val lsh = pairSet(Dedup.minhashPairs(docs, threshold = t))
+    assert(truth.nonEmpty, "no ground-truth pairs at this threshold")
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    assert(recall >= 0.9, s"minhash recall $recall < 0.9 (truth=${truth.size})")
+  }
+
+  test("sub-blocked jaccard equals the single-block form exactly") {
+    val docs = Tables.documents(spark, dir)
+    // targetSubBlock > any block size -> s = 1 -> the unguarded plan
+    val single = Dedup.jaccardPairsBySource(docs, 0.6, targetSubBlock = Int.MaxValue)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    val sub = Dedup.jaccardPairsBySource(docs, 0.6, targetSubBlock = 16)
+      .orderBy("doc_a", "doc_b").collect().toSeq
+    assert(sub === single)
+    assert(sub.nonEmpty)
+  }
+
   test("exact dedup groups sum to the corpus size") {
     val docs = Tables.documents(spark, dir)
     val total = Dedup.exact(docs).agg(sum("dup_count")).collect()(0).getLong(0)
