@@ -3,6 +3,7 @@ package graft.sources
 import java.util.Properties
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types._
 
 /** Connector surface mirroring the reference's external I/O
   * (SURVEY.md §2.1), kept thin over Spark's own readers/writers. The
@@ -56,6 +57,55 @@ object Connectors {
     s"INSERT INTO $table $collist VALUES $placeholders" +
       (if (updates.nonEmpty) s" ON DUPLICATE KEY UPDATE $updates" else "")
   }
+
+  /** ANSI SQL type for a Spark column type — for generated DDL/DML
+    * against the embedded (Derby) and MySQL upsert endpoints.
+    */
+  def sqlTypeFor(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "REAL"
+    case BooleanType => "BOOLEAN"
+    case DateType => "DATE"
+    case TimestampType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case StringType => "VARCHAR(4096)"
+    case other => throw new IllegalArgumentException(
+      s"no JDBC mapping for ${other.simpleString}")
+  }
+
+  /** DDL for a keyed result table — the reference's MySQL result
+    * tables declare `PRIMARY KEY` per query (`doc/temp.md:317-371`);
+    * the PK is what turns INSERT semantics into upsert semantics.
+    */
+  def createTableSql(table: String, schema: StructType, keyCols: Seq[String]): String = {
+    require(keyCols.nonEmpty && keyCols.forall(schema.fieldNames.contains))
+    val cols = schema.fields.map { f =>
+      val notNull = if (keyCols.contains(f.name)) " NOT NULL" else ""
+      s"${f.name} ${sqlTypeFor(f.dataType)}$notNull"
+    }
+    s"CREATE TABLE $table (${cols.mkString(", ")}, " +
+      s"PRIMARY KEY (${keyCols.mkString(", ")}))"
+  }
+
+  /** Keyed UPDATE — first leg of the portable (Derby-executable)
+    * upsert: parameters bind non-key columns first, then key columns.
+    */
+  def updateSql(table: String, columns: Seq[String], keyCols: Seq[String]): String = {
+    val sets = columns.filterNot(keyCols.contains).map(c => s"$c = ?")
+    require(sets.nonEmpty, "update needs at least one non-key column")
+    s"UPDATE $table SET ${sets.mkString(", ")} " +
+      s"WHERE ${keyCols.map(c => s"$c = ?").mkString(" AND ")}"
+  }
+
+  /** Plain INSERT — second leg of the portable upsert (applied to the
+    * keys the UPDATE missed).
+    */
+  def insertSql(table: String, columns: Seq[String]): String =
+    s"INSERT INTO $table ${columns.mkString("(", ", ", ")")} " +
+      s"VALUES ${columns.map(_ => "?").mkString("(", ", ", ")")}"
 
   // ------------------------------------------------------------ Kafka
 

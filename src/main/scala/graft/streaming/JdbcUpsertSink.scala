@@ -1,0 +1,185 @@
+package graft.streaming
+
+import java.sql.{Connection, DriverManager, PreparedStatement}
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.types._
+
+import graft.sources.Connectors
+
+/** Executor-side JDBC upsert sink — the production path for the
+  * reference's Flink→MySQL `PRIMARY KEY ... NOT ENFORCED` upsert
+  * tables (`doc/temp.md:317-371`), replacing [[UpsertSink]]'s
+  * driver-collect test double.
+  *
+  * Each micro-batch is applied with `foreachPartition`: every
+  * executor partition opens its own connection and applies its rows
+  * in prepared-statement batches — the driver never materializes the
+  * batch, so an unbounded key space (per-user running totals at
+  * 100×) streams through executors instead of bottlenecking on
+  * driver memory.
+  *
+  * Upsert dialects:
+  *  - MySQL: the single-statement `INSERT ... ON DUPLICATE KEY
+  *    UPDATE` from [[Connectors.mysqlUpsertSql]];
+  *  - embedded Derby (what tests execute; Derby's MERGE cannot read
+  *    a VALUES-derived source): batched keyed UPDATE, then batched
+  *    INSERT for the keys the UPDATE missed. Within one micro-batch
+  *    of an update-mode aggregation every key appears at most once
+  *    (it is the GROUP BY key), so the two legs cannot race
+  *    themselves.
+  *
+  * Idempotence contract (exactly-once effect over an at-least-once
+  * channel): a replayed epoch re-applies the same key→row pairs — a
+  * no-op on the PK table, same as the reference's MySQL sink.
+  *
+  * In `local[*]` tests the endpoint is an in-JVM Derby
+  * (`jdbc:derby:memory:...`); on a cluster the URL names a network
+  * database — the partition-side protocol is identical.
+  */
+final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
+    dialect: String = "derby", batchSize: Int = 1000) extends Serializable {
+
+  /** Create the PK result table if absent (driver-side, once). */
+  def ensureTable(schema: StructType): Unit = {
+    val conn = DriverManager.getConnection(url)
+    try {
+      val st = conn.createStatement()
+      try st.execute(Connectors.createTableSql(table, schema, keyCols))
+      catch {
+        // Derby X0Y32 / MySQL 42S01: table already exists
+        case e: java.sql.SQLException
+          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
+      } finally st.close()
+    } finally conn.close()
+  }
+
+  /** Apply one micro-batch (the `foreachBatch` body). */
+  def apply(df: DataFrame, epochId: Long): Unit = {
+    val schema = df.schema
+    ensureTable(schema)
+    val (u, t, k, d, bs) = (url, table, keyCols, dialect, batchSize)
+    df.foreachPartition { (rows: Iterator[Row]) =>
+      JdbcUpsertSink.upsertPartition(u, t, schema, k, d, bs, rows)
+    }
+  }
+
+  /** Attach this sink to a streaming result. */
+  def writeTo(writer: DataStreamWriter[Row]): StreamingQuery =
+    writer.foreachBatch((df: DataFrame, epoch: Long) => apply(df, epoch)).start()
+
+  /** Read the table back (verification flow: "query the MySQL
+    * table"). Unpartitioned read — verification-sized results only;
+    * large tables go through [[Connectors.jdbcSource]]'s mandatory
+    * partitioned read.
+    */
+  def toDF(spark: SparkSession): DataFrame = {
+    val df = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table).load()
+    // Derby folds unquoted identifiers to uppercase; restore the
+    // lower-case names the Spark schema wrote.
+    df.toDF(df.columns.map(_.toLowerCase(java.util.Locale.ROOT)): _*)
+  }
+}
+
+object JdbcUpsertSink {
+
+  /** Runs on the executor: one connection per partition, batched
+    * upserts, one commit per partition (a failed partition retries
+    * wholesale — upserts make the retry idempotent).
+    */
+  private[streaming] def upsertPartition(url: String, table: String,
+      schema: StructType, keyCols: Seq[String], dialect: String,
+      batchSize: Int, rows: Iterator[Row]): Unit = {
+    if (!rows.hasNext) return
+    val conn = DriverManager.getConnection(url)
+    try {
+      conn.setAutoCommit(false)
+      rows.grouped(batchSize).foreach { chunk =>
+        dialect match {
+          case "mysql" => mysqlChunk(conn, table, schema, keyCols, chunk)
+          case _ => updateInsertChunk(conn, table, schema, keyCols, chunk)
+        }
+      }
+      conn.commit()
+    } finally conn.close()
+  }
+
+  /** MySQL dialect: one `INSERT ... ON DUPLICATE KEY UPDATE` batch. */
+  private def mysqlChunk(conn: Connection, table: String, schema: StructType,
+      keyCols: Seq[String], chunk: Seq[Row]): Unit = {
+    val cols = schema.fieldNames.toSeq
+    val ps = conn.prepareStatement(Connectors.mysqlUpsertSql(table, cols, keyCols))
+    try {
+      chunk.foreach { r => bindCols(ps, schema, cols, r, 1); ps.addBatch() }
+      ps.executeBatch()
+    } finally ps.close()
+  }
+
+  /** Portable dialect: batched UPDATE; keys it missed get a batched
+    * INSERT.
+    */
+  private def updateInsertChunk(conn: Connection, table: String,
+      schema: StructType, keyCols: Seq[String], chunk: Seq[Row]): Unit = {
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(keyCols.contains)
+    val misses =
+      if (nonKey.isEmpty) chunk // key-only table: nothing to update
+      else {
+        val up = conn.prepareStatement(Connectors.updateSql(table, cols, keyCols))
+        try {
+          chunk.foreach { r =>
+            val n = bindCols(up, schema, nonKey, r, 1)
+            bindCols(up, schema, keyCols, r, n)
+            up.addBatch()
+          }
+          val counts = up.executeBatch()
+          chunk.zip(counts).collect { case (r, 0) => r }
+        } finally up.close()
+      }
+    if (misses.nonEmpty) {
+      val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
+      try {
+        misses.foreach { r => bindCols(ins, schema, cols, r, 1); ins.addBatch() }
+        try ins.executeBatch()
+        catch {
+          // key-only tables can race a concurrent epoch's insert;
+          // a duplicate key there means the row already holds the
+          // desired state — the upsert contract is satisfied.
+          case e: java.sql.BatchUpdateException
+            if nonKey.isEmpty && "23505" == e.getSQLState => ()
+        }
+      } finally ins.close()
+    }
+  }
+
+  /** Bind `cols` of `row` starting at parameter `start`; returns the
+    * next free parameter index.
+    */
+  private def bindCols(ps: PreparedStatement, schema: StructType,
+      cols: Seq[String], row: Row, start: Int): Int = {
+    var i = start
+    cols.foreach { c =>
+      val fi = schema.fieldIndex(c)
+      val dt = schema(fi).dataType
+      if (row.isNullAt(fi)) ps.setNull(i, java.sql.Types.NULL)
+      else dt match {
+        case LongType => ps.setLong(i, row.getLong(fi))
+        case IntegerType => ps.setInt(i, row.getInt(fi))
+        case ShortType => ps.setShort(i, row.getShort(fi))
+        case DoubleType => ps.setDouble(i, row.getDouble(fi))
+        case FloatType => ps.setFloat(i, row.getFloat(fi))
+        case BooleanType => ps.setBoolean(i, row.getBoolean(fi))
+        case DateType => ps.setDate(i, row.getDate(fi))
+        case TimestampType => ps.setTimestamp(i, row.getTimestamp(fi))
+        case _: DecimalType => ps.setBigDecimal(i, row.getDecimal(fi))
+        case StringType => ps.setString(i, row.getString(fi))
+        case other => throw new IllegalArgumentException(
+          s"no JDBC binding for ${other.simpleString}")
+      }
+      i += 1
+    }
+    i
+  }
+}

@@ -167,12 +167,20 @@ object StreamingQueries {
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
+  private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
+
   /** Replay the fixture through a streaming pipeline (update mode →
     * PK upsert sink), return the sink's final state. This is the
     * reference's end-to-end verification flow ("run the job, then
     * query the MySQL table", `doc/temp.md:904`) made synchronous: the
     * result must equal the equivalent batch query, so the replay
     * queries share the batch oracles at the correctness gate.
+    *
+    * The sink is the REAL executor-side JDBC path
+    * ([[JdbcUpsertSink]]: foreachPartition + prepared-statement
+    * batches) against an embedded Derby — rows never pass through the
+    * driver; the final small result table is read back once for the
+    * gate, exactly the reference's "query the MySQL table" step.
     */
   def replay(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, keys: Seq[String]): DataFrame = {
@@ -181,7 +189,9 @@ object StreamingQueries {
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
       .parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val sink = new UpsertSink(keys)
+    val db = s"replay_${replaySeq.incrementAndGet()}"
+    val sink = new JdbcUpsertSink(s"jdbc:derby:memory:$db;create=true",
+      "result_table", keys)
     val q = sink.writeTo(build(src).writeStream.outputMode("update"))
     try { q.processAllAvailable() } finally q.stop()
     sink.toDF(spark)

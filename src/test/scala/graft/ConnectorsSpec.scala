@@ -90,12 +90,28 @@ class ConnectorsSpec extends AnyFunSuite {
       plain.select(li.columns.map(col): _*)).count() === 0)
   }
 
-  test("jdbc source builder demands partitioned reads (config shape)") {
-    // no endpoint in this build — assert the reader carries the
-    // partitioning options by building the plan (load() would connect)
-    val reader = Connectors.jdbcSource _
-    // compile-time surface check: partitionColumn/bounds/numPartitions
-    // are REQUIRED parameters, unlike the reference's single-task scan
-    assert(reader != null)
+  test("jdbc batch sink + partitioned source execute for real against embedded Derby") {
+    val url = "jdbc:derby:memory:graftbatch;create=true"
+    val props = new java.util.Properties()
+    val orders = OrderGen.orders(spark, 1000)
+      .select("order_id", "user_id", "amount", "channel_id")
+
+    // overwrite, then append — both real executions of the batch sink
+    Connectors.jdbcSink(orders, url, "orders_jdbc",
+      org.apache.spark.sql.SaveMode.Overwrite, props)
+    Connectors.jdbcSink(orders.limit(200), url, "orders_jdbc",
+      org.apache.spark.sql.SaveMode.Append, props)
+
+    // the mandatory-partitioned read: 4 concurrent range scans, not
+    // the reference's single-connection full-table read
+    val back = Connectors.jdbcSource(spark, url, "orders_jdbc",
+      partitionColumn = "order_id",
+      lowerBound = 1L, upperBound = 1000L, numPartitions = 4,
+      user = "", password = "")
+    assert(back.rdd.getNumPartitions === 4)
+    assert(back.count() === 1200)
+    val expect = orders.union(orders.limit(200))
+      .groupBy().agg(sum("amount")).collect()(0).getLong(0)
+    assert(back.groupBy().agg(sum("amount")).collect()(0).getLong(0) === expect)
   }
 }
