@@ -22,9 +22,11 @@ object SparkEntry {
 
   /** GEN (SURVEY.md §2.1): the reference's order generator as a
     * deterministic distributed source, JSON wire round-trip included,
-    * then a Q1-shape daily rollup over the generated orders. Pure
-    * Spark hash derivations → no DuckDB twin (rows-only at the gate);
-    * determinism is asserted in GenSpec.
+    * then a Q1-shape daily rollup over the generated orders. The
+    * generator's hash derivations have no SQL twin, but the ROLLUP
+    * does: Verify materializes the generated orders to
+    * `__OUTDIR__/aux_gen_orders` and the oracle rolls up that same
+    * input in DuckDB.
     */
   private def genRollup(spark: SparkSession, dir: String): DataFrame = {
     val orders = OrderGen.decodeJson(OrderGen.ordersJson(spark, 100000L))
@@ -51,5 +53,12 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
-      DataQuality.oracles
+      DataQuality.oracles +
+      ("gen_orders_rollup" ->
+        """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+          |       count(DISTINCT user_id) AS uv,
+          |       CAST(sum(amount) AS BIGINT) AS gmv,
+          |       count(*) AS orders
+          |FROM read_parquet('__OUTDIR__/gen_orders_rollup/aux_gen_orders/*.parquet')
+          |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

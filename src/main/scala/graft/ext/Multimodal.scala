@@ -68,6 +68,15 @@ object Multimodal {
     }
   }
 
+  /** Multiplicative-hash stand-in metadata: `(id mod m)·p mod m` with
+    * an odd constant `p` (a bijection on Z_m — hash-like variety,
+    * overflow-safe, and expressible identically in ANSI SQL so the
+    * metadata-math queries are DuckDB-oracle-checkable; xxhash64 has
+    * no SQL twin).
+    */
+  private def mhash(c: org.apache.spark.sql.Column, p: Long, m: Int) =
+    pmod(pmod(c, lit(m)) * lit(p), lit(m))
+
   /** Build a deterministic media table from `documents`: payload =
     * UTF-8 bytes of the text (a stand-in blob), metadata derived
     * columnar-side. In production this is `spark.read.format("binaryFile")`
@@ -79,9 +88,9 @@ object Multimodal {
       encode(col("text"), "UTF-8").as("payload"),
       element_at(array(lit("image/png"), lit("audio/wav"), lit("video/mp4")),
         (pmod(col("doc_id"), lit(3)) + 1).cast("int")).as("format"),
-      (lit(64) + pmod(xxhash64(col("doc_id"), lit("w")), lit(1024))).cast("int").as("width"),
-      (lit(64) + pmod(xxhash64(col("doc_id"), lit("h")), lit(1024))).cast("int").as("height"),
-      (lit(1) + pmod(xxhash64(col("doc_id"), lit("f")), lit(30))).cast("int").as("n_frames"))
+      (lit(64) + mhash(col("doc_id"), 2654435761L, 1024)).cast("int").as("width"),
+      (lit(64) + mhash(col("doc_id"), 2246822519L, 1024)).cast("int").as("height"),
+      (lit(1) + mhash(col("doc_id"), 3266489917L, 30)).cast("int").as("n_frames"))
 
   /** Feature extraction over media payloads: typed mapPartitions —
     * the Scala analogue of `mapInPandas` (whole-partition batches, no
@@ -169,9 +178,14 @@ object Multimodal {
     })
   )
 
-  /** Oracles cover the metadata/plumbing queries (byte lengths,
-    * format assignment, frame-index explosion) — the codec stub has no
-    * SQL equivalent and stays rows-only.
+  /** Oracles cover every metadata/plumbing query: byte lengths,
+    * format assignment, resize integer math, frame-index explosion —
+    * all reproduced in ANSI SQL over `documents` (the [[mhash]]
+    * metadata derivation is SQL-expressible by design). `mm_features`
+    * runs THROUGH the stub decode but projects the metadata columns,
+    * so its output is oracle-checkable too; only the feature VECTOR
+    * itself (stub codec, no SQL equivalent) stays untested here — its
+    * determinism and shape are asserted in ExtSpec.
     */
   val oracles: Map[String, String] = Map(
     "mm_media_meta" ->
@@ -180,6 +194,33 @@ object Multimodal {
         |                       WHEN 1 THEN 'audio/wav'
         |                       ELSE 'video/mp4' END AS format,
         |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
-        |FROM documents ORDER BY media_id""".stripMargin
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_features" ->
+      """SELECT doc_id AS media_id,
+        |       CASE doc_id % 3 WHEN 0 THEN 'image/png'
+        |                       WHEN 1 THEN 'audio/wav'
+        |                       ELSE 'video/mp4' END AS format,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len
+        |FROM documents ORDER BY media_id""".stripMargin,
+    "mm_resize" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         64 + (doc_id % 1024 * 2654435761) % 1024 AS w,
+        |         64 + (doc_id % 1024 * 2246822519) % 1024 AS h
+        |  FROM documents WHERE doc_id % 3 = 0)
+        |SELECT media_id,
+        |       CAST(CASE WHEN GREATEST(w, h) <= 256 THEN w
+        |                 ELSE w * 256 // GREATEST(w, h) END AS BIGINT) AS width,
+        |       CAST(CASE WHEN GREATEST(w, h) <= 256 THEN h
+        |                 ELSE h * 256 // GREATEST(w, h) END AS BIGINT) AS height
+        |FROM m ORDER BY media_id""".stripMargin,
+    "mm_frame_sample" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         1 + (doc_id % 30 * 3266489917) % 30 AS n_frames
+        |  FROM documents WHERE doc_id % 3 = 2)
+        |SELECT media_id,
+        |       CAST(unnest(range(0, n_frames, 10)) AS BIGINT) AS frame_idx
+        |FROM m ORDER BY media_id, frame_idx""".stripMargin
   )
 }

@@ -48,7 +48,9 @@ object WindowQueries {
 
   /** Q1's UV with `approx_count_distinct` (HLL++): the sketch-based
     * alternative SURVEY.md §7.5 names for streaming exact-distinct at
-    * scale. Approximation ⇒ rows-only at the gate; accuracy vs exact
+    * scale. The sketch value is Spark-specific (rows-only at the
+    * gate); the EXACT twin is gated beside it ([[exactDailyUv]]) so
+    * the shared shape is oracle-anchored, and |approx − exact| ≤ 5%
     * is asserted in tests.
     */
   def approxDailyUv(spark: SparkSession, dir: String): DataFrame =
@@ -57,13 +59,25 @@ object WindowQueries {
       .agg(approx_count_distinct(col("user_id")).as("approx_uv"))
       .orderBy(col("date_str"))
 
+  /** The exact form of [[approxDailyUv]] — oracle-gated anchor. */
+  def exactDailyUv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(countDistinct(col("user_id")).as("exact_uv"))
+      .orderBy(col("date_str"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_sliding_counts" -> (slidingCounts _),
     "win_user_sessions" -> (userSessions _),
-    "win_approx_daily_uv" -> (approxDailyUv _)
+    "win_approx_daily_uv" -> (approxDailyUv _),
+    "win_exact_daily_uv" -> (exactDailyUv _)
   )
 
   val oracles: Map[String, String] = Map(
+    "win_exact_daily_uv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+        |       count(DISTINCT user_id) AS exact_uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     // each event belongs to windows k=0,1: start = 5-min-floor(ts) − k·5min
     "win_sliding_counts" ->
       """SELECT strftime(make_timestamp(
