@@ -49,9 +49,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
 
 object VecDot {
 
-  /** Sequential dot product over ArrayData (called from generated code). */
+  /** Sequential dot product over ArrayData (called from generated
+    * code). Mismatched dimensions are corrupt input and FAIL LOUDLY —
+    * silently truncating to the shorter vector would return a
+    * plausible-looking partial similarity (the DuckDB oracle's
+    * `list_cosine_similarity` errors on mismatched lengths too, so
+    * the engines agree on bad input).
+    */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vec_dot: mismatched vector dimensions ${n} vs ${b.numElements()}")
     var acc = 0.0
     var i = 0
     while (i < n) {

@@ -176,6 +176,20 @@ class ExtSpec extends AnyFunSuite {
     assert(sub.nonEmpty)
   }
 
+  test("vec_dot fails loudly on mismatched vector dimensions") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(graft.functions.VecDot.vec_dot(col("a"), col("b"))).collect()
+    }
+    // corrupt/mixed-dim embeddings must error (as the oracle's
+    // list_cosine_similarity does), not return a truncated similarity
+    assert(e.getMessage != null)
+    val ok = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(graft.functions.VecDot.vec_dot(col("a"), col("b"))).collect()
+    assert(ok(0).getDouble(0) === 11.0)
+  }
+
   test("exact dedup groups sum to the corpus size") {
     val docs = Tables.documents(spark, dir)
     val total = Dedup.exact(docs).agg(sum("dup_count")).collect()(0).getLong(0)
