@@ -189,12 +189,20 @@ object Similarity {
 
     // original double vector + norm (for the exact verify) and the
     // unit-normalized vector (for clustering only)
+    // Persisted MEMORY_AND_DISK and not unpersisted: the quantizer
+    // makes several small driver-action passes (seed collect, Lloyd
+    // updates, radii) plus the two join sides — each would otherwise
+    // re-scan and re-shuffle the corpus. Spark's CacheManager keys by
+    // logical plan, so repeated calls over the same corpus share one
+    // entry (see [[graft.ext.Dedup.minhashPairs]] for the lifecycle
+    // contract).
     val prepped = emb.select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("e"),
         sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
       .repartition(par) // pin parallelism (see [[thresholdJoin]])
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     def normalize(c: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)

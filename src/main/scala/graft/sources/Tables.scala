@@ -61,13 +61,23 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
+  private val registeredDir =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, String]()
+
   /** Register every fixture table as a temp view so `spark.sql` text
     * queries resolve — the reference's `createOrReplaceTempView`
     * pattern (`doc/temp.md:456`, `doc/Cumulative.java:54`).
+    *
+    * Idempotent per (session, dir): re-resolving ten parquet sources
+    * costs ~0.5 s of pure driver work per call, so repeat calls for
+    * the same dir are no-ops. Registering a DIFFERENT dir replaces
+    * the views. (If views are dropped externally, re-register by
+    * calling with another dir first — not a path the engine takes.)
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    allTables.foreach { n =>
-      val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
-      df.createOrReplaceTempView(n)
-    }
+    if (registeredDir.put(spark, dir) != dir)
+      allTables.foreach { n =>
+        val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+        df.createOrReplaceTempView(n)
+      }
 }

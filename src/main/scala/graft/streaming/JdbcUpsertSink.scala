@@ -59,7 +59,20 @@ final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
   def apply(df: DataFrame, epochId: Long): Unit = {
     val schema = df.schema
     ensureTable(schema)
-    val (u, t, k, d, bs) = (url, table, keyCols, dialect, batchSize)
+    // An empty target (fresh table / first epoch) can skip the UPDATE
+    // leg wholesale: every key is a miss, so the batch is pure
+    // INSERTs — append-mode streams (e.g. closed-window emissions)
+    // otherwise pay a full round of guaranteed-miss updates per batch.
+    val empty = {
+      val conn = DriverManager.getConnection(url)
+      try {
+        val rs = conn.createStatement()
+          .executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY")
+        !rs.next()
+      } finally conn.close()
+    }
+    val (u, t, k, bs) = (url, table, keyCols, batchSize)
+    val d = if (empty) "insert-only" else dialect
     df.foreachPartition { (rows: Iterator[Row]) =>
       JdbcUpsertSink.upsertPartition(u, t, schema, k, d, bs, rows)
     }
@@ -99,6 +112,7 @@ object JdbcUpsertSink {
       rows.grouped(batchSize).foreach { chunk =>
         dialect match {
           case "mysql" => mysqlChunk(conn, table, schema, keyCols, chunk)
+          case "insert-only" => insertChunk(conn, table, schema, chunk)
           case _ => updateInsertChunk(conn, table, schema, keyCols, chunk)
         }
       }
@@ -115,6 +129,17 @@ object JdbcUpsertSink {
       chunk.foreach { r => bindCols(ps, schema, cols, r, 1); ps.addBatch() }
       ps.executeBatch()
     } finally ps.close()
+  }
+
+  /** Empty-target fast path: every row is new, one INSERT batch. */
+  private def insertChunk(conn: Connection, table: String,
+      schema: StructType, chunk: Seq[Row]): Unit = {
+    val cols = schema.fieldNames.toSeq
+    val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
+    try {
+      chunk.foreach { r => bindCols(ins, schema, cols, r, 1); ins.addBatch() }
+      ins.executeBatch()
+    } finally ins.close()
   }
 
   /** Portable dialect: batched UPDATE; keys it missed get a batched
