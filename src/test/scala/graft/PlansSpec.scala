@@ -51,4 +51,40 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("GreaterThan(ts,") && plan.contains("LessThan(ts,"),
       s"equality not expanded to range:\n$plan")
   }
+
+  test("far-future timestamp literal: no overflowed bound, no rows lost") {
+    // (us+1)·1000 for 9999-12-31 wraps Long negative; the rule must
+    // SKIP the rewrite (the literal implies no useful bound), not emit
+    // a wrapped conjunct that filters out every row
+    val ev = Tables.events(spark, dir)
+    val all = ev.count()
+    val q = ev.filter(col("ts") <= to_timestamp(lit("9999-12-31 00:00:00")))
+    assert(q.count() === all, "sentinel upper bound dropped rows")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("LessThan(ts,-"), s"wrapped negative bound pushed:\n$plan")
+  }
+
+  test("cosine near-dup plan is an equi-join on cluster keys, not an all-pairs join") {
+    val emb = Tables.embeddings(spark, dir)
+    val plan = graft.ext.Similarity.cosineNearDupPairs(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"all-pairs join in the scale path:\n$plan")
+    // the brute-force oracle twin, by contrast, IS the nested loop
+    val brute = graft.ext.Similarity.thresholdJoin(emb, 0.4)
+      .queryExecution.executedPlan.toString
+    assert(brute.contains("BroadcastNestedLoopJoin"),
+      "expected the brute twin to be the nested-loop baseline")
+  }
+
+  test("sub-blocked jaccard plan joins on sub-block pair keys, not a cross product") {
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ext.Dedup.jaccardPairsBySource(docs, 0.6, targetSubBlock = 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"cross product in blocked jaccard:\n$plan")
+    // join keys carry the (source, p, q) triple
+    assert(plan.contains("p#") && plan.contains("q#"),
+      s"sub-block keys missing from the join:\n$plan")
+  }
 }
