@@ -174,15 +174,22 @@ object Similarity {
     *     bit-identical expression the brute-force oracle twin uses —
     *     so the gate hash-match is preserved.
     *
-    * The join is an equi-join on (cluster_a, cluster_b) keys — both
-    * sides replicated only by their cluster's compatible-partner count
-    * (≤ k, typically far less). At 100 TB, k scales with corpus size
-    * (k ≈ √n keeps per-cluster work flat); a dominant cluster can
-    * additionally be hash-sub-blocked exactly as
-    * [[graft.ext.Dedup.jaccardPairsBySource]] does for blocks.
+    * The join is an equi-join on sub-block-pair keys. A dominant
+    * cluster (homogeneous corpora collapse into few clusters) would
+    * otherwise put its whole O(n_c²) diagonal on ONE join key = one
+    * task, so each cluster is further split into
+    * `ceil(n_c / targetSubBlock)` hash sub-blocks and the pair space
+    * is keyed by (cluster_a, sub_a, cluster_b, sub_b) — the same
+    * triangle covering [[graft.ext.Dedup.jaccardPairsBySource]] uses
+    * for blocks: off-diagonal unit pairs take all combinations,
+    * the (same-cluster, same-sub) diagonal deduplicates by id order.
+    * Replication stays the compatible-partner unit count; task sizes
+    * are uniform regardless of cluster skew. At 100 TB, k scales
+    * with corpus size (k ≈ √n keeps per-cluster work flat).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
-      nClusters: Int = 32, lloydIters: Int = 2, dim: Int = 64): DataFrame = {
+      nClusters: Int = 32, lloydIters: Int = 2, dim: Int = 64,
+      targetSubBlock: Int = 256): DataFrame = {
     import graft.functions.VecDot.vec_dot
     val spark = emb.sparkSession
     val par = spark.sparkContext.defaultParallelism
@@ -238,34 +245,47 @@ object Similarity {
       .select(col("vec_id"), col("e"), col("nrm"), col("cluster"),
         acos(col("center_cos")).as("center_angle"))
 
-    // k angular radii — inherently tiny driver state, like the centroids
-    val radii: Map[Int, Double] = assigned.groupBy(col("cluster"))
-      .agg(max(col("center_angle")).as("r")).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // k angular radii + member counts — inherently tiny driver state,
+    // like the centroids
+    val stats: Map[Int, (Double, Long)] = assigned.groupBy(col("cluster"))
+      .agg(max(col("center_angle")).as("r"), count(lit(1)).as("n")).collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val nsub: Map[Int, Int] = stats.map { case (i, (_, n)) =>
+      i -> math.max(1, math.ceil(n.toDouble / targetSubBlock).toInt) }
     val thetaT = math.acos(math.min(1.0, math.max(-1.0, threshold)))
     def angle(x: Seq[Double], y: Seq[Double]): Double = {
       val d = x.zip(y).map { case (a, b) => a * b }.sum
       math.acos(math.min(1.0, math.max(-1.0, d)))
     }
-    val compat = for {
+    // compatible cluster pairs, expanded to sub-block units: all
+    // (si, sj) combos off-diagonal, the si ≤ sj triangle on the
+    // diagonal — every unordered vector pair lands in exactly one unit
+    val compatUnits = for {
       (i, ci) <- centroids.toSeq; (j, cj) <- centroids.toSeq
-      if i <= j && radii.contains(i) && radii.contains(j)
-      if angle(ci, cj) <= radii(i) + radii(j) + thetaT + 1e-9
-    } yield (i, j)
+      if i <= j && stats.contains(i) && stats.contains(j)
+      if angle(ci, cj) <= stats(i)._1 + stats(j)._1 + thetaT + 1e-9
+      si <- 0 until nsub(i); sj <- 0 until nsub(j)
+      if i < j || si <= sj
+    } yield (i, si, j, sj)
     import spark.implicits._
-    val compatDf = compat.toDF("cluster_a", "cluster_b")
+    val compatDf = compatUnits.toDF("cluster_a", "sub_a", "cluster_b", "sub_b")
 
-    val aSide = assigned
+    val nsubCol = element_at(typedlit(nsub), col("cluster"))
+    val withSub = assigned
+      .withColumn("sub", pmod(xxhash64(col("vec_id")), nsubCol).cast("int"))
+    val aSide = withSub
       .select(col("vec_id").as("id_a"), col("e").as("e_a"),
-        col("nrm").as("n_a"), col("cluster").as("cluster_a"))
-      .join(broadcast(compatDf), "cluster_a")
-    val bSide = assigned
+        col("nrm").as("n_a"), col("cluster").as("cluster_a"), col("sub").as("sub_a"))
+      .join(broadcast(compatDf), Seq("cluster_a", "sub_a"))
+    val bSide = withSub
       .select(col("vec_id").as("id_b"), col("e").as("e_b"),
-        col("nrm").as("n_b"), col("cluster").as("cluster_b"))
-      .join(broadcast(compatDf), "cluster_b")
-    aSide.repartition(par, col("cluster_a"), col("cluster_b"))
-      .join(bSide, Seq("cluster_a", "cluster_b"))
-      .filter(col("cluster_a") =!= col("cluster_b") || col("id_a") < col("id_b"))
+        col("nrm").as("n_b"), col("cluster").as("cluster_b"), col("sub").as("sub_b"))
+      .join(broadcast(compatDf), Seq("cluster_b", "sub_b"))
+    val unitKeys = Seq("cluster_a", "sub_a", "cluster_b", "sub_b")
+    aSide.repartition(par, unitKeys.map(col): _*)
+      .join(bSide, unitKeys)
+      .filter(col("cluster_a") =!= col("cluster_b") ||
+        col("sub_a") =!= col("sub_b") || col("id_a") < col("id_b"))
       .withColumn("sim", vec_dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
       .filter(col("sim") >= threshold)
       .select(least(col("id_a"), col("id_b")).as("id_a"),
