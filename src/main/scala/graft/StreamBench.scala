@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 
-import graft.streaming.{StreamingQueries, UpsertSink}
+import graft.streaming.{JdbcUpsertSink, StreamingQueries}
 
 /** Streaming throughput measurement: replays the sf events through the
   * Q1/Q3 streaming pipelines (watermarked dedup-distinct; unbounded
@@ -13,7 +13,9 @@ import graft.streaming.{StreamingQueries, UpsertSink}
   * Context for BASELINE.md: the reference's streaming leg is bounded
   * by its generator at ~0.1–0.33 events/s end-to-end
   * (`__init__.py:24-25`); this measures what the same queries sustain
-  * on this engine at local[32].
+  * on this engine at local[32]. The sink is the REAL executor-side
+  * JDBC upsert path against embedded Derby — throughput includes the
+  * per-batch upsert round-trips, not a driver-map shortcut.
   */
 object StreamBench {
 
@@ -34,13 +36,15 @@ object StreamBench {
     def run(name: String, build: org.apache.spark.sql.DataFrame =>
         org.apache.spark.sql.DataFrame, keys: Seq[String]): Unit = {
       val in = MemoryStream[E]
-      val sink = new UpsertSink(keys)
+      val sink = new JdbcUpsertSink(
+        s"jdbc:derby:memory:streambench_$name;create=true", s"sb_$name", keys)
       val q = sink.writeTo(build(in.toDF()).writeStream.outputMode("update"))
       val t0 = System.nanoTime()
       batches.foreach { b => in.addData(b); q.processAllAvailable() }
       val secs = (System.nanoTime() - t0) / 1e9
       q.stop()
-      println(f"""{"stream":"$name","events":${rows.length},"sec":$secs%.2f,"events_per_sec":${rows.length / secs}%.0f,"final_keys":${sink.size}}""")
+      val finalKeys = sink.toDF(spark).count()
+      println(f"""{"stream":"$name","events":${rows.length},"sec":$secs%.2f,"events_per_sec":${rows.length / secs}%.0f,"final_keys":$finalKeys}""")
     }
 
     run("q3_user_gmv", StreamingQueries.q3UserGmv, Seq("user_id"))
