@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale rehearsal for the dedup/similarity scale paths (builder-side
+  * measurement main, like [[StreamBench]]): synthesizes corpora with
+  * the structure the 100 TB design claims to exploit — CLUSTERED
+  * embeddings (IVF pruning should beat brute force) and a SKEWED
+  * document corpus (one dominant block; sub-blocking should keep
+  * tasks uniform) — at 10–25× the sf0.1 fixture sizes, and prints
+  * one JSON line per measurement.
+  *
+  * Deterministic throughout (seeded xxhash64 derivations), no
+  * dependence on the fixture tables: this rehearses operator shape at
+  * sizes the fixtures don't reach; correctness at the gate is
+  * separately anchored by the DuckDB oracles.
+  */
+object ScaleRehearsal {
+
+  /** n embeddings in `centers` tight angular clusters: vector =
+    * unit-ish center (hash components in [-1,1]) + small per-vector
+    * noise. Same-cluster cosine ≈ 1, cross-cluster ≈ random.
+    */
+  def clusteredEmbeddings(spark: SparkSession, n: Long, centers: Int,
+      dim: Int = 64, noise: Double = 0.05): DataFrame = {
+    def u(seed: Column, d: Int, tag: String): Column =
+      (xxhash64(seed, lit(d), lit(tag)) % 10000L).cast("double") / lit(5000.0)
+    val c = pmod(col("id"), lit(centers))
+    spark.range(n).select(col("id").as("vec_id"),
+      array((0 until dim).map(d =>
+        (u(c, d, "c") + u(col("id"), d, "n") * noise).cast("float")): _*)
+        .as("embedding"))
+  }
+
+  /** n documents in ONE source block (the worst case for blocked
+    * self-joins): ~30-word texts where triples `id div 3` share a
+    * template except one varying word — high within-triple jaccard,
+    * low elsewhere.
+    */
+  def skewedDocs(spark: SparkSession, n: Long, vocab: Int = 2000): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"), lit("s0").as("source"),
+      concat_ws(" ",
+        (0 until 29).map(i =>
+          concat(lit("w"), pmod(xxhash64(expr("id div 3"), lit(i)), lit(vocab)))) :+
+        concat(lit("v"), pmod(col("id"), lit(3))): _*).as("text"))
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    def report(name: String, n: Long, secs: Double, rows: Long): Unit =
+      println(f"""{"rehearsal":"$name","n":$n,"sec":$secs%.2f,"rows":$rows}""")
+
+    // --- embedding-cosine near-dup: clustered corpus, 25x sf0.1 ---
+    val nEmb = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_EMB", "50000").toLong
+    val emb = clusteredEmbeddings(spark, nEmb, centers = 200)
+    // k exceeds the true center count: quantizer cells go tight, radii
+    // small, and the triangle bound prunes almost all cluster pairs —
+    // the structure a real near-dup corpus has and IVF exists for
+    val (ivfSec, ivfRows) = time {
+      graft.ext.Similarity.cosineNearDupPairs(emb, threshold = 0.9,
+        nClusters = 256, targetSubBlock = 512)
+        .queryExecution.toRdd.count()
+    }
+    report("cosine_ivf_clustered", nEmb, ivfSec, ivfRows)
+    // brute-force baseline on a quarter of the corpus (n² growth makes
+    // the full brute run the point: it is what the IVF path avoids)
+    val nBrute = nEmb / 4
+    val embB = clusteredEmbeddings(spark, nBrute, centers = 200)
+    val (bruteSec, bruteRows) = time {
+      graft.ext.Similarity.thresholdJoin(embB, threshold = 0.9)
+        .queryExecution.toRdd.count()
+    }
+    report("cosine_brute_quarter", nBrute, bruteSec, bruteRows)
+
+    // --- blocked jaccard: ONE dominant block, 4x the sf0.1 corpus ---
+    val nDocs = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DOCS", "20000").toLong
+    val docs = skewedDocs(spark, nDocs)
+    val (jacSec, jacRows) = time {
+      graft.ext.Dedup.jaccardPairsBySource(docs, threshold = 0.8)
+        .queryExecution.toRdd.count()
+    }
+    report("jaccard_single_block", nDocs, jacSec, jacRows)
+
+    spark.stop()
+  }
+}

@@ -220,12 +220,14 @@ object Similarity {
       .orderBy(col("vec_id")).limit(nClusters).collect()
       .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](3))) }
 
-    def scoresCol = array(centroids.map { case (_, c) =>
-      vec_dot(col("u"), typedlit(c)) }: _*)
+    // one native k×d sweep — NOT array(vec_dot×k), whose plan size and
+    // generated code scale with k (see [[graft.functions.CentroidScores]]);
+    // argmax likewise native — the HOF form re-evaluates array_max per
+    // element, O(k²) interpreted per row ([[graft.functions.ArgMaxDouble]])
+    def scoresCol = graft.functions.CentroidScores.centroid_scores(
+      col("u"), typedlit(centroids.map(_._2).toSeq))
     // argmax unit dot = nearest centroid by angle
-    def clusterCol =
-      expr("array_position(transform(__scores, s -> s = array_max(__scores)), true)")
-        .cast("int") - 1
+    def clusterCol = graft.functions.ArgMaxDouble.arg_max_double(col("__scores"))
 
     for (_ <- 0 until lloydIters) {
       val means = prepped.withColumn("__scores", scoresCol)
@@ -268,6 +270,14 @@ object Similarity {
       if i < j || si <= sj
     } yield (i, si, j, sj)
     import spark.implicits._
+    if (sys.env.contains("SPARK_GRAFT_DEBUG")) {
+      val rads = stats.values.map(_._1).toSeq.sorted
+      val allPairs = stats.size.toLong * (stats.size + 1) / 2
+      System.err.println(
+        f"[cosineNearDup] cells=${stats.size} radii p50=${rads(rads.size / 2)}%.3f " +
+        f"max=${rads.last}%.3f units=${compatUnits.size} " +
+        f"clusterPairsKept=${compatUnits.map(u => (u._1, u._3)).distinct.size}/$allPairs")
+    }
     val compatDf = compatUnits.toDF("cluster_a", "sub_a", "cluster_b", "sub_b")
 
     val nsubCol = element_at(typedlit(nsub), col("cluster"))
@@ -321,9 +331,9 @@ object Similarity {
 
     // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²);
     // reads the `__scores` column a prior scored(...) projection added
+    // (native one-pass argmax — see [[graft.functions.ArgMaxDouble]])
     def nearestClusterFromScores =
-      expr("array_position(" +
-        "transform(__scores, s -> s = array_max(__scores)), true)").cast("int") - 1
+      graft.functions.ArgMaxDouble.arg_max_double(col("__scores"))
 
     def scored(df: DataFrame, e: Column) = {
       val scores = centroids.map { case (_, c) =>
