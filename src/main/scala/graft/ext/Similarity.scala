@@ -188,7 +188,7 @@ object Similarity {
     * with corpus size (k ≈ √n keeps per-cluster work flat).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
-      nClusters: Int = 32, lloydIters: Int = 2, dim: Int = 64,
+      nClusters: Int = 32, lloydIters: Int = 2,
       targetSubBlock: Int = 256): DataFrame = {
     import graft.functions.VecDot.vec_dot
     val spark = emb.sparkSession
@@ -219,6 +219,13 @@ object Similarity {
     var centroids: Array[(Int, Seq[Double])] = prepped
       .orderBy(col("vec_id")).limit(nClusters).collect()
       .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](3))) }
+    if (centroids.isEmpty) return emb.sparkSession.emptyDataFrame
+      .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("sim"))
+      .limit(0)
+    // dimensionality comes from the DATA — a fixed parameter would
+    // silently compute cluster angles on a projection (voiding the
+    // recall guarantee) whenever real vectors are wider
+    val dim = centroids(0)._2.length
 
     // one native k×d sweep — NOT array(vec_dot×k), whose plan size and
     // generated code scale with k (see [[graft.functions.CentroidScores]]);
@@ -316,8 +323,7 @@ object Similarity {
     * drops by ~k/nprobe versus brute force.
     */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2,
-      dim: Int = 64): DataFrame = {
+      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
     import graft.functions.VecDot.vec_dot
     val spark = emb.sparkSession
 
@@ -328,6 +334,9 @@ object Similarity {
     var centroids: Array[(Int, Seq[Double])] = corpus
       .orderBy(col("vec_id")).limit(nClusters).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
+    // dimensionality from the data, not a parameter (see
+    // [[cosineNearDupPairs]])
+    val dim = if (centroids.isEmpty) 0 else centroids(0)._2.length
 
     // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²);
     // reads the `__scores` column a prior scored(...) projection added

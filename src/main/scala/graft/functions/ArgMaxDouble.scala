@@ -43,7 +43,12 @@ case class ArgMaxDouble(child: Expression) extends UnaryExpression {
 
 object ArgMaxDouble {
 
-  /** First index of the max (called from generated code); -1 on empty. */
+  /** First index of the max (called from generated code); -1 on
+    * empty. NaN never wins (`v > NaN` is false for every v, so a NaN
+    * in slot 0 would otherwise capture the argmax forever — e.g. one
+    * zero-norm embedding poisoning a whole quantizer); an all-NaN
+    * array returns 0.
+    */
   def argMax(a: ArrayData): Int = {
     val n = a.numElements()
     if (n == 0) return -1
@@ -52,7 +57,9 @@ object ArgMaxDouble {
     var i = 1
     while (i < n) {
       val v = a.getDouble(i)
-      if (v > bestV) { bestV = v; best = i }
+      if (v > bestV || (java.lang.Double.isNaN(bestV) && !java.lang.Double.isNaN(v))) {
+        bestV = v; best = i
+      }
       i += 1
     }
     best

@@ -75,9 +75,15 @@ object Tables {
     * calling with another dir first — not a path the engine takes.)
     */
   def registerAll(spark: SparkSession, dir: String): Unit =
-    if (registeredDir.put(spark, dir) != dir)
-      allTables.foreach { n =>
-        val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
-        df.createOrReplaceTempView(n)
+    registeredDir.synchronized { // serialize: no half-registered reader
+      if (registeredDir.get(spark) != dir) {
+        allTables.foreach { n =>
+          val df = if (n == "events") events(spark, dir) else table(spark, dir, n)
+          df.createOrReplaceTempView(n)
+        }
+        // recorded only AFTER every view exists — a failed partial
+        // registration is retried on the next call, not skipped
+        registeredDir.put(spark, dir)
       }
+    }
 }

@@ -41,38 +41,45 @@ import graft.sources.Connectors
 final class JdbcUpsertSink(url: String, table: String, keyCols: Seq[String],
     dialect: String = "derby", batchSize: Int = 1000) extends Serializable {
 
-  /** Create the PK result table if absent (driver-side, once). */
-  def ensureTable(schema: StructType): Unit = {
+  // driver-side only (the sink object is serialized to executors, but
+  // ensureTable/apply run on the driver); avoids a CREATE TABLE
+  // round-trip per micro-batch on a long-running stream
+  @transient private var tableEnsured = false
+
+  /** Create the PK result table if absent (driver-side, once per sink
+    * instance); returns true if THIS call created it (the table is
+    * known empty).
+    */
+  def ensureTable(schema: StructType): Boolean = {
+    if (tableEnsured) return false
     val conn = DriverManager.getConnection(url)
     try {
       val st = conn.createStatement()
-      try st.execute(Connectors.createTableSql(table, schema, keyCols))
-      catch {
-        // Derby X0Y32 / MySQL 42S01: table already exists
-        case e: java.sql.SQLException
-          if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => ()
-      } finally st.close()
+      val created =
+        try { st.execute(Connectors.createTableSql(table, schema, keyCols)); true }
+        catch {
+          // Derby X0Y32 / MySQL 42S01: table already exists
+          case e: java.sql.SQLException
+            if e.getSQLState == "X0Y32" || e.getSQLState == "42S01" => false
+        } finally st.close()
+      tableEnsured = true
+      created
     } finally conn.close()
   }
 
   /** Apply one micro-batch (the `foreachBatch` body). */
   def apply(df: DataFrame, epochId: Long): Unit = {
     val schema = df.schema
-    ensureTable(schema)
-    // An empty target (fresh table / first epoch) can skip the UPDATE
-    // leg wholesale: every key is a miss, so the batch is pure
-    // INSERTs — append-mode streams (e.g. closed-window emissions)
-    // otherwise pay a full round of guaranteed-miss updates per batch.
-    val empty = {
-      val conn = DriverManager.getConnection(url)
-      try {
-        val rs = conn.createStatement()
-          .executeQuery(s"SELECT 1 FROM $table FETCH FIRST 1 ROWS ONLY")
-        !rs.next()
-      } finally conn.close()
-    }
+    // A just-created table is empty: the portable dialect can skip the
+    // guaranteed-miss UPDATE leg wholesale — append-mode streams (e.g.
+    // closed-window emissions) otherwise pay a full wasted update
+    // round on the first batch. insertChunk still falls back to the
+    // update-insert path on a duplicate key, so a wholesale task retry
+    // after a partial commit stays idempotent. The MySQL dialect's
+    // single statement needs no such split.
+    val created = ensureTable(schema)
     val (u, t, k, bs) = (url, table, keyCols, batchSize)
-    val d = if (empty) "insert-only" else dialect
+    val d = if (created && dialect != "mysql") "insert-only" else dialect
     df.foreachPartition { (rows: Iterator[Row]) =>
       JdbcUpsertSink.upsertPartition(u, t, schema, k, d, bs, rows)
     }
@@ -112,7 +119,7 @@ object JdbcUpsertSink {
       rows.grouped(batchSize).foreach { chunk =>
         dialect match {
           case "mysql" => mysqlChunk(conn, table, schema, keyCols, chunk)
-          case "insert-only" => insertChunk(conn, table, schema, chunk)
+          case "insert-only" => insertChunk(conn, table, schema, keyCols, chunk)
           case _ => updateInsertChunk(conn, table, schema, keyCols, chunk)
         }
       }
@@ -131,52 +138,97 @@ object JdbcUpsertSink {
     } finally ps.close()
   }
 
-  /** Empty-target fast path: every row is new, one INSERT batch. */
+  /** SQLStates signalling a unique/PK violation (Derby/ANSI 23505,
+    * MySQL-family 23000).
+    */
+  private def isDupKey(e: java.sql.SQLException): Boolean =
+    e.getSQLState == "23505" || e.getSQLState == "23000"
+
+  /** Known-empty-target fast path: every row SHOULD be new — one
+    * INSERT batch. A duplicate key here means a wholesale task retry
+    * re-applying a partially committed partition; roll back and
+    * re-apply through the upsert path so the retry stays idempotent.
+    */
   private def insertChunk(conn: Connection, table: String,
-      schema: StructType, chunk: Seq[Row]): Unit = {
+      schema: StructType, keyCols: Seq[String], chunk: Seq[Row]): Unit = {
     val cols = schema.fieldNames.toSeq
     val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
     try {
       chunk.foreach { r => bindCols(ins, schema, cols, r, 1); ins.addBatch() }
       ins.executeBatch()
+    } catch {
+      case e: java.sql.SQLException if isDupKey(e) =>
+        conn.rollback()
+        updateInsertChunk(conn, table, schema, keyCols, chunk)
     } finally ins.close()
   }
 
   /** Portable dialect: batched UPDATE; keys it missed get a batched
-    * INSERT.
+    * INSERT. Drivers that batch-optimize may return SUCCESS_NO_INFO
+    * (−2) instead of per-statement counts — then the miss set is
+    * unknowable from the batch, so the chunk is re-applied row-by-row
+    * (correctness first; Derby always reports real counts, so the
+    * fallback never triggers in the embedded path).
     */
   private def updateInsertChunk(conn: Connection, table: String,
       schema: StructType, keyCols: Seq[String], chunk: Seq[Row]): Unit = {
     val cols = schema.fieldNames.toSeq
     val nonKey = cols.filterNot(keyCols.contains)
-    val misses =
-      if (nonKey.isEmpty) chunk // key-only table: nothing to update
-      else {
-        val up = conn.prepareStatement(Connectors.updateSql(table, cols, keyCols))
+    if (nonKey.isEmpty) { // key-only table: inserts of the missing keys
+      chunk.foreach { r =>
+        val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
         try {
-          chunk.foreach { r =>
-            val n = bindCols(up, schema, nonKey, r, 1)
-            bindCols(up, schema, keyCols, r, n)
-            up.addBatch()
-          }
-          val counts = up.executeBatch()
-          chunk.zip(counts).collect { case (r, 0) => r }
-        } finally up.close()
+          bindCols(ins, schema, cols, r, 1)
+          try ins.executeUpdate()
+          catch { case e: java.sql.SQLException if isDupKey(e) => () }
+        } finally ins.close()
       }
-    if (misses.nonEmpty) {
+      return
+    }
+    val (misses, unknowable) = {
+      val up = conn.prepareStatement(Connectors.updateSql(table, cols, keyCols))
+      try {
+        chunk.foreach { r =>
+          val n = bindCols(up, schema, nonKey, r, 1)
+          bindCols(up, schema, keyCols, r, n)
+          up.addBatch()
+        }
+        val counts = up.executeBatch()
+        if (counts.exists(_ == java.sql.Statement.SUCCESS_NO_INFO))
+          (Seq.empty[Row], true)
+        else (chunk.zip(counts).collect { case (r, 0) => r }, false)
+      } finally up.close()
+    }
+    if (unknowable) {
+      perRowUpsert(conn, table, schema, keyCols, chunk)
+    } else if (misses.nonEmpty) {
       val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
       try {
         misses.foreach { r => bindCols(ins, schema, cols, r, 1); ins.addBatch() }
-        try ins.executeBatch()
-        catch {
-          // key-only tables can race a concurrent epoch's insert;
-          // a duplicate key there means the row already holds the
-          // desired state — the upsert contract is satisfied.
-          case e: java.sql.BatchUpdateException
-            if nonKey.isEmpty && "23505" == e.getSQLState => ()
-        }
+        ins.executeBatch()
       } finally ins.close()
     }
+  }
+
+  /** Per-row update-then-insert — the slow, always-correct path for
+    * drivers that hide batch update counts.
+    */
+  private def perRowUpsert(conn: Connection, table: String,
+      schema: StructType, keyCols: Seq[String], chunk: Seq[Row]): Unit = {
+    val cols = schema.fieldNames.toSeq
+    val nonKey = cols.filterNot(keyCols.contains)
+    val up = conn.prepareStatement(Connectors.updateSql(table, cols, keyCols))
+    val ins = conn.prepareStatement(Connectors.insertSql(table, cols))
+    try {
+      chunk.foreach { r =>
+        val n = bindCols(up, schema, nonKey, r, 1)
+        bindCols(up, schema, keyCols, r, n)
+        if (up.executeUpdate() == 0) {
+          bindCols(ins, schema, cols, r, 1)
+          ins.executeUpdate()
+        }
+      }
+    } finally { up.close(); ins.close() }
   }
 
   /** Bind `cols` of `row` starting at parameter `start`; returns the

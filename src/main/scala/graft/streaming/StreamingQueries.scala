@@ -194,7 +194,15 @@ object StreamingQueries {
       "result_table", keys)
     val q = sink.writeTo(build(src).writeStream.outputMode("update"))
     try { q.processAllAvailable() } finally q.stop()
-    sink.toDF(spark)
+    // materialize the (verification-sized) result, then DROP the
+    // in-memory database — repeated replays would otherwise keep one
+    // Derby instance alive per call for the JVM's lifetime
+    val out = sink.toDF(spark)
+    val rows = out.collect().toSeq
+    try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+    catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
   /** Streaming queries surfaced at the correctness gate. Each shares

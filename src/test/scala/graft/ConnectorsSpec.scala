@@ -97,9 +97,12 @@ class ConnectorsSpec extends AnyFunSuite {
       .select("order_id", "user_id", "amount", "channel_id")
 
     // overwrite, then append — both real executions of the batch sink
+    // (append subset pinned by key order: LIMIT alone is not
+    // deterministic across evaluations)
+    val appendPart = orders.orderBy("order_id").limit(200)
     Connectors.jdbcSink(orders, url, "orders_jdbc",
       org.apache.spark.sql.SaveMode.Overwrite, props)
-    Connectors.jdbcSink(orders.limit(200), url, "orders_jdbc",
+    Connectors.jdbcSink(appendPart, url, "orders_jdbc",
       org.apache.spark.sql.SaveMode.Append, props)
 
     // the mandatory-partitioned read: 4 concurrent range scans, not
@@ -110,7 +113,7 @@ class ConnectorsSpec extends AnyFunSuite {
       user = "", password = "")
     assert(back.rdd.getNumPartitions === 4)
     assert(back.count() === 1200)
-    val expect = orders.union(orders.limit(200))
+    val expect = orders.union(appendPart)
       .groupBy().agg(sum("amount")).collect()(0).getLong(0)
     assert(back.groupBy().agg(sum("amount")).collect()(0).getLong(0) === expect)
   }

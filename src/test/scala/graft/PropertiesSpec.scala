@@ -5,7 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
-import graft.functions.{SimHash64, VecDot}
+import graft.functions.{ArgMaxDouble, CentroidScores, SimHash64, VecDot}
 import graft.sources.Connectors
 
 /** ScalaCheck properties over the engine's pure kernels (the parts
@@ -40,6 +40,37 @@ object PropertiesSpec extends Properties("graft.kernels") {
       val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
       VecDot.dot(new GenericArrayData(a.toArray[Any]),
         new GenericArrayData(b.toArray[Any])) == expected
+    }
+  }
+
+  property("arg_max_double picks the first maximum") = {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3))
+    forAll(vecGen) { xs =>
+      val idx = ArgMaxDouble.argMax(new GenericArrayData(xs.toArray[Any]))
+      idx == xs.indexOf(xs.max)
+    }
+  }
+
+  property("arg_max_double: NaN never wins over a real value") = {
+    val vecGen = Gen.nonEmptyListOf(Gen.chooseNum(-1e3, 1e3))
+    forAll(vecGen) { xs =>
+      val poisoned = Double.NaN :: xs
+      val idx = ArgMaxDouble.argMax(new GenericArrayData(poisoned.toArray[Any]))
+      idx == poisoned.indexOf(xs.max)
+    }
+  }
+
+  property("centroid_scores equals per-centroid vec_dot bit-exactly") = {
+    val vecGen = Gen.listOfN(8, Gen.chooseNum(-1e3, 1e3))
+    forAll(vecGen, Gen.listOfN(5, vecGen)) { (u, cents) =>
+      val ua = new GenericArrayData(u.toArray[Any])
+      val out = CentroidScores.scores(ua,
+        new GenericArrayData(cents.map(c =>
+          new GenericArrayData(c.toArray[Any])).toArray[Any]))
+      cents.indices.forall { j =>
+        out.getDouble(j) == VecDot.dot(ua,
+          new GenericArrayData(cents(j).toArray[Any]))
+      }
     }
   }
 
