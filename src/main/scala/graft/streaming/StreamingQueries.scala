@@ -192,7 +192,17 @@ object StreamingQueries {
     val db = s"replay_${replaySeq.incrementAndGet()}"
     val sink = new JdbcUpsertSink(s"jdbc:derby:memory:$db;create=true",
       "result_table", keys)
-    val q = sink.writeTo(build(src).writeStream.outputMode("update"))
+    // Streaming state partitioning binds at query START from
+    // spark.sql.shuffle.partitions: at replay volumes, 32 partitions
+    // mean 32 state-store commits per stateful operator per batch of
+    // pure fixed cost. 8 is plenty for a verification replay;
+    // partitioning does not affect results. Restored right after
+    // start; a real deployment sizes this to its key cardinality.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sink.writeTo(build(src).writeStream.outputMode("update"))
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try { q.processAllAvailable() } finally q.stop()
     // materialize the (verification-sized) result, then DROP the
     // in-memory database — repeated replays would otherwise keep one

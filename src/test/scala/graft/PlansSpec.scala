@@ -52,6 +52,16 @@ class PlansSpec extends AnyFunSuite {
       s"equality not expanded to range:\n$plan")
   }
 
+  test("literal-on-left comparison shapes also reach PushedFilters") {
+    // lit >= ts is the mirror of ts <= lit: both must land a raw
+    // nanos upper bound in the scan
+    val q = Tables.events(spark, dir)
+      .filter(to_timestamp(lit("2024-01-15 00:00:00")) >= col("ts"))
+      .select(col("event_id"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("LessThan(ts,"), s"mirror shape not pushed:\n$plan")
+  }
+
   test("far-future timestamp literal: no overflowed bound, no rows lost") {
     // (us+1)·1000 for 9999-12-31 wraps Long negative; the rule must
     // SKIP the rewrite (the literal implies no useful bound), not emit
