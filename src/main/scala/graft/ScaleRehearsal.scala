@@ -88,6 +88,14 @@ object ScaleRehearsal {
         .queryExecution.toRdd.count()
     }
     report("jaccard_single_block", nDocs, jacSec, jacRows)
+    // the approximate path over the SAME corpus: at this density the
+    // right production tool is MinHash banding (exact stays the
+    // oracle); contrast is the point of recording both
+    val (mhSec, mhRows) = time {
+      graft.ext.Dedup.minhashPairs(docs, threshold = 0.8)
+        .queryExecution.toRdd.count()
+    }
+    report("minhash_single_block", nDocs, mhSec, mhRows)
 
     spark.stop()
   }

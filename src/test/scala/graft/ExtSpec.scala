@@ -176,6 +176,18 @@ class ExtSpec extends AnyFunSuite {
     assert(sub.nonEmpty)
   }
 
+  test("dedup/similarity operators tolerate empty inputs") {
+    import spark.implicits._
+    val noDocs = Seq.empty[(Long, String, String)].toDF("doc_id", "source", "text")
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("vec_id", "embedding")
+    assert(Dedup.exact(noDocs).count() === 0)
+    assert(Dedup.jaccardPairsBySource(noDocs, 0.6).count() === 0)
+    assert(Dedup.ngramJaccardPairs(noDocs, 0.1).count() === 0)
+    assert(Dedup.minhashPairs(noDocs).count() === 0)
+    assert(Similarity.thresholdJoin(noVecs, 0.4).count() === 0)
+    assert(Similarity.cosineNearDupPairs(noVecs, 0.4).count() === 0)
+  }
+
   test("vec_dot fails loudly on mismatched vector dimensions") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
