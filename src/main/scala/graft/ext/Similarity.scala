@@ -392,6 +392,117 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** ANN via product quantization (IVF-ADC family): the COMPRESSED
+    * scale path. Vectors are encoded as `m` sub-space code bytes
+    * (here `m` ints for simplicity) against per-sub-space codebooks of
+    * `kSub` centroids; a query scans codes with
+    * [[graft.functions.PqAdc]] — one lookup-add per sub-space instead
+    * of a d-dim dot product (d/m × less arithmetic, and at rest the
+    * corpus shrinks from d floats to m codes per vector: the reason
+    * PQ is the standard 100 TB ANN layout) — then exactly re-ranks
+    * the top `k × rerankFactor` candidates with `vec_dot` on the
+    * full vectors (fetched by id join: only candidates are ever
+    * decompressed).
+    *
+    * Codebook training = per-sub-space k-means, Lloyd steps as ONE
+    * exploded `groupBy (subspace, code)` aggregation per iteration
+    * (all sub-spaces in a single shuffle); assignment = euclidean
+    * argmin via the augmented-dimension trick
+    * (`argmin ‖x−c‖² = argmax dot(x⊕1, c⊕(−‖c‖²/2))`) so the native
+    * [[graft.functions.CentroidScores]]/[[graft.functions.ArgMaxDouble]]
+    * pair does the whole assignment.
+    *
+    * Approximate (quantization error) ⇒ rows-only at the gate;
+    * recall vs [[bruteTopK]] asserted in ExtSpec.
+    */
+  def annPq(emb: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, kSub: Int = 16, lloydIters: Int = 2,
+      rerankFactor: Int = 8): DataFrame = {
+    import graft.functions.{ArgMaxDouble, CentroidScores, PqAdc, VecDot}
+    val spark = emb.sparkSession
+    val corpus = withNorm(emb, "vec_id", "e", "nrm")
+      .repartition(spark.sparkContext.defaultParallelism) // see [[thresholdJoin]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val seeds = corpus.orderBy(col("vec_id")).limit(kSub).collect()
+      .map(_.getSeq[Double](1))
+    if (seeds.isEmpty)
+      return spark.emptyDataFrame.select(lit(0L).as("query_id"),
+        lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val dSub = dim / m
+
+    // books(s)(j): sub-centroid j of sub-space s
+    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dSub, (s + 1) * dSub)).toArray)
+
+    def eS(s: Int) = slice(col("e"), s * dSub + 1, dSub)
+    // augmented assignment: argmax dot(e_s ⊕ 1, c ⊕ −‖c‖²/2) ⇔ argmin ‖e_s − c‖²
+    def codeCol(s: Int) = {
+      val aug = books(s).map(c => c :+ (-c.map(x => x * x).sum / 2)).toSeq
+      ArgMaxDouble.arg_max_double(CentroidScores.centroid_scores(
+        concat(eS(s), array(lit(1.0))), typedlit(aug)))
+    }
+
+    for (_ <- 0 until lloydIters) {
+      val updated = corpus.select(
+          posexplode(array((0 until m).map(s =>
+            struct(lit(s).as("s"), codeCol(s).as("code"), eS(s).as("sub"))): _*))
+            .as(Seq("p", "sc")))
+        .groupBy(col("sc.s").as("s"), col("sc.code").as("code"))
+        .agg(array((0 until dSub).map(d =>
+          avg(element_at(col("sc.sub"), d + 1))): _*).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(kSub)(j =>
+        updated.getOrElse((s, j), books(s)(j))))
+    }
+
+    // encoded corpus: the slim frame a PQ scan reads (id + m codes)
+    val codes = corpus.select(col("vec_id").as("neighbor_id"),
+      array((0 until m).map(codeCol): _*).as("codes"))
+
+    // per-query lookup tables, driver-built (queries are few and
+    // broadcast by contract — same shape as [[bruteTopK]])
+    val qRows = withNorm(queries, "query_id", "e_q", "n_q").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
+    val dotTables = qRows.map { case (qid, q, nq) =>
+      (qid, nq, (0 until m).map(s => books(s).map(c =>
+        c.zip(q.slice(s * dSub, (s + 1) * dSub)).map { case (a, b) => a * b }.sum
+      ).toSeq).toSeq)
+    }.toSeq
+    val normTable = (0 until m).map(s =>
+      books(s).map(c => c.map(x => x * x).sum).toSeq).toSeq
+    import spark.implicits._
+    val qTables = dotTables.toDF("query_id", "n_q", "dot_table")
+
+    // ADC scan: lookup-adds over codes, no full vectors touched
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("approx_cos").desc, col("neighbor_id"))
+    val cand = codes.join(broadcast(qTables),
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx_cos",
+        PqAdc.pq_adc(col("codes"), col("dot_table")) /
+          (sqrt(PqAdc.pq_adc(col("codes"), typedlit(normTable))) * col("n_q")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") <= k * rerankFactor)
+      .select(col("query_id"), col("neighbor_id"))
+
+    // exact re-rank: only candidates are decompressed (id join back)
+    val qFull = withNorm(queries, "query_id", "e_q", "n_q")
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_exact").desc, col("neighbor_id"))
+    cand.join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("sim_exact",
+        VecDot.vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim_exact"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Query vectors: the first 5 ids — deterministic, tiny, broadcast. */
@@ -414,6 +525,11 @@ object Similarity {
     "sim_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       annIvf(emb, querySet(emb), k = 10)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "sim_ann_pq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      annPq(emb, querySet(emb), k = 10)
         .orderBy(col("query_id"), col("rank"))
     })
   )

@@ -93,6 +93,22 @@ class ExtSpec extends AnyFunSuite {
     assert(recall > 0.5, s"ANN hits mostly outside brute top-50 (recall=$recall)")
   }
 
+  test("PQ ANN: exact re-rank keeps hits genuine; recall@10 vs brute is solid") {
+    val emb = Tables.embeddings(spark, dir)
+    val qs = emb.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteTopK(emb, qs, 10)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.annPq(emb, qs, 10)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(pq.length === 50, "each query must return a full top-10")
+    // quantization error only affects CANDIDATE selection; the exact
+    // re-rank means reported sims are true cosines, so recall is the
+    // only approximation axis
+    val recall = pq.count(brute.contains).toDouble / pq.length
+    assert(recall >= 0.5, s"PQ recall@10 vs brute = $recall")
+  }
+
   test("IVF ANN: top-1 recall vs brute force is high") {
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 5)
