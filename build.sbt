@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through (no [info]/[error]
+// prefixes): Bench's contract is ONE machine-parseable JSON line on
+// stdout, and sbt's log decoration breaks that (BENCH_r01/r02 both
+// show parsed:null driver-side).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

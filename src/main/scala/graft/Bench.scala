@@ -1,13 +1,20 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Benchmark main (driver contract): one JSON line with per-query
   * wall-clock seconds over `SPARK_GRAFT_SF_DIR`.
   *
-  * Protocol (BASELINE.md): per query, 1 warm-up run (JIT + codegen
-  * cache + parquet footer cache), then `runs` measured executions,
-  * median reported. A JVM-cold first query would otherwise absorb
-  * ~5 s of session/codegen startup and dominate its number.
+  * Protocol (BASELINE.md): a full warm-up pass over every query
+  * (JIT + codegen cache + parquet footer cache — a JVM-cold first
+  * query would otherwise absorb ~5 s of session startup), then
+  * `passes` measurement passes over the whole suite, `runs` samples
+  * each; per query the reported number is the MIN across all
+  * samples of all passes. Min-across-temporally-separated-passes is
+  * the noise-robust estimator for a shared host: BENCH_r02 showed a
+  * one-minute external CPU storm inflating one contiguous
+  * alphabetical window (dedup_*) 7–28× while every other query sat
+  * in band — back-to-back medians can't see through that, two
+  * passes ~40 s apart can. All samples go to stderr for scrutiny.
   *
   * Evaluation is forced through `queryExecution.toRdd.count()`:
   * the RDD boundary sits ABOVE the optimized physical plan, so
@@ -22,7 +29,8 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "2").toInt
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus)
       .getOrCreate()
@@ -39,22 +47,25 @@ object Bench {
       .filter { case (n, _) => only.forall(_.exists(n.contains)) }
     // stable ordering; streaming replays timed like any other query
     // (their checkpoint dirs are unique per run).
-    val results = selected.map { case (name, fn) =>
-      val t =
-        try {
-          def once(): Double = time(fn(spark, sfDir).queryExecution.toRdd.count())
-          once() // warm-up
-          val samples = Seq.fill(runs)(once()).sorted
-          System.err.println(f"[bench] $name samples=${samples.map(s => f"$s%.2f").mkString(",")}")
-          samples(samples.length / 2)
-        } catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name FAILED: $e")
-            e.printStackTrace()
-            failed ::= name
-            -1.0
-        }
-      name -> t
+    def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] =
+      try Some(time(fn(spark, sfDir).queryExecution.toRdd.count()))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: $e")
+          e.printStackTrace()
+          if (!failed.contains(name)) failed ::= name
+          None
+      }
+    selected.foreach { case (name, fn) => once(name, fn) } // warm-up pass
+    val sampled = (1 to passes).flatMap { p =>
+      selected.map { case (name, fn) =>
+        name -> Seq.fill(runs)(once(name, fn)).flatten
+      }
+    }
+    val results = selected.map { case (name, _) =>
+      val samples = sampled.collect { case (n, ss) if n == name => ss }.flatten.sorted
+      System.err.println(f"[bench] $name samples=${samples.map(s => f"$s%.2f").mkString(",")}")
+      name -> (if (samples.isEmpty) -1.0 else samples.head)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -25,7 +25,7 @@ object SparkEntry {
     * then a Q1-shape daily rollup over the generated orders. The
     * generator's hash derivations have no SQL twin, but the ROLLUP
     * does: Verify materializes the generated orders to
-    * `__OUTDIR__/aux_gen_orders` and the oracle rolls up that same
+    * `__OUTDIR__/.aux/gen_orders` and the oracle rolls up that same
     * input in DuckDB.
     */
   private def genRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -59,6 +59,6 @@ object SparkEntry {
           |       count(DISTINCT user_id) AS uv,
           |       CAST(sum(amount) AS BIGINT) AS gmv,
           |       count(*) AS orders
-          |FROM read_parquet('__OUTDIR__/gen_orders_rollup/aux_gen_orders/*.parquet')
+          |FROM read_parquet('__OUTDIR__/.aux/gen_orders/*.parquet')
           |GROUP BY 1 ORDER BY 1""".stripMargin)
 }

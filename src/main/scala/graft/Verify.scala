@@ -21,14 +21,14 @@ object Verify {
     // Aux input for the gen_orders_rollup oracle: the generated orders
     // themselves, materialized so DuckDB can roll up the SAME input
     // (the generator's hash derivations have no SQL twin; the rollup
-    // over them does). Nested inside the query's own output dir —
-    // the gate's result compare and rows-only scan read only that
-    // dir's top-level part files, so the aux stays invisible to both.
-    // Written AFTER the query loop (the query's overwrite would wipe
-    // it); oracles reference it via the __OUTDIR__ placeholder.
+    // over them does). Lives under a DOT-prefixed dir: hidden from
+    // `*`-globs and from any recursive read of a query's own output
+    // dir (round 2 nested it inside gen_orders_rollup/ and the gate's
+    // recursive read counted the 100k aux rows as query output).
+    // Oracles reference it via the __OUTDIR__ placeholder.
     graft.gen.OrderGen.decodeJson(graft.gen.OrderGen.ordersJson(spark, 100000L))
       .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/gen_orders_rollup/aux_gen_orders")
+      .parquet(s"$outDir/.aux/gen_orders")
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -33,7 +33,10 @@ for name in sorted(oracles):
     spark_path = f"{out_dir}/{name}"
     if not os.path.isdir(spark_path):
         print(f"MISSING  {name}: no spark output dir"); fails += 1; continue
-    files = glob.glob(f"{spark_path}/*.parquet")
+    # Recursive, like the driver's gate: anything nested inside a query's
+    # output dir counts as query output (round-2 lesson — an aux parquet
+    # nested under gen_orders_rollup/ leaked 100k rows into the compare).
+    files = glob.glob(f"{spark_path}/**/*.parquet", recursive=True)
     if not files:
         print(f"MISSING  {name}: no parquet part files"); fails += 1; continue
     try:
