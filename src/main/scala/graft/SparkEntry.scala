@@ -38,6 +38,49 @@ object SparkEntry {
       .orderBy(col("date_str"))
   }
 
+  /** Deterministic intermediate state materialized by Verify under
+    * `<outDir>/.aux/<name>` for oracles that re-run approximate
+    * operators' candidate/verify stages independently in DuckDB.
+    * Every frame here is derived by the SAME code path the gated
+    * query uses (shared public accessors), so the aux is the query's
+    * actual internal state, not a parallel reimplementation.
+    */
+  def aux: Map[String, (SparkSession, String) => DataFrame] = {
+    import graft.ext.{Dedup => D, Similarity => S}
+    import graft.sources.Tables
+    Map(
+      "gen_orders" -> ((s, _) =>
+        OrderGen.decodeJson(OrderGen.ordersJson(s, 100000L))),
+      "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
+      "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
+      "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
+      "lsh_buckets" -> ((s, d) =>
+        S.lshBuckets(Tables.embeddings(s, d), "vec_id")),
+      "ivf_corpus" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        S.ivfAssignments(emb, S.querySet(emb))._1.select("neighbor_id", "cluster")
+      }),
+      "ivf_probes" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        S.ivfAssignments(emb, S.querySet(emb))._2.select("query_id", "cluster")
+      }),
+      "pq_codes" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        S.pqModel(emb, S.querySet(emb)).get._1
+      }),
+      "pq_tables" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        S.pqModel(emb, S.querySet(emb)).get._2
+      }),
+      "pq_norms" -> ((s, d) => {
+        val emb = Tables.embeddings(s, d)
+        val nt = S.pqModel(emb, S.querySet(emb)).get._3
+        import s.implicits._
+        Seq(Tuple1(nt)).toDF("norm_table")
+      })
+    )
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     EventQueries.queries ++ StarQueries.queries ++

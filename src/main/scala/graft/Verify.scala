@@ -18,17 +18,21 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
-    // Aux input for the gen_orders_rollup oracle: the generated orders
-    // themselves, materialized so DuckDB can roll up the SAME input
-    // (the generator's hash derivations have no SQL twin; the rollup
-    // over them does). Lives under a DOT-prefixed dir: hidden from
-    // `*`-globs and from any recursive read of a query's own output
-    // dir (round 2 nested it inside gen_orders_rollup/ and the gate's
-    // recursive read counted the 100k aux rows as query output).
-    // Oracles reference it via the __OUTDIR__ placeholder.
-    graft.gen.OrderGen.decodeJson(graft.gen.OrderGen.ordersJson(spark, 100000L))
-      .coalesce(1).write.mode("overwrite")
-      .parquet(s"$outDir/.aux/gen_orders")
+    // Aux inputs for oracles that re-run approximate operators'
+    // candidate/verify stages independently in DuckDB (minhash bands,
+    // LSH buckets, IVF assignments, PQ codes, generated orders).
+    // All live under a DOT-prefixED dir: hidden from `*`-globs and
+    // from any recursive read of a query's own output dir (round 2
+    // nested one inside gen_orders_rollup/ and the gate's recursive
+    // read counted the 100k aux rows as query output). Oracles
+    // reference them via the __OUTDIR__ placeholder.
+    SparkEntry.aux.foreach { case (name, fn) =>
+      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/.aux/$name")
+      catch { case e: Throwable =>
+        System.err.println(s"[verify] aux $name failed: ${e.getMessage}")
+      }
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

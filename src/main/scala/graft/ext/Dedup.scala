@@ -115,32 +115,36 @@ object Dedup {
     * corpora with `spark.catalog.clearCache()` (or
     * `df.sparkSession.sharedState.cacheManager.uncacheQuery`).
     */
-  def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
-    val numHashes = bands * rowsPerBand
-    // One narrow scan computes shingle hashes (8-byte longs, never
-    // strings past this point). Persisted: banding reads it once and
-    // the exact-verify joins read it again — the cached form is
-    // doc_id + hash array (a few MB per million docs), the standard
-    // persist-the-featurized-corpus step Spark ML's LSH models use.
-    // Cache lifetime: Spark's CacheManager keys entries by LOGICAL
-    // PLAN, so repeated calls over the same corpus share one entry
-    // (measured: eagerly checkpoint-and-unpersist per call costs 7×).
-    // Distinct corpora leave one small entry each — callers doing
-    // many-corpus sweeps should `spark.catalog.clearCache()` between.
-    val prepped = docs
+  /** The persisted featurized corpus (doc_id, sh): one narrow scan
+    * computes shingle hashes (8-byte longs, never strings past this
+    * point). Public as the aux input to the minhash DuckDB oracle.
+    * Cache lifetime: Spark's CacheManager keys entries by LOGICAL
+    * PLAN, so repeated calls over the same corpus share one entry
+    * (measured: eagerly checkpoint-and-unpersist per call costs 7×).
+    * Distinct corpora leave one small entry each — callers doing
+    * many-corpus sweeps should `spark.catalog.clearCache()` between.
+    */
+  def minhashShingles(docs: DataFrame, shingleK: Int = 3): DataFrame =
+    docs
       .select(col("doc_id"),
         array_distinct(graft.functions.NgramHash64.ngram_hash64(
           tokensNorm(col("text")), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Signature computed ONCE per doc; band keys are a pure
-    // arithmetic combine of signature slots (multi-arg xxhash64 over
-    // element_at picks — measured 5 s cheaper at sf0.1 than
-    // formatting slots to strings). The band shuffle carries ONLY
-    // (band, band_key, doc_id), never the shingle arrays (which would
-    // multiply shuffle volume by document size × bands).
-    val banded = prepped
+
+  /** (doc_id, band, band_key): the banded signature keys — the whole
+    * LSH candidate-generation state, and the other aux input to the
+    * minhash oracle. Band keys are a pure arithmetic combine of
+    * signature slots (multi-arg xxhash64 over element_at picks —
+    * measured 5 s cheaper at sf0.1 than formatting slots to strings).
+    * The band shuffle carries ONLY (band, band_key, doc_id), never
+    * the shingle arrays (which would multiply shuffle volume by
+    * document size × bands).
+    */
+  def minhashBandKeys(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+      shingleK: Int = 3): DataFrame = {
+    val numHashes = bands * rowsPerBand
+    minhashShingles(docs, shingleK)
       .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
       .select(
         col("doc_id"),
@@ -149,6 +153,12 @@ object Dedup {
             .map(r => element_at(col("sig"), b * rowsPerBand + r + 1))
           xxhash64(slots :+ lit(b): _*)
         }: _*)).as(Seq("band", "band_key")))
+  }
+
+  def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+    val prepped = minhashShingles(docs, shingleK)
+    val banded = minhashBandKeys(docs, bands, rowsPerBand, shingleK)
     // Pair generation via groupBy-bucket + in-bucket explosion, NOT a
     // self-join (which would recompute and re-shuffle the lineage
     // twice). Bucket sizes are small by LSH construction, so the
@@ -183,6 +193,15 @@ object Dedup {
   def simhash(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       SimHash64.simhash64(tokensNorm(col("text"))).as("simhash"))
+
+  /** (doc_id, th): per-token xxhash64 — seed 42, the exact hash
+    * [[graft.functions.SimHash64]] applies internally — with multiset
+    * multiplicity preserved. Aux input for the simhash DuckDB oracle,
+    * which re-runs the 64-bit bit-vote from these hashes in SQL.
+    */
+  def simhashTokenHashes(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(tokensNorm(col("text"))).as("tok"))
+      .select(col("doc_id"), xxhash64(col("tok")).as("th"))
 
   /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
     * signature (a pair within Hamming distance ≤ maxHamming must agree
@@ -355,13 +374,58 @@ object Dedup {
         .orderBy(col("id_a"), col("id_b")))
   )
 
+  /** The simhash oracle re-runs the 64-bit bit-vote in SQL from the
+    * materialized per-token hashes: per bit, count(+1/−1 votes) > 0
+    * sets the bit. Bits 0–62 test `(th & 2^b) != 0`; bit 63 tests
+    * `th < 0` (the BIGINT sign bit — a 2^63 mask literal would
+    * overflow). Assembly accumulates in HUGEINT and re-wraps to the
+    * signed 64-bit value at the end.
+    */
+  private def simhashOracleSql: String = {
+    val terms = (0 until 64).map { b =>
+      val bitTest = if (b == 63) "th < 0" else s"(th & ${1L << b}) != 0"
+      val weight =
+        if (b == 63) "CAST('9223372036854775808' AS HUGEINT)"
+        else s"CAST(${1L << b} AS HUGEINT)"
+      s"CASE WHEN sum(CASE WHEN $bitTest THEN 1 ELSE -1 END) > 0 THEN $weight ELSE CAST(0 AS HUGEINT) END"
+    }.mkString(" + ")
+    s"""SELECT doc_id,
+       |  CAST(CASE WHEN sig >= CAST('9223372036854775808' AS HUGEINT)
+       |       THEN sig - CAST('18446744073709551616' AS HUGEINT)
+       |       ELSE sig END AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, $terms AS sig
+       |      FROM read_parquet('__OUTDIR__/.aux/simhash_tokens/*.parquet')
+       |      GROUP BY doc_id)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB twins. `dedup_exact` hashes with xxhash64 (no DuckDB
     * equivalent), so its oracle groups by raw text — same groups,
-    * same (keep_doc_id, dup_count) rows. MinHash/SimHash pairs are
-    * approximation-specific → rows-only (no oracle). The exact
-    * Jaccard query has a full oracle.
+    * same (keep_doc_id, dup_count) rows. The minhash and simhash
+    * oracles consume Verify-materialized aux features (shingle
+    * hashes + band keys / token hashes) and re-run the candidate
+    * join + exact verify / bit-vote independently in SQL — the
+    * signature computation itself is bit-exactness-tested in
+    * ScalaTest, the same split the gen_orders_rollup gate uses.
     */
   val oracles: Map[String, String] = Map(
+    "dedup_minhash_pairs" ->
+      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+        |     sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+        |     cand AS (
+        |       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |       FROM bk a JOIN bk b
+        |         ON a.band = b.band AND a.band_key = b.band_key
+        |        AND a.doc_id < b.doc_id)
+        |SELECT doc_a, doc_b, round(j, 4) AS jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |         len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        |         (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS j
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b)
+        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash" -> simhashOracleSql,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,

@@ -121,20 +121,36 @@ object Similarity {
     bitCols.reduce(_ + _)
   }
 
+  /** (id, tbl, bucket) assignments for `tables` independent LSH
+    * bucketings — the deterministic candidate-generation state. Public
+    * so Verify can materialize it as the aux input to the DuckDB
+    * oracle (which re-runs the bucket join + exact re-rank in SQL).
+    */
+  def lshBuckets(df: DataFrame, idCol: String,
+      bits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame =
+    bucketedLsh(df.select(col(idCol), col("embedding").as("__e")), idCol, "__e",
+      bits, tables, dim).select(col(idCol), col("tbl"), col("bucket"))
+
+  private def bucketedLsh(df: DataFrame, idCol: String, eCol: String,
+      bits: Int, tables: Int, dim: Int): DataFrame =
+    df.select(col(idCol),
+        transform(col(eCol), v => v.cast("double")).as(eCol))
+      .select(col(idCol), col(eCol),
+        posexplode(array((0 until tables).map(t =>
+          lshBucket(col(eCol), bits, dim, seed = 7 + t)): _*))
+          .as(Seq("tbl", "bucket")))
+
   /** ANN via LSH: `tables` independent bucketings; candidates = pairs
     * sharing a bucket in any table; exact cosine re-rank of the
-    * candidates, top-k per query. Approximate (LSH recall < 1) —
-    * verified against [[bruteTopK]] in tests, rows-only at the gate.
+    * candidates, top-k per query. LSH recall < 1 vs brute force
+    * (asserted in tests); the GATE is exact — the DuckDB twin
+    * reproduces the same candidate set from the materialized bucket
+    * assignments and must land the identical top-k.
     */
   def annLsh(emb: DataFrame, queries: DataFrame, k: Int,
       bits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, eCol: String) =
-      df.select(col(idCol),
-          transform(col(eCol), v => v.cast("double")).as(eCol))
-        .select(col(idCol), col(eCol),
-          posexplode(array((0 until tables).map(t =>
-            lshBucket(col(eCol), bits, dim, seed = 7 + t)): _*))
-            .as(Seq("tbl", "bucket")))
+      bucketedLsh(df, idCol, eCol, bits, tables, dim)
     val cand = bucketed(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c")),
         "neighbor_id", "e_c")
@@ -324,8 +340,29 @@ object Similarity {
     */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int,
       nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
+    val (assignedCorpus, qProbes) =
+      ivfAssignments(emb, queries, nClusters, nProbe, lloydIters)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    qProbes.join(assignedCorpus, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** The IVF model state, deterministic end-to-end: corpus cluster
+    * assignments `(neighbor_id, e_c, cluster)` and per-query probe
+    * lists `(query_id, e_q, cluster)`. Public so Verify can
+    * materialize the id/cluster projections as aux inputs for the
+    * DuckDB oracle (probe join + exact cosine top-k in SQL).
+    */
+  def ivfAssignments(emb: DataFrame, queries: DataFrame,
+      nClusters: Int = 16, nProbe: Int = 4,
+      lloydIters: Int = 2): (DataFrame, DataFrame) = {
     import graft.functions.VecDot.vec_dot
-    val spark = emb.sparkSession
 
     val corpus = emb.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("e"))
@@ -381,15 +418,7 @@ object Similarity {
           .as(Seq("p", "probe")))
       .select(col("query_id"), col("e_q"), col("probe.cluster").as("cluster"))
 
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim").desc, col("neighbor_id"))
-    qProbes.join(assignedCorpus, "cluster")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", cosine(col("e_q"), col("e_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim"), 6).as("sim"))
+    (assignedCorpus, qProbes)
   }
 
   /** ANN via product quantization (IVF-ADC family): the COMPRESSED
@@ -418,7 +447,53 @@ object Similarity {
   def annPq(emb: DataFrame, queries: DataFrame, k: Int,
       m: Int = 8, kSub: Int = 16, lloydIters: Int = 2,
       rerankFactor: Int = 8): DataFrame = {
-    import graft.functions.{ArgMaxDouble, CentroidScores, PqAdc, VecDot}
+    import graft.functions.{PqAdc, VecDot}
+    val spark = emb.sparkSession
+    pqModel(emb, queries, m, kSub, lloydIters) match {
+      case None =>
+        spark.emptyDataFrame.select(lit(0L).as("query_id"),
+          lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+      case Some((codes, qTables, normTable)) =>
+        val corpus = withNorm(emb, "vec_id", "e", "nrm")
+        // ADC scan: lookup-adds over codes, no full vectors touched
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_cos").desc, col("neighbor_id"))
+        val cand = codes.join(broadcast(qTables),
+            col("query_id") =!= col("neighbor_id"))
+          .withColumn("approx_cos",
+            PqAdc.pq_adc(col("codes"), col("dot_table")) /
+              (sqrt(PqAdc.pq_adc(col("codes"), typedlit(normTable))) * col("n_q")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= k * rerankFactor)
+          .select(col("query_id"), col("neighbor_id"))
+
+        // exact re-rank: only candidates are decompressed (id join back)
+        val qFull = withNorm(queries, "query_id", "e_q", "n_q")
+        val rw = Window.partitionBy(col("query_id"))
+          .orderBy(col("sim_exact").desc, col("neighbor_id"))
+        cand.join(corpus.select(col("vec_id").as("neighbor_id"),
+            col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+          .join(broadcast(qFull), "query_id")
+          .withColumn("sim_exact",
+            VecDot.vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
+          .withColumn("rank", row_number().over(rw))
+          .filter(col("rank") <= k)
+          .select(col("query_id"), col("rank"), col("neighbor_id"),
+            round(col("sim_exact"), 6).as("sim"))
+    }
+  }
+
+  /** The trained PQ model, deterministic end-to-end: encoded corpus
+    * `(neighbor_id, codes)`, per-query ADC lookup tables
+    * `(query_id, n_q, dot_table)`, and the shared `norm_table`
+    * (Σ c², per sub-space × code). Public so Verify can materialize
+    * all three as aux inputs for the DuckDB oracle, which re-runs the
+    * ADC scan + exact re-rank in SQL. None when the corpus is empty.
+    */
+  def pqModel(emb: DataFrame, queries: DataFrame,
+      m: Int = 8, kSub: Int = 16, lloydIters: Int = 2)
+      : Option[(DataFrame, DataFrame, Seq[Seq[Double]])] = {
+    import graft.functions.{ArgMaxDouble, CentroidScores}
     val spark = emb.sparkSession
     val corpus = withNorm(emb, "vec_id", "e", "nrm")
       .repartition(spark.sparkContext.defaultParallelism) // see [[thresholdJoin]]
@@ -426,9 +501,7 @@ object Similarity {
 
     val seeds = corpus.orderBy(col("vec_id")).limit(kSub).collect()
       .map(_.getSeq[Double](1))
-    if (seeds.isEmpty)
-      return spark.emptyDataFrame.select(lit(0L).as("query_id"),
-        lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+    if (seeds.isEmpty) return None
     val dim = seeds(0).length
     require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
     val dSub = dim / m
@@ -475,38 +548,14 @@ object Similarity {
       books(s).map(c => c.map(x => x * x).sum).toSeq).toSeq
     import spark.implicits._
     val qTables = dotTables.toDF("query_id", "n_q", "dot_table")
-
-    // ADC scan: lookup-adds over codes, no full vectors touched
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("approx_cos").desc, col("neighbor_id"))
-    val cand = codes.join(broadcast(qTables),
-        col("query_id") =!= col("neighbor_id"))
-      .withColumn("approx_cos",
-        PqAdc.pq_adc(col("codes"), col("dot_table")) /
-          (sqrt(PqAdc.pq_adc(col("codes"), typedlit(normTable))) * col("n_q")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= k * rerankFactor)
-      .select(col("query_id"), col("neighbor_id"))
-
-    // exact re-rank: only candidates are decompressed (id join back)
-    val qFull = withNorm(queries, "query_id", "e_q", "n_q")
-    val rw = Window.partitionBy(col("query_id"))
-      .orderBy(col("sim_exact").desc, col("neighbor_id"))
-    cand.join(corpus.select(col("vec_id").as("neighbor_id"),
-        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
-      .join(broadcast(qFull), "query_id")
-      .withColumn("sim_exact",
-        VecDot.vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(rw))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("sim_exact"), 6).as("sim"))
+    Some((codes, qTables, normTable))
   }
 
   // ------------------------------------------------------------ queries
 
-  /** Query vectors: the first 5 ids — deterministic, tiny, broadcast. */
-  private def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 5)
+  /** Query vectors: the first 5 ids — deterministic, tiny, broadcast.
+    * Public so Verify's aux builders probe the same set. */
+  def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 5)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_threshold_join" -> ((s, d) =>
@@ -536,9 +585,74 @@ object Similarity {
 
   /** DuckDB twins force DOUBLE[] so both engines do double-precision
     * sequential accumulation — results match to the last bit, surviving
-    * round(…, 6). `sim_ann_lsh` is approximate → rows-only.
+    * round(…, 6).
+    *
+    * The ANN oracles consume Verify-materialized aux state (bucket /
+    * cluster assignments, PQ codes + lookup tables) and independently
+    * re-run candidate generation + exact re-rank in SQL: approximate
+    * *recall* is a property of the assignments, but given the
+    * assignments the result set is fully deterministic — so the gate
+    * is an exact hash-match, and recall itself is asserted vs brute
+    * force in ScalaTest.
     */
   val oracles: Map[String, String] = Map(
+    "sim_ann_lsh" ->
+      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/lsh_buckets/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
+        |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    cand.neighbor_id) AS rank
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_ivf" ->
+      """WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
+        |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_probes/*.parquet'))
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY p.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    c.neighbor_id) AS rank
+        |  FROM p JOIN c ON p.cluster = c.cluster
+        |       JOIN embeddings qe ON qe.vec_id = p.query_id
+        |       JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  WHERE p.query_id != c.neighbor_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "sim_ann_pq" ->
+      """WITH codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_codes/*.parquet')),
+        |     qt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_tables/*.parquet')),
+        |     nt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_norms/*.parquet')),
+        |scored AS (
+        |  SELECT qt.query_id, codes.neighbor_id,
+        |         list_sum(list_transform(range(1, 9),
+        |           s -> qt.dot_table[s][codes.codes[s] + 1])) /
+        |         (sqrt(list_sum(list_transform(range(1, 9),
+        |           s -> nt.norm_table[s][codes.codes[s] + 1]))) * qt.n_q) AS approx_cos
+        |  FROM codes, qt, nt WHERE qt.query_id != codes.neighbor_id),
+        |cand AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT query_id, neighbor_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |           ORDER BY approx_cos DESC, neighbor_id) AS crank
+        |  FROM scored) WHERE crank <= 80)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    cand.neighbor_id) AS rank
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     "sim_threshold_join" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(
