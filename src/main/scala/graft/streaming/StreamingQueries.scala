@@ -82,6 +82,39 @@ object StreamingQueries {
     stream.groupBy(col("event_type").as("channel_id"))
       .agg(round(sum(col("value")), 2).as("amount"))
 
+  /** Session windows per user, streaming (30-minute inactivity gap) —
+    * the streaming twin of [[graft.queries.WindowQueries.userSessions]].
+    * `session_window` keeps per-user open-session state; out-of-order
+    * rows within the watermark merge into (or bridge) existing
+    * sessions, and a session closes when the watermark passes its end
+    * plus the gap. Same projection as the batch form, so the replay
+    * gate shares the batch gaps-and-islands oracle.
+    */
+  def qSessions(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("ts", "5 seconds")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("session_value"))
+      .select(col("user_id"),
+        date_format(col("session_window.start"), "yyyy-MM-dd HH:mm:ss").as("session_start"),
+        col("n_events"), col("session_value"))
+
+  /** Streaming exact dedup for a training-data pipeline: drop rows
+    * whose `keys` were already seen, holding state only within the
+    * watermark delay (`dropDuplicatesWithinWatermark`) — the
+    * bounded-state form of streaming dedup. Plain `dropDuplicates`
+    * on a stream keeps every key forever (state = |distinct keys|);
+    * the within-watermark form evicts keys once the watermark passes,
+    * which is the only shape that survives an unbounded 100 TB/day
+    * ingest where duplicates arrive close together (retries,
+    * at-least-once sources) rather than arbitrarily far apart.
+    */
+  def dedupWithinWatermark(stream: DataFrame, keys: Seq[String],
+      delay: String = "5 seconds"): DataFrame =
+    stream.withWatermark("ts", delay)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Ingestion path (reference entry point C, SURVEY.md §3.3): one
     * Structured Streaming hop replaces generator→Kafka→Flume→Hive.
     * Exactly-once via checkpoint WAL instead of Hive ACID
@@ -183,7 +216,8 @@ object StreamingQueries {
     * gate, exactly the reference's "query the MySQL table" step.
     */
   def replay(spark: SparkSession, dir: String,
-      build: DataFrame => DataFrame, keys: Seq[String]): DataFrame = {
+      build: DataFrame => DataFrame, keys: Seq[String],
+      outputMode: String = "update"): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val src = spark.readStream.schema(rawEventSchema)
       .option("pathGlobFilter", "events.parquet") // file source needs a dir
@@ -201,7 +235,7 @@ object StreamingQueries {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try sink.writeTo(build(src).writeStream.outputMode("update"))
+      try sink.writeTo(build(src).writeStream.outputMode(outputMode))
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try { q.processAllAvailable() } finally q.stop()
     // materialize the (verification-sized) result, then DROP the
@@ -227,7 +261,15 @@ object StreamingQueries {
     "stream_q3_user_gmv" -> ((s, d) =>
       replay(s, d, q3UserGmv, Seq("user_id")).orderBy(col("user_id"))),
     "stream_q4_channel_gmv" -> ((s, d) =>
-      replay(s, d, q4ChannelGmv, Seq("channel_id")).orderBy(col("channel_id")))
+      replay(s, d, q4ChannelGmv, Seq("channel_id")).orderBy(col("channel_id"))),
+    // session_window disallows update mode (merging sessions have no
+    // stable key); complete mode re-emits all sessions each batch and
+    // the PK upsert sink keeps the final state — keyed by
+    // (user, session_start), the stable key of a CLOSED session.
+    "stream_sessions_user" -> ((s, d) =>
+      replay(s, d, qSessions, Seq("user_id", "session_start"),
+        outputMode = "complete")
+        .orderBy(col("user_id"), col("session_start")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -244,6 +286,24 @@ object StreamingQueries {
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_q4_channel_gmv" ->
       """SELECT event_type AS channel_id, round(sum(value), 2) AS amount
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the batch gaps-and-islands sessionization — stream ≡ batch
+    "stream_sessions_user" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |              OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sessions AS (
+        |  SELECT user_id, ts, value,
+        |         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM marked)
+        |SELECT user_id,
+        |       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS session_value
+        |FROM sessions GROUP BY user_id, session_id
+        |ORDER BY user_id, session_start""".stripMargin
   )
 }

@@ -323,4 +323,60 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.count() === 300)
     assert(written.columns.contains("event_date"))
   }
+
+  test("streaming session windows merge across micro-batches (append mode)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // user 1: two bursts 10 min apart (same session: gap < 30 min),
+    // then a third burst 40 min later (new session). The bursts arrive
+    // in SEPARATE micro-batches, so the open-session state must merge
+    // batch 2 into batch 1's session. A far-future sentinel (user 99)
+    // advances the watermark past everything so append emits all
+    // closed sessions.
+    val in = MemoryStream[Ev]
+    val q = StreamingQueries.qSessions(in.toDF()).writeStream
+      .format("memory").queryName("sess_out").outputMode("append").start()
+    try {
+      in.addData(Ev(ts("2024-01-01 10:00:00"), 1, 1.0, "a"),
+        Ev(ts("2024-01-01 10:01:00"), 1, 2.0, "a"))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 10:11:00"), 1, 3.0, "a"))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 10:51:00"), 1, 4.0, "a"))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-02 00:00:00"), 99, 0.0, "s")) // watermark sentinel
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("sess_out").filter(col("user_id") === 1)
+      .orderBy(col("session_start"))
+      .collect().map(r => (r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(rows === Seq(("2024-01-01 10:00:00", 3L, 6.0),
+      ("2024-01-01 10:51:00", 1L, 4.0)),
+      "burst 2 must merge into burst 1's session; burst 3 opens a new one")
+  }
+
+  test("dropDuplicatesWithinWatermark dedups across micro-batches, bounded state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // the same (user_id, event_type) key arrives three times across
+    // two micro-batches within the watermark delay — exactly-once
+    // retry/at-least-once duplicates. One row must survive.
+    val in = MemoryStream[Ev]
+    val dedup = StreamingQueries.dedupWithinWatermark(
+      in.toDF(), Seq("user_id", "event_type"), delay = "10 minutes")
+    val q = dedup.writeStream
+      .format("memory").queryName("dedup_out").outputMode("append").start()
+    try {
+      in.addData(Ev(ts("2024-01-01 10:00:00"), 1, 1.0, "buy"),
+        Ev(ts("2024-01-01 10:00:05"), 1, 1.0, "buy"), // dup, same batch
+        Ev(ts("2024-01-01 10:00:06"), 2, 5.0, "buy"))
+      q.processAllAvailable()
+      in.addData(Ev(ts("2024-01-01 10:00:10"), 1, 1.0, "buy")) // dup, next batch
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("dedup_out")
+    assert(out.filter(col("user_id") === 1).count() === 1,
+      "duplicates within the watermark must collapse to one row")
+    assert(out.count() === 2)
+  }
 }
