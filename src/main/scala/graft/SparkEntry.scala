@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DataQuality, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{DataQuality, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.gen.OrderGen
 import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -87,7 +87,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
-      DataQuality.queries + ("gen_orders_rollup" -> (genRollup _))
+      DataQuality.queries ++ Layout.queries +
+      ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -96,7 +97,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
-      DataQuality.oracles +
+      DataQuality.oracles ++ Layout.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

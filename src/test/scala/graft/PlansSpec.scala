@@ -97,4 +97,40 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("p#") && plan.contains("q#"),
       s"sub-block keys missing from the join:\n$plan")
   }
+
+  test("partitioned layout: scan prunes to the matching partition directory") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_layout_plan").toString
+    graft.ext.Layout.writePartitioned(Tables.documents(spark, dir), tmp,
+      partitionCols = Seq("lang"), sortCols = Seq("source", "doc_id"))
+    val langs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang="))
+    assert(langs.length > 1, s"fixture should span multiple langs, got $langs")
+    val q = spark.read.parquet(tmp).filter(col("lang") === "en")
+      .groupBy(col("source")).count()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(lang"),
+      s"partition filter missing from the scan:\n$plan")
+    // the pruned scan must touch ONE partition's files (the scan sits
+    // under an AdaptiveSparkPlanExec wrapper — unwrap before collecting)
+    def leaves(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        leaves(a.executedPlan)
+      case other => other.collectLeaves()
+    }
+    val scanned = leaves(q.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.selectedPartitions.partitionCount
+    }
+    assert(scanned === Seq(1), s"expected exactly 1 selected partition, got $scanned")
+    // within-partition sort gives each file monotone sortCols ranges:
+    // rows of one file arrive sorted by (source, doc_id)
+    val firstFile = new java.io.File(s"$tmp/lang=en").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    val rows = spark.read.parquet(firstFile.getAbsolutePath)
+      .select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.sameElements(rows.sortBy(identity)),
+      "file rows must be sorted by (source, doc_id)")
+  }
 }
