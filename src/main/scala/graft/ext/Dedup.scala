@@ -348,6 +348,59 @@ object Dedup {
     postingJaccard(withG, threshold)
   }
 
+  // ------------------------------------------- components / clustering
+
+  /** Connected components over a near-dup pair set: the clustering
+    * step every real dedup pipeline runs AFTER pair generation (keep
+    * one representative per component, not per pair — A~B and B~C
+    * must collapse to one survivor even when A~C was never emitted).
+    *
+    * Algorithm: iterative min-label propagation — each round every
+    * node takes the min label among itself and its neighbors, with
+    * `localCheckpoint` truncating the lineage per round (the plan
+    * would otherwise grow exponentially). Converges in graph-diameter
+    * rounds; near-dup components are dense and shallow (diameter ≤ a
+    * few hops), so rounds stay single-digit — the degenerate
+    * long-chain case that motivates large-star/small-star
+    * (Kiveris et al. 2014) does not arise from similarity pairs,
+    * and `maxIters` caps the cost regardless.
+    *
+    * Each round is one keyed shuffle of (node, label) pairs — 16
+    * bytes per edge endpoint — never the documents themselves.
+    * Output: (node, component) with component = min node id reachable.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val prop = edges.join(labels.withColumnRenamed("node", "u"), "u")
+        .groupBy(col("v").as("node")).agg(min(col("label")).as("nbr"))
+      val next = labels.join(prop, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Components over the exact unigram-Jaccard pairs — the gate form:
+    * one row per clustered doc with its component representative.
+    */
+  def jaccardComponents(docs: DataFrame, threshold: Double = 0.6): DataFrame =
+    connectedComponents(
+      jaccardPairsBySource(docs, threshold), "doc_a", "doc_b")
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -367,6 +420,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.documents(s, d), threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_components" -> ((s, d) =>
+      jaccardComponents(Tables.documents(s, d), threshold = 0.6)
+        .orderBy(col("node"))),
     // dedup family #5: embedding-cosine near-dup (same engine path as
     // the similarity threshold join, registered under its dedup role)
     "dedup_embedding_cosine" -> ((s, d) =>
@@ -426,6 +482,26 @@ object Dedup {
         |  JOIN sh sb ON sb.doc_id = c.doc_b)
         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
+    // transitive closure per node via recursive CTE; component = min
+    // reachable id — must equal the engine's min-label propagation
+    "dedup_components" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a)
+        |SELECT a AS node, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin,
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,

@@ -223,4 +223,16 @@ class ExtSpec extends AnyFunSuite {
     val total = Dedup.exact(docs).agg(sum("dup_count")).collect()(0).getLong(0)
     assert(total === docs.count())
   }
+
+  test("connected components: transitive chains collapse, separate clusters stay apart") {
+    import spark.implicits._
+    // chain 10-20-30-40 (A~B, B~C, C~D but never A~D), pair {100,200},
+    // and an isolated pair referencing a high id as the smaller side
+    val pairs = Seq((10L, 20L), (20L, 30L), (30L, 40L),
+      (100L, 200L), (999L, 1000L)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
+      100L -> 100L, 200L -> 100L, 999L -> 999L, 1000L -> 999L))
+  }
 }
