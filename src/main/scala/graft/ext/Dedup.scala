@@ -371,27 +371,46 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // The label frame is two longs per clustered doc — orders of
+    // magnitude smaller than the corpus the pairs came from. At 32
+    // shuffle partitions each round pays ~3 near-empty shuffles of
+    // pure task overhead, which dominates the loop; size the rounds
+    // to the data (AQE coalescing doesn't cover every stage here
+    // because localCheckpoint pins materialization). Restored after.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    // persisted hash-partitioned on the join key: every round's join
+    // reuses the stored partitioning instead of re-shuffling the edges
     val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
       .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+      .repartition(8, col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node")).localCheckpoint(true)
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val prop = edges.join(labels.withColumnRenamed("node", "u"), "u")
-        .groupBy(col("v").as("node")).agg(min(col("label")).as("nbr"))
-      val next = labels.join(prop, Seq("node"), "left")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nbr"), col("label"))).as("label"))
-        .localCheckpoint(true)
-      changed = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
-      it += 1
+    try {
+      var labels = edges.select(col("u").as("node")).distinct()
+        .withColumn("label", col("node")).localCheckpoint(true)
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val prop = edges.join(labels.withColumnRenamed("node", "u"), "u")
+          .groupBy(col("v").as("node")).agg(min(col("label")).as("nbr"))
+        // carry the did-anything-change flag INSIDE the checkpointed
+        // frame: the convergence check is then a scan of materialized
+        // rows, not another join + shuffle per round
+        val next = labels.join(prop, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (col("nbr") < col("label")).as("moved"))
+          .localCheckpoint(true)
+        changed = next.filter(col("moved")).count()
+        labels = next.select(col("node"), col("label"))
+        it += 1
+      }
+      labels.select(col("node"), col("label").as("component"))
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      edges.unpersist()
     }
-    edges.unpersist()
-    labels.select(col("node"), col("label").as("component"))
   }
 
   /** Components over the exact unigram-Jaccard pairs — the gate form:
