@@ -355,22 +355,26 @@ object Dedup {
     * one representative per component, not per pair — A~B and B~C
     * must collapse to one survivor even when A~C was never emitted).
     *
-    * Algorithm: iterative min-label propagation — each round every
-    * node takes the min label among itself and its neighbors, with
-    * `localCheckpoint` truncating the lineage per round (the plan
-    * would otherwise grow exponentially). Converges in graph-diameter
-    * rounds; near-dup components are dense and shallow (diameter ≤ a
-    * few hops), so rounds stay single-digit — the degenerate
-    * long-chain case that motivates large-star/small-star
-    * (Kiveris et al. 2014) does not arise from similarity pairs,
-    * and `maxIters` caps the cost regardless.
+    * Algorithm: iterative min-label propagation with pointer
+    * jumping — each round every node takes the min label among
+    * itself and its neighbors, then labels shortcut through their
+    * own labels (`label ← label(label)`), with `localCheckpoint`
+    * truncating the lineage per round (the plan would otherwise grow
+    * exponentially). Neighbor-min alone needs graph-diameter rounds
+    * (a 10k-hop chain = 10k rounds); the shortcut step doubles the
+    * propagation horizon per round, so convergence is O(log d) — the
+    * same mechanism large-star/small-star (Kiveris et al. 2014)
+    * relies on, here as the cheap two-join variant. `maxIters = 30`
+    * therefore covers any component a 100 TB corpus can produce
+    * (2³⁰ diameter); non-convergence throws rather than silently
+    * returning partial components.
     *
-    * Each round is one keyed shuffle of (node, label) pairs — 16
-    * bytes per edge endpoint — never the documents themselves.
+    * Each round shuffles (node, label) pairs — 16 bytes per edge
+    * endpoint — never the documents themselves.
     * Output: (node, component) with component = min node id reachable.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 20): DataFrame = {
+      maxIters: Int = 30): DataFrame = {
     val spark = pairs.sparkSession
     // The label frame is two longs per clustered doc — orders of
     // magnitude smaller than the corpus the pairs came from. At 32
@@ -394,18 +398,30 @@ object Dedup {
       while (changed > 0 && it < maxIters) {
         val prop = edges.join(labels.withColumnRenamed("node", "u"), "u")
           .groupBy(col("v").as("node")).agg(min(col("label")).as("nbr"))
+        val afterNbr = labels.join(prop, Seq("node"), "left")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
+            (col("nbr") < col("label")).as("moved_n"))
+        // pointer jumping: shortcut each label through ITS label —
+        // min labels then travel 2^it hops in it rounds, not it hops
+        // (labels are always node ids, so the lookup side is total).
         // carry the did-anything-change flag INSIDE the checkpointed
         // frame: the convergence check is then a scan of materialized
         // rows, not another join + shuffle per round
-        val next = labels.join(prop, Seq("node"), "left")
+        val next = afterNbr.join(
+            afterNbr.select(col("node").as("jnode"), col("label").as("jlabel")),
+            col("label") === col("jnode"), "left")
           .select(col("node"),
-            least(col("label"), coalesce(col("nbr"), col("label"))).as("label"),
-            (col("nbr") < col("label")).as("moved"))
+            least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
+            (col("moved_n") || col("jlabel") < col("label")).as("moved"))
           .localCheckpoint(true)
         changed = next.filter(col("moved")).count()
         labels = next.select(col("node"), col("label"))
         it += 1
       }
+      if (changed > 0)
+        throw new IllegalStateException(
+          s"connectedComponents did not converge in $maxIters rounds")
       labels.select(col("node"), col("label").as("component"))
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)

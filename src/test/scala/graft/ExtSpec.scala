@@ -235,4 +235,19 @@ class ExtSpec extends AnyFunSuite {
     assert(cc === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 10L,
       100L -> 100L, 200L -> 100L, 999L -> 999L, 1000L -> 999L))
   }
+
+  test("connected components: a 2000-hop chain converges (pointer jumping, O(log d) rounds)") {
+    import spark.implicits._
+    // worst case for plain neighbor-min propagation (would need 2000
+    // rounds and silently truncate at maxIters); pointer jumping must
+    // collapse it within the 30-round cap — and to the right labels
+    val n = 2000L
+    val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+      .agg(countDistinct(col("component")).as("c"),
+        count(lit(1)).as("n"), max(col("component")).as("m"))
+      .collect()(0)
+    assert((cc.getLong(0), cc.getLong(1), cc.getLong(2)) === ((1L, n, 0L)),
+      "all chain nodes must collapse to component 0")
+  }
 }
