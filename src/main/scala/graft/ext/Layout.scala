@@ -46,6 +46,28 @@ object Layout {
       .mode("overwrite")
       .parquet(path)
 
+  /** Incremental partition refresh: overwrite ONLY the partitions
+    * present in `updates` (dynamic partition overwrite), leaving
+    * every other partition's files untouched — the daily-refresh
+    * primitive of a partitioned lake. Static overwrite would drop
+    * the whole table first; append would duplicate; read-modify-
+    * write of the full lake to refresh one day is exactly what a
+    * 100 TB layout cannot afford. Same sort/size discipline as
+    * [[writePartitioned]].
+    */
+  def upsertPartitions(updates: DataFrame, path: String,
+      partitionCols: Seq[String], sortCols: Seq[String],
+      maxRecordsPerFile: Long = 1000000L): Unit = {
+    val spark = updates.sparkSession
+    val prev = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try writePartitioned(updates, path, partitionCols, sortCols, maxRecordsPerFile)
+    finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+  }
+
   /** The pruning round-trip surfaced at the gate: lay `documents`
     * out partitioned by `lang` (sorted by `source, doc_id` within
     * partitions), then aggregate ONE language partition. The read

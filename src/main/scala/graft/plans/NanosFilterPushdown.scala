@@ -128,9 +128,50 @@ object NanosFilterPushdown extends Rule[LogicalPlan] {
 
 /** Engine extensions, registered with
   * `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  * `spark.sql.extensions=graft.plans.GraftExtensions`:
+  * the nanos-pushdown optimizer rule, plus SQL registration of the
+  * native expressions — `SELECT simhash64(tokens), vec_dot(a, b) …`
+  * works from the SQL-text entry point, not only the Column API
+  * (the reference exposes everything through SQL text, so the
+  * extension surface must too).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+
+  private def register(e: SparkSessionExtensions, name: String, arity: Int,
+      usage: String)(build: Seq[Expression] => Expression): Unit =
+    e.injectFunction((FunctionIdentifier(name),
+      new ExpressionInfo("graft.functions", name, usage),
+      (args: Seq[Expression]) => {
+        require(args.length == arity, s"$name expects $arity arguments")
+        build(args)
+      }))
+
+  override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => NanosFilterPushdown)
+    import graft.functions._
+    register(e, "simhash64", 1,
+      "simhash64(tokens) - 64-bit SimHash of a string array")(
+      a => SimHash64(a.head))
+    register(e, "vec_dot", 2,
+      "vec_dot(a, b) - double dot product of two double arrays")(
+      a => VecDot(a(0), a(1)))
+    register(e, "pq_adc", 2,
+      "pq_adc(codes, table) - PQ asymmetric-distance lookup-add")(
+      a => PqAdc(a(0), a(1)))
+    register(e, "centroid_scores", 2,
+      "centroid_scores(v, centroids) - dot of v with each centroid")(
+      a => CentroidScores(a(0), a(1)))
+    register(e, "arg_max_double", 1,
+      "arg_max_double(scores) - index of the max element")(
+      a => ArgMaxDouble(a.head))
+    register(e, "ngram_hash64", 2,
+      "ngram_hash64(tokens, n) - xxhash64 of each word n-gram")(
+      a => NgramHash64(a(0), a(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"ngram_hash64: n must be an integer literal, got $other")
+      }))
+  }
 }

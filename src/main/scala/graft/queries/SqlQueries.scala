@@ -50,14 +50,29 @@ object SqlQueries {
         |ORDER BY nation, order_year""".stripMargin)
   }
 
+  /** The native expressions through the SQL-TEXT surface: the
+    * `GraftExtensions.injectFunction` registrations make
+    * `simhash64`/`vec_dot`/… callable from `spark.sql(...)` exactly
+    * like builtins (codegen included). Twin of
+    * [[graft.ext.Dedup.simhash]]; shares its aux-based oracle.
+    */
+  def sqlSimhash(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT doc_id, simhash64(split(lower(trim(text)), '\\s+')) AS simhash
+        |FROM documents ORDER BY doc_id""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q6_trailing" -> (sqlQ6 _),
-    "sql_revenue_by_nation" -> (sqlRevenue _)
+    "sql_revenue_by_nation" -> (sqlRevenue _),
+    "sql_simhash" -> (sqlSimhash _)
   )
 
   /** Shared with the DataFrame twins' oracles. */
   val oracles: Map[String, String] = Map(
     "sql_q6_trailing" -> EventQueries.oracles("q6_trailing_rollup"),
-    "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation")
+    "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation"),
+    "sql_simhash" -> graft.ext.Dedup.oracles("dedup_simhash")
   )
 }

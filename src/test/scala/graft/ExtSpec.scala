@@ -250,4 +250,34 @@ class ExtSpec extends AnyFunSuite {
     assert((cc.getLong(0), cc.getLong(1), cc.getLong(2)) === ((1L, n, 0L)),
       "all chain nodes must collapse to component 0")
   }
+
+  test("layout upsert overwrites only the touched partition, byte-identical elsewhere") {
+    import graft.ext.Layout
+    val docs = Tables.documents(spark, dir)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_upsert").toString
+    Layout.writePartitioned(docs, tmp, Seq("lang"), Seq("source", "doc_id"))
+    def filesOf(lang: String) =
+      new java.io.File(s"$tmp/lang=$lang").listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    val langs = new java.io.File(tmp).listFiles().filter(_.isDirectory)
+      .map(_.getName.stripPrefix("lang=")).sorted
+    assert(langs.length > 1)
+    val (touched, untouched) = (langs.head, langs.tail)
+    val before = untouched.map(l => l -> filesOf(l)).toMap
+
+    // refresh ONE language partition with re-derived (changed) rows
+    val updates = docs.filter(col("lang") === touched)
+      .withColumn("text", upper(col("text")))
+    Layout.upsertPartitions(updates, tmp, Seq("lang"), Seq("source", "doc_id"))
+
+    untouched.foreach { l =>
+      assert(filesOf(l) === before(l), s"partition lang=$l must be untouched")
+    }
+    val readBack = spark.read.parquet(tmp)
+    assert(readBack.count() === docs.count(), "row count preserved")
+    assert(readBack.filter(col("lang") === touched)
+      .filter(col("text") =!= upper(col("text"))).count() === 0,
+      "touched partition must carry the refreshed rows")
+  }
 }
