@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bucketed range join: rows-to-intervals with NO equi key.
+  *
+  * Spark plans a bare inequality join (`l.ts BETWEEN r.start AND
+  * r.end`) as `BroadcastNestedLoopJoin` — every left row tested
+  * against every interval, O(n·m), the classic scale trap (fine only
+  * while one side broadcasts). The bucketed form manufactures the
+  * missing equi key from time itself: intervals explode onto every
+  * fixed-size bucket they overlap, left rows key to their single
+  * containing bucket, and the join becomes a hash equi-join on the
+  * bucket id with the exact range predicate as a post-filter.
+  *
+  * Each (row, interval) match is produced EXACTLY once — the row's
+  * bucket is unique, and the interval has one copy per bucket, so the
+  * pair meets at one copy only: no dedup pass. Cost: interval
+  * replication ×(span/bucket + 1); pick `bucketSeconds` near the
+  * typical interval span so replication stays ~2× while bucket
+  * population (the per-key probe work) stays bounded. At 100 TB this
+  * is the difference between a keyed shuffle and a nested loop over
+  * the corpus.
+  */
+object RangeJoin {
+
+  /** Join `left` rows (timestamp `tsCol`) to `right` intervals
+    * (`startCol`..`endCol`, inclusive both ends). Caller supplies
+    * frames with disjoint column names.
+    */
+  def byTime(left: DataFrame, tsCol: String,
+      right: DataFrame, startCol: String, endCol: String,
+      bucketSeconds: Long = 600L): DataFrame = {
+    val r = right.withColumn("__b", explode(sequence(
+      floor(col(startCol).cast("double") / bucketSeconds).cast("long"),
+      floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
+    val l = left.withColumn("__b",
+      floor(col(tsCol).cast("double") / bucketSeconds).cast("long"))
+    l.join(r, Seq("__b"))
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__b")
+  }
+}

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.AsOfJoin
+import graft.ops.{AsOfJoin, RangeJoin}
 import graft.sources.Tables
 
 /** Remaining engine-surface operators: as-of join (composed — see
@@ -50,10 +50,30 @@ object ExtraQueries {
       .agg(count(lit(1)).as("n"), round(avg(col("k")), 2).as("avg_k"))
       .orderBy(col("k_mod"))
 
+  /** Range join with NO equi key: activity inside the 10 minutes
+    * after every value spike. Routed through [[graft.ops.RangeJoin]]'s
+    * bucketed form — a hash equi-join on time buckets, not the
+    * `BroadcastNestedLoopJoin` Spark would plan for the bare
+    * BETWEEN condition (asserted in PlansSpec).
+    */
+  def spikeWindowStats(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val spikes = ev.filter(col("value") >= 300)
+      .select(col("event_id").as("spike_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 10 MINUTES")).as("w_end"))
+    RangeJoin.byTime(ev.select(col("ts"), col("value")), "ts",
+        spikes, "w_start", "w_end", bucketSeconds = 600L)
+      .groupBy(col("spike_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("window_value"))
+      .orderBy(col("spike_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_error" -> (lastErrorAsOf _),
     "cube_type_dow" -> (cubeTypeDow _),
-    "props_extract" -> (propsExtract _)
+    "props_extract" -> (propsExtract _),
+    "range_join_spikes" -> (spikeWindowStats _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -74,6 +94,16 @@ object ExtraQueries {
       """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
         |       count(*) AS n,
         |       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 2) AS avg_k
-        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "range_join_spikes" ->
+      """WITH spikes AS (
+        |  SELECT event_id AS spike_id, ts AS w_start,
+        |         ts + INTERVAL 10 MINUTE AS w_end
+        |  FROM events WHERE value >= 300)
+        |SELECT s.spike_id, count(*) AS n_events,
+        |       round(sum(e.value), 2) AS window_value
+        |FROM spikes s JOIN events e
+        |  ON e.ts >= s.w_start AND e.ts <= s.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

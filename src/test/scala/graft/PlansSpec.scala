@@ -98,6 +98,14 @@ class PlansSpec extends AnyFunSuite {
       s"sub-block keys missing from the join:\n$plan")
   }
 
+  test("bucketed range join is an equi-join on time buckets, not a nested loop") {
+    val plan = graft.queries.ExtraQueries.spikeWindowStats(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"range join planned as a nested loop:\n$plan")
+    assert(plan.contains("__b"), s"bucket key missing from the join:\n$plan")
+  }
+
   test("partitioned layout: scan prunes to the matching partition directory") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout_plan").toString
     graft.ext.Layout.writePartitioned(Tables.documents(spark, dir), tmp,
