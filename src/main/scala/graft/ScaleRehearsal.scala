@@ -97,6 +97,26 @@ object ScaleRehearsal {
     }
     report("minhash_single_block", nDocs, mhSec, mhRows)
 
+    // --- connected components: 2M edges, mixed topology ---
+    // cliques-of-5 (the common near-dup shape) PLUS one 100k-hop
+    // chain (the adversarial diameter case): pointer jumping must
+    // converge in O(log d) rounds, where neighbor-min alone would
+    // need 100k rounds. Edge count scales to ~60x the sf0.1 pair set.
+    val nEdges = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_EDGES", "2000000").toLong
+    val chainLen = 100000L
+    val cliques = spark.range(nEdges - chainLen)
+      .select((col("id") / 4).cast("long").as("g"), col("id"))
+      .select(((col("g") * 5) + pmod(xxhash64(col("id")), lit(4)) + 1 + lit(chainLen)).as("doc_b"),
+        (col("g") * 5 + lit(chainLen)).as("doc_a"))
+    val chain = spark.range(chainLen - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    val (ccSec, ccRows) = time {
+      graft.ext.Dedup.connectedComponents(
+          chain.union(cliques), "doc_a", "doc_b")
+        .queryExecution.toRdd.count()
+    }
+    report("components_2m_edges_100k_chain", nEdges, ccSec, ccRows)
+
     spark.stop()
   }
 }
