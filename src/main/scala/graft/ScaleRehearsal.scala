@@ -106,8 +106,8 @@ object ScaleRehearsal {
     val chainLen = 100000L
     val cliques = spark.range(nEdges - chainLen)
       .select((col("id") / 4).cast("long").as("g"), col("id"))
-      .select(((col("g") * 5) + pmod(xxhash64(col("id")), lit(4)) + 1 + lit(chainLen)).as("doc_b"),
-        (col("g") * 5 + lit(chainLen)).as("doc_a"))
+      .select((col("g") * 5 + lit(chainLen)).as("doc_a"),
+        ((col("g") * 5) + pmod(xxhash64(col("id")), lit(4)) + 1 + lit(chainLen)).as("doc_b"))
     val chain = spark.range(chainLen - 1)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val (ccSec, ccRows) = time {

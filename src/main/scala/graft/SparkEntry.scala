@@ -56,25 +56,17 @@ object SparkEntry {
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
       "lsh_buckets" -> ((s, d) =>
         S.lshBuckets(Tables.embeddings(s, d), "vec_id")),
-      "ivf_corpus" -> ((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        S.ivfAssignments(emb, S.querySet(emb))._1.select("neighbor_id", "cluster")
-      }),
-      "ivf_probes" -> ((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        S.ivfAssignments(emb, S.querySet(emb))._2.select("query_id", "cluster")
-      }),
-      "pq_codes" -> ((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        S.pqModel(emb, S.querySet(emb)).get._1
-      }),
-      "pq_tables" -> ((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        S.pqModel(emb, S.querySet(emb)).get._2
-      }),
+      // the (session, dir)-memoized models: the SAME trained state the
+      // sim_ann_ivf / sim_ann_pq gate queries consume — one training,
+      // no aux-vs-gate coherence bet on float-aggregation determinism
+      "ivf_corpus" -> ((s, d) =>
+        S.ivfAssignmentsFor(s, d)._1.select("neighbor_id", "cluster")),
+      "ivf_probes" -> ((s, d) =>
+        S.ivfAssignmentsFor(s, d)._2.select("query_id", "cluster")),
+      "pq_codes" -> ((s, d) => S.pqModelFor(s, d).get._1),
+      "pq_tables" -> ((s, d) => S.pqModelFor(s, d).get._2),
       "pq_norms" -> ((s, d) => {
-        val emb = Tables.embeddings(s, d)
-        val nt = S.pqModel(emb, S.querySet(emb)).get._3
+        val nt = S.pqModelFor(s, d).get._3
         import s.implicits._
         Seq(Tuple1(nt)).toDF("norm_table")
       })

@@ -93,28 +93,6 @@ object Dedup {
       array_min(transform(shingleHashes, h => xxhash64(h, lit(s))))
     }: _*)
 
-  /** MinHash+LSH near-duplicate pairs.
-    *
-    * banding: `bands` bands of `rowsPerBand` signature slots; docs
-    * sharing any band key are candidates; candidates are verified with
-    * exact shingle-set Jaccard ≥ `threshold`.
-    *
-    * Dataflow: scan → per-doc signature (narrow) → explode bands
-    * (×bands) → shuffle on (band, key) → per-bucket pair generation →
-    * exact verify on the (small) candidate set. The cross join only
-    * ever happens inside a bucket.
-    *
-    * ==Cache lifecycle==
-    * The featurized corpus (doc_id + shingle hashes) is persisted
-    * MEMORY_AND_DISK and intentionally NOT unpersisted here: Spark's
-    * CacheManager keys entries by logical plan, so every call over
-    * the same corpus shares one entry, and releasing it per-call
-    * costs 7× on repeated runs (measured). Each DISTINCT corpus
-    * leaves one small entry (a few MB per million docs) for the
-    * session; callers sweeping many corpora should release between
-    * corpora with `spark.catalog.clearCache()` (or
-    * `df.sparkSession.sharedState.cacheManager.uncacheQuery`).
-    */
   /** The persisted featurized corpus (doc_id, sh): one narrow scan
     * computes shingle hashes (8-byte longs, never strings past this
     * point). Public as the aux input to the minhash DuckDB oracle.
@@ -155,6 +133,18 @@ object Dedup {
         }: _*)).as(Seq("band", "band_key")))
   }
 
+  /** MinHash+LSH near-duplicate pairs.
+    *
+    * banding: `bands` bands of `rowsPerBand` signature slots; docs
+    * sharing any band key are candidates; candidates are verified with
+    * exact shingle-set Jaccard ≥ `threshold`.
+    *
+    * Dataflow: scan → per-doc signature (narrow, [[minhashBandKeys]])
+    * → shuffle on (band, key) → per-bucket pair generation → exact
+    * verify on the (small) candidate set against [[minhashShingles]]
+    * (persisted — see its cache-lifetime contract). The cross join
+    * only ever happens inside a bucket.
+    */
   def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
       threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
     val prepped = minhashShingles(docs, shingleK)
@@ -416,6 +406,11 @@ object Dedup {
             (col("moved_n") || col("jlabel") < col("label")).as("moved"))
           .localCheckpoint(true)
         changed = next.filter(col("moved")).count()
+        // next is eagerly materialized with its lineage cut, so the
+        // previous round's checkpoint blocks can be released NOW —
+        // otherwise peak storage is rounds × frame size and large
+        // corpora evict the edges cache mid-loop
+        labels.unpersist()
         labels = next.select(col("node"), col("label"))
         it += 1
       }

@@ -77,7 +77,11 @@ object Layout {
     * results, only cost.
     */
   def pruneAggregate(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_layout").toString
+    // fixed per-fixture path + overwrite mode: repeated bench/verify
+    // invocations rewrite ONE layout copy instead of leaking a fresh
+    // temp directory per call (Bench alone runs this 5× per run)
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_layout_prune_${
+      math.abs(dir.hashCode.toLong)}"
     writePartitioned(Tables.documents(spark, dir), tmp,
       partitionCols = Seq("lang"), sortCols = Seq("source", "doc_id"),
       maxRecordsPerFile = 100000L)

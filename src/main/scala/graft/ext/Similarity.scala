@@ -339,9 +339,13 @@ object Similarity {
     * drops by ~k/nprobe versus brute force.
     */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame = {
-    val (assignedCorpus, qProbes) =
-      ivfAssignments(emb, queries, nClusters, nProbe, lloydIters)
+      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame =
+    ivfTopK(ivfAssignments(emb, queries, nClusters, nProbe, lloydIters), k)
+
+  /** Probe join + exact cosine top-k over a trained IVF model —
+    * callable with [[ivfAssignmentsFor]]'s shared model. */
+  def ivfTopK(model: (DataFrame, DataFrame), k: Int): DataFrame = {
+    val (assignedCorpus, qProbes) = model
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
     qProbes.join(assignedCorpus, "cluster")
@@ -445,11 +449,19 @@ object Similarity {
     * recall vs [[bruteTopK]] asserted in ExtSpec.
     */
   def annPq(emb: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, kSub: Int = 16, lloydIters: Int = 2,
-      rerankFactor: Int = 8): DataFrame = {
+      m: Int = PqM, kSub: Int = 16, lloydIters: Int = 2,
+      rerankFactor: Int = PqRerank): DataFrame = {
+    pqTopK(emb, pqModel(emb, queries, m, kSub, lloydIters), queries, k, rerankFactor)
+  }
+
+  /** ADC scan + exact re-rank over a trained PQ model — callable with
+    * [[pqModelFor]]'s shared model. */
+  def pqTopK(emb: DataFrame,
+      model: Option[(DataFrame, DataFrame, Seq[Seq[Double]])],
+      queries: DataFrame, k: Int, rerankFactor: Int = PqRerank): DataFrame = {
     import graft.functions.{PqAdc, VecDot}
     val spark = emb.sparkSession
-    pqModel(emb, queries, m, kSub, lloydIters) match {
+    model match {
       case None =>
         spark.emptyDataFrame.select(lit(0L).as("query_id"),
           lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
@@ -491,7 +503,7 @@ object Similarity {
     * ADC scan + exact re-rank in SQL. None when the corpus is empty.
     */
   def pqModel(emb: DataFrame, queries: DataFrame,
-      m: Int = 8, kSub: Int = 16, lloydIters: Int = 2)
+      m: Int = PqM, kSub: Int = 16, lloydIters: Int = 2)
       : Option[(DataFrame, DataFrame, Seq[Seq[Double]])] = {
     import graft.functions.{ArgMaxDouble, CentroidScores}
     val spark = emb.sparkSession
@@ -555,7 +567,40 @@ object Similarity {
 
   /** Query vectors: the first 5 ids — deterministic, tiny, broadcast.
     * Public so Verify's aux builders probe the same set. */
-  def querySet(emb: DataFrame): DataFrame = emb.filter(col("vec_id") < 5)
+  def querySet(emb: DataFrame): DataFrame =
+    emb.filter(col("vec_id") < GateQueryCut)
+
+  // ---- shared fixture-keyed models -------------------------------------
+  // The gate query AND the aux builders must consume the SAME trained
+  // model: Lloyd's means come from floating-point DataFrame aggregation,
+  // and while the merge order is deterministic in practice, training
+  // twice and assuming ulp-identical centroids is a gate-coherence bet
+  // we don't need to make (it would also triple Verify's training cost).
+  // Keyed by (session, fixture dir); models are tiny (centroids/codes
+  // stay distributed — only the handles live here).
+  private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
+  private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Option[(DataFrame, DataFrame, Seq[Seq[Double]])]]()
+
+  /** IVF assignments for the fixture at `dir`, trained once per
+    * (session, dir) and shared between the `sim_ann_ivf` gate query
+    * and the aux materialization. */
+  def ivfAssignmentsFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfMemo.computeIfAbsent((spark, dir), { _ =>
+      val emb = Tables.embeddings(spark, dir)
+      ivfAssignments(emb, querySet(emb))
+    })
+
+  /** PQ model for the fixture at `dir`, trained once per
+    * (session, dir) and shared between the `sim_ann_pq` gate query
+    * and the aux materialization. */
+  def pqModelFor(spark: SparkSession, dir: String)
+      : Option[(DataFrame, DataFrame, Seq[Seq[Double]])] =
+    pqMemo.computeIfAbsent((spark, dir), { _ =>
+      val emb = Tables.embeddings(spark, dir)
+      pqModel(emb, querySet(emb))
+    })
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sim_threshold_join" -> ((s, d) =>
@@ -571,17 +616,26 @@ object Similarity {
       annLsh(emb, querySet(emb), k = 10)
         .orderBy(col("query_id"), col("rank"))
     }),
-    "sim_ann_ivf" -> ((s, d) => {
-      val emb = Tables.embeddings(s, d)
-      annIvf(emb, querySet(emb), k = 10)
-        .orderBy(col("query_id"), col("rank"))
-    }),
+    // both consume the (session, dir)-shared trained model, the same
+    // one Verify materializes as aux — gate and oracle cannot diverge
+    // through a second training
+    "sim_ann_ivf" -> ((s, d) =>
+      ivfTopK(ivfAssignmentsFor(s, d), k = GateK)
+        .orderBy(col("query_id"), col("rank"))),
     "sim_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
-      annPq(emb, querySet(emb), k = 10)
+      pqTopK(emb, pqModelFor(s, d), querySet(emb), k = GateK)
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** Gate parameters shared between the Scala queries and the SQL
+    * oracle text (which would otherwise carry silently-divergeable
+    * magic numbers). */
+  val GateK = 10
+  val GateQueryCut = 5 // querySet: vec_id < 5
+  val PqM = 8
+  val PqRerank = 8
 
   /** DuckDB twins force DOUBLE[] so both engines do double-precision
     * sequential accumulation — results match to the last bit, surviving
@@ -597,11 +651,11 @@ object Similarity {
     */
   val oracles: Map[String, String] = Map(
     "sim_ann_lsh" ->
-      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/lsh_buckets/*.parquet')),
+      s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/lsh_buckets/*.parquet')),
         |cand AS (
         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
         |  FROM bk q JOIN bk c ON q.tbl = c.tbl AND q.bucket = c.bucket
-        |  WHERE q.vec_id < 5 AND q.vec_id != c.vec_id)
+        |  WHERE q.vec_id < $GateQueryCut AND q.vec_id != c.vec_id)
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (
         |  SELECT cand.query_id, cand.neighbor_id,
@@ -611,9 +665,9 @@ object Similarity {
         |                    cand.neighbor_id) AS rank
         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
         |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
     "sim_ann_ivf" ->
-      """WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
+      s"""WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
         |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_probes/*.parquet'))
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (
@@ -626,23 +680,23 @@ object Similarity {
         |       JOIN embeddings qe ON qe.vec_id = p.query_id
         |       JOIN embeddings ce ON ce.vec_id = c.neighbor_id
         |  WHERE p.query_id != c.neighbor_id)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
     "sim_ann_pq" ->
-      """WITH codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_codes/*.parquet')),
+      s"""WITH codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_codes/*.parquet')),
         |     qt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_tables/*.parquet')),
         |     nt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/pq_norms/*.parquet')),
         |scored AS (
         |  SELECT qt.query_id, codes.neighbor_id,
-        |         list_sum(list_transform(range(1, 9),
+        |         list_sum(list_transform(range(1, ${PqM + 1}),
         |           s -> qt.dot_table[s][codes.codes[s] + 1])) /
-        |         (sqrt(list_sum(list_transform(range(1, 9),
+        |         (sqrt(list_sum(list_transform(range(1, ${PqM + 1}),
         |           s -> nt.norm_table[s][codes.codes[s] + 1]))) * qt.n_q) AS approx_cos
         |  FROM codes, qt, nt WHERE qt.query_id != codes.neighbor_id),
         |cand AS (SELECT query_id, neighbor_id FROM (
         |  SELECT query_id, neighbor_id,
         |         row_number() OVER (PARTITION BY query_id
         |           ORDER BY approx_cos DESC, neighbor_id) AS crank
-        |  FROM scored) WHERE crank <= 80)
+        |  FROM scored) WHERE crank <= ${GateK * PqRerank})
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (
         |  SELECT cand.query_id, cand.neighbor_id,
@@ -652,7 +706,7 @@ object Similarity {
         |                    cand.neighbor_id) AS rank
         |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
         |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
     "sim_threshold_join" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |       round(list_cosine_similarity(

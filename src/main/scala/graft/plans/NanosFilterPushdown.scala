@@ -142,7 +142,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def register(e: SparkSessionExtensions, name: String, arity: Int,
       usage: String)(build: Seq[Expression] => Expression): Unit =
     e.injectFunction((FunctionIdentifier(name),
-      new ExpressionInfo("graft.functions", name, usage),
+      // 3-arg ExpressionInfo is (className, db, name) — passing usage
+      // there would corrupt the registered identity; the long form
+      // carries usage in its proper slot
+      new ExpressionInfo("graft.functions", null, name, usage,
+        "", "", "", "", "", "", "built-in"),
       (args: Seq[Expression]) => {
         require(args.length == arity, s"$name expects $arity arguments")
         build(args)

@@ -249,6 +249,36 @@ object StreamingQueries {
       spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
+  /** Replay through a COMPLETE-mode memory sink. Complete semantics
+    * REPLACE the whole result every micro-batch, which is the only
+    * sink shape that is correct for session windows across batches:
+    * a session that absorbs another (or whose start shifts left under
+    * an in-watermark out-of-order row) changes its key, and an upsert
+    * sink would keep the superseded row forever — a truncating sink
+    * cannot. (The PK-upsert replay stays the right harness for the
+    * stable-key update-mode queries q1–q4.)
+    */
+  def replayComplete(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val src = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"replay_complete_${replaySeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // see replay()
+    val q =
+      try build(src).writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect().toSeq // verification-sized final state
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
   /** Streaming queries surfaced at the correctness gate. Each shares
     * its batch twin's DuckDB oracle — the gate itself asserts
     * stream ≡ batch.
@@ -263,12 +293,11 @@ object StreamingQueries {
     "stream_q4_channel_gmv" -> ((s, d) =>
       replay(s, d, q4ChannelGmv, Seq("channel_id")).orderBy(col("channel_id"))),
     // session_window disallows update mode (merging sessions have no
-    // stable key); complete mode re-emits all sessions each batch and
-    // the PK upsert sink keeps the final state — keyed by
-    // (user, session_start), the stable key of a CLOSED session.
+    // stable key), and an upsert sink would keep superseded session
+    // rows if a merge ever changed a key across batches — so this
+    // replay goes through the truncating complete-mode sink.
     "stream_sessions_user" -> ((s, d) =>
-      replay(s, d, qSessions, Seq("user_id", "session_start"),
-        outputMode = "complete")
+      replayComplete(s, d, qSessions)
         .orderBy(col("user_id"), col("session_start")))
   )
 

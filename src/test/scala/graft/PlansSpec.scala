@@ -98,6 +98,18 @@ class PlansSpec extends AnyFunSuite {
       s"sub-block keys missing from the join:\n$plan")
   }
 
+  test("injected SQL functions carry proper identity and usage in the catalog") {
+    val desc = spark.sql("DESCRIBE FUNCTION EXTENDED simhash64")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(desc.contains("Function: simhash64"),
+      s"function name corrupted in catalog:\n$desc")
+    assert(desc.contains("64-bit SimHash"), s"usage missing:\n$desc")
+    // and it evaluates through SQL text
+    val sig = spark.sql("SELECT simhash64(array('a','b')) AS s").collect()(0).getLong(0)
+    val sig2 = spark.sql("SELECT simhash64(array('a','b')) AS s").collect()(0).getLong(0)
+    assert(sig === sig2)
+  }
+
   test("bucketed range join is an equi-join on time buckets, not a nested loop") {
     val plan = graft.queries.ExtraQueries.spikeWindowStats(spark, dir)
       .queryExecution.executedPlan.toString
