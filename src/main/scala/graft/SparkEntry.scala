@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{DataQuality, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, DataQuality, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
 import graft.gen.OrderGen
 import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -79,7 +79,7 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
-      DataQuality.queries ++ Layout.queries +
+      DataQuality.queries ++ Layout.queries ++ Curation.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,7 +89,7 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
-      DataQuality.oracles ++ Layout.oracles +
+      DataQuality.oracles ++ Layout.oracles ++ Curation.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

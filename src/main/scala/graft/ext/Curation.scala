@@ -1,0 +1,97 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** The end-to-end training-data curation pipeline — the use case the
+  * engine's operators exist to compose:
+  *
+  *  1. quality gate ([[TextAnalysis.qualityScore]] ≥ `qualityMin`);
+  *  2. exact dedup (min doc id per distinct text, [[Dedup.exact]]'s
+  *     grouping);
+  *  3. near-dup clustering over the survivors
+  *     ([[Dedup.jaccardPairsBySource]] → [[Dedup.connectedComponents]]);
+  *  4. representative selection (keep each component's min doc id,
+  *     drop the rest).
+  *
+  * Every stage is the already-gated operator, composed as one lazy
+  * DataFrame plan (only the component loop materializes
+  * intermediates); the DuckDB oracle chains the same stages in SQL —
+  * quality formula text reused verbatim for bit parity, components
+  * via recursive CTE.
+  *
+  * At 100 TB the composition inherits each stage's scale shape:
+  * narrow quality scan → hash-shuffle dedup on (hash,text) →
+  * triangle-sub-blocked pair join → 16-byte/edge component rounds —
+  * no stage joins documents against documents unkeyed.
+  */
+object Curation {
+
+  def curate(docs: DataFrame, qualityMin: Long = 5000,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val pass = docs.join(
+      TextAnalysis.qualityScore(docs)
+        .filter(col("quality_x10k") >= qualityMin).select("doc_id"),
+      "doc_id")
+    val kept = pass.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kd = docs.join(kept, "doc_id")
+    val dropList = Dedup.connectedComponents(
+        Dedup.jaccardPairsBySource(kd, jaccardThreshold), "doc_a", "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    kd.join(dropList, Seq("doc_id"), "left_anti")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_curated"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d)))
+  )
+
+  /** The composed oracle: quality CTE is [[TextAnalysis]]'s gated SQL
+    * verbatim (bit parity), then exact dedup, the unigram-Jaccard
+    * pair join over survivors, component closure (recursive CTE), and
+    * representative selection.
+    */
+  val oracles: Map[String, String] = Map(
+    "curate_corpus" -> {
+      val qualitySql = TextAnalysis.oracles("text_quality")
+        .replace(" ORDER BY doc_id", "")
+      s"""WITH RECURSIVE
+         |q AS ($qualitySql),
+         |pass AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
+         |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
+         |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |       JOIN kept k ON k.doc_id = d.doc_id),
+         |t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |  FROM kd),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+         |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |curated AS (
+         |  SELECT kd.* FROM kd
+         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+         |    ON kd.doc_id = dl.node
+         |  WHERE dl.node IS NULL)
+         |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
+         |FROM curated GROUP BY source ORDER BY source""".stripMargin
+    }
+  )
+}

@@ -251,6 +251,40 @@ class ExtSpec extends AnyFunSuite {
       "all chain nodes must collapse to component 0")
   }
 
+  test("curation pipeline: quality gate, exact dedup, near-dup components, representative pick") {
+    import spark.implicits._
+    import graft.ext.Curation
+    // s1: docs 1,2 exact dups; doc 3 near-dup of 1 (unigram jaccard
+    // 3/5 = 0.6, exactly at threshold); doc 4 distinct.
+    // s2: two dissimilar docs. qualityMin=0 disables the quality gate
+    // so the dedup stages are isolated.
+    val docs = Seq(
+      (1L, "s1", "alpha beta gamma delta"),
+      (2L, "s1", "alpha beta gamma delta"),
+      (3L, "s1", "alpha beta gamma epsilon"),
+      (4L, "s1", "zeta eta theta iota"),
+      (5L, "s2", "one two three"),
+      (6L, "s2", "four five six")
+    ).toDF("doc_id", "source", "text")
+    val out = Curation.curate(docs, qualityMin = 0L, jaccardThreshold = 0.6)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq === Seq(("s1", 2L, 1L), ("s2", 2L, 5L)),
+      "exact dup 2 and near-dup 3 drop; representatives are min ids")
+  }
+
+  test("curation invariants on the real corpus: counts bounded by each stage's survivors") {
+    import graft.ext.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val curated = Curation.curate(docs)
+      .agg(sum(col("n_curated"))).collect()(0).getLong(0)
+    val qualityPass = TextAnalysis.qualityScore(docs)
+      .filter(col("quality_x10k") >= 5000).count()
+    val distinctTexts = docs.select("text").distinct().count()
+    assert(curated > 0, "pipeline must keep a non-trivial corpus")
+    assert(curated <= qualityPass, "can't keep more than pass the quality gate")
+    assert(curated <= distinctTexts, "exact dedup bound")
+  }
+
   test("layout upsert overwrites only the touched partition, byte-identical elsewhere") {
     import graft.ext.Layout
     val docs = Tables.documents(spark, dir)
