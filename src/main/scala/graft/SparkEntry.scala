@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Curation, DataQuality, Dedup, Layout, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Curation, DataQuality, Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.gen.OrderGen
 import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -51,6 +51,9 @@ object SparkEntry {
     Map(
       "gen_orders" -> ((s, _) =>
         OrderGen.decodeJson(OrderGen.ordersJson(s, 100000L))),
+      "sample_buckets" -> ((s, d) =>
+        Tables.documents(s, d).select(col("doc_id"),
+          Sampling.bucket(col("doc_id"), 7L).as("bucket"))),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
@@ -79,7 +82,8 @@ object SparkEntry {
       TextAnalysis.queries ++ Dedup.queries ++ Similarity.queries ++
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
-      DataQuality.queries ++ Layout.queries ++ Curation.queries +
+      DataQuality.queries ++ Layout.queries ++ Curation.queries ++
+      Sampling.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -89,7 +93,8 @@ object SparkEntry {
       TextAnalysis.oracles ++ Dedup.oracles ++ Similarity.oracles ++
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
-      DataQuality.oracles ++ Layout.oracles ++ Curation.oracles +
+      DataQuality.oracles ++ Layout.oracles ++ Curation.oracles ++
+      Sampling.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

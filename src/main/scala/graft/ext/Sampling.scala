@@ -1,0 +1,140 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Deterministic sampling and corpus mixing — the selection ops a
+  * training-data pipeline runs after curation: hold-out carving,
+  * per-stratum downsampling, and re-weighting a mixed corpus to
+  * target source proportions.
+  *
+  * Selection is HASH-Bernoulli, never `rand()`/`TABLESAMPLE`: a doc
+  * is kept iff `xxhash64(seed, key) mod 1e6 < rate·1e6`. That makes
+  * the sample a pure function of the key — reproducible across runs,
+  * cluster sizes, partitionings, and re-ingests (re-running a 100 TB
+  * sample after appending a shard re-selects exactly the old rows
+  * plus a proportional slice of the new ones). It is also fully
+  * narrow: no shuffle, no state, evaluated inside the scan's codegen
+  * stage, so sampling 100 TB costs one pass.
+  *
+  * DuckDB oracles consume the Verify-materialized `(doc_id, bucket)`
+  * aux (the same [[bucket]] expression the gates filter on — DuckDB
+  * has no xxhash64) and re-run the selection arithmetic in SQL;
+  * data-derived mix rates are compared UNROUNDED in both engines on
+  * the bit-identical doubles the shared integer inputs produce.
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  /** Uniform bucket in [0, 1e6) — a pure function of (seed, key). */
+  def bucket(key: Column, seed: Long): Column =
+    pmod(xxhash64(lit(seed), key), lit(Buckets))
+
+  /** Bernoulli sample at `rate` — keeps iff bucket < rate·1e6. */
+  def hashSample(df: DataFrame, keyCol: String, rate: Double,
+      seed: Long = 7L): DataFrame =
+    df.filter(bucket(col(keyCol), seed) < lit((rate * Buckets).toLong))
+
+  /** Per-stratum rates (e.g. lang → rate), `defaultRate` elsewhere. */
+  def stratifiedSample(df: DataFrame, keyCol: String, stratumCol: String,
+      rates: Seq[(String, Double)], defaultRate: Double,
+      seed: Long = 7L): DataFrame = {
+    val threshold = rates.foldRight(lit((defaultRate * Buckets).toLong)) {
+      case ((stratum, r), other) =>
+        when(col(stratumCol) === stratum, lit((r * Buckets).toLong))
+          .otherwise(other)
+    }
+    df.filter(bucket(col(keyCol), seed) < threshold)
+  }
+
+  /** Downsample-only corpus mixing: given target weights `w_s`, keep
+    * each source at rate `w_s·T / n_s` where `T = min_s(n_s / w_s)` —
+    * the largest total for which every source can meet its target
+    * share without upsampling. Realized proportions then equal the
+    * normalized weights (up to Bernoulli noise).
+    *
+    * The rate derivation is a groupBy over the corpus reduced to one
+    * tiny (source, n, keep) frame — the empty-window global min and
+    * the broadcast join back are on |sources| rows, so the whole op
+    * costs one count-scan plus one narrow filtered scan at 100 TB.
+    */
+  def mixCorpus(docs: DataFrame, weights: Seq[(String, Double)],
+      sourceCol: String = "source", keyCol: String = "doc_id",
+      seed: Long = 7L): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val w = weights.toDF(sourceCol, "wt")
+    val keep = docs.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .join(w, sourceCol)
+      .withColumn("t", min(col("n") / col("wt")).over(Window.partitionBy()))
+      .withColumn("keep", least(lit(1.0), col("wt") * col("t") / col("n")))
+      .select(col(sourceCol), col("keep"))
+    docs.join(broadcast(keep), sourceCol)
+      .filter(bucket(col(keyCol), seed).cast("double") <
+        col("keep") * lit(Buckets.toDouble))
+      .drop("keep")
+  }
+
+  // -------------------------------------------------------- gate wiring
+
+  /** Weight for srcN = 1 + (N mod 5): rates 0.2/0.4/0.6/0.8/1.0 over
+    * the uniform test sources — a realistic 5-tier mix.
+    */
+  val MixWeights: Seq[(String, Double)] =
+    (0 until 20).map(i => s"src$i" -> (1.0 + i % 5))
+
+  val LangRates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.1)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_hash" -> ((s, d) =>
+      hashSample(Tables.documents(s, d), "doc_id", 0.25)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    "sample_stratified" -> ((s, d) =>
+      stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
+        LangRates, defaultRate = 0.25)
+        .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "sample_mix" -> ((s, d) =>
+      mixCorpus(Tables.documents(s, d), MixWeights)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("source")))
+  )
+
+  private val bucketsAux =
+    "SELECT doc_id, bucket FROM read_parquet('__OUTDIR__/.aux/sample_buckets/*.parquet')"
+
+  val oracles: Map[String, String] = Map(
+    "sample_hash" ->
+      s"""SELECT d.doc_id, d.source
+         |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |WHERE b.bucket < 250000 ORDER BY d.doc_id""".stripMargin,
+    "sample_stratified" ->
+      s"""SELECT d.doc_id, d.lang
+         |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |WHERE b.bucket < CASE d.lang WHEN 'en' THEN 500000
+         |                             WHEN 'zh' THEN 100000
+         |                             ELSE 250000 END
+         |ORDER BY d.doc_id""".stripMargin,
+    "sample_mix" -> {
+      val values = MixWeights
+        .map { case (s, w) => s"('$s', ${w.toDouble})" }.mkString(", ")
+      s"""WITH w(source, wt) AS (VALUES $values),
+         |c AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+         |r AS (SELECT c.source, wt, n, min(n / wt) OVER () AS t
+         |      FROM c JOIN w USING (source)),
+         |k AS (SELECT source, least(1.0, wt * t / n) AS keep FROM r),
+         |s AS (SELECT d.doc_id, d.source
+         |      FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |      JOIN k USING (source)
+         |      WHERE b.bucket < k.keep * 1000000.0)
+         |SELECT source, count(*) AS n_kept, min(doc_id) AS first_doc,
+         |       max(doc_id) AS last_doc
+         |FROM s GROUP BY source ORDER BY source""".stripMargin
+    }
+  )
+}

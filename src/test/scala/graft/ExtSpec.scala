@@ -251,6 +251,38 @@ class ExtSpec extends AnyFunSuite {
       "all chain nodes must collapse to component 0")
   }
 
+  test("hash sampling: deterministic, partition-invariant, monotone in rate, unbiased") {
+    import graft.ext.Sampling
+    val df = spark.range(100000L).toDF("doc_id")
+    val a = Sampling.hashSample(df, "doc_id", 0.25)
+    // partitioning must not change membership (the 100 TB reproducibility claim)
+    val b = Sampling.hashSample(df.repartition(17), "doc_id", 0.25)
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0)
+    // nested rates: same seed ⇒ sample(0.1) ⊆ sample(0.3)
+    val s01 = Sampling.hashSample(df, "doc_id", 0.1)
+    assert(s01.exceptAll(Sampling.hashSample(df, "doc_id", 0.3)).count() === 0)
+    // realized rate within 4σ of Bernoulli expectation
+    val n = a.count().toDouble
+    assert(math.abs(n / 100000.0 - 0.25) < 4 * math.sqrt(0.25 * 0.75 / 100000.0))
+  }
+
+  test("corpus mixing realizes target source proportions (downsample-only)") {
+    import graft.ext.Sampling
+    // skewed corpus: 70k/20k/10k docs; weights 1/1/2 ⇒ T = min(n/w) =
+    // 10k/2 = 5k ⇒ expected kept = w·T = 5k/5k/10k... except c is
+    // capped at its own 10k (keep=1.0): expected 5k/5k/10k
+    val df = spark.range(100000L).toDF("doc_id")
+      .withColumn("source",
+        when(col("doc_id") % 10 < 7, "a")
+          .when(col("doc_id") % 10 < 9, "b").otherwise("c"))
+    val kept = Sampling.mixCorpus(df, Seq("a" -> 1.0, "b" -> 1.0, "c" -> 2.0))
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(kept("a") - 5000.0) < 300, s"a: ${kept("a")}")
+    assert(math.abs(kept("b") - 5000.0) < 300, s"b: ${kept("b")}")
+    assert(kept("c") === 10000L, "the binding source is kept whole")
+  }
+
   test("curation pipeline: quality gate, exact dedup, near-dup components, representative pick") {
     import spark.implicits._
     import graft.ext.Curation
