@@ -11,7 +11,12 @@ object Verify {
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Dev aid (same contract as Bench): SPARK_GRAFT_ONLY=a,b restricts
+    // the dump AND the emitted oracle_sql.json to matching queries for
+    // single-query iteration; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def selected(name: String) = only.forall(_.exists(name.contains))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -26,7 +31,7 @@ object Verify {
     // nested one inside gen_orders_rollup/ and the gate's recursive
     // read counted the 100k aux rows as query output). Oracles
     // reference them via the __OUTDIR__ placeholder.
-    SparkEntry.aux.foreach { case (name, fn) =>
+    SparkEntry.aux.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/.aux/$name")
       catch { case e: Throwable =>
@@ -45,7 +50,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => selected(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

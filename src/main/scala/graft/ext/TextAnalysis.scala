@@ -111,6 +111,52 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
 
+  /** Top-k salient terms per language — TF-IDF-style keyword
+    * extraction over the corpus.
+    *
+    * Dataflow (the classic distributed wordcount family):
+    *   1. explode tokens → (doc_id, lang, term); narrow.
+    *   2. `tf(lang, term)` = occurrence count — one shuffle on
+    *      (lang, term), partial aggregation map-side.
+    *   3. `df(term)` = # distinct docs containing term — distinct on
+    *      (doc_id, term) then count; shares the exploded frame.
+    *   4. N (corpus size) joined in as a broadcast 1-row frame — no
+    *      driver-side `count()` action.
+    *   5. df-band filter (`2 ≤ df` and `df ≤ 80% of N`): drops
+    *      hapax noise and corpus-wide stopwords — the integer-only
+    *      stand-in for an idf cutoff.
+    *   6. rank = row_number over (lang / tf desc, term asc): the
+    *      ordering key is integers+strings only, so ranking is
+    *      deterministic; the tfidf VALUE (`tf · ln(N/df)`, rounded)
+    *      is carried as a reported column, never as a sort key.
+    *
+    * At 100 TB: steps 2–3 are the only shuffles, both combiner-style;
+    * the per-lang top-k window sees only distinct (lang, term) rows
+    * (≪ corpus); no driver materialization anywhere.
+    */
+  def topTerms(docs: DataFrame, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val exploded = docs
+      .select(col("doc_id"), col("lang"),
+        explode(filter(tokens(col("text")), t => length(t) >= 2)).as("term"))
+    val tf = exploded.groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = exploded.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val ranked = tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .filter(col("df") >= 2 && col("df") * 5 <= col("n_docs") * 4)
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 2))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("lang"))
+          .orderBy(col("tf").desc, col("term").asc)))
+    ranked.filter(col("rank") <= k)
+      .select(col("lang"), col("rank"), col("term"), col("tf"), col("df"),
+        col("tfidf"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Per-language corpus stats via the typed
@@ -138,7 +184,9 @@ object TextAnalysis {
     "text_quality" -> ((s, d) =>
       qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
-      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id")))
+      fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_top_terms" -> ((s, d) =>
+      topTerms(Tables.documents(s, d)).orderBy(col("lang"), col("rank")))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -190,6 +238,22 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin
     },
     "text_fingerprint" ->
-      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id"
+      "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
+    "text_top_terms" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, lang, unnest($sqlToks) AS term FROM documents),
+         |t AS (SELECT * FROM toks WHERE length(term) >= 2),
+         |tf AS (SELECT lang, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY 1),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |ranked AS (
+         |  SELECT tf.lang, tf.term, tf.tf, df.df,
+         |         round(tf.tf * ln(n.n_docs * 1.0 / df.df), 2) AS tfidf,
+         |         CAST(row_number() OVER (PARTITION BY tf.lang
+         |              ORDER BY tf.tf DESC, tf.term ASC) AS INTEGER) AS rank
+         |  FROM tf JOIN df USING (term) CROSS JOIN n
+         |  WHERE df.df >= 2 AND df.df * 5 <= n.n_docs * 4)
+         |SELECT lang, rank, term, tf, df, tfidf
+         |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin
   )
 }
