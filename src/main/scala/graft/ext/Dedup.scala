@@ -431,6 +431,34 @@ object Dedup {
     connectedComponents(
       jaccardPairsBySource(docs, threshold), "doc_a", "doc_b")
 
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token set —
+    * the order-insensitive canonical form between exact-text equality
+    * and shingle similarity (token-shuffled rewrites collide, topic-
+    * shifted docs don't). ASCII+BMP-only tokens sort identically under
+    * Java UTF-16 and the oracle's UTF-8 byte order.
+    */
+  def bagFingerprint(text: Column): Column =
+    md5(array_join(array_sort(array_distinct(tokensNorm(text))), " "))
+
+  /** Incremental dedup — the 100 TB ingest pattern: a new batch
+    * arrives, and only documents whose fingerprint is NOT already in
+    * the historical index survive. Routed through
+    * [[graft.ops.BloomJoin.antiJoin]]: the history fingerprints build
+    * a broadcast Bloom bitmap, definite non-members pass inside the
+    * batch scan's codegen stage with NO join at all, and only the
+    * maybe-member sliver takes the exact anti-join shuffle. At steady
+    * state (most of a fresh crawl is genuinely new) the shuffle
+    * carries a few percent of the batch instead of all of it.
+    */
+  def incrementalDedup(history: DataFrame, batch: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    val fp = bagFingerprint(col(textCol))
+    val hist = history.select(fp.as("fp"))
+    graft.ops.BloomJoin.antiJoin(
+      batch.withColumn("__fp", fp), col("__fp"), hist, col("fp"))
+      .drop("__fp")
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -457,7 +485,17 @@ object Dedup {
     // the similarity threshold join, registered under its dedup role)
     "dedup_embedding_cosine" -> ((s, d) =>
       graft.ext.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
-        .orderBy(col("id_a"), col("id_b")))
+        .orderBy(col("id_a"), col("id_b"))),
+    // incremental ingest: even doc_ids = historical index, odd = the
+    // arriving batch; survivors are batch docs with an unseen
+    // bag-of-words fingerprint
+    "dedup_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      incrementalDedup(docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1))
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    })
   )
 
   /** The simhash oracle re-runs the 64-bit bit-vote in SQL from the
@@ -573,6 +611,18 @@ object Dedup {
         |FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
         |WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
         |      len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6
-        |ORDER BY doc_a, doc_b""".stripMargin
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    // the oracle ignores the bloom mechanics entirely: survivors are
+    // exactly the batch docs whose fingerprint is absent from history
+    "dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, source FROM f b
+        |WHERE b.doc_id % 2 = 1
+        |  AND b.fp NOT IN (SELECT fp FROM f h WHERE h.doc_id % 2 = 0)
+        |ORDER BY doc_id""".stripMargin
   )
 }

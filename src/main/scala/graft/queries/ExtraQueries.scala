@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, RangeJoin}
+import graft.ops.{AsOfJoin, BloomJoin, RangeJoin}
 import graft.sources.Tables
 
 /** Remaining engine-surface operators: as-of join (composed — see
@@ -69,11 +69,32 @@ object ExtraQueries {
       .orderBy(col("spike_id"))
   }
 
+  /** Revenue of line items belonging to top-price orders (>450k, the
+    * ~p95 tail) — a semi join whose large side goes through
+    * [[graft.ops.BloomJoin.semiJoin]]: the hot-order keys build a
+    * 32 KB Bloom bitmap that drops ~95% of lineitem INSIDE the scan,
+    * before the join shuffle; the exact semi join then removes bloom
+    * false positives, so the result is identical to a plain semi
+    * join (the oracle's formulation).
+    */
+  def bloomSemiRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+    BloomJoin.semiJoin(Tables.lineitem(spark, dir), col("l_orderkey"),
+        hot, col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_error" -> (lastErrorAsOf _),
     "cube_type_dow" -> (cubeTypeDow _),
     "props_extract" -> (propsExtract _),
-    "range_join_spikes" -> (spikeWindowStats _)
+    "range_join_spikes" -> (spikeWindowStats _),
+    "bloom_semi_join" -> (bloomSemiRevenue _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +125,13 @@ object ExtraQueries {
         |       round(sum(e.value), 2) AS window_value
         |FROM spikes s JOIN events e
         |  ON e.ts >= s.w_start AND e.ts <= s.w_end
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "bloom_semi_join" ->
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |      (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
