@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, BloomJoin, RangeJoin}
+import graft.ops.{AsOfJoin, BloomJoin, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
 /** Remaining engine-surface operators: as-of join (composed — see
@@ -89,12 +89,53 @@ object ExtraQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** Known event-type domain, pinned: passing explicit pivot values
+    * skips the extra distinct-collect job Spark otherwise runs to
+    * discover them — at 100 TB that job is a full scan.
+    */
+  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Daily event counts pivoted to one column per event type —
+    * `RelationalGroupedDataset.pivot`, which Catalyst compiles to a
+    * single conditional aggregation (one shuffle, same plan shape as
+    * the oracle's FILTER clauses). Missing (day, type) combinations
+    * are 0, not null, matching the conditional-count semantics.
+    */
+  def pivotTypeDaily(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .pivot("event_type", EventTypes)
+      .agg(count(lit(1)))
+      .na.fill(0L, EventTypes)
+      .orderBy(col("date_str"))
+
+  /** Event-to-customer enrichment through the salted join path
+    * ([[graft.ops.SkewJoin]]): events are the large skewed side (a
+    * handful of users dominate a clickstream), the customer dim is
+    * replicated across 8 salt buckets so a hot user's rows spread
+    * over 8 reducers instead of one. Results are salt-invariant —
+    * the gate hash-matches a plain-join oracle.
+    */
+  def skewJoinSegment(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+    SkewJoin.saltedJoin(ev, cust, "user_id", buckets = 8,
+        saltSource = Seq("event_id"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_error" -> (lastErrorAsOf _),
     "cube_type_dow" -> (cubeTypeDow _),
     "props_extract" -> (propsExtract _),
     "range_join_spikes" -> (spikeWindowStats _),
-    "bloom_semi_join" -> (bloomSemiRevenue _)
+    "bloom_semi_join" -> (bloomSemiRevenue _),
+    "pivot_type_daily" -> (pivotTypeDaily _),
+    "skew_join_segment" -> (skewJoinSegment _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -132,6 +173,18 @@ object ExtraQueries {
         |FROM lineitem
         |WHERE l_orderkey IN
         |      (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "pivot_type_daily" -> {
+      val cols = EventTypes.map(t =>
+        s"count(*) FILTER (event_type = '$t') AS \"$t\"").mkString(",\n        |       ")
+      s"""SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+         |       $cols
+         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "skew_join_segment" ->
+      """SELECT c.c_mktsegment, count(*) AS n_events,
+        |       round(sum(e.value), 2) AS total_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

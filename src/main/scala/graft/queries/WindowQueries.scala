@@ -66,11 +66,58 @@ object WindowQueries {
       .agg(countDistinct(col("user_id")).as("exact_uv"))
       .orderBy(col("date_str"))
 
+  /** Time-series gap-fill: per-minute event counts over a DENSE
+    * minute spine covering [min(ts), max(ts)] — missing minutes
+    * appear with n=0 — plus a running cumulative count. The resample
+    * step every monitoring/feature pipeline needs before charting or
+    * diff-ing a series (a groupBy alone silently drops empty
+    * buckets).
+    *
+    * The spine is generated distributed and hierarchically: one row
+    * of day-sequence exploded to days (tiny), then each day exploded
+    * to its minutes — so no single task ever materializes the whole
+    * range, and the spine parallelizes across the day axis at any
+    * scale. The final left join is a broadcast-able tiny-vs-small
+    * join at minute grain; the cumulative sum is a single ordered
+    * window over the spine (minutes are ≪ events — ~0.5M rows per
+    * spine-year — so the one-partition window frame is not the
+    * bottleneck it would be over raw events).
+    */
+  def gapFillMinutes(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(spark, dir)
+    val perMin = ev
+      .groupBy(date_trunc("minute", col("ts")).as("minute"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("day", min(col("ts"))).as("day_lo"),
+      date_trunc("minute", min(col("ts"))).as("lo"),
+      date_trunc("minute", max(col("ts"))).as("hi"))
+    val days = bounds.select(col("lo"), col("hi"),
+      explode(sequence(col("day_lo"), col("hi"), expr("INTERVAL 1 DAY")))
+        .as("day"))
+    val spine = days.select(col("lo"), col("hi"),
+        explode(sequence(col("day"),
+          least(col("hi"), col("day") + expr("INTERVAL 23 HOURS 59 MINUTES")),
+          expr("INTERVAL 1 MINUTE"))).as("minute"))
+      .filter(col("minute") >= col("lo") && col("minute") <= col("hi"))
+      .select(col("minute"))
+    spine.join(perMin, Seq("minute"), "left")
+      .select(col("minute"), coalesce(col("n"), lit(0L)).as("n"))
+      .withColumn("cum_n", sum(col("n")).over(
+        Window.orderBy(col("minute"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(date_format(col("minute"), "yyyy-MM-dd HH:mm").as("minute"),
+        col("n"), col("cum_n"))
+      .orderBy(col("minute"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "win_sliding_counts" -> (slidingCounts _),
     "win_user_sessions" -> (userSessions _),
     "win_approx_daily_uv" -> (approxDailyUv _),
-    "win_exact_daily_uv" -> (exactDailyUv _)
+    "win_exact_daily_uv" -> (exactDailyUv _),
+    "ts_gapfill" -> (gapFillMinutes _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -105,6 +152,20 @@ object WindowQueries {
         |       count(*) AS n_events,
         |       round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "ts_gapfill" ->
+      """WITH b AS (SELECT date_trunc('minute', min(ts)) AS lo,
+        |                  date_trunc('minute', max(ts)) AS hi FROM events),
+        |spine AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+        |          FROM b),
+        |pm AS (SELECT date_trunc('minute', ts) AS minute, count(*) AS n
+        |       FROM events GROUP BY 1)
+        |SELECT strftime(s.minute, '%Y-%m-%d %H:%M') AS minute,
+        |       coalesce(pm.n, 0) AS n,
+        |       CAST(sum(coalesce(pm.n, 0)) OVER
+        |            (ORDER BY s.minute ROWS BETWEEN UNBOUNDED PRECEDING
+        |             AND CURRENT ROW) AS BIGINT) AS cum_n
+        |FROM spine s LEFT JOIN pm USING (minute)
+        |ORDER BY minute""".stripMargin
   )
 }

@@ -72,4 +72,47 @@ class QueriesSpec extends AnyFunSuite {
   test("entry flagship query returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("gap-fill spine is dense, cumulative is monotone, and totals match") {
+    import org.apache.spark.sql.functions._
+    val gf = graft.queries.WindowQueries.gapFillMinutes(spark, dir)
+    val rows = gf.collect()
+    val ev = graft.sources.Tables.events(spark, dir)
+    // total of per-minute counts == total events; last cum == total
+    assert(rows.map(_.getAs[Long]("n")).sum === ev.count())
+    assert(rows.last.getAs[Long]("cum_n") === ev.count())
+    // dense: row count == minutes between min and max inclusive
+    val b = ev.agg(
+      (floor(unix_timestamp(max(col("ts"))) / 60) -
+        floor(unix_timestamp(min(col("ts"))) / 60) + 1).as("mins"))
+      .collect()(0).getAs[Long]("mins")
+    assert(rows.length.toLong === b)
+    // monotone non-decreasing cumulative
+    val cums = rows.map(_.getAs[Long]("cum_n"))
+    assert(cums.zip(cums.tail).forall { case (a, c) => c >= a })
+  }
+
+  test("pivot row sums equal unpivoted daily counts") {
+    import org.apache.spark.sql.functions._
+    val p = graft.queries.ExtraQueries.pivotTypeDaily(spark, dir)
+    val rowSum = graft.queries.ExtraQueries.EventTypes
+      .map(col).reduce(_ + _)
+    val daily = graft.sources.Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(count(lit(1)).as("n"))
+    assert(p.withColumn("s", rowSum).join(daily, "date_str")
+      .filter(col("s") =!= col("n")).count() === 0)
+  }
+
+  test("salted join result is identical to the plain join") {
+    import org.apache.spark.sql.functions._
+    val viaSalt = graft.queries.ExtraQueries.skewJoinSegment(spark, dir)
+    val plain = graft.sources.Tables.events(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir),
+        col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+    assert(viaSalt.except(plain).isEmpty && plain.except(viaSalt).isEmpty)
+  }
 }
