@@ -12,22 +12,44 @@ import graft.functions.BloomFilter
   *
   * Why not just join: at 100 TB a left-semi join shuffles every large-
   * side row on the key even though only a few percent survive. The
-  * bloom bitmap (KBs–MBs) broadcasts to every task and eliminates
-  * non-matching rows inside the scan's codegen stage, so the shuffle
-  * carries ~(selectivity + fp_rate) of the input instead of all of it.
+  * bloom bitmap eliminates non-matching rows inside the scan's
+  * codegen stage, so the shuffle carries ~(selectivity + fp_rate) of
+  * the input instead of all of it.
+  *
+  * The bitmap is built DISTRIBUTED (partial bitmaps OR-merged), then
+  * the single final bitmap (numBits/8 bytes — 32 KB at the default
+  * size) is materialized on the driver and injected into the probe
+  * side as a LITERAL array. That is deliberate, and it is what
+  * Spark's own AQE runtime bloom filter does with its subquery
+  * result: a literal probe is a plain `Filter` directly above the
+  * scan, so its position is guaranteed. The first implementation
+  * instead cross-joined a broadcast 1-row bitmap frame — Catalyst
+  * floated that cross join ABOVE the semi join, running the
+  * expensive join first and the "prefilter" after it (visible in the
+  * physical plan as BroadcastNestedLoopJoin over the join output).
+  * Collecting one fixed-size bitmap row is NOT a driver-side data
+  * loop: the driver never sees keys, only the OR of the partials.
   *
   * Semi: prefilter keeps maybe-members, the real semi join then
   * removes bloom false positives → result ≡ plain semi join.
   * Anti: rows the bloom rejects are DEFINITELY absent from the small
   * side (no false negatives) → emit directly, no join; only maybe-
   * members go through the exact anti join → result ≡ plain anti join.
-  * The anti path reads the large side twice (both passes narrow);
-  * persist upstream if the scan dominates.
   */
 object BloomJoin {
 
   val DefaultBits = 1 << 18 // 32 KB bitmap — ~24 bits/key at 10k keys
   val DefaultHashes = 5
+
+  /** Distributed build, then the one-row bitmap as a literal Column.
+    * Forces the build job eagerly (one aggregation over `small`).
+    */
+  def bitmapLiteral(small: DataFrame, smallKey: Column,
+      numBits: Int = DefaultBits, numHashes: Int = DefaultHashes): Column = {
+    val row = BloomFilter.build(small, Seq(smallKey), numBits, numHashes)
+      .collect()(0)
+    typedlit[Seq[Long]](row.getAs[scala.collection.Seq[Long]]("bloom").toSeq)
+  }
 
   /** `large` rows whose `largeKey` appears in `small.smallKey`
     * (left-semi), bloom-prefiltered. Column sets of `large` pass
@@ -36,30 +58,27 @@ object BloomJoin {
   def semiJoin(large: DataFrame, largeKey: Column, small: DataFrame,
       smallKey: Column, numBits: Int = DefaultBits,
       numHashes: Int = DefaultHashes): DataFrame = {
-    val bloom = BloomFilter.build(small, Seq(smallKey), numBits, numHashes)
+    val bloom = bitmapLiteral(small, smallKey, numBits, numHashes)
     val keys = small.select(smallKey.as("__k")).distinct()
     large
-      .crossJoin(broadcast(bloom))
-      .filter(BloomFilter.mightContain(col("bloom"), Seq(largeKey), numBits, numHashes))
-      .drop("bloom")
+      .filter(BloomFilter.mightContain(bloom, Seq(largeKey), numBits, numHashes))
       .join(keys, largeKey === col("__k"), "left_semi")
   }
 
   /** `large` rows whose `largeKey` does NOT appear in
     * `small.smallKey` (left-anti), bloom-accelerated: definite
-    * non-members skip the join entirely.
+    * non-members skip the join entirely. The large side is read
+    * twice (both passes narrow scan+filter); persist upstream if the
+    * scan dominates.
     */
   def antiJoin(large: DataFrame, largeKey: Column, small: DataFrame,
       smallKey: Column, numBits: Int = DefaultBits,
       numHashes: Int = DefaultHashes): DataFrame = {
-    val bloom = BloomFilter.build(small, Seq(smallKey), numBits, numHashes)
+    val bloom = bitmapLiteral(small, smallKey, numBits, numHashes)
     val keys = small.select(smallKey.as("__k")).distinct()
-    val withFlag = large.crossJoin(broadcast(bloom))
-      .withColumn("__maybe",
-        BloomFilter.mightContain(col("bloom"), Seq(largeKey), numBits, numHashes))
-      .drop("bloom")
-    val certainNew = withFlag.filter(!col("__maybe")).drop("__maybe")
-    val checked = withFlag.filter(col("__maybe")).drop("__maybe")
+    val maybe = BloomFilter.mightContain(bloom, Seq(largeKey), numBits, numHashes)
+    val certainNew = large.filter(!maybe)
+    val checked = large.filter(maybe)
       .join(keys, largeKey === col("__k"), "left_anti")
     certainNew.unionByName(checked)
   }

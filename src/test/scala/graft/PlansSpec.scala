@@ -118,6 +118,33 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("__b"), s"bucket key missing from the join:\n$plan")
   }
 
+  test("bloom semi join: probe is a literal filter below the join; prefilter is selective") {
+    val plan = graft.queries.ExtraQueries.bloomSemiRevenue(spark, dir)
+      .queryExecution.executedPlan.toString
+    // the probe must appear as a bit_get filter expression (pure
+    // built-ins, not a UDF) in the large side's plan
+    assert(plan.contains("bit_get"), s"bloom probe missing from plan:\n$plan")
+    // the literal-bitmap form must NOT reintroduce the cross join the
+    // broadcast-frame form suffered (Catalyst floated it above the
+    // semi join, running the prefilter after the join)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"bitmap joined instead of inlined:\n$plan")
+    // prefilter selectivity: maybe-members ≈ true members + fp sliver
+    val li = Tables.lineitem(spark, dir)
+    val hot = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 450000.0).select(col("o_orderkey"))
+    val bloom = graft.ops.BloomJoin.bitmapLiteral(hot, col("o_orderkey"))
+    val maybe = li.filter(graft.functions.BloomFilter.mightContain(bloom,
+        Seq(col("l_orderkey")), graft.ops.BloomJoin.DefaultBits,
+        graft.ops.BloomJoin.DefaultHashes))
+      .count()
+    val exact = li.join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi").count()
+    val total = li.count()
+    assert(maybe < total / 2,
+      s"bloom prefilter not selective: $maybe of $total rows survive")
+    assert(maybe >= exact, "bloom dropped a true member (false negative)")
+  }
+
   test("partitioned layout: scan prunes to the matching partition directory") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_layout_plan").toString
     graft.ext.Layout.writePartitioned(Tables.documents(spark, dir), tmp,
