@@ -117,6 +117,42 @@ object ScaleRehearsal {
     }
     report("components_2m_edges_100k_chain", nEdges, ccSec, ccRows)
 
+    // --- incremental-dedup anti join: 20M-row batch, 5% seen before ---
+    // Both baselines, recorded honestly: vs a 1M-key history Spark
+    // broadcasts and the plain anti join never shuffles (bloom cannot
+    // help); vs a 5M-key history the plain join is an SMJ. Measured
+    // conclusion (BASELINE.md): on local[32] the 20M-row shuffle of
+    // narrow lz4-friendly rows costs ≈1 probe pass, so the bloom
+    // path's extra passes + bitmap build dominate and PLAIN WINS at
+    // every local shape — the prefilter's win condition is a
+    // network-shuffle-bound cluster (wide/incompressible rows, batch
+    // ≫ history ≫ broadcast threshold). The rehearsal pins the
+    // equivalence (identical survivor counts) and the cost anatomy
+    // rather than a staged victory.
+    val nBatch = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BATCH", "20000000").toLong
+    val batch = spark.range(nBatch).select(col("id").as("k"),
+      (col("id") * 37L % 1000L).as("payload"))
+    val hist1m = spark.range(nBatch / 20).select((col("id") * 20L).as("k"))
+    val hist5m = spark.range(nBatch / 4).select((col("id") * 4L).as("k"))
+    val (bcastSec, bcastRows) = time {
+      batch.join(hist1m, Seq("k"), "left_anti")
+        .queryExecution.toRdd.count()
+    }
+    report("anti_join_plain_broadcast_20m", nBatch, bcastSec, bcastRows)
+    val (smjSec, smjRows) = time {
+      batch.join(hist5m, Seq("k"), "left_anti")
+        .queryExecution.toRdd.count()
+    }
+    report("anti_join_plain_smj_20m", nBatch, smjSec, smjRows)
+    val (bloomSec, bloomRows) = time {
+      graft.ops.BloomJoin.antiJoin(batch, col("k"), hist5m, col("k"),
+          numBits = 1 << 26, numHashes = 5)
+        .queryExecution.toRdd.count()
+    }
+    report("anti_join_bloom_20m", nBatch, bloomSec, bloomRows)
+    require(smjRows == bloomRows,
+      s"bloom anti join diverged: $bloomRows vs $smjRows")
+
     spark.stop()
   }
 }

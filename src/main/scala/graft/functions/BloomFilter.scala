@@ -5,37 +5,46 @@ import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Distributed Bloom filter: build as a typed `Aggregator` (partial
-  * bitmaps OR-merged map-side, so the shuffle carries one
-  * `numBits/8`-byte buffer per partition, never keys), probe as a
-  * pure built-in column expression (`pmod`/`element_at`/`bit_get` —
-  * codegen'd, no UDF on the 100 TB side).
+/** Distributed cache-line-blocked Bloom filter: build as a typed
+  * `Aggregator` (partial bitmaps OR-merged map-side, so the shuffle
+  * carries one `numBits/8`-byte buffer per partition, never keys),
+  * probe as a pure built-in column expression (`pmod`/`element_at`/
+  * `bit_get`/`shiftrightunsigned` — codegen'd, no UDF on the 100 TB
+  * side).
   *
   * This is the engine's runtime-filter primitive: build a filter over
-  * a small join side, broadcast the one-row bitmap, and pre-filter
-  * the large side BEFORE its shuffle — the pattern behind
-  * [[graft.ops.BloomJoin]]'s semi/anti joins (and what Spark's AQE
-  * `runtimeFilter` does internally for eligible equi-joins; here it
-  * is a first-class operator the pipeline can apply to any key
-  * expression, including fingerprints that only exist as derived
-  * columns).
+  * a small join side and pre-filter the large side BEFORE its shuffle
+  * — the pattern behind [[graft.ops.BloomJoin]]'s semi/anti joins
+  * (and what Spark's AQE `runtimeFilter` does internally for eligible
+  * equi-joins; here it is a first-class operator the pipeline can
+  * apply to any key expression, including derived fingerprints).
   *
-  * Hashing: double hashing `pos_i = (h1 + i·h2) mod numBits` (Kirsch–
-  * Mitzenmacher), with `h1 = xxhash64(keys)` and `h2 = xxhash64(SALT,
-  * keys)` computed BY SPARK on both build and probe side — the
-  * aggregator receives the two hashes as its input, so the JVM code
-  * never re-implements the hash and build/probe cannot drift.
-  * Both hashes are reduced mod `numBits` BEFORE combining —
-  * `(h1 + i·h2) mod m ≡ ((h1 mod m) + i·(h2 mod m)) mod m` — so the
-  * arithmetic never exceeds `(numHashes+1)·numBits` and cannot
-  * overflow under ANSI mode (Spark 4 default throws on Long
-  * overflow rather than wrapping); JVM `floorMod` matches Spark
-  * `pmod` exactly, including negative hashes.
+  * BLOCKED layout (Putze et al.'s cache-efficient design, the one
+  * Impala/Arrow ship): `h1` selects ONE 512-bit (64-byte = one cache
+  * line) block; all `numHashes` probes land inside that block, each
+  * consuming 9 bits of `h2` (3 to pick the word of 8, 6 to pick the
+  * bit of 64). A classic unblocked bloom takes `numHashes` random
+  * DRAM accesses per probed row — measured on this engine's
+  * rehearsal, that made a 2^26-bit filter FIVE× slower to probe than
+  * to avoid (8 MB × 32 threads thrashing the shared cache). Blocked
+  * probing costs ONE cache miss per row at a modest fp penalty
+  * (~2× at 16 bits/key; size up one power of two to compensate).
+  *
+  * `h1 = xxhash64(keys)` and `h2 = xxhash64(SALT, keys)` are computed
+  * BY SPARK on both build and probe side — the aggregator receives
+  * the two hashes as its input, so JVM code never re-implements the
+  * hash and build/probe cannot drift. `floorMod` (JVM) matches `pmod`
+  * (Spark) exactly, including negative hashes; within-block offsets
+  * use only unsigned shifts and masks, identical in both.
+  * `numHashes ≤ 7` keeps every probe's 9 h2-bits disjoint (63 bits).
   */
 object BloomFilter {
 
   /** Salt distinguishing h2 from h1 (any fixed non-colliding value). */
   private val H2Salt = 0x9e3779b97f4a7c15L
+
+  val BitsPerBlock = 512 // one 64-byte cache line
+  private val WordsPerBlock = BitsPerBlock / 64
 
   def h1(keys: Column*): Column = xxhash64(keys: _*)
   def h2(keys: Column*): Column = xxhash64(lit(H2Salt) +: keys: _*)
@@ -43,19 +52,22 @@ object BloomFilter {
   /** Bitmap builder over pre-hashed input rows (h1, h2). */
   final case class BloomAgg(numBits: Int, numHashes: Int)
       extends Aggregator[(Long, Long), Array[Long], Array[Long]] {
-    require(numBits > 0 && numBits % 64 == 0, "numBits must be a positive multiple of 64")
-    require(numHashes > 0)
+    require(numBits > 0 && numBits % BitsPerBlock == 0,
+      s"numBits must be a positive multiple of $BitsPerBlock")
+    require(numHashes > 0 && numHashes <= 7,
+      "numHashes in 1..7 (9 disjoint h2 bits per probe)")
 
     override def zero: Array[Long] = new Array[Long](numBits / 64)
 
     override def reduce(b: Array[Long], in: (Long, Long)): Array[Long] = {
-      val m = numBits.toLong
-      val r1 = java.lang.Math.floorMod(in._1, m)
-      val r2 = java.lang.Math.floorMod(in._2, m)
+      val block = java.lang.Math.floorMod(in._1, (numBits / BitsPerBlock).toLong)
+      val base = (block * WordsPerBlock).toInt
       var i = 0
       while (i < numHashes) {
-        val pos = (r1 + i.toLong * r2) % m
-        b((pos >> 6).toInt) |= 1L << (pos & 63)
+        val bits = in._2 >>> (9 * i)
+        val word = base + (bits & 7L).toInt
+        val bit = ((bits >>> 3) & 63L).toInt
+        b(word) |= 1L << bit
         i += 1
       }
       b
@@ -73,8 +85,8 @@ object BloomFilter {
     override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder[Array[Long]]()
   }
 
-  /** One-row frame `(bloom: Array[Long])` over the distinct hashes of
-    * `keys` in `df`. Distributed build: partial bitmaps per partition,
+  /** One-row frame `(bloom: Array[Long])` over the hashes of `keys`
+    * in `df`. Distributed build: partial bitmaps per partition,
     * OR-merge at the single final reducer.
     */
   def build(df: DataFrame, keys: Seq[Column], numBits: Int,
@@ -86,17 +98,19 @@ object BloomFilter {
 
   /** Membership probe — true if `keys` MAY be in the set (false ⇒
     * definitely absent). Pure built-in expressions; stays inside
-    * whole-stage codegen on the probe side.
+    * whole-stage codegen on the probe side; touches one cache line
+    * per row regardless of `numHashes`.
     */
   def mightContain(bloom: Column, keys: Seq[Column], numBits: Int,
       numHashes: Int): Column = {
-    val m = lit(numBits.toLong)
-    val r1 = pmod(h1(keys: _*), m)
-    val r2 = pmod(h2(keys: _*), m)
+    val block = pmod(h1(keys: _*), lit((numBits / BitsPerBlock).toLong))
+    val base = (block * WordsPerBlock).cast("int")
+    val kh2 = h2(keys: _*)
     (0 until numHashes).map { i =>
-      val pos = pmod(r1 + lit(i.toLong) * r2, m)
-      val word = element_at(bloom, (pos / 64).cast("int") + lit(1))
-      bit_get(word, (pos % 64).cast("int")) === lit(1)
+      val bits = shiftrightunsigned(kh2, 9 * i)
+      val word = element_at(bloom,
+        base + bits.bitwiseAND(lit(7L)).cast("int") + lit(1))
+      bit_get(word, shiftrightunsigned(bits, 3).bitwiseAND(lit(63L)).cast("int")) === lit(1)
     }.reduce(_ && _)
   }
 }

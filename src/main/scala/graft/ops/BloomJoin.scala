@@ -16,6 +16,18 @@ import graft.functions.BloomFilter
   * codegen stage, so the shuffle carries ~(selectivity + fp_rate) of
   * the input instead of all of it.
   *
+  * WHEN IT PAYS (measured, ScaleRehearsal + BASELINE.md): the
+  * prefilter trades one-to-two extra narrow passes + a bitmap build
+  * against the avoided shuffle bytes. On a single node, shuffling
+  * 20M narrow lz4-compressed rows costs about one probe pass — the
+  * PLAIN join wins every local shape (and when the small side fits
+  * the broadcast threshold, the plain join never shuffles at all).
+  * Use this operator when the shuffle is network-bound and the rows
+  * are wide/incompressible, when the small side exceeds the
+  * broadcast threshold by far, or when the key is a derived
+  * expression (fingerprints) that Spark's own AQE runtime filter —
+  * which covers the plain equi-join case automatically — cannot see.
+  *
   * The bitmap is built DISTRIBUTED (partial bitmaps OR-merged), then
   * the single final bitmap (numBits/8 bytes — 32 KB at the default
   * size) is materialized on the driver and injected into the probe

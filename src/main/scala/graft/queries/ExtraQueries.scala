@@ -128,6 +128,18 @@ object ExtraQueries {
       .orderBy(col("c_mktsegment"))
   }
 
+  /** The inverse reshape: melt the pivoted frame back to long form
+    * (`Dataset.unpivot` — an `Expand` node, narrow, no shuffle).
+    * Zero cells (type absent on a day) are dropped so the long form
+    * equals the plain groupBy the oracle runs.
+    */
+  def unpivotTypeDaily(spark: SparkSession, dir: String): DataFrame =
+    pivotTypeDaily(spark, dir)
+      .unpivot(Array(col("date_str")), EventTypes.map(col).toArray,
+        "event_type", "n")
+      .filter(col("n") > 0)
+      .orderBy(col("date_str"), col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_error" -> (lastErrorAsOf _),
     "cube_type_dow" -> (cubeTypeDow _),
@@ -135,6 +147,7 @@ object ExtraQueries {
     "range_join_spikes" -> (spikeWindowStats _),
     "bloom_semi_join" -> (bloomSemiRevenue _),
     "pivot_type_daily" -> (pivotTypeDaily _),
+    "unpivot_type_daily" -> (unpivotTypeDaily _),
     "skew_join_segment" -> (skewJoinSegment _)
   )
 
@@ -181,6 +194,10 @@ object ExtraQueries {
          |       $cols
          |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "unpivot_type_daily" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_str, event_type,
+        |       count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "skew_join_segment" ->
       """SELECT c.c_mktsegment, count(*) AS n_events,
         |       round(sum(e.value), 2) AS total_value
