@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ext.{Cleaning, Curation, DataQuality, Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.gen.OrderGen
-import graft.queries.{EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
+import graft.queries.{BehaviorQueries, EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,7 +83,7 @@ object SparkEntry {
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
       DataQuality.queries ++ Layout.queries ++ Curation.queries ++
-      Sampling.queries ++ Cleaning.queries +
+      Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,7 +94,7 @@ object SparkEntry {
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
       DataQuality.oracles ++ Layout.oracles ++ Curation.oracles ++
-      Sampling.oracles ++ Cleaning.oracles +
+      Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,
