@@ -68,6 +68,27 @@ object Layout {
     }
   }
 
+  /** Row-level MERGE (upsert-by-key): `updates` rows replace target
+    * rows with the same key; update-only keys are inserts; untouched
+    * target rows pass through — `MERGE INTO t USING u WHEN MATCHED
+    * THEN UPDATE WHEN NOT MATCHED THEN INSERT` as a plan:
+    * `updates ∪ (target ⟕̸ updates)` (union + left-anti on the key).
+    *
+    * At 100 TB both sides hash-partition once on the key — the same
+    * shuffle a MERGE in any lakehouse format pays — and the result
+    * streams to [[upsertPartitions]] so only touched partitions
+    * rewrite. Key uniqueness per side is the caller's contract
+    * (duplicate update keys would both survive; validate upstream
+    * with [[DataQuality]] rules).
+    */
+  def mergeByKey(target: DataFrame, updates: DataFrame,
+      key: String): DataFrame = {
+    val untouched = target.join(
+      updates.select(col(key).as("__mk")), col(key) === col("__mk"),
+      "left_anti")
+    updates.unionByName(untouched)
+  }
+
   /** The pruning round-trip surfaced at the gate: lay `documents`
     * out partitioned by `lang` (sorted by `source, doc_id` within
     * partitions), then aggregate ONE language partition. The read
@@ -95,7 +116,27 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "layout_prune_agg" -> (pruneAggregate _)
+    "layout_prune_agg" -> (pruneAggregate _),
+    // MERGE gate: "updates" = even-keyed customers with doubled
+    // balance + one synthetic new customer per nation; merged table
+    // summarized per nation so the full row set is exercised
+    "merge_upsert" -> ((s, d) => {
+      val cust = Tables.customer(s, d)
+      val updates = cust.filter(col("c_custkey") % 2 === 0)
+        .withColumn("c_acctbal", col("c_acctbal") * 2)
+        .unionByName(
+          Tables.nation(s, d).select(
+            (col("n_nationkey").cast("long") + lit(1000000L)).as("c_custkey"),
+            concat(lit("new-"), col("n_name")).as("c_name"),
+            col("n_nationkey").as("c_nationkey"),
+            lit(0.0).as("c_acctbal"),
+            lit("BUILDING").as("c_mktsegment")))
+      mergeByKey(cust, updates, "c_custkey")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("c_acctbal")), 2).as("total_bal"))
+        .orderBy(col("c_nationkey"))
+    })
   )
 
   val oracles: Map[String, String] = Map(
@@ -104,6 +145,24 @@ object Layout {
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
         |       min(doc_id) AS first_doc
         |FROM documents WHERE lang = 'en'
-        |GROUP BY source ORDER BY source""".stripMargin
+        |GROUP BY source ORDER BY source""".stripMargin,
+    "merge_upsert" ->
+      """WITH updates AS (
+        |  SELECT c_custkey, c_name, c_nationkey, c_acctbal * 2 AS c_acctbal,
+        |         c_mktsegment
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 1000000, 'new-' || n_name,
+        |         n_nationkey, 0.0, 'BUILDING'
+        |  FROM nation),
+        |merged AS (
+        |  SELECT * FROM updates
+        |  UNION ALL
+        |  SELECT * FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM updates u
+        |                    WHERE u.c_custkey = c.c_custkey))
+        |SELECT c_nationkey, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal
+        |FROM merged GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

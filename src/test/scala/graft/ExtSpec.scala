@@ -346,4 +346,25 @@ class ExtSpec extends AnyFunSuite {
       .filter(col("text") =!= upper(col("text"))).count() === 0,
       "touched partition must carry the refreshed rows")
   }
+
+  test("mergeByKey: updates replace, inserts append, untouched rows pass through") {
+    import graft.ext.Layout
+    val cust = Tables.customer(spark, dir)
+    val nTarget = cust.count()
+    val updates = cust.filter(col("c_custkey") % 2 === 0)
+      .withColumn("c_acctbal", lit(-1.0))
+    val inserts = cust.limit(0).unionByName(
+      spark.range(3).select(
+        (col("id") + 9000000L).as("c_custkey"), lit("nv").as("c_name"),
+        lit(0).cast("int").as("c_nationkey"), lit(5.0).as("c_acctbal"),
+        lit("SEG").as("c_mktsegment")))
+    val merged = Layout.mergeByKey(cust, updates.unionByName(inserts), "c_custkey")
+    assert(merged.count() === nTarget + 3)
+    // every even key carries the update value, every odd key the original
+    assert(merged.filter(col("c_custkey") % 2 === 0 &&
+      col("c_custkey") < 9000000L && col("c_acctbal") =!= -1.0).count() === 0)
+    val odd = merged.filter(col("c_custkey") % 2 === 1 &&
+      col("c_custkey") < 9000000L)
+    assert(odd.except(cust.filter(col("c_custkey") % 2 === 1)).isEmpty)
+  }
 }
