@@ -31,7 +31,16 @@ object Verify {
     // nested one inside gen_orders_rollup/ and the gate's recursive
     // read counted the 100k aux rows as query output). Oracles
     // reference them via the __OUTDIR__ placeholder.
-    SparkEntry.aux.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
+    // When filtering, also dump every aux frame the SELECTED oracles
+    // reference (aux names differ from query names — e.g. sample_hash
+    // reads .aux/sample_buckets), else the emitted oracle_sql.json
+    // points DuckDB at never-written paths.
+    val auxNeeded: Set[String] = SparkEntry.oracleSql
+      .filter(kv => selected(kv._1)).values
+      .flatMap("""\.aux/([A-Za-z0-9_]+)""".r.findAllMatchIn(_).map(_.group(1)))
+      .toSet
+    SparkEntry.aux.filter(kv => selected(kv._1) || auxNeeded(kv._1))
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/.aux/$name")
       catch { case e: Throwable =>

@@ -50,7 +50,7 @@ object Cleaning {
     val noEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
     val noUrl = regexp_replace(noEmail, UrlPattern, "<URL>")
     val noNum = regexp_replace(noUrl, LongNumPattern, "<ID>")
-    trim(regexp_replace(noNum, "[ \\t\\n]+", " "))
+    trim(regexp_replace(noNum, WsClass, " "))
   }
 
   /** Per-document redaction counts (on the raw text, before any
@@ -95,11 +95,21 @@ object Cleaning {
       "lpad(CAST(doc_id AS VARCHAR), 9, '0') || ' see https://' || " +
       "source || '.example.com/d/' || CAST(doc_id AS VARCHAR)"
 
+  /** Whitespace-collapse class, shared verbatim by both engines. Its
+    * runtime value holds the two-character escapes `\t`/`\n` (normal
+    * Scala string), which Java regex and RE2 read identically.
+    * Interpolated into the oracle SQL rather than written inline —
+    * the `s"""..."""` interpolator DOES process escapes in literal
+    * parts, so an inline `\t` would reach DuckDB as a raw TAB
+    * character (same regex semantics inside a class, but not the
+    * string one intended to write).
+    */
+  private val WsClass = "[ \\t\\n]+"
+
   /** The patterns' runtime values hold single backslashes (`\t`,
     * `\.`), which is exactly what RE2 must see inside the SQL string
     * literal (standard SQL strings process no escapes) — interpolate
-    * them verbatim. The whitespace class in the final collapse is
-    * written inside a triple-quoted string for the same reason.
+    * them verbatim.
     */
   val oracles: Map[String, String] = Map(
     "text_clean_pii" ->
@@ -113,7 +123,7 @@ object Cleaning {
          |        regexp_replace(text, '$EmailPattern', '<EMAIL>', 'g'),
          |        '$UrlPattern', '<URL>', 'g'),
          |      '$LongNumPattern', '<ID>', 'g'),
-         |    '[ \t\n]+', ' ', 'g')) AS clean_text
+         |    '$WsClass', ' ', 'g')) AS clean_text
          |FROM a ORDER BY doc_id""".stripMargin
   )
 }

@@ -17,6 +17,15 @@ import graft.sources.Tables
   */
 object DataQuality {
 
+  /** The pinned event-type domain — the ONE copy shared by the
+    * validation rule below and the pivot's explicit value list
+    * ([[graft.queries.ExtraQueries.EventTypes]]): a new type added
+    * here fails the `event_type_known` rule loudly instead of being
+    * silently dropped by a stale pivot column list.
+    */
+  val KnownEventTypes: Seq[String] =
+    Seq("click", "error", "purchase", "signup", "view")
+
   /** Validation rules for the `events` table: (name, predicate-OK). */
   def eventRules: Seq[(String, Column)] = Seq(
     "ts_in_range" ->
@@ -25,7 +34,7 @@ object DataQuality {
     "user_id_positive" -> (col("user_id") > 0),
     "value_non_negative" -> (col("value") >= 0.0),
     "event_type_known" ->
-      col("event_type").isInCollection(Seq("click", "view", "purchase", "signup", "error")),
+      col("event_type").isInCollection(KnownEventTypes),
     "props_valid_json" ->
       get_json_object(col("props"), "$.k").isNotNull
   )

@@ -449,13 +449,23 @@ object Dedup {
     * maybe-member sliver takes the exact anti-join shuffle. At steady
     * state (most of a fresh crawl is genuinely new) the shuffle
     * carries a few percent of the batch instead of all of it.
+    *
+    * SIZE THE BITMAP to the history: ~16 bits per history key (the
+    * default 2^18 bits covers ~16k keys; a saturated bitmap answers
+    * "maybe" for every row and the operator degrades to the plain
+    * anti join plus wasted passes). Correctness never depends on the
+    * size — only the prefilter's selectivity does. See BloomJoin's
+    * Scaladoc for when the prefilter pays at all.
     */
   def incrementalDedup(history: DataFrame, batch: DataFrame,
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      bloomBits: Int = graft.ops.BloomJoin.DefaultBits,
+      bloomHashes: Int = graft.ops.BloomJoin.DefaultHashes): DataFrame = {
     val fp = bagFingerprint(col(textCol))
     val hist = history.select(fp.as("fp"))
     graft.ops.BloomJoin.antiJoin(
-      batch.withColumn("__fp", fp), col("__fp"), hist, col("fp"))
+      batch.withColumn("__fp", fp), col("__fp"), hist, col("fp"),
+      numBits = bloomBits, numHashes = bloomHashes)
       .drop("__fp")
   }
 

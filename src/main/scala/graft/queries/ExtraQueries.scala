@@ -89,11 +89,14 @@ object ExtraQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  /** Known event-type domain, pinned: passing explicit pivot values
-    * skips the extra distinct-collect job Spark otherwise runs to
-    * discover them — at 100 TB that job is a full scan.
+  /** Known event-type domain — the shared pin from
+    * [[graft.ext.DataQuality.KnownEventTypes]] (one copy; the
+    * validation rule catches new types loudly). Passing explicit
+    * pivot values skips the extra distinct-collect job Spark
+    * otherwise runs to discover them — at 100 TB that job is a full
+    * scan.
     */
-  val EventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+  val EventTypes: Seq[String] = graft.ext.DataQuality.KnownEventTypes
 
   /** Daily event counts pivoted to one column per event type —
     * `RelationalGroupedDataset.pivot`, which Catalyst compiles to a
