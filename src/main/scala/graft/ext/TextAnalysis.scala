@@ -111,6 +111,27 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), md5(col("text")).as("fp"))
 
+  /** Cross-modal quality profile: documents joined to their embedding
+    * rows (`doc_id = vec_id`, the multimodal-lake invariant that text
+    * and vector modalities share a key), quality-scored per embedding
+    * cluster label. The per-label aggregates stay integer-exact (sum/
+    * min/max of the integer score — no cross-engine float division).
+    *
+    * At 100 TB this is THE join shape of multimodal curation — both
+    * sides hash-partition once on the shared id; the label rollup is
+    * a second tiny shuffle.
+    */
+  def qualityByEmbeddingLabel(docs: DataFrame, emb: DataFrame): DataFrame =
+    qualityScore(docs)
+      .join(emb.select(col("vec_id"), col("label")),
+        col("doc_id") === col("vec_id"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("quality_x10k")).as("sum_quality"),
+        min(col("quality_x10k")).as("min_quality"),
+        max(col("quality_x10k")).as("max_quality"))
+      .orderBy(col("label"))
+
   /** Top-k salient terms per language — TF-IDF-style keyword
     * extraction over the corpus.
     *
@@ -186,7 +207,9 @@ object TextAnalysis {
     "text_fingerprint" -> ((s, d) =>
       fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_top_terms" -> ((s, d) =>
-      topTerms(Tables.documents(s, d)).orderBy(col("lang"), col("rank")))
+      topTerms(Tables.documents(s, d)).orderBy(col("lang"), col("rank"))),
+    "xmodal_label_quality" -> ((s, d) =>
+      qualityByEmbeddingLabel(Tables.documents(s, d), Tables.embeddings(s, d)))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -201,6 +224,21 @@ object TextAnalysis {
 
   private def sqlHits(words: Seq[String]) =
     s"CAST(len(list_filter($sqlToks, t -> t IN ${sqlList(words)})) AS BIGINT)"
+
+  /** The integer quality score as one SQL expression — the single
+    * copy shared by the `text_quality` and `xmodal_label_quality`
+    * oracles (generated from the same lexicon/constants as the Spark
+    * form, so the engines cannot drift).
+    */
+  private lazy val qualitySqlExpr: String = {
+    val enList = sqlList(lexicon.head._2)
+    s"""CAST(floor((
+       |  0.3 * least(1.0, len($sqlToks) / 100.0) +
+       |  0.3 * (len(list_distinct($sqlToks)) * 1.0 / len($sqlToks)) +
+       |  0.2 * (len(list_filter($sqlToks, t -> t IN $enList)) * 1.0 / len($sqlToks)) +
+       |  0.2 * (1.0 - (length(text) - length(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / length(text))
+       |) * 10000.0 + 0.5) AS BIGINT)""".stripMargin
+  }
 
   val oracles: Map[String, String] = Map(
     "text_stats_by_lang" ->
@@ -227,16 +265,18 @@ object TextAnalysis {
          |       $hits
          |FROM documents) ORDER BY doc_id""".stripMargin
     },
-    "text_quality" -> {
-      val enList = sqlList(lexicon.head._2)
-      s"""SELECT doc_id, CAST(floor((
-         |  0.3 * least(1.0, len($sqlToks) / 100.0) +
-         |  0.3 * (len(list_distinct($sqlToks)) * 1.0 / len($sqlToks)) +
-         |  0.2 * (len(list_filter($sqlToks, t -> t IN $enList)) * 1.0 / len($sqlToks)) +
-         |  0.2 * (1.0 - (length(text) - length(regexp_replace(text, '$punctSql', '', 'g'))) * 1.0 / length(text))
-         |) * 10000.0 + 0.5) AS BIGINT) AS quality_x10k
-         |FROM documents ORDER BY doc_id""".stripMargin
-    },
+    "text_quality" ->
+      s"""SELECT doc_id, $qualitySqlExpr AS quality_x10k
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "xmodal_label_quality" ->
+      s"""WITH q AS (SELECT doc_id, $qualitySqlExpr AS quality_x10k
+         |           FROM documents)
+         |SELECT e.label, count(*) AS n_docs,
+         |       CAST(sum(q.quality_x10k) AS BIGINT) AS sum_quality,
+         |       min(q.quality_x10k) AS min_quality,
+         |       max(q.quality_x10k) AS max_quality
+         |FROM q JOIN embeddings e ON q.doc_id = e.vec_id
+         |GROUP BY e.label ORDER BY e.label""".stripMargin,
     "text_fingerprint" ->
       "SELECT doc_id, md5(text) AS fp FROM documents ORDER BY doc_id",
     "text_top_terms" ->

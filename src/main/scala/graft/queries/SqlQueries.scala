@@ -63,16 +63,36 @@ object SqlQueries {
         |FROM documents ORDER BY doc_id""".stripMargin)
   }
 
+  /** The PIVOT clause through the SQL-text surface — twin of
+    * [[ExtraQueries.pivotTypeDaily]] (same pinned value list, same
+    * conditional-aggregation plan); empty cells coalesced to 0 for
+    * count semantics.
+    */
+  def sqlPivot(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    val types = ExtraQueries.EventTypes
+    val inList = types.map(t => s"'$t'").mkString(", ")
+    val outer = types.map(t => s"coalesce($t, 0) AS $t").mkString(", ")
+    spark.sql(
+      s"""SELECT date_str, $outer FROM (
+         |  SELECT date_format(ts, 'yyyy-MM-dd') AS date_str, event_type
+         |  FROM events)
+         |PIVOT (count(1) FOR event_type IN ($inList))
+         |ORDER BY date_str""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q6_trailing" -> (sqlQ6 _),
     "sql_revenue_by_nation" -> (sqlRevenue _),
-    "sql_simhash" -> (sqlSimhash _)
+    "sql_simhash" -> (sqlSimhash _),
+    "sql_pivot" -> (sqlPivot _)
   )
 
   /** Shared with the DataFrame twins' oracles. */
   val oracles: Map[String, String] = Map(
     "sql_q6_trailing" -> EventQueries.oracles("q6_trailing_rollup"),
     "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation"),
-    "sql_simhash" -> graft.ext.Dedup.oracles("dedup_simhash")
+    "sql_simhash" -> graft.ext.Dedup.oracles("dedup_simhash"),
+    "sql_pivot" -> ExtraQueries.oracles("pivot_type_daily")
   )
 }
