@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Cleaning, Curation, DataQuality, Dedup, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.gen.OrderGen
 import graft.queries.{BehaviorQueries, EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -83,7 +83,8 @@ object SparkEntry {
       Multimodal.queries ++ graft.streaming.StreamingQueries.queries ++
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
       DataQuality.queries ++ Layout.queries ++ Curation.queries ++
-      Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries +
+      Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries ++
+      CorpusPrep.queries ++ Embeddings.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -94,7 +95,8 @@ object SparkEntry {
       Multimodal.oracles ++ graft.streaming.StreamingQueries.oracles ++
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
       DataQuality.oracles ++ Layout.oracles ++ Curation.oracles ++
-      Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles +
+      Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles ++
+      CorpusPrep.oracles ++ Embeddings.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

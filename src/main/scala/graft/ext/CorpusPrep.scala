@@ -1,0 +1,181 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Corpus-preparation operators a training-data pipeline runs between
+  * raw ingest and tokenization: benchmark decontamination (n-gram
+  * overlap against a held-out eval set), repetition metrics (the
+  * Gopher-style duplicate-/top-n-gram fractions used as quality
+  * filters), and sliding-window document chunking.
+  *
+  * All three are built from codegen'd higher-order array functions —
+  * n-gram construction, chunk slicing and per-chunk stats happen
+  * INSIDE a narrow projection (no UDFs, no pre-explosion of token
+  * rows), so the only shuffles are the ones the semantics require
+  * (the gram joins / per-doc gram counts). Word n-grams are built
+  * once by [[wordGrams]] and shared by decontamination and
+  * repetition; the DuckDB oracles are generated from the same
+  * constants so the engines cannot drift.
+  *
+  * Scale notes (100 TB design):
+  *  - Decontamination: the eval side of the join is a benchmark
+  *    suite — MBs, not TBs — so its distinct gram set broadcasts and
+  *    the corpus side never shuffles: candidate matching is a
+  *    broadcast hash join directly above the scan. Per-doc dedup of
+  *    grams happens in the array domain (`array_distinct` before
+  *    explode), cutting the exploded row count ~in half before the
+  *    join.
+  *  - Repetition: one shuffle on (doc_id, gram) with map-side
+  *    partial counts, then a tiny per-doc rollup that reuses the
+  *    same hash partitioning (doc_id is a prefix of the first
+  *    grouping key — Catalyst plans no second exchange).
+  *  - Chunking: zero shuffles — `sequence`/`transform`/`inline`
+  *    emit (chunk_idx, n_tokens, md5) structs per document inside
+  *    whole-stage codegen. At 100 TB this runs at scan speed, which
+  *    is the point: chunking must never be the bottleneck in front
+  *    of a tokenizer fleet.
+  */
+object CorpusPrep {
+
+  /** Decontamination gram width (word n-grams). Real pipelines use
+    * 8–13-gram character or word windows; the fixture docs are
+    * 30–160 words from a small vocabulary, so 5 keeps the overlap
+    * signal non-trivial in both directions.
+    */
+  val DecontamN = 5
+
+  /** Chunk width / stride (words). */
+  val ChunkSize  = 32
+  val ChunkStride = 16
+
+  /** Every doc_id divisible by this is "benchmark suite", the rest
+    * are corpus — a deterministic stand-in for the eval-set table a
+    * real decontamination pass joins against.
+    */
+  val EvalMod = 97L
+
+  /** Overlapping word n-grams of `text`, joined with single spaces —
+    * empty array when the doc is shorter than `n` (the `when` guard
+    * matters: `sequence(0, negative)` would throw, not return empty).
+    */
+  def wordGrams(text: Column, n: Int): Column = {
+    val w = TextAnalysis.tokens(text)
+    when(size(w) >= n,
+      transform(sequence(lit(0), size(w) - lit(n)),
+        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (doc_id, gram) pairs over [[DecontamN]]-grams. */
+  private def gramPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(array_distinct(wordGrams(col("text"), DecontamN))).as("gram"))
+
+  /** Benchmark decontamination: for every corpus document, the number
+    * of distinct [[DecontamN]]-grams it shares with the eval set
+    * (docs where `doc_id % EvalMod = 0`). Only contaminated docs
+    * (n_shared ≥ 1) are emitted — at scale the output feeds a
+    * drop-list, so the clean majority never materializes.
+    */
+  def decontaminate(docs: DataFrame): DataFrame = {
+    val grams = gramPairs(docs)
+    val evalGrams = grams.filter(col("doc_id") % EvalMod === 0)
+      .select(col("gram")).distinct()
+    grams.filter(col("doc_id") % EvalMod =!= 0)
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Gopher-style repetition signals per document over word bigrams:
+    * total/distinct bigram counts, duplicate-bigram fraction and
+    * top-bigram fraction (both ×10⁴ as integers — the engines'
+    * bit-identical doubles floor identically; see
+    * [[TextAnalysis.qualityScore]] for why not `round`).
+    */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        explode(wordGrams(col("text"), 2)).as("gram"))
+      .groupBy(col("doc_id"), col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(col("cnt")).cast("long").as("n_bigrams"),
+        count(lit(1)).as("distinct_bigrams"),
+        floor((lit(1.0) - count(lit(1)) * lit(1.0) / sum(col("cnt")))
+          * lit(10000.0) + lit(0.5)).cast("long").as("dup_x10k"),
+        floor(max(col("cnt")) * lit(10000.0) / sum(col("cnt")) + lit(0.5))
+          .cast("long").as("top_x10k"))
+      .orderBy(col("doc_id"))
+
+  /** Sliding-window chunks ([[ChunkSize]] words, stride
+    * [[ChunkStride]]): (doc_id, chunk_idx, n_tokens, chunk_md5) per
+    * window, last window ragged. The struct array is built in one
+    * narrow projection and `inline`-exploded — no shuffle, no UDF.
+    */
+  def chunk(docs: DataFrame): DataFrame = {
+    val w = TextAnalysis.tokens(col("text"))
+    docs
+      .select(col("doc_id"),
+        inline(transform(
+          sequence(lit(0), size(w) - lit(1), lit(ChunkStride)),
+          s => struct(
+            (s / lit(ChunkStride)).cast("int").as("chunk_idx"),
+            least(lit(ChunkSize), size(w) - s).cast("long").as("n_tokens"),
+            md5(array_join(slice(w, s + lit(1), lit(ChunkSize)), " "))
+              .as("chunk_md5")))))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  }
+
+  // ------------------------------------------------------------ queries
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
+    "text_repetition" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
+    "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d)))
+  )
+
+  // ------------------------------------------------------- oracle twins
+
+  /** Whitespace tokens — the same expression TextAnalysis oracles use. */
+  private val W = "string_split_regex(lower(trim(text)), '\\s+')"
+
+  /** 1-based DuckDB n-gram comprehension over `w` (list column). */
+  private def sqlGrams(n: Int) =
+    s"[array_to_string(w[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(w) - ${n - 2}, 1))]"
+
+  val oracles: Map[String, String] = Map(
+    "text_decontam" ->
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),
+         |gd AS (SELECT DISTINCT doc_id, gram FROM g),
+         |e AS (SELECT DISTINCT gram FROM gd WHERE doc_id % $EvalMod = 0)
+         |SELECT gd.doc_id, count(*) AS n_shared
+         |FROM gd JOIN e USING (gram)
+         |WHERE gd.doc_id % $EvalMod <> 0
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "text_repetition" ->
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |b AS (SELECT doc_id, unnest(${sqlGrams(2)}) AS gram FROM w),
+         |c AS (SELECT doc_id, gram, count(*) AS cnt FROM b GROUP BY 1, 2)
+         |SELECT doc_id,
+         |       CAST(sum(cnt) AS BIGINT) AS n_bigrams,
+         |       count(*) AS distinct_bigrams,
+         |       CAST(floor((1.0 - count(*) * 1.0 / sum(cnt)) * 10000.0 + 0.5) AS BIGINT) AS dup_x10k,
+         |       CAST(floor(max(cnt) * 10000.0 / sum(cnt) + 0.5) AS BIGINT) AS top_x10k
+         |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "text_chunks" ->
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents)
+         |SELECT doc_id,
+         |       CAST((s - 1) // $ChunkStride AS INTEGER) AS chunk_idx,
+         |       CAST(least($ChunkSize, len(w) - s + 1) AS BIGINT) AS n_tokens,
+         |       md5(array_to_string(w[s:s+${ChunkSize - 1}], ' ')) AS chunk_md5
+         |FROM w, unnest(range(1, len(w) + 1, $ChunkStride)) AS t(s)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+  )
+}

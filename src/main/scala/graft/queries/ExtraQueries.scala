@@ -143,8 +143,32 @@ object ExtraQueries {
       .filter(col("n") > 0)
       .orderBy(col("date_str"), col("event_type"))
 
+  /** IQR anomaly detection per event type: Tukey fence
+    * `q3 + 1.5·(q3 − q1)` from exact interpolated percentiles, then
+    * outlier counts per type. The classic two-pass distributed shape:
+    * pass 1 aggregates the tiny per-type bounds, which broadcast back
+    * over the fact scan for pass 2 — the big side shuffles once per
+    * pass (both on `event_type`), never sorts globally.
+    */
+  def anomalyIqr(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.25)").as("q1"),
+        expr("percentile(value, 0.75)").as("q3"))
+      .select(col("event_type"),
+        (col("q3") + lit(1.5) * (col("q3") - col("q1"))).as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        count(when(col("value") > col("hi"), 1)).as("n_outliers"),
+        round(max(when(col("value") > col("hi"), col("value"))), 2)
+          .as("max_outlier"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "asof_last_error" -> (lastErrorAsOf _),
+    "anomaly_iqr" -> (anomalyIqr _),
     "cube_type_dow" -> (cubeTypeDow _),
     "props_extract" -> (propsExtract _),
     "range_join_spikes" -> (spikeWindowStats _),
@@ -155,6 +179,18 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "anomaly_iqr" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |         quantile_cont(value, 0.75)
+        |           + 1.5 * (quantile_cont(value, 0.75)
+        |                    - quantile_cont(value, 0.25)) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       count(*) FILTER (e.value > b.hi) AS n_outliers,
+        |       round(max(e.value) FILTER (e.value > b.hi), 2) AS max_outlier
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_last_error" ->
       """SELECT e.event_id,
         |       strftime(err.ts, '%Y-%m-%d %H:%M:%S') AS last_error

@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{CorpusPrep, Embeddings}
+
+/** Semantics of the corpus-preparation operators (decontamination,
+  * repetition metrics, chunking) and int8 embedding quantization on
+  * hand-built fixtures where the expected answers are computable by
+  * eye — the gate then hash-checks the same code paths against DuckDB
+  * on the fixture corpus.
+  */
+class CorpusPrepSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-corpusprep-test")
+
+  private def docsOf(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("wordGrams: empty below n, exact sliding windows at n") {
+    val df = docsOf(1L -> "a b c d", 2L -> "a b c d e f")
+      .select(col("doc_id"), CorpusPrep.wordGrams(col("text"), 5).as("g"))
+      .orderBy("doc_id")
+    val rows = df.collect()
+    assert(rows(0).getSeq[String](1) === Seq.empty)
+    assert(rows(1).getSeq[String](1) === Seq("a b c d e", "b c d e f"))
+  }
+
+  test("decontaminate flags exactly the docs sharing a 5-gram with the eval set") {
+    // doc 0 (0 % 97 == 0) is the benchmark; doc 1 embeds one of its
+    // 5-grams verbatim; doc 2 shares words but no 5-long window.
+    val docs = docsOf(
+      0L -> "alpha beta gamma delta epsilon zeta",
+      1L -> "noise noise beta gamma delta epsilon zeta tail",
+      2L -> "alpha beta gamma noise delta epsilon")
+    // doc 0 grams: {"alpha beta gamma delta epsilon",
+    //               "beta gamma delta epsilon zeta"};
+    // doc 1's four windows include the second one exactly once;
+    // doc 2's two windows match neither.
+    val out = CorpusPrep.decontaminate(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 1L)))
+  }
+
+  test("repetition: bigram duplicate and top fractions are exact") {
+    // "a b a b a": bigrams (a b, b a, a b, b a) -> n=4, distinct=2,
+    // dup = (1 - 2/4) = .5 -> 5000; top = 2/4 -> 5000.
+    val out = CorpusPrep.repetitionStats(docsOf(7L -> "a b a b a")).collect()
+    assert(out.length === 1)
+    val r = out(0)
+    assert(r.getLong(1) === 4L)   // n_bigrams
+    assert(r.getLong(2) === 2L)   // distinct_bigrams
+    assert(r.getLong(3) === 5000L)
+    assert(r.getLong(4) === 5000L)
+  }
+
+  test("chunk: stride-16 windows cover the doc; first chunk md5 = md5 of first 32 words") {
+    val words = (1 to 50).map(i => s"w$i")
+    val out = CorpusPrep.chunk(docsOf(3L -> words.mkString(" "))).collect()
+    // starts at 0,16,32,48 -> 4 chunks; token counts 32,32,18,2
+    assert(out.map(_.getInt(1)).toSeq === Seq(0, 1, 2, 3))
+    assert(out.map(_.getLong(2)).toSeq === Seq(32L, 32L, 18L, 2L))
+    val expectMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(words.take(32).mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out(0).getString(3) === expectMd5)
+  }
+
+  test("int8 quantization: known codes, constant-vector guard, dim preservation") {
+    import spark.implicits._
+    val emb = Seq(
+      (1L, Seq(0f, 1f, 2f)),        // codes 0, 127, 255
+      (2L, Seq(3f, 3f, 3f, 3f))     // mx == mn -> all zero
+    ).toDF("vec_id", "embedding")
+    val out = Embeddings.quantizeInt8(emb).collect()
+    assert(out(0).getInt(1) === 3)
+    assert(out(0).getLong(2) === 382L) // 0 + 127 + 255
+    assert(out(0).getLong(3) === 0L && out(0).getLong(4) === 255L)
+    assert(out(1).getInt(1) === 4)
+    assert(out(1).getLong(2) === 0L && out(1).getLong(4) === 0L)
+  }
+
+  test("quantization bounds: every code in [0,255] on the fixture embeddings") {
+    val q = Embeddings.quantizeInt8(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    val bad = q.filter(col("code_min") < 0 || col("code_max") > 255).count()
+    assert(bad === 0L)
+    assert(q.filter(col("code_max") === 255).count() > 0L) // max maps to 255
+  }
+}
