@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, ZOrder}
 import graft.gen.OrderGen
 import graft.queries.{BehaviorQueries, EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -84,7 +84,8 @@ object SparkEntry {
       WindowQueries.queries ++ ExtraQueries.queries ++ SqlQueries.queries ++
       DataQuality.queries ++ Layout.queries ++ Curation.queries ++
       Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries ++
-      CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries +
+      CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
+      ZOrder.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -96,7 +97,8 @@ object SparkEntry {
       WindowQueries.oracles ++ ExtraQueries.oracles ++ SqlQueries.oracles ++
       DataQuality.oracles ++ Layout.oracles ++ Curation.oracles ++
       Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles ++
-      CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles +
+      CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
+      ZOrder.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,
