@@ -132,12 +132,43 @@ object CorpusPrep {
 
   }
 
+  /** Top merge candidates for BPE step 1. */
+  val BpeTopK = 50
+
+  /** The first step of BPE tokenizer training: adjacent-character-pair
+    * frequencies over the word-frequency dictionary. Classic BPE
+    * (Sennrich et al. 2016) operates on the word dict, not the raw
+    * stream — so the corpus collapses to distinct words ONCE (one
+    * shuffle, corpus → vocabulary-sized), and all pair enumeration
+    * runs over the tiny dict weighted by word count. At 100 TB the
+    * word-count shuffle is the only corpus-sized stage (map-side
+    * combined), exactly how a production tokenizer trainer's count
+    * phase is laid out. Restricted to `[a-z0-9]+` words so the
+    * char-slicing semantics can't drift across engines on multi-byte
+    * text (the zh fixture docs).
+    */
+  def bpePairCounts(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+    words
+      .select(col("wc"), col("word"),
+        explode(transform(sequence(lit(1), length(col("word")) - 1),
+          i => col("word").substr(i, lit(2)))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("wc")).as("cnt"), countDistinct(col("word")).as("n_words"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(BpeTopK)
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
-    "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d)))
+    "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
+    "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -176,6 +207,17 @@ object CorpusPrep {
          |       CAST(least($ChunkSize, len(w) - s + 1) AS BIGINT) AS n_tokens,
          |       md5(array_to_string(w[s:s+${ChunkSize - 1}], ' ')) AS chunk_md5
          |FROM w, unnest(range(1, len(w) + 1, $ChunkStride)) AS t(s)
-         |ORDER BY doc_id, chunk_idx""".stripMargin
+         |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "bpe_pair_counts" ->
+      s"""WITH t AS (SELECT unnest($W) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS wc FROM t
+         |       WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+         |       GROUP BY 1),
+         |p AS (SELECT word, wc, unnest([word[i:i+1] FOR i IN range(1, len(word))]) AS pair
+         |      FROM wc)
+         |SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt,
+         |       count(DISTINCT word) AS n_words
+         |FROM p GROUP BY pair
+         |ORDER BY cnt DESC, pair LIMIT $BpeTopK""".stripMargin
   )
 }

@@ -48,8 +48,35 @@ object Embeddings {
       .orderBy(col("vec_id"))
   }
 
+  /** Per-vector statistics through the full higher-order-function
+    * surface — `transform` (square), `aggregate` (fold-sum),
+    * `filter` (positive count), `array_max` — everything a narrow
+    * codegen projection (the other way to express these, exploding
+    * 60k×dim element rows and re-grouping, would shuffle the whole
+    * corpus for per-row arithmetic). Doubles are pinned by
+    * floor-scaling to integers at 1e6 (same both engines: the fold
+    * order over the list is left-to-right in Spark's `aggregate` and
+    * DuckDB's `list_sum`, so the bits agree — the same contract the
+    * cosine oracles already rely on).
+    */
+  def vectorStats(emb: DataFrame): DataFrame = {
+    val v = col("embedding").cast("array<double>")
+    emb
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"),
+        size(col("v")).as("n_dims"),
+        floor(aggregate(transform(col("v"), x => x * x), lit(0.0),
+          (acc, x) => acc + x) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("norm2_x1e6"),
+        size(filter(col("v"), x => x > 0)).as("n_pos"),
+        floor(array_max(col("v")) * lit(1000000.0) + lit(0.5))
+          .cast("long").as("max_x1e6"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d)))
+    "emb_quantize_int8" -> ((s, d) => quantizeInt8(Tables.embeddings(s, d))),
+    "emb_vector_stats" -> ((s, d) => vectorStats(Tables.embeddings(s, d)))
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,6 +94,16 @@ object Embeddings {
         |       CAST(list_aggregate(codes, 'sum') AS BIGINT) AS code_sum,
         |       CAST(list_aggregate(codes, 'min') AS BIGINT) AS code_min,
         |       CAST(list_aggregate(codes, 'max') AS BIGINT) AS code_max
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+    "emb_vector_stats" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |       CAST(len(v) AS INTEGER) AS n_dims,
+        |       CAST(floor(list_sum([x * x FOR x IN v]) * 1000000.0 + 0.5)
+        |            AS BIGINT) AS norm2_x1e6,
+        |       CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_pos,
+        |       CAST(floor(list_max(v) * 1000000.0 + 0.5) AS BIGINT) AS max_x1e6
+        |FROM v ORDER BY vec_id""".stripMargin
   )
 }

@@ -76,8 +76,10 @@ object ZOrder {
   def mortonSql(x: String, y: String): String =
     s"(${spreadSql(x)} | (${spreadSql(y)} << 1))"
 
-  /** The gate's query box (user_id × value). */
-  val XLo = 40L; val XHi = 80L
+  /** The gate's query box (user_id × value) — bounds chosen non-empty
+    * at every fixture scale (sf0.001 has only users 0–14).
+    */
+  val XLo = 2L; val XHi = 120L
   val YLo = 100.0; val YHi = 300.0
 
   /** Events + their z code over (user_id, floor(value)). */

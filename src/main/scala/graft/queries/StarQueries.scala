@@ -141,6 +141,29 @@ object StarQueries {
       .orderBy(col("nation").asc_nulls_first, col("segment").asc_nulls_first)
   }
 
+  /** Arbitrary GROUPING SETS — the general form `rollup`/`cube` are
+    * shorthands for: independent per-nation and per-segment rollups in
+    * ONE pass over the join (Expand multiplies rows by the set count
+    * map-side; a naive twin would scan and join twice and union).
+    * `grouping()` flags disambiguate which set each output row belongs
+    * to — the standard way consumers tell a real NULL key from a
+    * rolled-up one.
+    */
+  def groupingSetsMix(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    cust.join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupingSets(
+        Seq(Seq(col("n_name")), Seq(col("c_mktsegment"))),
+        col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"),
+        grouping(col("n_name")).cast("long").as("g_nation"),
+        grouping(col("c_mktsegment")).cast("long").as("g_segment"))
+      .orderBy(col("n_name").asc_nulls_first,
+        col("c_mktsegment").asc_nulls_first)
+  }
+
   /** Set operations (union / intersect / except — SURVEY.md §2.7):
     * customer keys segmented by behavior.
     */
@@ -183,10 +206,19 @@ object StarQueries {
     "star_top_orders_per_customer" -> (topOrdersPerCustomer _),
     "star_running_total" -> (runningCustomerTotal _),
     "star_rollup_nation_segment" -> (rollupNationSegment _),
+    "star_grouping_sets" -> (groupingSetsMix _),
     "star_setops_customers" -> (setOpsCustomers _)
   )
 
   val oracles: Map[String, String] = Map(
+    "star_grouping_sets" ->
+      """SELECT n_name, c_mktsegment, count(*) AS n_customers,
+        |       round(sum(c_acctbal), 2) AS total_bal,
+        |       CAST(GROUPING(n_name) AS BIGINT) AS g_nation,
+        |       CAST(GROUPING(c_mktsegment) AS BIGINT) AS g_segment
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (c_mktsegment))
+        |ORDER BY 1, 2""".stripMargin,
     "stats_value_by_type" ->
       """SELECT event_type,
         |       round(quantile_cont(value, 0.5), 4) AS median_value,

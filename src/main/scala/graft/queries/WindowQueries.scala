@@ -112,7 +112,33 @@ object WindowQueries {
       .orderBy(col("minute"))
   }
 
+  /** Analytic lead/lag surface: per-user inter-event gaps (lag over a
+    * (ts, event_id)-ordered user window — the unique tiebreak makes
+    * the whole result deterministic), rolled up with `min_by`/`max_by`
+    * for first/last event types. One shuffle on user_id; the window
+    * and the aggregation reuse the same hash partitioning, so
+    * Catalyst plans a single exchange. Timestamps travel as epoch
+    * micros longs — the gap sums are exact integers, no double drift.
+    */
+  def leadLagGaps(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("gap_us", col("us") - lag(col("us"), 1).over(w))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"),
+        min_by(col("event_type"), col("event_id")).as("first_type"),
+        max_by(col("event_type"), col("event_id")).as("last_type"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_lead_lag" -> (leadLagGaps _),
     "win_sliding_counts" -> (slidingCounts _),
     "win_user_sessions" -> (userSessions _),
     "win_approx_daily_uv" -> (approxDailyUv _),
@@ -121,6 +147,19 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_lead_lag" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+        |                  epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, event_type,
+        |             us - lag(us) OVER (PARTITION BY user_id
+        |                                ORDER BY us, event_id) AS gap_us
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_events,
+        |       CAST(sum(gap_us) AS BIGINT) AS sum_gap_us,
+        |       max(gap_us) AS max_gap_us,
+        |       arg_min(event_type, event_id) AS first_type,
+        |       arg_max(event_type, event_id) AS last_type
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "win_exact_daily_uv" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
         |       count(DISTINCT user_id) AS exact_uv

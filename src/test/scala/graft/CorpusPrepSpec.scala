@@ -90,4 +90,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(bad === 0L)
     assert(q.filter(col("code_max") === 255).count() > 0L) // max maps to 255
   }
+
+  test("bpe pair counts: hand fixture gives exact weighted pair frequencies") {
+    // vocabulary: "abab" ×3, "ab" ×2, "ba" ×1 →
+    //   pair ab: 2 per "abab" ×3 + 1 per "ab" ×2 = 8, from 2 words
+    //   pair ba: 1 per "abab" ×3 + 1 per "ba" ×1 = 4, from 2 words
+    val docs = docsOf(1L -> "abab ab abab", 2L -> "abab ab ba")
+    val got = CorpusPrep.bpePairCounts(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq(("ab", 8L, 2L), ("ba", 4L, 2L)))
+  }
+
+  test("bpe pair counts: non-ascii and 1-char words are excluded, pairs are 2 chars") {
+    val docs = docsOf(1L -> "的是 a bb ccc")
+    val got = CorpusPrep.bpePairCounts(docs).collect()
+      .map(r => r.getString(0))
+    assert(got.toSeq.sorted === Seq("bb", "cc"))
+    assert(got.forall(_.length == 2))
+  }
+
+  test("vector stats: norm2 >= max^2 when max>0, n_pos <= n_dims") {
+    val vs = Embeddings.vectorStats(
+      graft.sources.Tables.embeddings(spark, "/root/testdata/sf0.001"))
+    assert(vs.filter(col("n_pos") > col("n_dims")).count() === 0)
+    // norm2_x1e6 >= (max_x1e6)^2/1e6 (both scaled) for positive max
+    assert(vs.filter(col("max_x1e6") > 0 &&
+      col("norm2_x1e6") * lit(1000000.0) <
+        col("max_x1e6") * col("max_x1e6") - lit(2000000.0)).count() === 0)
+  }
 }

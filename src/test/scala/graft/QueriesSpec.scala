@@ -115,4 +115,32 @@ class QueriesSpec extends AnyFunSuite {
         round(sum(col("value")), 2).as("total_value"))
     assert(viaSalt.except(plain).isEmpty && plain.except(viaSalt).isEmpty)
   }
+
+  test("lead/lag gaps telescope: sum of gaps = last ts - first ts per user") {
+    import org.apache.spark.sql.functions._
+    val gaps = graft.queries.WindowQueries.leadLagGaps(spark, dir)
+    val span = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id"))
+      .agg((max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+        .as("span_us"))
+    assert(gaps.join(span, "user_id")
+      .filter(col("sum_gap_us") =!= col("span_us")).count() === 0)
+    assert(gaps.filter(col("max_gap_us") < 0).count() === 0)
+  }
+
+  test("grouping sets = union of the two independent rollups") {
+    import org.apache.spark.sql.functions._
+    val gs = StarQueries.groupingSetsMix(spark, dir)
+    val nNations = gs.filter(col("g_nation") === 0).count()
+    val nSegments = gs.filter(col("g_segment") === 0).count()
+    assert(gs.count() === nNations + nSegments)
+    // each row belongs to exactly one set
+    assert(gs.filter(col("g_nation") + col("g_segment") =!= 1).count() === 0)
+    // per-set customer totals both equal the full join count
+    val total = gs.filter(col("g_nation") === 0)
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    val total2 = gs.filter(col("g_segment") === 0)
+      .agg(sum("n_customers")).collect()(0).getLong(0)
+    assert(total === total2)
+  }
 }
