@@ -157,6 +157,26 @@ object StreamingQueries {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** Stream-static enrichment join: each micro-batch broadcast-joins
+    * against a STATIC dimension (here customer → market segment), then
+    * feeds an unbounded keyed agg. The join itself is stateless —
+    * Spark re-resolves the static side per micro-batch (so a dim
+    * refresh is picked up on the next batch), and with the broadcast
+    * hint each batch's join is a map-side hash probe: no shuffle, no
+    * join state, state only in the downstream agg (one row per
+    * segment). This is the streaming fact / slowly-refreshing dim
+    * pattern every enrichment pipeline runs; left join + UNKNOWN
+    * keeps unmatched facts (dropping them silently is the classic
+    * enrichment bug).
+    */
+  def enrichBySegment(dim: DataFrame)(stream: DataFrame): DataFrame =
+    stream
+      .join(broadcast(dim.select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))), Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+
   // ------------------------------------- custom keyed state (SURVEY §2.10)
 
   final case class KeyedEvent(user_id: Long, value: Double)
@@ -298,7 +318,11 @@ object StreamingQueries {
     // replay goes through the truncating complete-mode sink.
     "stream_sessions_user" -> ((s, d) =>
       replayComplete(s, d, qSessions)
-        .orderBy(col("user_id"), col("session_start")))
+        .orderBy(col("user_id"), col("session_start"))),
+    "stream_enrich_segment" -> ((s, d) =>
+      replay(s, d,
+        enrichBySegment(graft.sources.Tables.customer(s, d)),
+        Seq("segment")).orderBy(col("segment")))
   )
 
   val oracles: Map[String, String] = Map(
@@ -333,6 +357,12 @@ object StreamingQueries {
         |       count(*) AS n_events,
         |       round(sum(value), 2) AS session_value
         |FROM sessions GROUP BY user_id, session_id
-        |ORDER BY user_id, session_start""".stripMargin
+        |ORDER BY user_id, session_start""".stripMargin,
+    "stream_enrich_segment" ->
+      """SELECT coalesce(c_mktsegment, 'UNKNOWN') AS segment,
+        |       count(*) AS n_events,
+        |       round(sum(value), 2) AS total_value
+        |FROM events LEFT JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -259,6 +259,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture should contain click->purchase pairs")
   }
 
+  test("stream-static enrichment equals the batch join, keeps unmatched facts") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingQueries.replay(spark, dir,
+      StreamingQueries.enrichBySegment(graft.sources.Tables.customer(spark, dir)),
+      Seq("segment"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = graft.sources.Tables.events(spark, dir)
+      .join(graft.sources.Tables.customer(spark, dir)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment").as("segment")),
+        Seq("user_id"), "left")
+      .groupBy(coalesce(col("segment"), lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed === batch)
+  }
+
   test("streaming agg runs on the RocksDB state store (production state path)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
