@@ -166,7 +166,71 @@ object ExtraQueries {
       .orderBy(col("event_type"))
   }
 
+  /** MapType surface: parse `props` as `map<string,long>`, explode to
+    * (key, value) rows, histogram per key. Schema-on-read of
+    * semi-structured columns into typed maps (`from_json` +
+    * `explode(map)`) is the general form of [[propsExtract]]'s
+    * single-path `get_json_object` — one narrow projection then one
+    * keyed shuffle, at any key cardinality (the map never collects to
+    * a driver-side schema the way schema inference would).
+    */
+  def propsMapHist(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(explode(from_json(col("props"),
+        org.apache.spark.sql.types.DataType.fromDDL("map<string,bigint>"))))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .orderBy(col("key"))
+
+  /** Cartesian product (`crossJoin` — the explicit API, not an
+    * accidental missing join key): all ordered nation pairs. The
+    * engine's rule at scale: a cartesian is only ever legitimate
+    * between BOUNDED dims (here 25×25); Spark plans
+    * BroadcastNestedLoopJoin, which is exactly right for that shape —
+    * the gate exists to pin that the operator and its non-equi filter
+    * semantics work, not to encourage the shape on facts.
+    */
+  def crossNationPairs(spark: SparkSession, dir: String): DataFrame = {
+    val n1 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("k1"), col("n_name").as("n1_name"))
+    val n2 = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("k2"), col("n_name").as("n2_name"))
+    n1.crossJoin(n2)
+      .filter(col("k1") < col("k2"))
+      .select(col("n1_name"), col("n2_name"))
+      .orderBy(col("n1_name"), col("n2_name"))
+  }
+
+  /** FULL OUTER join: per-(user, day) click activity vs purchase
+    * activity — the reconciliation shape (both "only clicked" and
+    * "only purchased" legs must survive, which inner/left joins
+    * silently drop). Both sides pre-aggregate BEFORE the join, so the
+    * full-outer shuffle carries (user, day) rollups, not raw events,
+    * and the join keys are the grouping keys — one exchange each side
+    * at any scale.
+    */
+  def fullOuterActivity(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"),
+        date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        col("event_type"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("date_str"))
+      .agg(count(lit(1)).as("n_clicks"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("date_str"))
+      .agg(count(lit(1)).as("n_purchases"))
+    clicks.join(buys, Seq("user_id", "date_str"), "full_outer")
+      .select(col("user_id"), col("date_str"),
+        coalesce(col("n_clicks"), lit(0L)).as("n_clicks"),
+        coalesce(col("n_purchases"), lit(0L)).as("n_purchases"))
+      .orderBy(col("user_id"), col("date_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "props_map_hist" -> (propsMapHist _),
+    "cross_nation_pairs" -> (crossNationPairs _),
+    "full_outer_activity" -> (fullOuterActivity _),
     "asof_last_error" -> (lastErrorAsOf _),
     "anomaly_iqr" -> (anomalyIqr _),
     "cube_type_dow" -> (cubeTypeDow _),
@@ -179,6 +243,30 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "props_map_hist" ->
+      """WITH kv AS (
+        |  SELECT props, unnest(json_keys(props)) AS key FROM events)
+        |SELECT key, count(*) AS n,
+        |       CAST(sum(CAST(json_extract(props, '$.' || key) AS BIGINT))
+        |            AS BIGINT) AS total
+        |FROM kv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "cross_nation_pairs" ->
+      """SELECT a.n_name AS n1_name, b.n_name AS n2_name
+        |FROM nation a, nation b
+        |WHERE a.n_nationkey < b.n_nationkey
+        |ORDER BY 1, 2""".stripMargin,
+    "full_outer_activity" ->
+      """WITH c AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS date_str,
+        |                  count(*) AS n_clicks
+        |           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+        |p AS (SELECT user_id, strftime(ts, '%Y-%m-%d') AS date_str,
+        |             count(*) AS n_purchases
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT user_id, date_str,
+        |       coalesce(n_clicks, 0) AS n_clicks,
+        |       coalesce(n_purchases, 0) AS n_purchases
+        |FROM c FULL OUTER JOIN p USING (user_id, date_str)
+        |ORDER BY 1, 2""".stripMargin,
     "anomaly_iqr" ->
       """WITH b AS (
         |  SELECT event_type,

@@ -116,6 +116,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(viaSalt.except(plain).isEmpty && plain.except(viaSalt).isEmpty)
   }
 
+  test("full outer activity keeps both unmatched legs") {
+    import org.apache.spark.sql.functions._
+    val fo = graft.queries.ExtraQueries.fullOuterActivity(spark, dir)
+    assert(fo.filter(col("n_clicks") === 0 && col("n_purchases") > 0).count() > 0)
+    assert(fo.filter(col("n_purchases") === 0 && col("n_clicks") > 0).count() > 0)
+    assert(fo.filter(col("n_clicks") === 0 && col("n_purchases") === 0).count() === 0)
+  }
+
+  test("cross join pairs: exactly n*(n-1)/2 ordered pairs") {
+    val n = graft.sources.Tables.nation(spark, dir).count()
+    assert(graft.queries.ExtraQueries.crossNationPairs(spark, dir).count()
+      === n * (n - 1) / 2)
+  }
+
   test("lead/lag gaps telescope: sum of gaps = last ts - first ts per user") {
     import org.apache.spark.sql.functions._
     val gaps = graft.queries.WindowQueries.leadLagGaps(spark, dir)
