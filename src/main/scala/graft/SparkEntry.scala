@@ -85,7 +85,8 @@ object SparkEntry {
       DataQuality.queries ++ Layout.queries ++ Curation.queries ++
       Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries ++
       CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
-      ZOrder.queries ++ graft.sources.FileFormats.queries +
+      ZOrder.queries ++ graft.sources.FileFormats.queries ++
+      graft.ext.Scd2.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -98,7 +99,8 @@ object SparkEntry {
       DataQuality.oracles ++ Layout.oracles ++ Curation.oracles ++
       Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles ++
       CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
-      ZOrder.oracles ++ graft.sources.FileFormats.oracles +
+      ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
+      graft.ext.Scd2.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,
