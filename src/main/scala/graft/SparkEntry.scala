@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Similarity, TextAnalysis, ZOrder}
+import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Search, Sharding, Similarity, TextAnalysis, ZOrder}
 import graft.gen.OrderGen
 import graft.queries.{BehaviorQueries, EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -86,7 +86,7 @@ object SparkEntry {
       Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries ++
       CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
       ZOrder.queries ++ graft.sources.FileFormats.queries ++
-      graft.ext.Scd2.queries +
+      graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,7 +100,7 @@ object SparkEntry {
       Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles ++
       CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
       ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
-      graft.ext.Scd2.oracles +
+      graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

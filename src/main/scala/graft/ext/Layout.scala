@@ -115,8 +115,49 @@ object Layout {
       .orderBy(col("source"))
   }
 
+  /** File-level zonemap (min/max) data skipping — pruning WITHIN a
+    * partition, one level finer than [[pruneAggregate]]'s directory
+    * pruning: range-layout the table on the filter column (each file
+    * carries a disjoint doc_id range), build a per-file min/max
+    * manifest, and answer a range query by reading ONLY the files
+    * whose zone intersects the predicate — the Delta/Iceberg
+    * data-skipping mechanism as explicit dataflow.
+    *
+    * At 100 TB the manifest is built ONCE at write time (here it is
+    * derived by a scan for self-containment; a production writer
+    * collects it from parquet footers as it writes) and amortizes
+    * over every subsequent query; it is file-count-sized — KBs per
+    * PB — which is why collecting the matching file list to the
+    * driver is a metadata operation, not a data collect. The exact
+    * predicate is re-applied after the pruned read, so a stale or
+    * coarse manifest can only cost I/O, never correctness.
+    */
+  def zonemapPruneAgg(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_layout_zonemap_${
+      math.abs(dir.hashCode.toLong)}"
+    Tables.documents(spark, dir)
+      .repartitionByRange(8, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .write.mode("overwrite").parquet(tmp)
+    val (loP, hiP) = (10L, 29L)
+    val files = spark.read.parquet(tmp)
+      .groupBy(input_file_name().as("file"))
+      .agg(min(col("doc_id")).as("lo"), max(col("doc_id")).as("hi"))
+      .filter(col("hi") >= loP && col("lo") <= hiP)
+      .select("file").collect().map(_.getString(0))
+    val pruned =
+      if (files.nonEmpty) spark.read.parquet(files.toIndexedSeq: _*)
+      else spark.read.parquet(tmp) // degenerate manifest: correctness first
+    pruned.filter(col("doc_id").between(loP, hiP))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "layout_prune_agg" -> (pruneAggregate _),
+    "zonemap_prune_agg" -> (zonemapPruneAgg _),
     // MERGE gate: "updates" = even-keyed customers with doubled
     // balance + one synthetic new customer per nation; merged table
     // summarized per nation so the full row set is exercised
@@ -140,6 +181,11 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "zonemap_prune_agg" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents WHERE doc_id BETWEEN 10 AND 29
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "layout_prune_agg" ->
       """SELECT source, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars,

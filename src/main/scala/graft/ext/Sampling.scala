@@ -79,6 +79,27 @@ object Sampling {
       .drop("keep")
   }
 
+  /** Exact per-group quota cap: keep at most `n` rows per group,
+    * selected by a deterministic fingerprint order (hash-uniform ⇒
+    * the kept subset is an unbiased-but-reproducible sample of the
+    * group). The dual of rate-based sampling — quotas bound group
+    * SIZE (corpus balancing: "≤ n docs per source"), rates bound
+    * group share.
+    *
+    * One shuffle on the group key + per-group sort. For groups whose
+    * rows vastly exceed `n`, the bounded-buffer aggregation shape
+    * ([[graft.functions.TopKRowsAggregator]]) does the same selection
+    * with map-side partials and no per-group full sort — this window
+    * form is the general-schema variant.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+      fingerprint: Column, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(fingerprint, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n).drop("__rn")
+  }
+
   // -------------------------------------------------------- gate wiring
 
   /** Weight for srcN = 1 + (N mod 5): rates 0.2/0.4/0.6/0.8/1.0 over
@@ -97,6 +118,10 @@ object Sampling {
       stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
         LangRates, defaultRate = 0.25)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "sample_cap_source" -> ((s, d) =>
+      capPerGroup(Tables.documents(s, d), "source", "doc_id",
+        md5(col("text")), n = 20)
+        .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
     "sample_mix" -> ((s, d) =>
       mixCorpus(Tables.documents(s, d), MixWeights)
         .groupBy(col("source"))
@@ -109,6 +134,12 @@ object Sampling {
     "SELECT doc_id, bucket FROM read_parquet('__OUTDIR__/.aux/sample_buckets/*.parquet')"
 
   val oracles: Map[String, String] = Map(
+    "sample_cap_source" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY md5(text), doc_id) AS rn
+        |  FROM documents) WHERE rn <= 20 ORDER BY doc_id""".stripMargin,
     "sample_hash" ->
       s"""SELECT d.doc_id, d.source
          |FROM documents d JOIN ($bucketsAux) b USING (doc_id)

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ops.{AsOfJoin, BloomJoin, RangeJoin, SkewJoin}
+import graft.ops.{AsOfJoin, BloomJoin, FuzzyJoin, RangeJoin, SkewJoin}
 import graft.sources.Tables
 
 /** Remaining engine-surface operators: as-of join (composed — see
@@ -227,7 +227,99 @@ object ExtraQueries {
       .orderBy(col("user_id"), col("date_str"))
   }
 
+  /** Fuzzy (edit-distance ≤ 3) name matching over the part catalog,
+    * through [[graft.ops.FuzzyJoin]]: names DEDUPE to a dictionary
+    * first (the scale move — 2 000 part rows hold 64 names; at 100 TB
+    * the ratio is far larger), pairs generate only inside same-noun
+    * blocks, and each surviving pair carries the product of the
+    * names' row counts so fact-side impact stays recoverable without
+    * ever fuzzy-joining fact rows.
+    */
+  def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+    val a = names.select(col("noun"), col("p_name").as("name1"),
+      col("n_rows").as("rows1"))
+    val b = names.select(col("noun"), col("p_name").as("name2"),
+      col("n_rows").as("rows2"))
+    FuzzyJoin.byEditDistance(a, b, "noun", "name1", "name2", maxDist = 3,
+        pairFilter = col("name1") < col("name2"))
+      .select(col("noun"), col("name1"), col("name2"), col("dist"),
+        (col("rows1") * col("rows2")).as("pair_weight"))
+      .orderBy(col("noun"), col("name1"), col("name2"))
+  }
+
+  /** Exact per-type top-3 events by value through the bounded-buffer
+    * [[graft.functions.TopKRowsAggregator]] — the aggregation form of
+    * `row_number() ≤ k` (the oracle's formulation): map-side partial
+    * top-k bounds the shuffle to k rows per partition×group and sorts
+    * nothing globally. Ties break on event_id in both engines.
+    */
+  def topkPerType(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TopKRowsAggregator.{ScoredRow, TopK}
+    val topk = udaf(new TopK(3), org.apache.spark.sql.Encoders.product[ScoredRow])
+    Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(topk(col("value"), col("event_id")).as("top"))
+      .select(col("event_type"), posexplode(col("top")))
+      .select(col("event_type"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("event_id"), round(col("col.score"), 2).as("value"))
+      .orderBy(col("event_type"), col("rank"))
+  }
+
+  /** Fixed-width histogram of `value` (width 50, origin 0): bucket
+    * assignment is a narrow `floor` inside the scan's codegen stage —
+    * one keyed shuffle of (bucket, partials), the standard
+    * distribution profile at any scale.
+    */
+  def histValueBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(floor(col("value") / 50.0).cast("long").as("bucket"), col("value"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 2).as("lo"),
+        round(max(col("value")), 2).as("hi"))
+      .orderBy(col("bucket"))
+
+  /** Moment-based outlier profile per event type (the z-score sibling
+    * of [[anomalyIqr]]'s quantile fences): mean/σ derive from EXACT
+    * integer sums of value-cents (sum and sum-of-squares commute and
+    * carry no float drift through the shuffle — at larger scales the
+    * sums outgrow int64 and move to decimal(38,0), same dataflow),
+    * then the tiny per-type moments broadcast back over the fact scan
+    * for the |z| > 2 counts. Two keyed shuffles, no global sort —
+    * and every double derives from integers via one shared syntactic
+    * expression, so the oracle hash-matches bit-exactly.
+    */
+  def zscoreOutliers(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+      .select(col("event_type"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    val m = e.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s1"),
+        sum(col("cents") * col("cents")).as("s2"))
+      .select(col("event_type"),
+        (col("s1").cast("double") / col("n").cast("double")).as("meand"),
+        sqrt(col("s2").cast("double") / col("n").cast("double")
+          - (col("s1").cast("double") / col("n").cast("double"))
+            * (col("s1").cast("double") / col("n").cast("double"))).as("sd"))
+    val z = (col("cents").cast("double") - col("meand")) / col("sd")
+    e.join(broadcast(m), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(when(z > 2.0, 1)).as("n_hi"),
+        count(when(z < -2.0, 1)).as("n_lo"),
+        round(max(col("meand")), 2).as("mean_c"),
+        round(max(col("sd")), 2).as("sd_c"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "fuzzy_join_parts" -> (fuzzyPartNames _),
+    "topk_per_type" -> (topkPerType _),
+    "hist_value_buckets" -> (histValueBuckets _),
+    "zscore_outliers" -> (zscoreOutliers _),
     "props_map_hist" -> (propsMapHist _),
     "cross_nation_pairs" -> (crossNationPairs _),
     "full_outer_activity" -> (fullOuterActivity _),
@@ -243,6 +335,50 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "fuzzy_join_parts" ->
+      """WITH names AS (
+        |  SELECT p_name, count(*) AS n_rows,
+        |         string_split(p_name, ' ')[2] AS noun
+        |  FROM part GROUP BY 1)
+        |SELECT a.noun, a.p_name AS name1, b.p_name AS name2,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INTEGER) AS dist,
+        |       CAST(a.n_rows * b.n_rows AS BIGINT) AS pair_weight
+        |FROM names a JOIN names b
+        |  ON a.noun = b.noun AND a.p_name < b.p_name
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "topk_per_type" ->
+      """WITH r AS (
+        |  SELECT event_type, event_id, value,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value DESC, event_id) AS rank
+        |  FROM events)
+        |SELECT event_type, CAST(rank AS INTEGER) AS rank, event_id,
+        |       round(value, 2) AS value
+        |FROM r WHERE rank <= 3 ORDER BY 1, 2""".stripMargin,
+    "hist_value_buckets" ->
+      """SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |       count(*) AS n,
+        |       round(min(value), 2) AS lo, round(max(value), 2) AS hi
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "zscore_outliers" ->
+      """WITH e AS (
+        |  SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |  FROM events),
+        |m AS (
+        |  SELECT event_type,
+        |         CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS meand,
+        |         sqrt(CAST(sum(cents * cents) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |              - (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+        |                * (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS sd
+        |  FROM e GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       count(*) FILTER ((CAST(e.cents AS DOUBLE) - m.meand) / m.sd > 2.0) AS n_hi,
+        |       count(*) FILTER ((CAST(e.cents AS DOUBLE) - m.meand) / m.sd < -2.0) AS n_lo,
+        |       round(max(m.meand), 2) AS mean_c,
+        |       round(max(m.sd), 2) AS sd_c
+        |FROM e JOIN m USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "props_map_hist" ->
       """WITH kv AS (
         |  SELECT props, unnest(json_keys(props)) AS key FROM events)

@@ -137,7 +137,35 @@ object WindowQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Trailing 7-day per-user daily totals — a RANGE frame over day
+    * numbers (`rangeBetween(-6, 0)`), not a ROWS frame: missing days
+    * fall out of the window by VALUE, so sparse activity needs no
+    * gap-fill first. Values travel as exact integer cents (no double
+    * drift through the two shuffles); the day axis is an integer so
+    * the range frame is engine-independent. One shuffle for the daily
+    * rollup, one for the user-partitioned window — both keyed on
+    * user_id, so AQE reuses the exchange; per-user frames are
+    * days-not-events sized at any scale.
+    */
+  def rollingUserDaily(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("dayn",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("dayn")).rangeBetween(-6, 0)
+    daily.select(col("user_id"),
+        date_format(col("day"), "yyyy-MM-dd").as("date_str"),
+        col("cents"), sum(col("cents")).over(w).as("cents_7d"))
+      .orderBy(col("user_id"), col("date_str"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_rolling_7d" -> (rollingUserDaily _),
     "win_lead_lag" -> (leadLagGaps _),
     "win_sliding_counts" -> (slidingCounts _),
     "win_user_sessions" -> (userSessions _),
@@ -147,6 +175,17 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_rolling_7d" ->
+      """WITH d AS (
+        |  SELECT user_id, CAST(ts AS DATE) AS day,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS dayn,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS date_str, cents,
+        |       CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY dayn
+        |            RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS cents_7d
+        |FROM d ORDER BY 1, 2""".stripMargin,
     "win_lead_lag" ->
       """WITH e AS (SELECT user_id, event_id, event_type,
         |                  epoch_us(ts) AS us FROM events),
