@@ -100,6 +100,20 @@ object Search {
       .orderBy(col("id"))
   }
 
+  /** Corpus bigram counts through the [[graft.functions.WordNgrams]]
+    * GENERATOR (the UDTF surface): windows stream out of the Generate
+    * node map-side with no intermediate per-row array, then one
+    * wordcount shuffle and a deterministic top-40. SQL-text twin:
+    * `sql_ngram_gen` (LATERAL VIEW over the injected function).
+    */
+  def ngramGenCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(graft.functions.WordNgrams
+        .wordNgrams(tokens(col("text")), 2).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram"))
+      .limit(40)
+
   // ---- gate wiring -------------------------------------------------
 
   private val QueryTerms = Seq("spark", "hash", "vector")
@@ -109,7 +123,8 @@ object Search {
       bm25(Tables.documents(s, d), "doc_id", "text", QueryTerms, k = 15)),
     "vocab_encode" -> ((s, d) =>
       vocabEncode(Tables.documents(s, d), "text", minCount = 20L,
-        maxVocab = 1000))
+        maxVocab = 1000)),
+    "ngram_gen_counts" -> (ngramGenCounts _)
   )
 
   /** The oracle mirrors the Spark arithmetic SYNTACTICALLY — same
@@ -143,6 +158,17 @@ object Search {
          |FROM t, s
          |ORDER BY score DESC, doc_id LIMIT 15""".stripMargin
     },
+    "ngram_gen_counts" ->
+      """WITH d AS (
+        |  SELECT list_filter(string_split_regex(text, '\s+'),
+        |                     x -> x <> '') AS toks
+        |  FROM documents),
+        |b AS (
+        |  SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+        |                               i -> toks[i] || ' ' || toks[i + 1])) AS ngram
+        |  FROM d)
+        |SELECT ngram, count(*) AS cnt FROM b
+        |GROUP BY 1 ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin,
     "vocab_encode" ->
       """WITH toks AS (
         |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),

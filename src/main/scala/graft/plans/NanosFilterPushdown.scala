@@ -177,5 +177,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"ngram_hash64: n must be an integer literal, got $other")
       }))
+    register(e, "word_ngrams", 2,
+      "word_ngrams(tokens, n) - generator: one row per n-token window")(
+      a => WordNgrams(a(0), a(1) match {
+        case Literal(v: Int, _) => v
+        case other => throw new IllegalArgumentException(
+          s"word_ngrams: n must be an integer literal, got $other")
+      }))
   }
 }

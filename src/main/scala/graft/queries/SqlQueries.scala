@@ -81,11 +81,27 @@ object SqlQueries {
          |ORDER BY date_str""".stripMargin)
   }
 
+  /** The GENERATOR through the SQL-text surface: LATERAL VIEW over
+    * the injected `word_ngrams` table function — twin of
+    * [[graft.ext.Search.ngramGenCounts]] (same Generate plan, same
+    * oracle).
+    */
+  def sqlNgramGen(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT ngram, count(*) AS cnt
+        |FROM documents
+        |LATERAL VIEW word_ngrams(filter(split(text, '\\s+'), x -> x != ''), 2)
+        |  t AS ngram
+        |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sql_q6_trailing" -> (sqlQ6 _),
     "sql_revenue_by_nation" -> (sqlRevenue _),
     "sql_simhash" -> (sqlSimhash _),
-    "sql_pivot" -> (sqlPivot _)
+    "sql_pivot" -> (sqlPivot _),
+    "sql_ngram_gen" -> (sqlNgramGen _)
   )
 
   /** Shared with the DataFrame twins' oracles. */
@@ -93,6 +109,7 @@ object SqlQueries {
     "sql_q6_trailing" -> EventQueries.oracles("q6_trailing_rollup"),
     "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation"),
     "sql_simhash" -> graft.ext.Dedup.oracles("dedup_simhash"),
-    "sql_pivot" -> ExtraQueries.oracles("pivot_type_daily")
+    "sql_pivot" -> ExtraQueries.oracles("pivot_type_daily"),
+    "sql_ngram_gen" -> graft.ext.Search.oracles("ngram_gen_counts")
   )
 }

@@ -110,6 +110,51 @@ class SearchSpec extends AnyFunSuite {
     assert(viaJoin.except(rolled).count() === 0)
   }
 
+  test("bm25 plan: no token explode, top-k via TakeOrderedAndProject") {
+    val plan = Search.bm25(Tables.documents(spark, dir), "doc_id", "text",
+      Seq("spark", "hash"), 10).queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"),
+      s"bm25 must not explode tokens:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k must be a bounded take, not a global sort:\n$plan")
+  }
+
+  test("word_ngrams generator: Generate node, HOF equivalence, SQL twin") {
+    val gen = Search.ngramGenCounts(spark, dir)
+    assert(gen.queryExecution.executedPlan.toString.contains("Generate"),
+      "the UDTF must plan a Generate node")
+    // equivalence with the transform+explode HOF formulation
+    val toks = Search.tokens(col("text"))
+    val hof = Tables.documents(spark, dir)
+      .select(explode(when(size(toks) >= 2,
+        transform(sequence(lit(0), size(toks) - 2),
+          i => concat_ws(" ", element_at(toks, i + 1), element_at(toks, i + 2))))
+        .otherwise(array().cast("array<string>"))).as("ngram"))
+      .groupBy(col("ngram")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram")).limit(40)
+    assert(gen.collect().toSeq === hof.collect().toSeq)
+    // SQL-text twin through the injected function resolves identically
+    val sqlTwin = graft.queries.SqlQueries.sqlNgramGen(spark, dir)
+    assert(gen.collect().toSeq === sqlTwin.collect().toSeq)
+  }
+
+  test("fuzzy join plans a hash join on the block key, no nested loop") {
+    val plan = ExtraQueries.fuzzyPartNames(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"blocked fuzzy join must be an equi-join:\n$plan")
+  }
+
+  test("bounded top-k plans a partial aggregation, not a window sort") {
+    val plan = ExtraQueries.topkPerType(spark, dir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"typed aggregator must plan ObjectHashAggregate:\n$plan")
+    assert(!plan.contains("Window"),
+      s"the aggregation form must not fall back to a window:\n$plan")
+  }
+
   test("zscore outlier profile: hand-checked on a tiny frame") {
     import spark.implicits._
     // values 1..8 plus one far outlier; mean/sd shift, only the
