@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Search, Sharding, Similarity, TextAnalysis, ZOrder}
+import graft.ext.{Cleaning, CorpusPrep, Curation, DataQuality, Dedup, Embeddings, Layout, Multimodal, Packing, Sampling, Search, Sharding, Similarity, Sketches, TextAnalysis, ZOrder}
 import graft.gen.OrderGen
 import graft.queries.{BehaviorQueries, EventQueries, ExtraQueries, SqlQueries, StarQueries, WindowQueries}
 import org.apache.spark.sql.functions._
@@ -57,6 +57,11 @@ object SparkEntry {
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
+      "cms_buckets" -> ((s, d) =>
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id") +:
+            (0 until Sketches.CmsDepth).map(t =>
+              Sketches.cmsBucket(col("user_id"), t).as(s"b$t")): _*)),
       "lsh_buckets" -> ((s, d) =>
         S.lshBuckets(Tables.embeddings(s, d), "vec_id")),
       // the (session, dir)-memoized models: the SAME trained state the
@@ -86,7 +91,8 @@ object SparkEntry {
       Sampling.queries ++ Cleaning.queries ++ BehaviorQueries.queries ++
       CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
       ZOrder.queries ++ graft.sources.FileFormats.queries ++
-      graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries +
+      graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries ++
+      Sketches.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -100,7 +106,8 @@ object SparkEntry {
       Sampling.oracles ++ Cleaning.oracles ++ BehaviorQueries.oracles ++
       CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
       ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
-      graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles +
+      graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles ++
+      Sketches.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

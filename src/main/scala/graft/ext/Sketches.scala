@@ -1,0 +1,121 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.Tables
+
+/** Sketch-family aggregation: bitmap-index distinct counting and a
+  * count-min frequency sketch — the OLAP techniques behind fast UV /
+  * heavy-hitter queries (the reference's Q1/Q3 workload shape is
+  * exactly per-key UV+GMV; bitmap UV is how warehouse engines answer
+  * it without a distinct shuffle per query).
+  *
+  * Both sketches here are DETERMINISTIC (hash-bucketed, no RNG), so
+  * unlike HLL they are oracle-checkable: the bitmap UV must equal the
+  * exact distinct count, and the CMS estimate is reproduced
+  * independently by DuckDB from the materialized bucket assignments
+  * (`.aux/cms_buckets`).
+  *
+  * Scale notes:
+  *  - [[bitmapDailyUv]]: first aggregation carries (day, 2^15-wide
+  *    bucket) → one 4 KB bitmap per group (map-side combined OR), the
+  *    second sums tiny per-bucket cardinalities. No row-level
+  *    distinct state ever shuffles; the bitmap layer is re-mergeable,
+  *    so daily bitmaps can persist and roll up to weeks/months
+  *    without touching raw events again.
+  *  - [[cmsUserCounts]]: the sketch IS a (table, bucket) count frame
+  *    — 4×1024 cells regardless of input size; building it is one
+  *    shuffle of 4-per-row (table, bucket) partials with map-side
+  *    combine, and estimation broadcasts the KB-sized sketch back.
+  *    Estimates are upper bounds (min over tables of a
+  *    non-decreasing cell); the gate carries exact counts alongside.
+  */
+object Sketches {
+
+  /** Exact daily UV via bitmap index: `user_id` maps to
+    * (bucket, bit); per (day, bucket) an OR-merged bitmap; per day
+    * the summed bit count. Equals `count(DISTINCT user_id)` — the
+    * oracle asserts exactly that.
+    */
+  def bitmapDailyUv(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        expr("bitmap_bucket_number(user_id)").as("bkt"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+      .groupBy(col("date_str"))
+      .agg(sum(expr("bitmap_count(bm)")).as("uv"))
+      .orderBy(col("date_str"))
+
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+
+  /** Bucket of `key` in CMS table `t` — pure function shared by the
+    * sketch build, the estimate probe, and the `.aux` materialization
+    * the oracle recomputes from.
+    */
+  def cmsBucket(key: Column, t: Int): Column =
+    pmod(xxhash64(lit(t), key), lit(CmsWidth))
+
+  /** Per-user exact count + count-min estimate. The sketch is the
+    * (t, bkt, c) frame; estimates probe it with `CmsDepth` broadcast
+    * joins and take the min cell. `est_n >= exact_n` always; equality
+    * whenever no hash collision inflates every one of the key's
+    * cells.
+    */
+  def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val sketch = ev
+      .select(posexplode(array((0 until CmsDepth).map(t =>
+        cmsBucket(col("user_id"), t)): _*)).as(Seq("t", "bkt")))
+      .groupBy(col("t"), col("bkt")).agg(count(lit(1)).as("c"))
+    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+    val probed = (0 until CmsDepth).foldLeft(keys) { (df, t) =>
+      df.join(
+        broadcast(sketch.filter(col("t") === t)
+          .select(col("bkt").as(s"bkt_$t"), col("c").as(s"c_$t"))),
+        cmsBucket(col("user_id"), t) === col(s"bkt_$t"))
+        .drop(s"bkt_$t")
+    }
+    probed.select(col("user_id"), col("exact_n"),
+      least((0 until CmsDepth).map(t => col(s"c_$t")): _*).as("est_n"))
+      .orderBy(col("user_id"))
+  }
+
+  // -------------------------------------------------------- gate wiring
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bitmap_daily_uv" -> (bitmapDailyUv _),
+    "sketch_cms_users" -> (cmsUserCounts _)
+  )
+
+  val oracles: Map[String, String] = Map(
+    // the bitmap path must be EXACT
+    "bitmap_daily_uv" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
+        |       count(DISTINCT user_id) AS uv
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB re-runs the estimate from the materialized bucket
+    // assignments: cell(t,b) = total rows whose key hashes to b in
+    // table t; estimate = min over tables of the key's cell
+    "sketch_cms_users" -> {
+      val cells = (0 until CmsDepth).map(t =>
+        s"""t$t AS (SELECT a.b$t AS b, sum(k.exact_n) AS c
+           |       FROM k JOIN a USING (user_id) GROUP BY 1)""".stripMargin)
+        .mkString(",\n")
+      val joins = (0 until CmsDepth)
+        .map(t => s"JOIN t$t ON a.b$t = t$t.b").mkString("\n")
+      val mins = (0 until CmsDepth).map(t => s"t$t.c").mkString(", ")
+      s"""WITH k AS (SELECT user_id, count(*) AS exact_n
+         |           FROM events GROUP BY 1),
+         |a AS (SELECT * FROM
+         |      read_parquet('__OUTDIR__/.aux/cms_buckets/*.parquet')),
+         |$cells
+         |SELECT k.user_id, k.exact_n,
+         |       CAST(least($mins) AS BIGINT) AS est_n
+         |FROM k JOIN a USING (user_id)
+         |$joins
+         |ORDER BY k.user_id""".stripMargin
+    }
+  )
+}

@@ -196,10 +196,40 @@ object StarQueries {
         round(max(col("value")), 2).as("max_value"))
       .orderBy(col("event_type"))
 
+  /** [[revenueByNation]] with the fact⋈fact join FORCED to
+    * shuffle-hash via the hint API (`hint("shuffle_hash")`): skips
+    * SMJ's two sorts — the right call when neither side fits a
+    * broadcast but one side's per-partition build fits memory.
+    * SketchesSpec asserts `ShuffledHashJoin` actually planned.
+    *
+    * The revenue aggregates EXACT integer cents (per-row round, then
+    * integer sum), not `round(sum(double))`: changing the join
+    * strategy changes double-summation order, and a same-run
+    * experiment landed one group a cent across the rounding boundary
+    * vs the SMJ plan. A gate asserting "hints don't change results"
+    * must aggregate order-invariantly, or it asserts something floats
+    * don't promise.
+    */
+  def revenueByNationShuffleHash(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val ord = Tables.orders(spark, dir).hint("shuffle_hash")
+    val cust = Tables.customer(spark, dir)
+    val nat = Tables.nation(spark, dir)
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("nation"), col("order_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stats_value_by_type" -> (valueStats _),
     "star_pricing_summary" -> (pricingSummary _),
     "star_revenue_by_nation" -> (revenueByNation _),
+    "star_revenue_shuffle_hash" -> (revenueByNationShuffleHash _),
     "star_top_customers" -> (topCustomers _),
     "star_segment_active" -> (segmentActiveCustomers _),
     "star_customers_no_orders" -> (customersWithoutOrders _),
@@ -209,6 +239,28 @@ object StarQueries {
     "star_grouping_sets" -> (groupingSetsMix _),
     "star_setops_customers" -> (setOpsCustomers _)
   )
+
+  private val RevenueOracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** The hinted twin's oracle sums exact per-row cents — see
+    * [[revenueByNationShuffleHash]] for why the hint gate cannot use
+    * the `round(sum(double))` form. */
+  private val RevenueCentsOracle: String =
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
+      |       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100, 0)
+      |                     AS BIGINT)) AS BIGINT) AS revenue_cents
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "star_grouping_sets" ->
@@ -238,14 +290,8 @@ object StarQueries {
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
-    "star_revenue_by_nation" ->
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS order_year,
-        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
-        |FROM lineitem
-        |JOIN orders ON l_orderkey = o_orderkey
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "star_revenue_by_nation" -> RevenueOracle,
+    "star_revenue_shuffle_hash" -> RevenueCentsOracle,
     "star_top_customers" ->
       """SELECT c_custkey, c_name, revenue, order_cnt
         |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue,

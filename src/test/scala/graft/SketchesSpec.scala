@@ -1,0 +1,76 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.Sketches
+import graft.queries.StarQueries
+import graft.sources.Tables
+
+/** Sketch-family semantics: bitmap UV exactness, count-min upper
+  * bounds, and the shuffle-hash hint's plan + result invariance.
+  */
+class SketchesSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-sketches-test")
+  val dir = "/root/testdata/sf0.001"
+
+  test("bitmap UV equals exact countDistinct per day") {
+    val viaBitmap = Sketches.bitmapDailyUv(spark, dir)
+    val exact = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(countDistinct(col("user_id")).as("uv"))
+    assert(viaBitmap.except(exact).count() === 0)
+    assert(exact.except(viaBitmap).count() === 0)
+  }
+
+  test("CMS estimate is an upper bound and exact absent collisions") {
+    val r = Sketches.cmsUserCounts(spark, dir).collect()
+    assert(r.nonEmpty)
+    r.foreach { row =>
+      assert(row.getLong(2) >= row.getLong(1),
+        s"CMS must overestimate: ${row}")
+    }
+    // tiny keyspace ≪ width: overwhelmingly collision-free, so the
+    // estimate should be exact for the vast majority of keys
+    val exactHits = r.count(row => row.getLong(2) == row.getLong(1))
+    assert(exactHits * 10 >= r.length * 9,
+      s"expected >=90% exact at this keyspace, got $exactHits/${r.length}")
+  }
+
+  test("CMS sketch cells conserve mass: each table sums to the row count") {
+    val ev = Tables.events(spark, dir).select(col("user_id"))
+    val total = ev.count()
+    val sketch = ev
+      .select(posexplode(array((0 until Sketches.CmsDepth).map(t =>
+        Sketches.cmsBucket(col("user_id"), t)): _*)).as(Seq("t", "bkt")))
+      .groupBy(col("t"), col("bkt")).agg(count(lit(1)).as("c"))
+    val sums = sketch.groupBy(col("t")).agg(sum(col("c")).as("s")).collect()
+    assert(sums.length === Sketches.CmsDepth)
+    sums.foreach(row => assert(row.getLong(1) === total))
+  }
+
+  test("shuffle-hash hint plans ShuffledHashJoin and preserves results") {
+    val hinted = StarQueries.revenueByNationShuffleHash(spark, dir)
+    val plan = hinted.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"hint must force a shuffled hash join:\n$plan")
+    // compare via the ORDER-INVARIANT cents aggregate on both sides:
+    // the round(sum(double), 2) form is join-strategy-sensitive at
+    // rounding boundaries (observed: one group a cent apart between
+    // SMJ and shuffle-hash plans of the same query)
+    val plainCents = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("order_year"))
+      .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 100, 0)
+        .cast("long")).as("revenue_cents"))
+      .orderBy(col("nation"), col("order_year"))
+    assert(hinted.collect().toSeq === plainCents.collect().toSeq)
+  }
+}
