@@ -153,6 +153,87 @@ object ScaleRehearsal {
     require(smjRows == bloomRows,
       s"bloom anti join diverged: $bloomRows vs $smjRows")
 
+    // --- BM25 at corpus scale: 2M docs × 30 words (~60M tokens) ---
+    // The HOF-in-scan design claims retrieval at scan speed: no token
+    // explode, no wordcount shuffle, stats reduced to ONE row. The
+    // rehearsal corpus embeds the query terms at hash-determined
+    // positions so tf varies realistically.
+    val nBm = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BM25", "2000000").toLong
+    val bmDocs = spark.range(nBm).select(col("id").as("doc_id"),
+      concat_ws(" ",
+        (0 until 28).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(5000)))) ++
+        Seq(when(pmod(xxhash64(col("id"), lit("q1")), lit(10)) < 3, lit("spark"))
+            .otherwise(lit("w0")),
+          when(pmod(xxhash64(col("id"), lit("q2")), lit(10)) < 1, lit("vector"))
+            .otherwise(lit("w1"))): _*).as("text"))
+    val (bmSec, bmRows) = time {
+      graft.ext.Search.bm25(bmDocs, "doc_id", "text",
+        Seq("spark", "vector"), k = 15).queryExecution.toRdd.count()
+    }
+    report("bm25_2m_docs", nBm, bmSec, bmRows)
+
+    // --- sketch UV/frequency at 50M rows, 1M-key space, 30 days ---
+    // Bitmap distinct vs exact countDistinct, and CMS build+probe vs
+    // exact per-key counts — all four recorded honestly: the sketches'
+    // value is re-mergeability / bounded state, not necessarily a
+    // same-query speedup on one pass.
+    val nSk = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SKETCH", "50000000").toLong
+    val skEv = spark.range(nSk).select(
+      pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
+      pmod(col("id"), lit(30)).as("day"))
+    val (bmUvSec, bmUvRows) = time {
+      skEv.groupBy(col("day"), expr("bitmap_bucket_number(user_id)").as("bkt"))
+        .agg(expr("bitmap_construct_agg(bitmap_bit_position(user_id))").as("bm"))
+        .groupBy(col("day"))
+        .agg(sum(expr("bitmap_count(bm)")).as("uv"))
+        .queryExecution.toRdd.count()
+    }
+    report("bitmap_uv_50m", nSk, bmUvSec, bmUvRows)
+    val (exUvSec, exUvRows) = time {
+      skEv.groupBy(col("day")).agg(countDistinct(col("user_id")).as("uv"))
+        .queryExecution.toRdd.count()
+    }
+    report("exact_uv_50m", nSk, exUvSec, exUvRows)
+    val (cmsSec, cmsRows) = time {
+      val keyed = skEv.select(col("user_id"))
+      val sketch = keyed.select(posexplode(array((0 until 4).map(t =>
+          graft.ext.Sketches.cmsBucket(col("user_id"), t)): _*)).as(Seq("t", "bkt")))
+        .groupBy(col("t"), col("bkt")).agg(count(lit(1)).as("c"))
+      sketch.queryExecution.toRdd.count()
+    }
+    report("cms_build_50m", nSk, cmsSec, cmsRows)
+
+    // --- per-group quota at 20M rows, 16 hot groups ---
+    // The window form (full per-group sort) vs the bounded-buffer
+    // aggregation form over identical data: the aggregation shape is
+    // the scale path when k ≪ group size (map-side partials bound the
+    // shuffle to k rows per partition×group).
+    val nCap = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_CAP", "20000000").toLong
+    val capRows = spark.range(nCap).select(
+      concat(lit("g"), pmod(xxhash64(col("id")), lit(16))).as("grp"),
+      col("id"),
+      (pmod(xxhash64(col("id"), lit("v")), lit(1000000L)).cast("double") /
+        lit(1000.0)).as("score"))
+    val (winSec, winRows) = time {
+      graft.ext.Sampling.capPerGroup(capRows, "grp", "id",
+          xxhash64(col("id"), lit("o")), n = 100)
+        .queryExecution.toRdd.count()
+    }
+    report("cap_window_20m", nCap, winSec, winRows)
+    val (aggSec, aggRows) = time {
+      import graft.functions.TopKRowsAggregator.{ScoredRow, TopK}
+      val topk = org.apache.spark.sql.functions.udaf(new TopK(100),
+        org.apache.spark.sql.Encoders.product[ScoredRow])
+      capRows.groupBy(col("grp"))
+        .agg(topk(col("score"), col("id")).as("top"))
+        .select(col("grp"), explode(col("top")).as("r"))
+        .queryExecution.toRdd.count()
+    }
+    report("topk_agg_20m", nCap, aggSec, aggRows)
+    require(winRows == aggRows,
+      s"quota paths diverged: window $winRows vs agg $aggRows")
+
     spark.stop()
   }
 }

@@ -107,8 +107,49 @@ object Scd2 {
       .orderBy(col("c_custkey"), col("valid_from"))
   }
 
+  /** Point-in-time lookup against the versioned dimension: every
+    * event joins the customer VERSION that was valid at the event's
+    * date (the fact-to-SCD2 resolution every warehouse query over a
+    * versioned dim needs — joining the open version instead is the
+    * classic silent-history-rewrite bug). The dim is built by
+    * [[apply2]] with a mid-range effective date so events genuinely
+    * straddle both versions.
+    *
+    * Scale: versions-per-key is small and bounded (here ≤2), so the
+    * lookup is ONE keyed equi-join with bounded fanout plus a narrow
+    * validity filter — facts shuffle once on the key, exactly like a
+    * plain dim join. (For pathological version counts, the as-of
+    * union+window form in [[graft.ops.AsOfJoin]] bounds the work per
+    * key instead.) Values aggregate as exact integer cents.
+    */
+  def pointInTimeLookup(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+    val current = cust.select(col("c_custkey"), col("c_mktsegment"),
+      to_date(lit(T0)).as("valid_from"),
+      lit(null).cast("date").as("valid_to"))
+    val updates = cust.filter(col("c_custkey") % 3 === 0)
+      .select(col("c_custkey"),
+        concat(lit("X-"), col("c_mktsegment")).as("c_mktsegment"))
+    val hist = apply2(current, updates, "c_custkey",
+      Seq("c_mktsegment"), to_date(lit(TMid)))
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id").as("c_custkey"), to_date(col("ts")).as("d"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+    ev.join(hist, Seq("c_custkey"))
+      .filter(col("d") >= col("valid_from") &&
+        (col("valid_to").isNull || col("d") < col("valid_to")))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("value_cents"))
+      .orderBy(col("segment"))
+  }
+
+  /** Effective date of the lookup gate's second version — inside the
+    * events fixture's date range so both versions resolve. */
+  val TMid = "2024-01-15"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "scd2_customer_history" -> (customerHistory _)
+    "scd2_customer_history" -> (customerHistory _),
+    "scd2_point_in_time" -> (pointInTimeLookup _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -127,6 +168,24 @@ object Scd2 {
          |SELECT CAST(n_nationkey AS BIGINT) + 1000000, 'NEW', 0.0,
          |       '$T1', NULL
          |FROM nation
-         |ORDER BY 1, 4""".stripMargin
+         |ORDER BY 1, 4""".stripMargin,
+    "scd2_point_in_time" ->
+      s"""WITH hist AS (
+         |  SELECT c_custkey, c_mktsegment,
+         |         DATE '$T0' AS vf, DATE '$TMid' AS vt
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, 'X-' || c_mktsegment, DATE '$TMid', NULL
+         |  FROM customer WHERE c_custkey % 3 = 0
+         |  UNION ALL
+         |  SELECT c_custkey, c_mktsegment, DATE '$T0', NULL
+         |  FROM customer WHERE c_custkey % 3 <> 0)
+         |SELECT h.c_mktsegment AS segment, count(*) AS n_events,
+         |       CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS BIGINT)
+         |         AS value_cents
+         |FROM events e JOIN hist h ON e.user_id = h.c_custkey
+         |  AND CAST(e.ts AS DATE) >= h.vf
+         |  AND (h.vt IS NULL OR CAST(e.ts AS DATE) < h.vt)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

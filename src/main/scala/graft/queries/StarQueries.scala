@@ -225,7 +225,31 @@ object StarQueries {
       .orderBy(col("nation"), col("order_year"))
   }
 
+  /** Bag-semantics set operations (`EXCEPT ALL` / `INTERSECT ALL` —
+    * multiplicity-preserving, unlike the distinct forms the
+    * `star_setops_customers` gate covers): urgent-order customer keys
+    * vs finished-order customer keys, WITH duplicates (a customer
+    * with three urgent orders and one finished order survives
+    * EXCEPT ALL twice). Both ops plan as one keyed shuffle with
+    * count-difference arithmetic — no distinct collapse, no join
+    * explosion.
+    */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+    val a = ord.filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey"))
+    val b = ord.filter(col("o_orderstatus") === "F")
+      .select(col("o_custkey"))
+    a.exceptAll(b).agg(count(lit(1)).as("n"))
+      .select(lit("except_all").as("op"), col("n"))
+      .unionByName(
+        a.intersectAll(b).agg(count(lit(1)).as("n"))
+          .select(lit("intersect_all").as("op"), col("n")))
+      .orderBy(col("op"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "star_setops_all" -> (setOpsAll _),
     "stats_value_by_type" -> (valueStats _),
     "star_pricing_summary" -> (pricingSummary _),
     "star_revenue_by_nation" -> (revenueByNation _),
@@ -263,6 +287,16 @@ object StarQueries {
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "star_setops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders
+        |           WHERE o_orderpriority = '1-URGENT'),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+        |SELECT 'except_all' AS op, count(*) AS n
+        |FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+        |UNION ALL
+        |SELECT 'intersect_all', count(*)
+        |FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+        |ORDER BY op""".stripMargin,
     "star_grouping_sets" ->
       """SELECT n_name, c_mktsegment, count(*) AS n_customers,
         |       round(sum(c_acctbal), 2) AS total_bal,

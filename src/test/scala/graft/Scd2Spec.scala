@@ -62,6 +62,27 @@ class Scd2Spec extends AnyFunSuite {
     assert(once.except(twice).count() === 0)
   }
 
+  test("point-in-time lookup resolves each event to exactly one version") {
+    val fixtures = "/root/testdata/sf0.001"
+    val ev = graft.sources.Tables.events(spark, fixtures)
+    val resolved = Scd2.pointInTimeLookup(spark, fixtures)
+    // total resolved events == total events: one version per event,
+    // never zero (gap) and never two (overlap)
+    val totalResolved = resolved.agg(sum(col("n_events"))).collect()(0).getLong(0)
+    assert(totalResolved === ev.count())
+    // the X- (post-change) versions only absorb events dated >= TMid:
+    // a pre-change event resolving to the new version would be the
+    // silent-history-rewrite bug the operator exists to prevent
+    val preChange = ev.filter(to_date(col("ts")) < to_date(lit(Scd2.TMid)))
+      .filter(col("user_id") % 3 === 0).count()
+    val xSegments = resolved.filter(col("segment").startsWith("X-"))
+      .agg(sum(col("n_events"))).collect()(0).getLong(0)
+    val postChange = ev.filter(to_date(col("ts")) >= to_date(lit(Scd2.TMid)))
+      .filter(col("user_id") % 3 === 0).count()
+    assert(xSegments === postChange,
+      s"new-version events $xSegments must equal post-$preChange-change count $postChange")
+  }
+
   test("exactly one open version per key; versions never overlap") {
     val out = Scd2.apply2(cur(), upd(), "k", Seq("attr", "bal"), eff)
     val opens = out.filter(col("valid_to").isNull)
