@@ -89,6 +89,42 @@ object Layout {
     updates.unionByName(untouched)
   }
 
+  /** CDC snapshot diff: the change feed between two snapshots of a
+    * keyed table — `insert` (key only in `next`), `delete` (key only
+    * in `prev`), `update` (key in both, any attribute differs
+    * null-safely); identical rows produce NO change row (the property
+    * that keeps a daily diff of a mostly-static 100 TB dimension
+    * KB-sized). The complement of [[mergeByKey]]/[[Scd2 -- apply]]:
+    * those APPLY a known delta, this RECOVERS the delta from two
+    * states — what you feed downstream consumers when the upstream
+    * can't emit its own changelog.
+    *
+    * One full-outer co-keyed join: both sides hash-partition once on
+    * the key, the unchanged majority is dropped before anything else
+    * happens, and no window/sort appears anywhere.
+    */
+  def snapshotDiff(prev: DataFrame, next: DataFrame, key: String,
+      attrs: Seq[String]): DataFrame = {
+    // explicit presence markers, NOT attr-null checks: a row whose
+    // attributes are all legitimately null must still count as present
+    val p = prev.select(col(key) +: lit(1).as("__p") +:
+      attrs.map(a => col(a).as(s"__p_$a")): _*)
+    val n = next.select(col(key) +: lit(1).as("__n") +:
+      attrs.map(a => col(a).as(s"__n_$a")): _*)
+    val inPrev = col("__p").isNotNull
+    val inNext = col("__n").isNotNull
+    val differs = attrs.map(a => !(col(s"__p_$a") <=> col(s"__n_$a"))).reduce(_ || _)
+    p.join(n, Seq(key), "full_outer")
+      .withColumn("change_type",
+        when(!inPrev, lit("insert"))
+          .when(!inNext, lit("delete"))
+          .when(differs, lit("update")))
+      .filter(col("change_type").isNotNull)
+      .select(col(key) +: col("change_type") +:
+        attrs.flatMap(a => Seq(col(s"__p_$a").as(s"${a}_old"),
+          col(s"__n_$a").as(s"${a}_new"))): _*)
+  }
+
   /** The pruning round-trip surfaced at the gate: lay `documents`
     * out partitioned by `lang` (sorted by `source, doc_id` within
     * partitions), then aggregate ONE language partition. The read
@@ -155,7 +191,26 @@ object Layout {
       .orderBy(col("lang"))
   }
 
+  /** CDC gate scenario: the "next" snapshot updates every key ≡0
+    * (mod 4), deletes every key ≡1, keeps the rest byte-identical
+    * (must emit NOTHING), and inserts one new customer per nation.
+    */
+  def cdcSnapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    val next = cust.filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+      .unionByName(cust.filter(col("c_custkey") % 4 > 1))
+      .unionByName(Tables.nation(spark, dir).select(
+        (col("n_nationkey").cast("long") + lit(1000000L)).as("c_custkey"),
+        lit("NEW").as("c_mktsegment"), lit(0.0).as("c_acctbal")))
+    snapshotDiff(cust, next, "c_custkey",
+        Seq("c_mktsegment", "c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "layout_prune_agg" -> (pruneAggregate _),
     "zonemap_prune_agg" -> (zonemapPruneAgg _),
     // MERGE gate: "updates" = even-keyed customers with doubled
@@ -181,6 +236,31 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "cdc_snapshot_diff" ->
+      """WITH prev AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),
+        |next AS (
+        |  SELECT c_custkey, c_mktsegment, c_acctbal + 10.0 AS c_acctbal
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_mktsegment, c_acctbal
+        |  FROM customer WHERE c_custkey % 4 > 1
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey AS BIGINT) + 1000000, 'NEW', 0.0
+        |  FROM nation)
+        |SELECT coalesce(p.c_custkey, n.c_custkey) AS c_custkey,
+        |       CASE WHEN p.c_custkey IS NULL THEN 'insert'
+        |            WHEN n.c_custkey IS NULL THEN 'delete'
+        |            ELSE 'update' END AS change_type,
+        |       p.c_mktsegment AS c_mktsegment_old,
+        |       n.c_mktsegment AS c_mktsegment_new,
+        |       p.c_acctbal AS c_acctbal_old,
+        |       n.c_acctbal AS c_acctbal_new
+        |FROM prev p FULL OUTER JOIN next n USING (c_custkey)
+        |WHERE p.c_custkey IS NULL OR n.c_custkey IS NULL
+        |   OR p.c_mktsegment IS DISTINCT FROM n.c_mktsegment
+        |   OR p.c_acctbal IS DISTINCT FROM n.c_acctbal
+        |ORDER BY 1""".stripMargin,
     "zonemap_prune_agg" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(sum(length(text)) AS BIGINT) AS total_chars

@@ -62,6 +62,29 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("CDC diff: self-diff empty; diff-then-apply reconstructs next") {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
+    assert(Layout.snapshotDiff(cust, cust, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal")).count() === 0,
+      "identical snapshots must emit no change rows")
+    val next = cust.filter(col("c_custkey") % 4 === 0)
+      .withColumn("c_acctbal", col("c_acctbal") + 10.0)
+      .unionByName(cust.filter(col("c_custkey") % 4 > 1))
+    val diff = Layout.snapshotDiff(cust, next, "c_custkey",
+      Seq("c_mktsegment", "c_acctbal"))
+    // apply the recovered delta back onto prev: upserts then deletes
+    val upserts = diff.filter(col("change_type") =!= "delete")
+      .select(col("c_custkey"), col("c_mktsegment_new").as("c_mktsegment"),
+        col("c_acctbal_new").as("c_acctbal"))
+    val deletes = diff.filter(col("change_type") === "delete")
+      .select(col("c_custkey"))
+    val reconstructed = Layout.mergeByKey(cust, upserts, "c_custkey")
+      .join(deletes, Seq("c_custkey"), "left_anti")
+    assert(reconstructed.except(next).count() === 0)
+    assert(next.except(reconstructed).count() === 0)
+  }
+
   test("zonemap pruning reads a strict subset of files, result unchanged") {
     val tmp = s"${sys.props("java.io.tmpdir")}/graft_test_zonemap"
     val docs = Tables.documents(spark, dir)
