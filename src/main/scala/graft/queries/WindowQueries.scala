@@ -164,7 +164,40 @@ object WindowQueries {
       .orderBy(col("user_id"), col("date_str"))
   }
 
+  /** Observation-indexed EWMA (α = 0.5) of each user's daily totals —
+    * the sequential/recursive computation shape (`sₜ = α·xₜ +
+    * (1−α)·sₜ₋₁`) that has no closed windowed form, expressed as an
+    * `aggregate` higher-order fold over the user's day-sorted series:
+    * one shuffle to collect per-user days (bounded: days ≪ events),
+    * then the fold runs inside codegen. Seeded with the FIRST
+    * observation (not zero) — the same left-fold-with-first-init
+    * semantics DuckDB's `list_reduce` implements, so the doubles
+    * match bit-exactly. `array_sort` on (dayn, cents) structs makes
+    * the collected order deterministic regardless of partitioning.
+    */
+  def ewmaUserDaily(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .withColumn("dayn",
+        datediff(col("day"), to_date(lit("1970-01-01"))).cast("long"))
+    daily.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_days"),
+        array_sort(collect_list(struct(col("dayn"), col("cents")))).as("s"))
+      .select(col("user_id"), col("n_days"),
+        transform(col("s"), r => r.getField("cents").cast("double")).as("cs"))
+      .select(col("user_id"), col("n_days"),
+        round(aggregate(
+          slice(col("cs"), lit(2), greatest(size(col("cs")) - 1, lit(0))),
+          element_at(col("cs"), 1),
+          (acc, x) => acc * lit(0.5) + x * lit(0.5)), 4).as("ewma"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "win_ewma_user" -> (ewmaUserDaily _),
     "win_rolling_7d" -> (rollingUserDaily _),
     "win_lead_lag" -> (leadLagGaps _),
     "win_sliding_counts" -> (slidingCounts _),
@@ -175,6 +208,21 @@ object WindowQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "win_ewma_user" ->
+      """WITH d AS (
+        |  SELECT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+        |              AS BIGINT) AS dayn,
+        |         sum(CAST(round(value * 100, 0) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |s AS (
+        |  SELECT user_id, count(*) AS n_days,
+        |         list_transform(list_sort(list({'dayn': dayn, 'cents': cents})),
+        |                        r -> CAST(r.cents AS DOUBLE)) AS cs
+        |  FROM d GROUP BY 1)
+        |SELECT user_id, n_days,
+        |       round(list_reduce(cs, (acc, x) -> acc * 0.5 + x * 0.5), 4) AS ewma
+        |FROM s ORDER BY user_id""".stripMargin,
     "win_rolling_7d" ->
       """WITH d AS (
         |  SELECT user_id, CAST(ts AS DATE) AS day,

@@ -102,11 +102,26 @@ object FileFormats {
     rollup(readCsv(spark, tmp, eventSchema))
   }
 
+  /** ORC round-trip (the reference's at-rest format,
+    * `doc/temp.md:639-648`): self-describing columnar — no read
+    * schema needed, zstd-compressed like a production lake table.
+    * Same adversarial rows, same rollup oracle as the JSON/CSV
+    * gates.
+    */
+  def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
+    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_events_${
+      math.abs(dir.hashCode.toLong)}"
+    stableEvents(spark, dir).write.mode("overwrite")
+      .option("compression", "zstd").orc(tmp)
+    rollup(spark.read.orc(tmp))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_json_roundtrip" -> (jsonRoundTrip _),
-    "src_csv_roundtrip" -> (csvRoundTrip _)
+    "src_csv_roundtrip" -> (csvRoundTrip _),
+    "src_orc_roundtrip" -> (orcRoundTrip _)
   )
 
   // ------------------------------------------------------- oracle twins
@@ -122,6 +137,7 @@ object FileFormats {
 
   val oracles: Map[String, String] = Map(
     "src_json_roundtrip" -> RollupSql,
-    "src_csv_roundtrip" -> RollupSql
+    "src_csv_roundtrip" -> RollupSql,
+    "src_orc_roundtrip" -> RollupSql
   )
 }

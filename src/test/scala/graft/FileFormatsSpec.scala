@@ -45,7 +45,10 @@ class FileFormatsSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val viaJson = FileFormats.jsonRoundTrip(spark, dir)
     val viaCsv = FileFormats.csvRoundTrip(spark, dir)
+    val viaOrc = FileFormats.orcRoundTrip(spark, dir)
     assert(viaJson.except(viaCsv).count() === 0)
     assert(viaCsv.except(viaJson).count() === 0)
+    assert(viaOrc.except(viaJson).count() === 0)
+    assert(viaJson.except(viaOrc).count() === 0)
   }
 }

@@ -155,6 +155,28 @@ class SearchSpec extends AnyFunSuite {
       s"the aggregation form must not fall back to a window:\n$plan")
   }
 
+  test("EWMA fold matches an iterative per-user reference computation") {
+    val got = WindowQueries.ewmaUserDaily(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val daily = Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("day"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(col("cents")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    val byUser = daily.groupBy(_._1).map { case (u, rows) =>
+      val series = rows.sortBy(_._2.toEpochDay).map(_._3.toDouble)
+      u -> (rows.length.toLong,
+        BigDecimal(series.tail.foldLeft(series.head)((acc, x) => acc * 0.5 + x * 0.5))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    assert(got.length === byUser.size)
+    got.foreach { case (u, n, e) =>
+      val (refN, refE) = byUser(u)
+      assert(n === refN && e === refE, s"user $u: got ($n, $e) want ($refN, $refE)")
+    }
+  }
+
   test("zscore outlier profile: hand-checked on a tiny frame") {
     import spark.implicits._
     // values 1..8 plus one far outlier; mean/sd shift, only the
