@@ -157,6 +157,35 @@ object StreamingQueries {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** LEFT OUTER stream-stream interval join: every purchase emits,
+    * null-padded when no click preceded it within the window. The
+    * hard semantics live in the state store: an unmatched purchase
+    * cannot emit until the CLICK-side watermark has passed the end of
+    * its match window (only then is "no click will ever arrive"
+    * certain), so null-padded rows trail the inner rows by up to
+    * window+lateness — the eventual-completeness contract
+    * StreamingSpec pins against the batch left join. Both sides need
+    * a watermark AND the time-range conjunct; without them the state
+    * store could never evict (Spark rejects the query).
+    */
+  def clickToPurchaseOuter(clicks: DataFrame, purchases: DataFrame,
+      window: String = "10 minutes"): DataFrame = {
+    val c = clicks
+      .select(col("user_id").as("c_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "5 seconds")
+    val p = purchases
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value").as("purchase_value"))
+      .withWatermark("purchase_ts", "5 seconds")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("click_ts") <= col("purchase_ts") &&
+        col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $window"),
+      "leftOuter")
+      .select(col("p_user").as("user_id"), col("purchase_ts"),
+        col("click_ts"), col("purchase_value"))
+  }
+
   /** Stream-static enrichment join: each micro-batch broadcast-joins
     * against a STATIC dimension (here customer → market segment), then
     * feeds an unbounded keyed agg. The join itself is stateless —

@@ -259,6 +259,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture should contain click->purchase pairs")
   }
 
+  test("left-outer interval join: inner rows + watermark-gated null padding") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventsFromFixture(1000)
+    val clicks = all.filter(_.event_type == "click")
+    val purchases = all.filter(_.event_type == "purchase")
+    // future sentinels (impossible user) push BOTH watermarks past
+    // every real window so unmatched purchases become emittable
+    val maxTs = all.map(_.ts.getTime).max
+    val sentinel = Ev(new java.sql.Timestamp(maxTs + 86400000L), -1L, 0.0, "click")
+
+    val inC = MemoryStream[Ev]
+    val inP = MemoryStream[Ev]
+    val q = StreamingQueries.clickToPurchaseOuter(inC.toDF(), inP.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ss_louter_out").start()
+    inC.addData(clicks); inP.addData(purchases)
+    q.processAllAvailable()
+    inC.addData(sentinel); inP.addData(sentinel)
+    q.processAllAvailable(); q.stop()
+
+    val streamed = spark.table("ss_louter_out")
+      .filter(col("user_id") =!= -1L)
+      .select("user_id", "purchase_ts", "click_ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+    val batch = purchases.toDF().select(col("user_id").as("p_user"),
+        col("ts").as("purchase_ts"))
+      .join(clicks.toDF().select(col("user_id").as("c_user"), col("ts").as("click_ts")),
+        col("p_user") === col("c_user") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 10 minutes"),
+        "left_outer")
+      .select(col("p_user"), col("purchase_ts"), col("click_ts")).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), Option(r.getTimestamp(2)))).toSet
+    assert(streamed === batch)
+    assert(batch.exists(_._3.isEmpty),
+      "fixture should contain purchases with no preceding click (null-padded)")
+    assert(batch.exists(_._3.nonEmpty), "and matched purchases too")
+  }
+
   test("stream-static enrichment equals the batch join, keeps unmatched facts") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.replay(spark, dir,
