@@ -92,7 +92,7 @@ object SparkEntry {
       CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
       ZOrder.queries ++ graft.sources.FileFormats.queries ++
       graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries ++
-      Sketches.queries +
+      Sketches.queries ++ graft.ext.GraphOps.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -107,7 +107,7 @@ object SparkEntry {
       CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
       ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
       graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles ++
-      Sketches.oracles +
+      Sketches.oracles ++ graft.ext.GraphOps.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

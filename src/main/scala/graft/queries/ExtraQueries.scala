@@ -315,7 +315,22 @@ object ExtraQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Daily percentile bands of `value` (p50/p95 exact interpolated
+    * percentiles per day) — the monitoring trend every quality
+    * dashboard draws. Same two-shuffle shape as [[anomalyIqr]]:
+    * per-day sorted-agg of the day's values only, never a global
+    * sort.
+    */
+  def dailyPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(count(lit(1)).as("n"),
+        round(expr("percentile(value, 0.5)"), 4).as("p50"),
+        round(expr("percentile(value, 0.95)"), 4).as("p95"))
+      .orderBy(col("date_str"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ts_daily_percentiles" -> (dailyPercentiles _),
     "fuzzy_join_parts" -> (fuzzyPartNames _),
     "topk_per_type" -> (topkPerType _),
     "hist_value_buckets" -> (histValueBuckets _),
@@ -335,6 +350,11 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "ts_daily_percentiles" ->
+      """SELECT strftime(ts, '%Y-%m-%d') AS date_str, count(*) AS n,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "fuzzy_join_parts" ->
       """WITH names AS (
         |  SELECT p_name, count(*) AS n_rows,

@@ -51,6 +51,20 @@ class SketchesSpec extends AnyFunSuite {
     sums.foreach(row => assert(row.getLong(1) === total))
   }
 
+  test("triangle count: known answers on K4, path, and K4+chord topologies") {
+    import spark.implicits._
+    def tri(edges: Seq[(Long, Long)]): Long =
+      graft.ext.GraphOps.triangleCount(edges.toDF("a", "b"))
+        .collect()(0).getLong(0)
+    // K4 (canonical orientation) has C(4,3) = 4 triangles
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(tri(k4) === 4L)
+    // a path has none
+    assert(tri(Seq((1L, 2L), (2L, 3L), (3L, 4L))) === 0L)
+    // K4 plus a pendant triangle sharing one vertex
+    assert(tri(k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))) === 5L)
+  }
+
   test("shuffle-hash hint plans ShuffledHashJoin and preserves results") {
     val hinted = StarQueries.revenueByNationShuffleHash(spark, dir)
     val plan = hinted.queryExecution.executedPlan.toString
