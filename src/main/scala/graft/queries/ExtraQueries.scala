@@ -329,7 +329,25 @@ object ExtraQueries {
         round(expr("percentile(value, 0.95)"), 4).as("p95"))
       .orderBy(col("date_str"))
 
+  /** RIGHT OUTER join surface (the remaining join type not yet at a
+    * gate): orders right-joined to customer keeps order-less
+    * customers with zero counts — then rolled up per nation. Spark
+    * plans it as the mirrored left join; the gate pins the null-side
+    * semantics (count(order col) skips nulls, so empty customers
+    * count 0 without a coalesce).
+    */
+  def rightOuterOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .join(Tables.customer(spark, dir),
+        col("o_custkey") === col("c_custkey"), "right_outer")
+      .groupBy(col("c_nationkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        countDistinct(col("c_custkey")).as("n_customers"),
+        count(when(col("o_orderkey").isNull, 1)).as("n_orderless"))
+      .orderBy(col("c_nationkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "right_outer_orders" -> (rightOuterOrders _),
     "ts_daily_percentiles" -> (dailyPercentiles _),
     "fuzzy_join_parts" -> (fuzzyPartNames _),
     "topk_per_type" -> (topkPerType _),
@@ -350,6 +368,12 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "right_outer_orders" ->
+      """SELECT c.c_nationkey, count(o.o_orderkey) AS n_orders,
+        |       count(DISTINCT c.c_custkey) AS n_customers,
+        |       count(*) FILTER (o.o_orderkey IS NULL) AS n_orderless
+        |FROM orders o RIGHT JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "ts_daily_percentiles" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date_str, count(*) AS n,
         |       round(quantile_cont(value, 0.5), 4) AS p50,

@@ -62,6 +62,18 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("LessThan(ts,"), s"mirror shape not pushed:\n$plan")
   }
 
+  test("string prefix and IN filters reach the parquet scan") {
+    val docs = Tables.documents(spark, dir)
+    val prefix = docs.filter(col("source").startsWith("src1"))
+      .select(col("doc_id")).queryExecution.executedPlan.toString
+    assert(prefix.contains("StringStartsWith(source,src1)"),
+      s"prefix filter not pushed:\n$prefix")
+    val in = docs.filter(col("lang").isin("en", "zh"))
+      .select(col("doc_id")).queryExecution.executedPlan.toString
+    assert(in.contains("In(lang, [en,zh])") || in.contains("In(lang,"),
+      s"IN filter not pushed:\n$in")
+  }
+
   test("far-future timestamp literal: no overflowed bound, no rows lost") {
     // (us+1)·1000 for 9999-12-31 wraps Long negative; the rule must
     // SKIP the rewrite (the literal implies no useful bound), not emit

@@ -65,6 +65,23 @@ class SketchesSpec extends AnyFunSuite {
     assert(tri(k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))) === 5L)
   }
 
+  test("observe() metrics ride the job: counts match a separate audit pass") {
+    val ev = Tables.events(spark, dir)
+    val (written, metricsRow) = graft.ops.Observe.withMetrics(
+      ev, "audit", Seq(count(lit(1)).as("n_rows"),
+        sum(when(col("value") < 0, 1).otherwise(0)).as("n_negative"),
+        max(col("ts")).as("max_ts"))) { instrumented =>
+      instrumented.filter(col("event_type") === "purchase").count()
+    }
+    assert(metricsRow.isDefined, "observation must surface via the listener")
+    val m = metricsRow.get
+    // the observation sees ALL rows (it sits above the scan, before
+    // the filter the action applies) — equal to a separate audit scan
+    assert(m.getAs[Long]("n_rows") === ev.count())
+    assert(m.getAs[Long]("n_negative") === ev.filter(col("value") < 0).count())
+    assert(written === ev.filter(col("event_type") === "purchase").count())
+  }
+
   test("shuffle-hash hint plans ShuffledHashJoin and preserves results") {
     val hinted = StarQueries.revenueByNationShuffleHash(spark, dir)
     val plan = hinted.queryExecution.executedPlan.toString
