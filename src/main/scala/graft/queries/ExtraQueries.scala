@@ -346,7 +346,29 @@ object ExtraQueries {
         count(when(col("o_orderkey").isNull, 1)).as("n_orderless"))
       .orderBy(col("c_nationkey"))
 
+  /** Winsorization: clip `value` to the per-type [p05, p95] band
+    * (exact interpolated percentiles) before aggregating — the
+    * outlier-robust preprocessing twin of [[anomalyIqr]]'s detection.
+    * Same two-pass shape: tiny per-type bounds broadcast back over
+    * the fact scan; nothing sorts globally.
+    */
+  def winsorizeValueByType(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val bounds = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("lo"),
+        expr("percentile(value, 0.95)").as("hi"))
+    ev.join(broadcast(bounds), "event_type")
+      .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("w")), 2).as("avg_winsorized"),
+        round(avg(col("value")), 2).as("avg_raw"),
+        count(when(col("w") =!= col("value"), 1)).as("n_clipped"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "winsorize_value_by_type" -> (winsorizeValueByType _),
     "right_outer_orders" -> (rightOuterOrders _),
     "ts_daily_percentiles" -> (dailyPercentiles _),
     "fuzzy_join_parts" -> (fuzzyPartNames _),
@@ -368,6 +390,19 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "winsorize_value_by_type" ->
+      """WITH b AS (
+        |  SELECT event_type, quantile_cont(value, 0.05) AS lo,
+        |         quantile_cont(value, 0.95) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n,
+        |       round(avg(least(greatest(e.value, b.lo), b.hi)), 2)
+        |         AS avg_winsorized,
+        |       round(avg(e.value), 2) AS avg_raw,
+        |       count(*) FILTER (least(greatest(e.value, b.lo), b.hi)
+        |                        <> e.value) AS n_clipped
+        |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "right_outer_orders" ->
       """SELECT c.c_nationkey, count(o.o_orderkey) AS n_orders,
         |       count(DISTINCT c.c_custkey) AS n_customers,

@@ -206,6 +206,23 @@ class SearchSpec extends AnyFunSuite {
     assert(out.getLong(1) === 0L)
   }
 
+  test("degenerate inputs: empty corpus, blank docs, over-sized quotas") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Search.bm25(empty, "doc_id", "text", Seq("spark"), 5).count() === 0)
+    assert(Search.vocabEncode(empty, "text", 1L, 10).count() === 0)
+    // blank/whitespace-only docs: zero tokens, zero score, no crash
+    val blank = Seq((1L, ""), (2L, "   "), (3L, "spark")).toDF("doc_id", "text")
+    val scored = Search.bm25(blank, "doc_id", "text", Seq("spark"), 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(3L) > 0.0 && scored(1L) === 0.0 && scored(2L) === 0.0)
+    // quota larger than every group: capPerGroup is the identity
+    val docs = Tables.documents(spark, dir)
+    val capped = graft.ext.Sampling.capPerGroup(docs, "source", "doc_id",
+      md5(col("text")), n = 1000000)
+    assert(capped.count() === docs.count())
+  }
+
   test("gate zscore profile is internally consistent") {
     val r = ExtraQueries.zscoreOutliers(spark, dir).collect()
     assert(r.nonEmpty)
