@@ -116,12 +116,42 @@ object FileFormats {
     rollup(spark.read.orc(tmp))
   }
 
+  /** Parquet schema evolution: generation 1 files lack the `channel`
+    * column, generation 2 files carry it; a `mergeSchema` read
+    * presents the union schema with nulls for gen-1 rows — the
+    * add-a-column-without-rewriting-history contract every long-lived
+    * lake table depends on. (Default reads take the schema of one
+    * footer — silently DROPPING the new column is the failure mode
+    * this gate pins against.) The rollup counts per-generation
+    * presence, which the oracle recomputes from the parity split.
+    */
+  def schemaEvolutionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${
+      math.abs(dir.hashCode.toLong)}"
+    val ev = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
+    ev.filter(col("event_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$root/gen=1")
+    ev.filter(col("event_id") % 2 === 1)
+      .withColumn("channel",
+        concat(lit("ch"), (col("user_id") % 3).cast("string")))
+      .write.mode("overwrite").parquet(s"$root/gen=2")
+    spark.read.option("mergeSchema", "true")
+      .parquet(s"$root/gen=1", s"$root/gen=2")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        count(col("channel")).as("n_with_channel"),
+        countDistinct(col("channel")).as("n_channels"))
+      .orderBy(col("event_type"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "src_json_roundtrip" -> (jsonRoundTrip _),
     "src_csv_roundtrip" -> (csvRoundTrip _),
-    "src_orc_roundtrip" -> (orcRoundTrip _)
+    "src_orc_roundtrip" -> (orcRoundTrip _),
+    "src_schema_evolution" -> (schemaEvolutionRollup _)
   )
 
   // ------------------------------------------------------- oracle twins
@@ -138,6 +168,12 @@ object FileFormats {
   val oracles: Map[String, String] = Map(
     "src_json_roundtrip" -> RollupSql,
     "src_csv_roundtrip" -> RollupSql,
-    "src_orc_roundtrip" -> RollupSql
+    "src_orc_roundtrip" -> RollupSql,
+    "src_schema_evolution" ->
+      """SELECT event_type, count(*) AS n,
+        |       count(CASE WHEN event_id % 2 = 1 THEN 1 END) AS n_with_channel,
+        |       count(DISTINCT CASE WHEN event_id % 2 = 1
+        |             THEN 'ch' || CAST(user_id % 3 AS VARCHAR) END) AS n_channels
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

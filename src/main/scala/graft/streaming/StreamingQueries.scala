@@ -186,6 +186,39 @@ object StreamingQueries {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** Idempotent per-batch landing: the micro-batch lands under
+    * `path/batch_id=<id>` via dynamic partition overwrite, so a
+    * REPLAYED batch (failure → restart re-delivers the epoch)
+    * replaces its own partition instead of appending duplicates —
+    * exactly-once at rest from at-least-once delivery, the same
+    * epoch-idempotence contract the JDBC upsert sink keys on PKs.
+    */
+  def writeBatchIdempotent(df: DataFrame, batchId: Long, path: String): Unit =
+    graft.ext.Layout.upsertPartitions(
+      df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
+      path, partitionCols = Seq("batch_id"), sortCols = Seq.empty)
+
+  /** foreachBatch fan-out to TWO sinks: the batch is persisted once
+    * (one upstream computation, two writes — without the persist each
+    * sink would recompute the whole micro-batch plan), and each write
+    * is per-batch idempotent, so a mid-fanout crash (sink A landed,
+    * sink B not) heals on replay: A's partition is overwritten
+    * byte-equal, B's gets written — both sinks converge to
+    * exactly-once.
+    */
+  def dualSinkFanout(stream: DataFrame, pathA: String, pathB: String,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val cached = batch.persist()
+        try {
+          writeBatchIdempotent(cached.toDF(), id, pathA)
+          writeBatchIdempotent(cached.toDF(), id, pathB)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+
   /** Stream-static enrichment join: each micro-batch broadcast-joins
     * against a STATIC dimension (here customer → market segment), then
     * feeds an unbounded keyed agg. The join itself is stateless —

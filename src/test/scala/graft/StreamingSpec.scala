@@ -299,6 +299,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.exists(_._3.nonEmpty), "and matched purchases too")
   }
 
+  test("dual-sink fanout: both sinks exactly-once, batch replay idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventsFromFixture(600)
+    val (h1, h2) = all.splitAt(300)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_fanout_${System.nanoTime()}"
+    val in = MemoryStream[Ev]
+    val q = StreamingQueries.dualSinkFanout(in.toDF(),
+      s"$base/a", s"$base/b", s"$base/ckpt")
+    in.addData(h1); q.processAllAvailable()
+    in.addData(h2); q.processAllAvailable()
+    q.stop()
+    val want = all.map(e => (e.ts, e.user_id, e.value, e.event_type)).toSet
+    def readSink(p: String) = spark.read.parquet(p)
+      .select("ts", "user_id", "value", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    assert(readSink(s"$base/a").toSet === want)
+    assert(readSink(s"$base/a").length === all.length, "no duplicates in sink A")
+    assert(readSink(s"$base/b").toSet === want)
+    // replaying a batch (at-least-once delivery) must not duplicate:
+    // re-land batch 0's data under its batch_id and re-check
+    StreamingQueries.writeBatchIdempotent(h1.toDF(), 0L, s"$base/a")
+    assert(readSink(s"$base/a").length === all.length,
+      "replayed batch overwrote its own partition, no append")
+  }
+
   test("stream-static enrichment equals the batch join, keeps unmatched facts") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.replay(spark, dir,
