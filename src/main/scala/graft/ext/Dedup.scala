@@ -338,6 +338,41 @@ object Dedup {
     postingJaccard(withG, threshold)
   }
 
+  /** DIRECTED trigram containment pairs: `|A∩B| / |A| ≥ t` — the
+    * asymmetric cousin of Jaccard that catches quotes, excerpts, and
+    * wholesale inclusion (a paragraph lifted into a larger document
+    * scores near 1.0 on containment but near 0 on Jaccard, so a
+    * Jaccard-only dedup pass ships the duplication to training).
+    * Emits (container-candidate, containee) per direction that
+    * clears the threshold; same sparse posting join as
+    * [[ngramJaccardPairs]] — pairs sharing no gram are never touched,
+    * postings are 8-byte hashes. No size prefilter applies: unlike
+    * Jaccard, containment is reachable at ANY size ratio (that is
+    * the point of the measure).
+    */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    val withG = docs.select(col("doc_id"), col("source"),
+        array_distinct(graft.functions.NgramHash64.ngram_hash64(
+          tokensNorm(col("text")), 3)).as("g"))
+      .filter(size(col("g")) > 0)
+      .withColumn("sz", size(col("g")))
+    val posting = withG.select(col("source"), col("doc_id"), col("sz"),
+      explode(col("g")).as("gram"))
+    val a = posting.select(col("source"), col("gram"),
+      col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+    val b = posting.select(col("source"), col("gram"),
+      col("doc_id").as("doc_b"))
+    a.join(b, Seq("source", "gram"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .groupBy(col("source"), col("doc_a"), col("doc_b"), col("sz_a"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("sz_a").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select(col("source"), col("doc_a"), col("doc_b"),
+        round(col("containment"), 4).as("containment"))
+  }
+
   // ------------------------------------------- components / clustering
 
   /** Connected components over a near-dup pair set: the clustering
@@ -488,6 +523,9 @@ object Dedup {
     "dedup_ngram_jaccard" -> ((s, d) =>
       ngramJaccardPairs(Tables.documents(s, d), threshold = 0.1)
         .orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_containment" -> ((s, d) =>
+      containmentPairs(Tables.documents(s, d), threshold = 0.1)
+        .orderBy(col("doc_a"), col("doc_b"))),
     "dedup_components" -> ((s, d) =>
       jaccardComponents(Tables.documents(s, d), threshold = 0.6)
         .orderBy(col("node"))),
@@ -602,6 +640,22 @@ object Dedup {
         |WHERE len(a.g) > 0 AND len(b.g) > 0
         |  AND len(list_intersect(a.g, b.g)) * 1.0 /
         |      len(list_distinct(list_concat(a.g, b.g))) >= 0.1
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(list_transform(
+        |           range(1, len(string_split_regex(lower(trim(text)), '\s+')) - 1),
+        |           i -> string_split_regex(lower(trim(text)), '\s+')[i] || ' ' ||
+        |                string_split_regex(lower(trim(text)), '\s+')[i+1] || ' ' ||
+        |                string_split_regex(lower(trim(text)), '\s+')[i+2])) AS g
+        |  FROM documents)
+        |SELECT a.source AS source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       round(len(list_intersect(a.g, b.g)) * 1.0 / len(a.g), 4)
+        |         AS containment
+        |FROM t a JOIN t b ON a.source = b.source AND a.doc_id <> b.doc_id
+        |WHERE len(a.g) > 0 AND len(b.g) > 0
+        |  AND len(list_intersect(a.g, b.g)) * 1.0 / len(a.g) >= 0.1
         |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_embedding_cosine" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,

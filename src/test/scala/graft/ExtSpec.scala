@@ -367,4 +367,23 @@ class ExtSpec extends AnyFunSuite {
       col("c_custkey") < 9000000L)
     assert(odd.except(cust.filter(col("c_custkey") % 2 === 1)).isEmpty)
   }
+
+  test("containment is asymmetric: planted excerpt scores 1.0 one way only") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val big = small + " iota kappa lambda mu nu xi omicron pi rho sigma tau " +
+      "upsilon phi chi psi omega one two three four five six seven eight"
+    val docs = Seq((1L, small, "s"), (2L, big, "s"),
+      (3L, "totally different words entirely unrelated content here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val pairs = Dedup.containmentPairs(docs, threshold = 0.9)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // every trigram of the excerpt appears in the container -> 1.0
+    assert(pairs.exists { case (a, b, c) => a == 1L && b == 2L && c == 1.0 },
+      s"excerpt->container must score 1.0, got ${pairs.mkString(",")}")
+    // the container is NOT contained in the excerpt
+    assert(!pairs.exists { case (a, b, _) => a == 2L && b == 1L })
+    // and the unrelated doc matches nothing
+    assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
+  }
 }
