@@ -361,11 +361,41 @@ object StreamingQueries {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
+  /** Gate replay of [[dualSinkFanout]]: stream the fixture through
+    * the two-sink landing, then roll up what actually LANDED in sink
+    * A — the oracle aggregates the original events, so the gate
+    * proves the full stream→foreachBatch→partitioned-files path loses
+    * and duplicates nothing. Sink/checkpoint dirs are wiped first:
+    * batch numbering restarts per fresh checkpoint, so stale
+    * partitions from a previous differently-batched run must not
+    * survive underneath.
+    */
+  def fanoutRollup(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val base = s"${sys.props("java.io.tmpdir")}/graft_fanout_${
+      math.abs(dir.hashCode.toLong)}"
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
+    val src = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = dualSinkFanout(src, s"$base/a", s"$base/b", s"$base/ckpt")
+    try { q.processAllAvailable() } finally q.stop()
+    spark.read.parquet(s"$base/a")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("uv"),
+        sum(round(col("value") * 100, 0).cast("long")).as("value_cents"))
+      .orderBy(col("event_type"))
+  }
+
   /** Streaming queries surfaced at the correctness gate. Each shares
     * its batch twin's DuckDB oracle — the gate itself asserts
     * stream ≡ batch.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_fanout_rollup" -> (fanoutRollup _),
     "stream_q1_daily_uv" -> ((s, d) =>
       replay(s, d, q1DailyUv, Seq("date_str")).orderBy(col("date_str"))),
     "stream_q2_per_minute" -> ((s, d) =>
@@ -388,6 +418,12 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_fanout_rollup" ->
+      """SELECT event_type, count(*) AS n_events,
+        |       count(DISTINCT user_id) AS uv,
+        |       CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |         AS value_cents
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "stream_q1_daily_uv" ->
       """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
         |       count(DISTINCT user_id) AS uv
