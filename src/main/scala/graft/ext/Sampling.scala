@@ -100,6 +100,26 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Deterministic train/validation/test assignment (80/10/10 by
+    * default): contiguous bucket ranges of the same hash-uniform
+    * [[bucket]], so the split is a pure function of the key —
+    * documents keep their split across re-ingests, cluster sizes,
+    * and engines, and the three splits are disjoint and exhaustive
+    * BY CONSTRUCTION (ranges partition [0, 1e6)). Zero shuffle: the
+    * assignment is a narrow expression inside the scan.
+    */
+  def splitAssign(df: DataFrame, keyCol: String,
+      trainPct: Double = 0.8, valPct: Double = 0.1,
+      seed: Long = 7L): DataFrame = {
+    val b = bucket(col(keyCol), seed)
+    val trainHi = (trainPct * Buckets).toLong
+    val valHi = ((trainPct + valPct) * Buckets).toLong
+    df.withColumn("split",
+      when(b < trainHi, "train")
+        .when(b < valHi, "validation")
+        .otherwise("test"))
+  }
+
   // -------------------------------------------------------- gate wiring
 
   /** Weight for srcN = 1 + (N mod 5): rates 0.2/0.4/0.6/0.8/1.0 over
@@ -118,6 +138,10 @@ object Sampling {
       stratifiedSample(Tables.documents(s, d), "doc_id", "lang",
         LangRates, defaultRate = 0.25)
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
+    "sample_splits" -> ((s, d) =>
+      splitAssign(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
     "sample_cap_source" -> ((s, d) =>
       capPerGroup(Tables.documents(s, d), "source", "doc_id",
         md5(col("text")), n = 20)
@@ -134,6 +158,13 @@ object Sampling {
     "SELECT doc_id, bucket FROM read_parquet('__OUTDIR__/.aux/sample_buckets/*.parquet')"
 
   val oracles: Map[String, String] = Map(
+    "sample_splits" ->
+      s"""SELECT CASE WHEN b.bucket < 800000 THEN 'train'
+         |            WHEN b.bucket < 900000 THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |       d.lang, count(*) AS n
+         |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "sample_cap_source" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -79,13 +79,98 @@ object BehaviorQueries {
       .orderBy(col("event_type"), col("decile"))
   }
 
+  /** Market-basket association over event types: for every type pair,
+    * the users doing both, support, and lift — the co-occurrence
+    * screen behind "users who X also Y". All ratios derive from
+    * integer counts through one shared syntactic expression, so the
+    * doubles hash-match the oracle bit-exactly. The self-join fans
+    * out ≤ C(|types|, 2) per user (types are a bounded domain);
+    * everything downstream of the distinct is tiny.
+    */
+  def assocTypePairs(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n_users"))
+    val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.select(col("user_id"), col("event_type").as("type_a"))
+      .join(ut.select(col("user_id"), col("event_type").as("type_b")),
+        Seq("user_id"))
+      .filter(col("type_a") < col("type_b"))
+      .groupBy(col("type_a"), col("type_b")).agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(perType.select(col("event_type").as("type_a"),
+        col("n_t").as("n_a"))), Seq("type_a"))
+      .join(broadcast(perType.select(col("event_type").as("type_b"),
+        col("n_t").as("n_b"))), Seq("type_b"))
+      .crossJoin(broadcast(nUsers))
+      .select(col("type_a"), col("type_b"), col("n_ab"),
+        round(col("n_ab").cast("double") / col("n_users").cast("double"), 6)
+          .as("support"),
+        round((col("n_ab").cast("double") * col("n_users").cast("double"))
+          / (col("n_a").cast("double") * col("n_b").cast("double")), 6)
+          .as("lift"))
+      .orderBy(col("type_a"), col("type_b"))
+  }
+
+  /** Analytic rank surface completion: `percent_rank` + `cume_dist`
+    * over per-user GMV (exact integer cents; unique (cents, user)
+    * tiebreak keeps both engine-independent). The total-order window
+    * runs on the AGGREGATED per-user frame — users ≪ events — never
+    * on raw events.
+    */
+  def userGmvRanks(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.orderBy(col("cents"), col("user_id"))
+    Tables.events(spark, dir)
+      .select(col("user_id"),
+        round(col("value") * 100, 0).cast("long").as("cents"))
+      .groupBy(col("user_id")).agg(sum(col("cents")).as("cents"))
+      .select(col("user_id"), col("cents"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "assoc_type_pairs" -> (assocTypePairs _),
+    "pct_rank_user_gmv" -> (userGmvRanks _),
     "funnel_stages" -> (funnelStages _),
     "retention_cohorts" -> ((s, d) => retentionCohorts(s, d)),
     "ntile_value_buckets" -> (ntileValueBuckets _)
   )
 
   val oracles: Map[String, String] = Map(
+    "assoc_type_pairs" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+        |t AS (SELECT event_type, count(*) AS n_t FROM ut GROUP BY 1),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             count(*) AS n_ab
+        |      FROM ut a JOIN ut b ON a.user_id = b.user_id
+        |        AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.type_a, p.type_b, p.n_ab,
+        |       round(CAST(p.n_ab AS DOUBLE) / CAST(n.n_users AS DOUBLE), 6)
+        |         AS support,
+        |       round((CAST(p.n_ab AS DOUBLE) * CAST(n.n_users AS DOUBLE))
+        |             / (CAST(ta.n_t AS DOUBLE) * CAST(tb.n_t AS DOUBLE)), 6)
+        |         AS lift
+        |FROM p
+        |JOIN t ta ON ta.event_type = p.type_a
+        |JOIN t tb ON tb.event_type = p.type_b
+        |CROSS JOIN n
+        |ORDER BY 1, 2""".stripMargin,
+    "pct_rank_user_gmv" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |         CAST(sum(CAST(round(value * 100, 0) AS BIGINT)) AS BIGINT)
+        |           AS cents
+        |  FROM events GROUP BY 1)
+        |SELECT user_id, cents,
+        |       round(percent_rank() OVER (ORDER BY cents, user_id), 6)
+        |         AS pct_rank,
+        |       round(cume_dist() OVER (ORDER BY cents, user_id), 6) AS cume
+        |FROM g ORDER BY user_id""".stripMargin,
     "funnel_stages" ->
       """WITH v AS (SELECT user_id, min(ts) AS v_ts FROM events
         |           WHERE event_type = 'view' GROUP BY 1),

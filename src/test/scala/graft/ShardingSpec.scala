@@ -62,6 +62,20 @@ class ShardingSpec extends AnyFunSuite {
     }
   }
 
+  test("split assignment: disjoint, exhaustive, nested with hashSample") {
+    val docs = Tables.documents(spark, dir)
+    val split = Sampling.splitAssign(docs, "doc_id")
+    assert(split.count() === docs.count(), "every row gets a split")
+    assert(split.groupBy("doc_id").agg(countDistinct(col("split")).as("k"))
+      .filter(col("k") =!= 1).count() === 0, "exactly one split per key")
+    // the train split IS the rate-0.8 hash sample (same bucket, same
+    // seed): split carving and sampling compose coherently
+    val train = split.filter(col("split") === "train").select("doc_id")
+    val sampled = Sampling.hashSample(docs, "doc_id", 0.8).select("doc_id")
+    assert(train.except(sampled).count() === 0)
+    assert(sampled.except(train).count() === 0)
+  }
+
   test("CDC diff: self-diff empty; diff-then-apply reconstructs next") {
     val cust = Tables.customer(spark, dir)
       .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"))
