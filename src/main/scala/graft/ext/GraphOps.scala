@@ -63,11 +63,85 @@ object GraphOps {
           .as("avg_degree"))
   }
 
+  /** PageRank in EXACT integer fixed point (micro-units: 1.0 ≡ 1e6):
+    * `r' = 0.15 + 0.85·Σ r(u)/deg(u)` becomes
+    * `150000 + (850000·Σ(r(u) div deg(u))) div 1e6` — every operation
+    * is integer, so the iteration is bit-deterministic across
+    * partitionings AND engines: the classic float formulation sums
+    * contributions in shuffle order and can never hash-match an
+    * oracle; this one can and does (the DuckDB twin unrolls the same
+    * iterations as CTEs). The div-truncation bias is bounded by
+    * 1 micro-unit per in-edge per round — invisible at ranking grain
+    * and identical in both engines.
+    *
+    * Dataflow per round: one (src-keyed) join of the 16-byte rank
+    * frame with edges, one dst-keyed contribution aggregate — the
+    * same two-shuffle round as [[Dedup.connectedComponents]], with
+    * `localCheckpoint` truncating lineage so plans stay flat at any
+    * iteration count.
+    */
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
+    val directed = edges.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+    val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val nodes = directed.select(col("src").as("node")).distinct()
+      .localCheckpoint(true)
+    var rank = nodes.withColumn("rank", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val contrib = directed
+        .join(rank.withColumnRenamed("node", "src"), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("node"), expr("rank div deg").as("share"))
+        .groupBy(col("node")).agg(sum(col("share")).as("c"))
+      rank = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"),
+          (lit(150000L) + expr("(850000 * coalesce(c, bigint(0))) div 1000000"))
+            .as("rank"))
+        .localCheckpoint(true)
+    }
+    rank.orderBy(col("rank").desc, col("node")).limit(20)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "graph_triangles" -> (triangleProfile _)
+    "graph_triangles" -> (triangleProfile _),
+    "graph_pagerank" -> ((s, d) =>
+      pageRankFixedPoint(coActivityEdges(s, d), iters = 5))
   )
 
+  /** The PageRank oracle unrolls the SAME integer fixed-point
+    * iterations as chained CTEs (generated, one per round) — possible
+    * only because the arithmetic is exact integers; `//` in DuckDB
+    * and `div` in Spark both truncate, and inputs are non-negative.
+    */
+  private def pageRankOracle(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT n.node,
+         |         CAST(150000 + (850000 * coalesce(s.c, 0)) // 1000000
+         |              AS BIGINT) AS rank
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS node, sum(r.rank // d.deg) AS c
+         |    FROM e JOIN r${i - 1} r ON r.node = e.src
+         |    JOIN deg d ON d.src = e.src
+         |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH act AS (
+       |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
+       |ue AS (
+       |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+       |  FROM act x JOIN act y ON x.m = y.m AND x.user_id < y.user_id),
+       |e AS (SELECT a AS src, b AS dst FROM ue
+       |      UNION ALL SELECT b, a FROM ue),
+       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+       |nodes AS (SELECT DISTINCT src AS node FROM e),
+       |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+       |$rounds
+       |SELECT node, rank FROM r$iters
+       |ORDER BY rank DESC, node LIMIT 20""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "graph_pagerank" -> pageRankOracle(5),
     "graph_triangles" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),

@@ -65,6 +65,22 @@ class SketchesSpec extends AnyFunSuite {
     assert(tri(k4 ++ Seq((4L, 5L), (4L, 6L), (5L, 6L))) === 5L)
   }
 
+  test("fixed-point PageRank: hub outranks leaves; symmetric graph ranks equal") {
+    import spark.implicits._
+    // star: node 0 connected to 1..6 — the hub must rank highest,
+    // and all leaves identically (exact integers: equality, not ≈)
+    val star = (1L to 6L).map(i => (0L, i)).toDF("a", "b")
+    val ranks = graft.ext.GraphOps.pageRankFixedPoint(star, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ranks(0L) > ranks(1L), "hub must outrank leaves")
+    assert((1L to 6L).map(ranks).distinct.size === 1, "leaves rank equally")
+    // 3-cycle: perfect symmetry -> all ranks identical and stationary
+    val cycle = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val cr = graft.ext.GraphOps.pageRankFixedPoint(cycle, iters = 5)
+      .collect().map(_.getLong(1)).distinct
+    assert(cr.length === 1, s"symmetric cycle must rank uniformly, got $cr")
+  }
+
   test("observe() metrics ride the job: counts match a separate audit pass") {
     val ev = Tables.events(spark, dir)
     val (written, metricsRow) = graft.ops.Observe.withMetrics(
