@@ -153,6 +153,19 @@ object ScaleRehearsal {
     require(smjRows == bloomRows,
       s"bloom anti join diverged: $bloomRows vs $smjRows")
 
+    // --- PageRank over the same 2M-edge mixed topology ---
+    // 5 integer fixed-point rounds; per round the rank frame (16
+    // bytes/node) joins edges once and aggregates once — the cost is
+    // iterations × two keyed shuffles, independent of float/exactness
+    // concerns (the arithmetic is integer by design).
+    val prEdges = chain.union(cliques)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val (prSec, prRows) = time {
+      graft.ext.GraphOps.pageRankFixedPoint(prEdges, iters = 5)
+        .queryExecution.toRdd.count()
+    }
+    report("pagerank_2m_edges", nEdges, prSec, prRows)
+
     // --- BM25 at corpus scale: 2M docs × 30 words (~60M tokens) ---
     // The HOF-in-scan design claims retrieval at scan speed: no token
     // explode, no wordcount shuffle, stats reduced to ONE row. The

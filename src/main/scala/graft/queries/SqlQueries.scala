@@ -96,7 +96,24 @@ object SqlQueries {
         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 40""".stripMargin)
   }
 
+  /** Bitmap-index distinct counting through SQL text — twin of
+    * [[graft.ext.Sketches.bitmapDailyUv]] (same plan: partial
+    * OR-merged bitmaps per (day, bucket), summed bit counts), sharing
+    * its exact-countDistinct oracle.
+    */
+  def sqlBitmapUv(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerAll(spark, dir)
+    spark.sql(
+      """SELECT date_str, sum(bitmap_count(bm)) AS uv
+        |FROM (SELECT date_format(ts, 'yyyy-MM-dd') AS date_str,
+        |             bitmap_bucket_number(user_id) AS bkt,
+        |             bitmap_construct_agg(bitmap_bit_position(user_id)) AS bm
+        |      FROM events GROUP BY 1, 2)
+        |GROUP BY date_str ORDER BY date_str""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sql_bitmap_uv" -> (sqlBitmapUv _),
     "sql_q6_trailing" -> (sqlQ6 _),
     "sql_revenue_by_nation" -> (sqlRevenue _),
     "sql_simhash" -> (sqlSimhash _),
@@ -106,6 +123,7 @@ object SqlQueries {
 
   /** Shared with the DataFrame twins' oracles. */
   val oracles: Map[String, String] = Map(
+    "sql_bitmap_uv" -> graft.ext.Sketches.oracles("bitmap_daily_uv"),
     "sql_q6_trailing" -> EventQueries.oracles("q6_trailing_rollup"),
     "sql_revenue_by_nation" -> StarQueries.oracles("star_revenue_by_nation"),
     "sql_simhash" -> graft.ext.Dedup.oracles("dedup_simhash"),
