@@ -79,6 +79,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The full line above is ~6 KB and the driver's tail-capture can
+    // truncate its head (BENCH_r03 lost the "value" field that way).
+    // Repeat the headline numbers as a final COMPACT line so the total
+    // always survives a tail grab, whatever the capture window.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":${failed.size},"sf":"$sfDir"}""")
+    graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
     if (failed.nonEmpty) {
       System.err.println(s"[bench] FAILED queries: ${failed.reverse.mkString(", ")}")

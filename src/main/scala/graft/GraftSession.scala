@@ -40,3 +40,38 @@ object GraftSession {
     spark
   }
 }
+
+/** Scratch directories for gates that exercise a write-then-read path
+  * (file-format round-trips, shard export, zone-map pruning, stream
+  * fan-out). Paths carry BOTH the fixture hash (distinct fixtures
+  * never collide) AND a per-process token: two concurrent runs over
+  * the same fixture previously raced on overwrite/read of a shared
+  * temp tree. Within one JVM the path is stable, so repeated bench
+  * passes reuse (and `overwrite` replaces) the same data — and a
+  * best-effort shutdown hook removes everything this run created.
+  */
+object RunScratch {
+  val token: String = s"p${ProcessHandle.current().pid()}"
+
+  private val created = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
+  def dir(name: String, fixtureDir: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_${name}_${
+      math.abs(fixtureDir.hashCode.toLong)}_$token"
+    created.add(p)
+    p
+  }
+
+  sys.addShutdownHook {
+    created.forEach { p =>
+      try {
+        val root = java.nio.file.Paths.get(p)
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        }
+      } catch { case _: Throwable => () } // best-effort
+    }
+  }
+}

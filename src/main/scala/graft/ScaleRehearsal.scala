@@ -153,6 +153,69 @@ object ScaleRehearsal {
     require(smjRows == bloomRows,
       s"bloom anti join diverged: $bloomRows vs $smjRows")
 
+    // --- co-activity edges: ONE flash-sale minute, 10k active users ---
+    // The skew case the sub-blocked derivation exists for: C(10k,2) ≈
+    // 50M candidate pairs behind a single minute key. Sub-blocked, the
+    // minute covers ~nsub²/2 uniform (p,q) units; the naive self-join
+    // (rehearsed for contrast, via targetSubBlock = MaxValue ⇒ nsub=1)
+    // pins the whole product on one task. Background minutes keep the
+    // broadcast count join honest.
+    val nHot = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HOTMIN", "10000").toLong
+    val hotAct = spark.range(nHot)
+      .select(lit("2024-01-01 12:00:00").cast("timestamp").as("m"),
+        col("id").as("user_id"))
+      .union(spark.range(nHot).select( // background: 100 quiet minutes
+        expr("timestampadd(MINUTE, cast(pmod(xxhash64(id), 100) as int), " +
+          "timestamp'2024-01-01 00:00:00')").as("m"),
+        (col("id") + nHot).as("user_id")))
+    val (hotSec, hotRows) = time {
+      graft.ext.GraphOps.coActivityEdgesOf(hotAct)
+        .queryExecution.toRdd.count()
+    }
+    report("coactivity_hot_minute_subblocked", nHot, hotSec, hotRows)
+    val (hotNaiveSec, hotNaiveRows) = time {
+      graft.ext.GraphOps.coActivityEdgesOf(hotAct, targetSubBlock = Int.MaxValue)
+        .queryExecution.toRdd.count()
+    }
+    report("coactivity_hot_minute_naive", nHot, hotNaiveSec, hotNaiveRows)
+    require(hotRows == hotNaiveRows,
+      s"sub-blocked edges diverged: $hotRows vs $hotNaiveRows")
+
+    // --- triangle wedges through ONE 10k-degree hub ---
+    // 5k under-neighbors × 5k over-neighbors = 25M wedges on the hub
+    // key; 5k closing edges make the count checkable. Salted (default
+    // targetFanout) vs plain (targetFanout = MaxValue ⇒ ns=1) over the
+    // same edges. The hazard only exists in the SHUFFLED-join regime:
+    // at rehearsal edge counts Spark broadcasts the build side, and a
+    // broadcast probe spreads the hub's wedges across input partitions
+    // for free (first measurement of this case showed salting pure
+    // overhead, 20.0 s vs 13.3 s plain). At 100 TB the edge set is far
+    // past any broadcast threshold and every hub wedge co-locates on
+    // one reducer — so the rehearsal pins the threshold to the
+    // shuffled regime the design targets, where the plain form funnels
+    // 25M wedge rows through one task.
+    val nHub = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HUB", "5000").toLong
+    val hub = 2 * nHub
+    val hubEdges = spark.range(nHub).select(col("id").as("a"), lit(hub).as("b"))
+      .union(spark.range(nHub).select(lit(hub).as("a"), (col("id") + hub + 1).as("b")))
+      .union(spark.range(nHub).select(col("id").as("a"), (col("id") + hub + 1).as("b")))
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (hubSaltSec, _) = time {
+        val n = graft.ext.GraphOps.triangleCount(hubEdges)
+          .collect()(0).getLong(0)
+        require(n == nHub, s"hub triangles: expected $nHub, got $n"); n
+      }
+      report("triangles_10k_hub_salted_shuffled", 2 * nHub, hubSaltSec, nHub)
+      val (hubPlainSec, _) = time {
+        val n = graft.ext.GraphOps.triangleCount(hubEdges, targetFanout = Long.MaxValue)
+          .collect()(0).getLong(0)
+        require(n == nHub, s"hub triangles: expected $nHub, got $n"); n
+      }
+      report("triangles_10k_hub_plain_shuffled", 2 * nHub, hubPlainSec, nHub)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+
     // --- PageRank over the same 2M-edge mixed topology ---
     // 5 integer fixed-point rounds; per round the rank frame (16
     // bytes/node) joins edges once and aggregates once — the cost is
@@ -247,6 +310,7 @@ object ScaleRehearsal {
     require(winRows == aggRows,
       s"quota paths diverged: window $winRows vs agg $aggRows")
 
+    graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
   }
 }

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Second scale point for the nonlinear families (builder-side
+  * measurement main, like [[ScaleRehearsal]]): every family whose
+  * cost is NOT trivially linear — dedup pair generation, ANN, graph
+  * rounds, end-to-end curation — measured at size n AND 2n on
+  * corpora with sf-realistic structure, reporting the observed
+  * growth ratio. The sf0.1 bench can't see super-linear growth (one
+  * point defines no curve); a 2× ladder pins the exponent: ratio ≈ 2
+  * is linear, ≈ 2.2 is n·log n, ≈ 4 means a quadratic term escaped
+  * its blocking and the operator would NOT survive the next 10×.
+  *
+  * Corpus structure matters: a ladder over exact copies would be a
+  * near-dup explosion (every copy pairs with every other — ~4× pair
+  * output by construction, saying nothing about the operator), so
+  * documents spread over `blocks` sources with triple-level
+  * similarity, embeddings over hash-derived clusters, and graphs
+  * keep constant degree while growing node count. Where the DESIGN
+  * scales a parameter with corpus size (IVF: k ≈ √n), the ladder
+  * scales it the same way.
+  */
+object ScalingLadder {
+
+  /** n docs over `blocks` sources; within a source, triples share a
+    * template except one word (same density at every n — pair output
+    * scales linearly with n by construction).
+    */
+  def docs(spark: SparkSession, n: Long, blocks: Int = 20,
+      vocab: Int = 2000): DataFrame =
+    spark.range(n).select(col("id").as("doc_id"),
+      concat(lit("s"), pmod(col("id"), lit(blocks))).as("source"),
+      concat_ws(" ",
+        (0 until 29).map(i =>
+          concat(lit("w"), pmod(xxhash64(expr("id div 3"), lit(i)), lit(vocab)))) :+
+        concat(lit("v"), pmod(col("id"), lit(3))): _*).as("text"))
+
+  /** Constant-degree edge set: cliques of 5 plus a long chain — node
+    * and edge count scale together, per-node degree does not.
+    */
+  def edges(spark: SparkSession, nEdges: Long): DataFrame = {
+    val chainLen = nEdges / 20
+    val cliques = spark.range(nEdges - chainLen)
+      .select((col("id") / 4).cast("long").as("g"), col("id"))
+      .select((col("g") * 5 + lit(chainLen)).as("doc_a"),
+        ((col("g") * 5) + pmod(xxhash64(col("id")), lit(4)) + 1 + lit(chainLen)).as("doc_b"))
+    val chain = spark.range(chainLen - 1)
+      .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
+    chain.union(cliques)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(f: => Long): (Double, Long) = {
+      val t0 = System.nanoTime(); val rows = f
+      ((System.nanoTime() - t0) / 1e9, rows)
+    }
+    /** One ladder family: run at n and 2n, report both + ratio. */
+    def ladder(name: String, n1: Long)(run: Long => Long): Unit = {
+      val n2 = 2 * n1
+      run(n1) // warm-up at the small size: JIT + codegen cache
+      val (s1, r1) = time(run(n1))
+      val (s2, r2) = time(run(n2))
+      graft.ext.CorpusCache.releaseAll()
+      println(f"""{"ladder":"$name","n1":$n1,"sec1":$s1%.2f,"rows1":$r1,"n2":$n2,"sec2":$s2%.2f,"rows2":$r2,"ratio":${s2 / s1}%.2f}""")
+    }
+
+    val base = sys.env.getOrElse("SPARK_GRAFT_LADDER_DOCS", "25000").toLong
+    ladder("dedup_minhash", base) { n =>
+      graft.ext.Dedup.minhashPairs(docs(spark, n), threshold = 0.8)
+        .queryExecution.toRdd.count()
+    }
+    ladder("dedup_jaccard_blocked", base) { n =>
+      graft.ext.Dedup.jaccardPairsBySource(docs(spark, n), threshold = 0.8)
+        .queryExecution.toRdd.count()
+    }
+    ladder("dedup_ngram_jaccard", base) { n =>
+      graft.ext.Dedup.ngramJaccardPairs(docs(spark, n), threshold = 0.6)
+        .queryExecution.toRdd.count()
+    }
+    ladder("cosine_ivf", base) { n =>
+      // the design guidance the Scaladoc states: k ≈ √n keeps
+      // per-cluster work flat — the ladder scales k the same way
+      val k = math.max(32, math.sqrt(n.toDouble).toInt)
+      graft.ext.Similarity.cosineNearDupPairs(
+          ScaleRehearsal.clusteredEmbeddings(spark, n, centers = (n / 250).toInt),
+          threshold = 0.9, nClusters = k, targetSubBlock = 512)
+        .queryExecution.toRdd.count()
+    }
+    ladder("curate_corpus", base / 5) { n =>
+      // qualityMin = 0: the synthetic ladder texts shouldn't be
+      // quality-filtered away — the ladder measures the dedup +
+      // component stages, not the gate's threshold choice
+      graft.ext.Curation.curate(docs(spark, n, blocks = 20), qualityMin = 0)
+        .queryExecution.toRdd.count()
+    }
+    val edgeBase = sys.env.getOrElse("SPARK_GRAFT_LADDER_EDGES", "1000000").toLong
+    ladder("connected_components", edgeBase) { n =>
+      graft.ext.Dedup.connectedComponents(edges(spark, n), "doc_a", "doc_b")
+        .queryExecution.toRdd.count()
+    }
+    ladder("pagerank_5rounds", edgeBase) { n =>
+      graft.ext.GraphOps.pageRankFixedPoint(
+          edges(spark, n).select(col("doc_a").as("a"), col("doc_b").as("b")),
+          iters = 5)
+        .queryExecution.toRdd.count()
+    }
+    ladder("coactivity_hot_minute", 5000) { n =>
+      val act = spark.range(n)
+        .select(lit("2024-01-01 12:00:00").cast("timestamp").as("m"),
+          col("id").as("user_id"))
+      graft.ext.GraphOps.coActivityEdgesOf(act)
+        .queryExecution.toRdd.count()
+    }
+
+    graft.ext.CorpusCache.releaseAll()
+    spark.stop()
+  }
+}

@@ -63,6 +63,7 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
   }
 }

@@ -99,16 +99,16 @@ object Dedup {
     * Cache lifetime: Spark's CacheManager keys entries by LOGICAL
     * PLAN, so repeated calls over the same corpus share one entry
     * (measured: eagerly checkpoint-and-unpersist per call costs 7×).
-    * Distinct corpora leave one small entry each — callers doing
-    * many-corpus sweeps should `spark.catalog.clearCache()` between.
+    * The entry is registered with [[CorpusCache]]; run boundaries
+    * (Verify/Bench/tests — and library callers ending a corpus
+    * sweep) release it via [[CorpusCache.releaseAll]].
     */
   def minhashShingles(docs: DataFrame, shingleK: Int = 3): DataFrame =
-    docs
+    CorpusCache.cache(docs
       .select(col("doc_id"),
         array_distinct(graft.functions.NgramHash64.ngram_hash64(
           tokensNorm(col("text")), shingleK)).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(size(col("sh")) > 0))
 
   /** (doc_id, band, band_key): the banded signature keys — the whole
     * LSH candidate-generation state, and the other aux input to the

@@ -13,43 +13,122 @@ import graft.sources.Tables
   * edge set is bounded by the user-pair space regardless of event
   * volume.
   *
-  * Scale notes: triangle counting is the canonical two-join shape —
-  * `e ⋈ e ⋈ e` with every edge stored once in canonical `(a < b)`
-  * orientation, so each triangle is counted exactly once (a<b<c) and
-  * both joins are keyed equi-joins (no enumeration of wedges beyond
-  * the hash join's probe). Degree-skewed graphs are the known hard
-  * case: the first join's fanout is Σ deg(v)² — production systems
-  * split high-degree vertices first (same salting discipline as
-  * [[graft.ops.SkewJoin]]); the rehearsal-scale fixture here keeps
-  * the point at the plan shape.
+  * Scale notes: BOTH quadratic shapes here are skew-guarded the same
+  * way [[Dedup.jaccardPairsBySource]] guards its block self-join —
+  * triangle sub-blocking, where one over-populated key is covered by
+  * O(c²) uniform (p,q) unit tasks instead of one near-cross-product
+  * task:
+  *
+  *  - edge DERIVATION ([[coActivityEdges]]): the per-minute self-join
+  *    sub-blocks the minute key, so a flash-sale minute with 10⁴–10⁵
+  *    active users (at 100×, every minute) spreads across
+  *    nsub·(nsub+1)/2 tasks rather than pinning one;
+  *  - triangle COUNTING ([[triangleCount]]): the wedge join's fanout
+  *    per vertex is in(v)·out(v) — the high-degree-hub hazard — so
+  *    hub keys are salted: the probe side splits into `ns` salt
+  *    buckets, the build side replicates across them, `ns` sized from
+  *    the actual per-key fanout product.
+  *
+  * Both are identity rewrites (same distinct pair / count semantics),
+  * so the DuckDB oracles are unchanged; equality with the plain forms
+  * is property-tested in GraphOpsSpec and the hot-key behavior is
+  * measured in [[graft.ScaleRehearsal]].
   */
 object GraphOps {
 
-  /** Canonical (a < b) distinct co-activity edges. */
-  def coActivityEdges(spark: SparkSession, dir: String): DataFrame = {
-    val act = Tables.events(spark, dir)
-      .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
+  /** Canonical (a < b) distinct co-activity edges, sub-blocked.
+    *
+    * The naive form — self-join on the raw minute key — shuffles on
+    * `m` alone: one hot minute degenerates to a single near-cross-
+    * product task. Here each minute is split into
+    * `nsub = ceil(active/targetSubBlock)` hash sub-blocks; side A
+    * carries its own block `v` and explodes partners `q ∈ [v, nsub)`,
+    * side B explodes `p ∈ [0, v]` — every unordered user pair meets in
+    * exactly one (m, p, q) unit, and units are uniform ~targetSubBlock²
+    * comparisons. Per-minute block counts come from a broadcast count
+    * join (one row per distinct minute — tiny at any scale). The
+    * explicit fixed-N repartition pins probe parallelism (AQE would
+    * coalesce the tiny-but-CPU-heavy stage; explicit N is exempt).
+    */
+  def coActivityEdges(spark: SparkSession, dir: String,
+      targetSubBlock: Int = 1024): DataFrame =
+    coActivityEdgesOf(
+      Tables.events(spark, dir)
+        .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
+        .distinct(),
+      targetSubBlock)
+
+  /** [[coActivityEdges]] over a prepared DISTINCT (m, user_id) frame —
+    * the synthetic-activity entry point for [[graft.ScaleRehearsal]]'s
+    * hot-minute case.
+    */
+  def coActivityEdgesOf(act: DataFrame, targetSubBlock: Int = 1024): DataFrame = {
+    val spark = act.sparkSession
+    val counts = act.groupBy(col("m"))
+      .agg(ceil(count(lit(1)).cast("double") / targetSubBlock)
+        .cast("int").as("nsub"))
+    val sub = act.join(broadcast(counts), Seq("m"))
+      .withColumn("v", pmod(xxhash64(col("user_id")), col("nsub")).cast("int"))
+    val a = sub.select(col("m"), col("user_id").as("a"), col("v").as("p"),
+      explode(sequence(col("v"), col("nsub") - 1)).as("q"))
+    val b = sub.select(col("m"), col("user_id").as("b"),
+      explode(sequence(lit(0), col("v"))).as("p"), col("v").as("q"))
+    val par = spark.sparkContext.defaultParallelism
+    a.repartition(par, col("m"), col("p"), col("q"))
+      .join(b, Seq("m", "p", "q"))
+      // same-block pairs appear in both orientations → keep a < b;
+      // cross-block pairs appear once, in block order → canonicalize
+      .filter(col("p") =!= col("q") || col("a") < col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
       .distinct()
-    act.select(col("m"), col("user_id").as("a"))
-      .join(act.select(col("m"), col("user_id").as("b")), Seq("m"))
-      .filter(col("a") < col("b"))
-      .select(col("a"), col("b")).distinct()
   }
 
-  /** Triangle count of a canonical (a < b) edge set — 1-row frame. */
-  def triangleCount(e: DataFrame): DataFrame =
-    e.select(col("a").as("t_a"), col("b").as("t_b"))
-      .join(e.select(col("a").as("u_a"), col("b").as("u_b")),
-        col("u_a") === col("t_b"))
+  /** Triangle count of a canonical (a < b) edge set — 1-row frame.
+    *
+    * Two keyed equi-joins (wedge build + closing-edge probe), every
+    * edge stored once in (a < b) orientation so each triangle is
+    * counted exactly once (a < b < c). The wedge join's per-key fanout
+    * is in(v)·out(v): vertices whose product exceeds `targetFanout`
+    * are salted — the u-side (key `u_a`) splits into `ns` buckets by
+    * hash of its other endpoint, the t-side (key `t_b`) replicates
+    * across all `ns` — bounding every task's intermediate to
+    * ~targetFanout wedges. Only over-threshold keys enter the
+    * broadcast (hot set is tiny by definition); cold keys pay one
+    * coalesce. The closing join keys on BOTH endpoints, where the
+    * distinct edge set guarantees ≤1 build row per key — no fanout.
+    */
+  def triangleCount(e: DataFrame, targetFanout: Long = 1L << 22): DataFrame = {
+    val hot = e.groupBy(col("a").as("k")).agg(count(lit(1)).as("ca"))
+      .join(e.groupBy(col("b").as("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .select(col("k"),
+        least(lit(256L), ceil(col("ca") * col("cb") / lit(targetFanout.toDouble)))
+          .cast("int").as("ns"))
+      .filter(col("ns") > 1)
+    val t = e.select(col("a").as("t_a"), col("b").as("t_b"))
+      .join(broadcast(hot.select(col("k").as("t_b"), col("ns"))),
+        Seq("t_b"), "left")
+      .select(col("t_a"), col("t_b"),
+        explode(sequence(lit(0), coalesce(col("ns"), lit(1)) - 1)).as("rt"))
+    val u = e.select(col("a").as("u_a"), col("b").as("u_b"))
+      .join(broadcast(hot.select(col("k").as("u_a"), col("ns"))),
+        Seq("u_a"), "left")
+      .select(col("u_a"), col("u_b"),
+        pmod(xxhash64(col("u_b")), coalesce(col("ns"), lit(1)))
+          .cast("int").as("ru"))
+    t.join(u, col("u_a") === col("t_b") && col("ru") === col("rt"))
       .join(e.select(col("a").as("v_a"), col("b").as("v_b")),
         col("v_a") === col("t_a") && col("v_b") === col("u_b"))
       .agg(count(lit(1)).as("n_triangles"))
+  }
 
   /** One-row structural profile: nodes, edges, triangles, max/avg
-    * degree (degree over the undirected edge set).
+    * degree (degree over the undirected edge set). The derived edge
+    * set feeds four consumers — materialized once via localCheckpoint
+    * so the sub-blocked derivation isn't re-run per consumer.
     */
   def triangleProfile(spark: SparkSession, dir: String): DataFrame = {
-    val e = coActivityEdges(spark, dir)
+    val e = coActivityEdges(spark, dir).localCheckpoint(true)
     val tri = triangleCount(e)
     val deg = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("d"))
@@ -64,9 +143,10 @@ object GraphOps {
   }
 
   /** PageRank in EXACT integer fixed point (micro-units: 1.0 ≡ 1e6):
-    * `r' = 0.15 + 0.85·Σ r(u)/deg(u)` becomes
-    * `150000 + (850000·Σ(r(u) div deg(u))) div 1e6` — every operation
-    * is integer, so the iteration is bit-deterministic across
+    * `r' = (1−d) + d·Σ r(u)/deg(u)` becomes
+    * `base + (dµ·Σ(r(u) div deg(u))) div 1e6` with
+    * `dµ = round(d·1e6)`, `base = 1e6 − dµ` — every operation is
+    * integer, so the iteration is bit-deterministic across
     * partitionings AND engines: the classic float formulation sums
     * contributions in shuffle order and can never hash-match an
     * oracle; this one can and does (the DuckDB twin unrolls the same
@@ -78,28 +158,60 @@ object GraphOps {
     * frame with edges, one dst-keyed contribution aggregate — the
     * same two-shuffle round as [[Dedup.connectedComponents]], with
     * `localCheckpoint` truncating lineage so plans stay flat at any
-    * iteration count.
+    * iteration count. The directed edge/degree frames are checkpointed
+    * once up front — each round joins materialized blocks instead of
+    * re-deriving the (sub-blocked) edge set from the scan.
+    *
+    * Integer exactness buys convergence detection for free: once
+    * `r' = r` bit-for-bit the iteration is at its fixed point and
+    * every further round is the identity, so the loop exits early
+    * (`iters` stays the CAP — the oracle unrolls `iters` CTE rounds
+    * and post-fixed-point rounds are identities there too, keeping
+    * the gate/oracle pairing unchanged). The check is one `isEmpty`
+    * over the changed-rank join per round: on a non-converged graph
+    * it short-circuits at the first changed row; on the converged
+    * round its full pass costs less than the round it saves.
     */
-  def pageRankFixedPoint(edges: DataFrame, iters: Int = 5): DataFrame = {
+  def pageRankFixedPoint(edges: DataFrame, iters: Int = 5,
+      damping: Double = 0.85): DataFrame =
+    pageRankWithRounds(edges, iters, damping)._1
+
+  /** [[pageRankFixedPoint]] plus the number of rounds actually run —
+    * the observable for the early-exit tests.
+    */
+  private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int,
+      damping: Double): (DataFrame, Int) = {
+    val dMicro = math.round(damping * 1000000L)
+    val base = 1000000L - dMicro
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(true)
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val nodes = directed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var rank = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    var converged = false
+    var round = 0
+    while (round < iters && !converged) {
+      round += 1
       val contrib = directed
         .join(rank.withColumnRenamed("node", "src"), Seq("src"))
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("c"))
-      rank = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(150000L) + expr("(850000 * coalesce(c, bigint(0))) div 1000000"))
+          (lit(base) + expr(s"($dMicro * coalesce(c, bigint(0))) div 1000000"))
             .as("rank"))
         .localCheckpoint(true)
+      converged = next.withColumnRenamed("rank", "r_next")
+        .join(rank.withColumnRenamed("rank", "r_prev"), Seq("node"))
+        .filter(col("r_next") =!= col("r_prev"))
+        .isEmpty
+      rank = next
     }
-    rank.orderBy(col("rank").desc, col("node")).limit(20)
+    (rank.orderBy(col("rank").desc, col("node")).limit(20), round)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -112,12 +224,16 @@ object GraphOps {
     * iterations as chained CTEs (generated, one per round) — possible
     * only because the arithmetic is exact integers; `//` in DuckDB
     * and `div` in Spark both truncate, and inputs are non-negative.
+    * Early exit on the Spark side never diverges from the unrolled
+    * form: post-fixed-point rounds are identities in both engines.
     */
-  private def pageRankOracle(iters: Int): String = {
+  private def pageRankOracle(iters: Int, damping: Double = 0.85): String = {
+    val dMicro = math.round(damping * 1000000L)
+    val base = 1000000L - dMicro
     val rounds = (1 to iters).map { i =>
       s"""r$i AS (
          |  SELECT n.node,
-         |         CAST(150000 + (850000 * coalesce(s.c, 0)) // 1000000
+         |         CAST($base + ($dMicro * coalesce(s.c, 0)) // 1000000
          |              AS BIGINT) AS rank
          |  FROM nodes n LEFT JOIN (
          |    SELECT e.dst AS node, sum(r.rank // d.deg) AS c

@@ -137,8 +137,7 @@ object Layout {
     // fixed per-fixture path + overwrite mode: repeated bench/verify
     // invocations rewrite ONE layout copy instead of leaking a fresh
     // temp directory per call (Bench alone runs this 5× per run)
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_layout_prune_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("layout_prune", dir)
     writePartitioned(Tables.documents(spark, dir), tmp,
       partitionCols = Seq("lang"), sortCols = Seq("source", "doc_id"),
       maxRecordsPerFile = 100000L)
@@ -169,8 +168,7 @@ object Layout {
     * coarse manifest can only cost I/O, never correctness.
     */
   def zonemapPruneAgg(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_layout_zonemap_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("layout_zonemap", dir)
     Tables.documents(spark, dir)
       .repartitionByRange(8, col("doc_id"))
       .sortWithinPartitions(col("doc_id"))

@@ -61,8 +61,7 @@ object Sharding {
     * export and read-back must lose nothing.
     */
   def shardManifestGate(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_shard_export_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("shard_export", dir)
     exportShards(Tables.documents(spark, dir), tmp, keyCol = "doc_id")
     manifest(spark.read.parquet(tmp), "text")
   }

@@ -212,20 +212,19 @@ object Similarity {
 
     // original double vector + norm (for the exact verify) and the
     // unit-normalized vector (for clustering only)
-    // Persisted MEMORY_AND_DISK and not unpersisted: the quantizer
-    // makes several small driver-action passes (seed collect, Lloyd
-    // updates, radii) plus the two join sides — each would otherwise
-    // re-scan and re-shuffle the corpus. Spark's CacheManager keys by
-    // logical plan, so repeated calls over the same corpus share one
-    // entry (see [[graft.ext.Dedup.minhashPairs]] for the lifecycle
-    // contract).
-    val prepped = emb.select(col("vec_id"),
+    // Persisted MEMORY_AND_DISK: the quantizer makes several small
+    // driver-action passes (seed collect, Lloyd updates, radii) plus
+    // the two join sides — each would otherwise re-scan and
+    // re-shuffle the corpus. Spark's CacheManager keys by logical
+    // plan, so repeated calls over the same corpus share one entry;
+    // registered with [[CorpusCache]], released at run boundaries
+    // (see [[graft.ext.Dedup.minhashShingles]] for the contract).
+    val prepped = CorpusCache.cache(emb.select(col("vec_id"),
         transform(col("embedding"), v => v.cast("double")).as("e"),
         sqrt(aggregate(col("embedding"), lit(0.0),
           (acc, v) => acc + v.cast("double") * v.cast("double"))).as("nrm"))
       .withColumn("u", transform(col("e"), x => x / col("nrm")))
-      .repartition(par) // pin parallelism (see [[thresholdJoin]])
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .repartition(par)) // pin parallelism (see [[thresholdJoin]])
 
     def normalize(c: Seq[Double]): Seq[Double] = {
       val n = math.sqrt(c.map(x => x * x).sum)
@@ -507,9 +506,8 @@ object Similarity {
       : Option[(DataFrame, DataFrame, Seq[Seq[Double]])] = {
     import graft.functions.{ArgMaxDouble, CentroidScores}
     val spark = emb.sparkSession
-    val corpus = withNorm(emb, "vec_id", "e", "nrm")
-      .repartition(spark.sparkContext.defaultParallelism) // see [[thresholdJoin]]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = CorpusCache.cache(withNorm(emb, "vec_id", "e", "nrm")
+      .repartition(spark.sparkContext.defaultParallelism)) // see [[thresholdJoin]]
 
     val seeds = corpus.orderBy(col("vec_id")).limit(kSub).collect()
       .map(_.getSeq[Double](1))

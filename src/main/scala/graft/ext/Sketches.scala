@@ -57,28 +57,36 @@ object Sketches {
   def cmsBucket(key: Column, t: Int): Column =
     pmod(xxhash64(lit(t), key), lit(CmsWidth))
 
-  /** Per-user exact count + count-min estimate. The sketch is the
-    * (t, bkt, c) frame; estimates probe it with `CmsDepth` broadcast
-    * joins and take the min cell. `est_n >= exact_n` always; equality
-    * whenever no hash collision inflates every one of the key's
-    * cells.
+  /** Per-user exact count + count-min estimate. `est_n >= exact_n`
+    * always; equality whenever no hash collision inflates every one
+    * of the key's cells.
+    *
+    * The sketch IS bounded state — CmsDepth × CmsWidth cells,
+    * independent of data volume — so it is built in ONE pass
+    * (one posexplode aggregation), collected once, and probed as a
+    * broadcast literal map lookup per depth. The earlier per-depth
+    * broadcast-join formulation re-filtered the uncached sketch
+    * frame, recomputing the full events scan + bucket aggregation
+    * CmsDepth times; the literal probe also drops the probe-side
+    * joins entirely (the estimate is a narrow codegen projection).
     */
   def cmsUserCounts(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir).select(col("user_id"))
-    val sketch = ev
+    val cells: Map[Long, Long] = ev
       .select(posexplode(array((0 until CmsDepth).map(t =>
         cmsBucket(col("user_id"), t)): _*)).as(Seq("t", "bkt")))
       .groupBy(col("t"), col("bkt")).agg(count(lit(1)).as("c"))
-    val keys = ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
-    val probed = (0 until CmsDepth).foldLeft(keys) { (df, t) =>
-      df.join(
-        broadcast(sketch.filter(col("t") === t)
-          .select(col("bkt").as(s"bkt_$t"), col("c").as(s"c_$t"))),
-        cmsBucket(col("user_id"), t) === col(s"bkt_$t"))
-        .drop(s"bkt_$t")
-    }
-    probed.select(col("user_id"), col("exact_n"),
-      least((0 until CmsDepth).map(t => col(s"c_$t")): _*).as("est_n"))
+      .collect()
+      .map(r => (r.getInt(0) * CmsWidth + r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val cellMap = typedlit(cells)
+    // a probed key always contributed to its own cells, so every
+    // looked-up cell exists in the map (no null branch to coalesce)
+    ev.groupBy(col("user_id")).agg(count(lit(1)).as("exact_n"))
+      .select(col("user_id"), col("exact_n"),
+        least((0 until CmsDepth).map(t =>
+          element_at(cellMap,
+            lit(t * CmsWidth) + cmsBucket(col("user_id"), t))): _*).as("est_n"))
       .orderBy(col("user_id"))
   }
 

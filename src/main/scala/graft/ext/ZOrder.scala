@@ -98,8 +98,7 @@ object ZOrder {
   def boxAggregate(spark: SparkSession, dir: String): DataFrame = {
     // fixed per-fixture path + overwrite, same rationale as
     // Layout.pruneAggregate: bench reruns rewrite one copy
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_zorder_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("zorder", dir)
     withZ(Tables.events(spark, dir))
       .repartitionByRange(8, col("z"))
       .sortWithinPartitions(col("z"))

@@ -36,10 +36,20 @@ object FuzzyJoin {
   def byEditDistance(left: DataFrame, right: DataFrame, blockCol: String,
       leftText: String, rightText: String, maxDist: Int,
       pairFilter: Column): DataFrame =
+    // the cheap O(1) prefilters run BEFORE the DP; the O(len²)
+    // levenshtein is computed ONCE and the threshold filters on the
+    // result column. A plain withColumn alias is NOT enough: Catalyst
+    // inlines the alias and pushes the predicate into the join
+    // condition, and the project then re-runs the DP for every
+    // surviving candidate (verified on the optimized plan). Routing
+    // `dist` through a one-element explode pins it — predicates on
+    // generator output cannot cross the Generate, and GenerateExec
+    // stays inside the same codegen stage (no shuffle, no
+    // materialization; rows still stream join → dist → filter).
     left.join(right, blockCol)
-      .filter(pairFilter)
-      .filter(
-        abs(length(col(leftText)) - length(col(rightText))) <= maxDist &&
-          levenshtein(col(leftText), col(rightText)) <= maxDist)
-      .withColumn("dist", levenshtein(col(leftText), col(rightText)))
+      .filter(pairFilter &&
+        abs(length(col(leftText)) - length(col(rightText))) <= maxDist)
+      .select(col("*"),
+        explode(array(levenshtein(col(leftText), col(rightText)))).as("dist"))
+      .filter(col("dist") <= maxDist)
 }

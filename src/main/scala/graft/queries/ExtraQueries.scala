@@ -304,7 +304,14 @@ object ExtraQueries {
         sqrt(col("s2").cast("double") / col("n").cast("double")
           - (col("s1").cast("double") / col("n").cast("double"))
             * (col("s1").cast("double") / col("n").cast("double"))).as("sd"))
-    val z = (col("cents").cast("double") - col("meand")) / col("sd")
+    // sd = 0 (a type whose values are all equal) must count ZERO
+    // outliers, not divide 0/0: Spark orders NaN above every double
+    // (NaN > 2.0 is true) where DuckDB follows IEEE — the unguarded
+    // division silently diverges between the engines. The guard makes
+    // z NULL for degenerate groups; count(when(...)) skips NULLs in
+    // both engines identically.
+    val z = when(col("sd") > 0,
+      (col("cents").cast("double") - col("meand")) / col("sd"))
     e.join(broadcast(m), "event_type")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),
@@ -357,13 +364,26 @@ object ExtraQueries {
     val bounds = ev.groupBy(col("event_type"))
       .agg(expr("percentile(value, 0.05)").as("lo"),
         expr("percentile(value, 0.95)").as("hi"))
+    // means derive from EXACT integer cent sums (the RevenueCents
+    // discipline): avg(double) sums in partial-aggregation order,
+    // and Spark's tree differs from DuckDB's — a group can land a
+    // cent across the round(…, 2) boundary. Integer sums commute;
+    // the single division + round then sees the identical double in
+    // both engines.
     ev.join(broadcast(bounds), "event_type")
       .withColumn("w", least(greatest(col("value"), col("lo")), col("hi")))
+      .withColumn("wc", round(col("w") * 100, 0).cast("long"))
+      .withColumn("vc", round(col("value") * 100, 0).cast("long"))
       .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        round(avg(col("w")), 2).as("avg_winsorized"),
-        round(avg(col("value")), 2).as("avg_raw"),
+      .agg(count(lit(1)).as("n"), sum(col("wc")).as("swc"),
+        sum(col("vc")).as("svc"),
         count(when(col("w") =!= col("value"), 1)).as("n_clipped"))
+      .select(col("event_type"), col("n"),
+        round(col("swc").cast("double") / (col("n") * 100).cast("double"), 2)
+          .as("avg_winsorized"),
+        round(col("svc").cast("double") / (col("n") * 100).cast("double"), 2)
+          .as("avg_raw"),
+        col("n_clipped"))
       .orderBy(col("event_type"))
   }
 
@@ -396,9 +416,11 @@ object ExtraQueries {
         |         quantile_cont(value, 0.95) AS hi
         |  FROM events GROUP BY 1)
         |SELECT e.event_type, count(*) AS n,
-        |       round(avg(least(greatest(e.value, b.lo), b.hi)), 2)
-        |         AS avg_winsorized,
-        |       round(avg(e.value), 2) AS avg_raw,
+        |       round(CAST(sum(CAST(round(least(greatest(e.value, b.lo), b.hi)
+        |                               * 100, 0) AS BIGINT)) AS DOUBLE)
+        |             / CAST(count(*) * 100 AS DOUBLE), 2) AS avg_winsorized,
+        |       round(CAST(sum(CAST(round(e.value * 100, 0) AS BIGINT)) AS DOUBLE)
+        |             / CAST(count(*) * 100 AS DOUBLE), 2) AS avg_raw,
         |       count(*) FILTER (least(greatest(e.value, b.lo), b.hi)
         |                        <> e.value) AS n_clipped
         |FROM events e JOIN b USING (event_type)
@@ -452,8 +474,10 @@ object ExtraQueries {
         |                * (CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE))) AS sd
         |  FROM e GROUP BY 1)
         |SELECT e.event_type, count(*) AS n,
-        |       count(*) FILTER ((CAST(e.cents AS DOUBLE) - m.meand) / m.sd > 2.0) AS n_hi,
-        |       count(*) FILTER ((CAST(e.cents AS DOUBLE) - m.meand) / m.sd < -2.0) AS n_lo,
+        |       count(*) FILTER (m.sd > 0 AND
+        |         (CAST(e.cents AS DOUBLE) - m.meand) / m.sd > 2.0) AS n_hi,
+        |       count(*) FILTER (m.sd > 0 AND
+        |         (CAST(e.cents AS DOUBLE) - m.meand) / m.sd < -2.0) AS n_lo,
         |       round(max(m.meand), 2) AS mean_c,
         |       round(max(m.sd), 2) AS sd_c
         |FROM e JOIN m USING (event_type)

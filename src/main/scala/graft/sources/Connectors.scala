@@ -135,6 +135,40 @@ object Connectors {
       .withWatermark("ts", "5 seconds")
   }
 
+  /** Configured wire source — the single point where deployment shape
+    * enters the consume chain. Every variant presents the wire as a
+    * `value` column (Kafka: the record's binary value; a text-file
+    * queue of JSON lines: the line — the zero-egress stand-in), so a
+    * live broker differs from the offline e2e by CONFIG ONLY, never
+    * by code path.
+    *
+    * cfg: `format` = "kafka" (default) | "text";
+    * kafka → `kafka.bootstrap.servers`, `subscribe`, optional
+    * `startingOffsets`; text → `path`.
+    */
+  def wireStream(spark: SparkSession, cfg: Map[String, String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    cfg.getOrElse("format", "kafka") match {
+      case "kafka" =>
+        kafkaSourceReader(spark, cfg("kafka.bootstrap.servers"),
+          cfg("subscribe"), cfg.getOrElse("startingOffsets", "earliest"))
+          .load().select(col("value"))
+      case "text" =>
+        spark.readStream.format("text").load(cfg("path")).select(col("value"))
+      case other =>
+        throw new IllegalArgumentException(s"unknown wire format: $other")
+    }
+  }
+
+  /** The whole consumer entry — [[wireStream]] (config-selected
+    * source) composed with [[kafkaWireDecode]] (declared decode +
+    * event time + watermark). StreamingSpec's e2e runs THIS with
+    * `format=text`; a production deployment passes broker
+    * coordinates and nothing else changes.
+    */
+  def consumeOrders(spark: SparkSession, cfg: Map[String, String]): DataFrame =
+    kafkaWireDecode(wireStream(spark, cfg))
+
   // ---------------------------------------------------- Hive-style ORC
 
   /** Bucketed ORC table at rest — the reference's Hive fact table

@@ -89,15 +89,13 @@ object FileFormats {
       .orderBy(col("event_type"))
 
   def jsonRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_json_events_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("json_events", dir)
     writeJson(stableEvents(spark, dir), tmp)
     rollup(readJson(spark, tmp, eventSchema))
   }
 
   def csvRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_csv_events_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("csv_events", dir)
     writeCsv(stableEvents(spark, dir), tmp)
     rollup(readCsv(spark, tmp, eventSchema))
   }
@@ -109,8 +107,7 @@ object FileFormats {
     * gates.
     */
   def orcRoundTrip(spark: SparkSession, dir: String): DataFrame = {
-    val tmp = s"${sys.props("java.io.tmpdir")}/graft_orc_events_${
-      math.abs(dir.hashCode.toLong)}"
+    val tmp = graft.RunScratch.dir("orc_events", dir)
     stableEvents(spark, dir).write.mode("overwrite")
       .option("compression", "zstd").orc(tmp)
     rollup(spark.read.orc(tmp))
@@ -126,8 +123,7 @@ object FileFormats {
     * presence, which the oracle recomputes from the parity split.
     */
   def schemaEvolutionRollup(spark: SparkSession, dir: String): DataFrame = {
-    val root = s"${sys.props("java.io.tmpdir")}/graft_schema_evo_${
-      math.abs(dir.hashCode.toLong)}"
+    val root = graft.RunScratch.dir("schema_evo", dir)
     val ev = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"), col("value"))
     ev.filter(col("event_id") % 2 === 0)

@@ -361,6 +361,70 @@ object StreamingQueries {
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }
 
+  /** Append-mode replay with a watermark flush: each finalized group
+    * emits EXACTLY ONCE, when the watermark passes its close — the
+    * per-batch-bounded output shape that scales (complete mode
+    * re-emits the ENTIRE result history every micro-batch: fine only
+    * when the result is tiny, a non-starter on a real stream).
+    * Append rows are final even under session merging — a session the
+    * watermark has closed can never be extended — so no truncating
+    * sink is needed.
+    *
+    * What append alone cannot do on a finite replay is flush the
+    * TAIL: the watermark ends `delay` short of the fixture's max
+    * event time, leaving the trailing sessions open in state forever.
+    * The replay closes them with a far-future SENTINEL row (user −1,
+    * 3 days past the fixture — callers filter it): its event time
+    * pushes the final watermark past every real session's close, and
+    * the trailing no-data micro-batch (on by default) emits the
+    * remainder. The source is a scratch view of the fixture — a
+    * symlink to `events.parquet` plus a one-row sentinel file, both
+    * listed in the FIRST micro-batch (no `maxFilesPerTrigger`), so
+    * the sentinel cannot advance the watermark ahead of real rows.
+    */
+  def replayAppendFlush(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val scratch = graft.RunScratch.dir("replay_flush", dir)
+    new java.io.File(scratch).mkdirs()
+    val link = java.nio.file.Paths.get(scratch, "events.parquet")
+    if (!java.nio.file.Files.exists(link))
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(dir, "events.parquet"))
+    val sentinel = java.nio.file.Paths.get(scratch, "zz_flush.parquet")
+    if (!java.nio.file.Files.exists(sentinel)) {
+      val maxTs = spark.read.schema(rawEventSchema)
+        .parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).collect()(0).getLong(0)
+      val flushTs = maxTs + 3L * 24 * 3600 * 1000000000L // +3 days (nanos)
+      val row = org.apache.spark.sql.Row(-1L, flushTs, -1L, "flush", 0.0, null)
+      val tmp = s"$scratch/.sentinel_build"
+      spark.createDataFrame(
+          java.util.Collections.singletonList(row), rawEventSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException("sentinel part file missing"))
+      java.nio.file.Files.copy(part.toPath, sentinel)
+    }
+    val src = spark.readStream.schema(rawEventSchema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(scratch)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"replay_append_${replaySeq.incrementAndGet()}"
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8") // see replay()
+    val q =
+      try build(src).writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    try { q.processAllAvailable() } finally q.stop()
+    val out = spark.table(name)
+    val rows = out.collect().toSeq // verification-sized final state
+    spark.catalog.dropTempView(name)
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+  }
+
   /** Gate replay of [[dualSinkFanout]]: stream the fixture through
     * the two-sink landing, then roll up what actually LANDED in sink
     * A — the oracle aggregates the original events, so the gate
@@ -372,8 +436,7 @@ object StreamingQueries {
     */
   def fanoutRollup(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val base = s"${sys.props("java.io.tmpdir")}/graft_fanout_${
-      math.abs(dir.hashCode.toLong)}"
+    val base = graft.RunScratch.dir("fanout", dir)
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
     val src = spark.readStream.schema(rawEventSchema)
@@ -406,10 +469,13 @@ object StreamingQueries {
       replay(s, d, q4ChannelGmv, Seq("channel_id")).orderBy(col("channel_id"))),
     // session_window disallows update mode (merging sessions have no
     // stable key), and an upsert sink would keep superseded session
-    // rows if a merge ever changed a key across batches — so this
-    // replay goes through the truncating complete-mode sink.
+    // rows if a merge ever changed a key across batches — append mode
+    // emits each session once, at finalization, when it can no longer
+    // merge; the sentinel-flushed replay closes the fixture's tail
+    // (sentinel user −1 filtered here).
     "stream_sessions_user" -> ((s, d) =>
-      replayComplete(s, d, qSessions)
+      replayAppendFlush(s, d, qSessions)
+        .filter(col("user_id") =!= -1L)
         .orderBy(col("user_id"), col("session_start"))),
     "stream_enrich_segment" -> ((s, d) =>
       replay(s, d,

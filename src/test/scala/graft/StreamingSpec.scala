@@ -171,24 +171,29 @@ class StreamingSpec extends AnyFunSuite {
 
   test("kafka wire e2e: bytes -> decode -> watermark -> agg -> JDBC upsert, one stream") {
     import spark.implicits._
-    implicit val sqlCtx = spark.sqlContext
-    // the full consumer chain as ONE continuous stream: JSON wire
-    // values (what a Kafka value column carries) through the declared
-    // decode, watermarked channel aggregation, and the executor-side
-    // JDBC upsert — the composed pipeline, not its pieces.
+    // the full consumer chain as ONE continuous stream, through the
+    // SHARED config-selected source path (Connectors.consumeOrders):
+    // JSON wire values land as text-queue files (what a Kafka value
+    // column carries, format="text" — the zero-egress stand-in; a
+    // live broker is the same call with format="kafka" + URLs),
+    // through the declared decode, watermarked channel aggregation,
+    // and the executor-side JDBC upsert — the composed pipeline, not
+    // its pieces.
     val wire = graft.gen.OrderGen.ordersJson(spark, 2000)
       .select(col("value")).as[String].collect().toSeq
 
-    val in = MemoryStream[String]
-    val decoded = graft.sources.Connectors.kafkaWireDecode(
-      in.toDF().select(col("value")))
+    val queueDir = java.nio.file.Files.createTempDirectory("graft_wire_e2e")
+    val decoded = graft.sources.Connectors.consumeOrders(spark,
+      Map("format" -> "text", "path" -> queueDir.toString))
     val agg = decoded.groupBy(col("channel_id"))
       .agg(round(sum(col("amount")), 2).as("gmv"), count(lit(1)).as("orders"))
     val sink = new JdbcUpsertSink("jdbc:derby:memory:graftkafka;create=true",
       "channel_gmv", Seq("channel_id"))
     val q = sink.writeTo(agg.writeStream.outputMode("update"))
-    wire.grouped(700).foreach { chunk =>
-      in.addData(chunk)
+    wire.grouped(700).zipWithIndex.foreach { case (chunk, i) =>
+      // each chunk arrives as a new queue file → its own micro-batch
+      java.nio.file.Files.write(queueDir.resolve(f"chunk_$i%05d.jsonl"),
+        chunk.mkString("", "\n", "\n").getBytes("UTF-8"))
       q.processAllAvailable()
     }
     q.stop()
@@ -201,6 +206,23 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
     assert(streamed === batch)
     assert(streamed.nonEmpty)
+  }
+
+  test("append+flush session replay equals the complete-mode replay") {
+    // the round-4 replay shape: append emits each session ONCE at
+    // finalization (sentinel-flushed tail) — must produce the exact
+    // session set complete mode emits by re-materializing everything
+    val dir = "/root/testdata/sf0.001"
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val complete = key(
+      StreamingQueries.replayComplete(spark, dir, StreamingQueries.qSessions))
+    val append = key(
+      StreamingQueries.replayAppendFlush(spark, dir, StreamingQueries.qSessions)
+        .filter(col("user_id") =!= -1L))
+    assert(append.nonEmpty)
+    assert(append === complete)
   }
 
   test("flatMapGroupsWithState totals equal the built-in streaming agg") {
