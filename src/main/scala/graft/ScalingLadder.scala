@@ -26,16 +26,28 @@ object ScalingLadder {
 
   /** n docs over `blocks` sources; within a source, triples share a
     * template except one word (same density at every n — pair output
-    * scales linearly with n by construction).
+    * scales linearly with n by construction). Source is assigned per
+    * TRIPLE (`id div 3`), so near-dup pairs never straddle a block
+    * boundary and the blocked operators can find them.
     */
   def docs(spark: SparkSession, n: Long, blocks: Int = 20,
       vocab: Int = 2000): DataFrame =
     spark.range(n).select(col("id").as("doc_id"),
-      concat(lit("s"), pmod(col("id"), lit(blocks))).as("source"),
+      concat(lit("s"), pmod(expr("id div 3"), lit(blocks))).as("source"),
       concat_ws(" ",
         (0 until 29).map(i =>
           concat(lit("w"), pmod(xxhash64(expr("id div 3"), lit(i)), lit(vocab)))) :+
         concat(lit("v"), pmod(col("id"), lit(3))): _*).as("text"))
+
+  /** Blocks scale WITH the corpus (constant ~1250 docs/source): a
+    * growing corpus gains sources, it doesn't inflate each source —
+    * the structure real provenance blocking has. A fixed block count
+    * would make within-block self-joins quadratic BY CONSTRUCTION
+    * and measure the fixture, not the operator. (The residual
+    * hot-block hazard is what sub-blocking handles, rehearsed
+    * separately in [[ScaleRehearsal]].)
+    */
+  def blocksFor(n: Long): Int = math.max(4, (n / 1250).toInt)
 
   /** Constant-degree edge set: cliques of 5 plus a long chain — node
     * and edge count scale together, per-node degree does not.
@@ -61,11 +73,22 @@ object ScalingLadder {
       val t0 = System.nanoTime(); val rows = f
       ((System.nanoTime() - t0) / 1e9, rows)
     }
-    /** One ladder family: run at n and 2n, report both + ratio. */
+    /** One ladder family: run at n and 2n, report both + ratio.
+      * Corpus caches are released before EVERY timed run — the n1
+      * warm-up would otherwise leave its plan-keyed cache warm for
+      * the n1 timing while the n2 timing (different plan) runs cold,
+      * biasing the ratio upward.
+      */
+    // Dev aid (same contract as Bench): SPARK_GRAFT_LADDER_ONLY=a,b
+    // restricts to matching families for single-family iteration.
+    val only = sys.env.get("SPARK_GRAFT_LADDER_ONLY").map(_.split(',').toSeq)
     def ladder(name: String, n1: Long)(run: Long => Long): Unit = {
+      if (!only.forall(_.exists(name.contains))) return
       val n2 = 2 * n1
       run(n1) // warm-up at the small size: JIT + codegen cache
+      graft.ext.CorpusCache.releaseAll()
       val (s1, r1) = time(run(n1))
+      graft.ext.CorpusCache.releaseAll()
       val (s2, r2) = time(run(n2))
       graft.ext.CorpusCache.releaseAll()
       println(f"""{"ladder":"$name","n1":$n1,"sec1":$s1%.2f,"rows1":$r1,"n2":$n2,"sec2":$s2%.2f,"rows2":$r2,"ratio":${s2 / s1}%.2f}""")

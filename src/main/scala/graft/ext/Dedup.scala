@@ -210,7 +210,9 @@ object Dedup {
       col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
     val b = blocked.select(col("quarter"), col("qkey"),
       col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
-    a.join(b, Seq("quarter", "qkey"))
+    // merge hint: corpus×corpus with posexplode-garbled estimates —
+    // see [[jaccardPairsBySource]]'s join note
+    a.join(b.hint("merge"), Seq("quarter", "qkey"))
       .filter(col("doc_a") < col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
       .withColumn("hamming", SimHash64.hamming64(col("sig_a"), col("sig_b")))
@@ -275,8 +277,15 @@ object Dedup {
         col("toks").as("toks_b"), col("sz").as("sz_b"),
         explode(sequence(lit(0), col("v"))).as("p"), col("v").as("q"))
     val par = spark.sparkContext.defaultParallelism
+    // MERGE hint: both sides are the exploded corpus, and explode
+    // lineage defeats size estimation — left to the planner, the
+    // whole duplicated b-side gets BROADCAST (measured: the ladder's
+    // 2-point growth check caught wall-clock going 4×/8.6× per
+    // doubling as the driver-built hashed relation outgrew memory;
+    // at cluster scale it is an OOM). A corpus×corpus join is
+    // shuffle-partitioned by definition; SMJ spills gracefully.
     a.repartition(par, col("source"), col("p"), col("q"))
-      .join(b, Seq("source", "p", "q"))
+      .join(b.hint("merge"), Seq("source", "p", "q"))
       .filter((col("p") =!= col("q") || col("doc_a") < col("doc_b")) &&
         col("sz_b") * lit(threshold) <= col("sz_a") &&
         col("sz_a") * lit(threshold) <= col("sz_b"))
@@ -304,7 +313,10 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = posting.select(col("source"), col("gram"),
       col("doc_id").as("doc_b"), col("sz").as("sz_b"))
-    a.join(b, Seq("source", "gram"))
+    // merge hint: both sides are the gram-exploded corpus (~|doc|
+    // rows per doc) and explode defeats size estimation — see
+    // [[jaccardPairsBySource]]'s join note
+    a.join(b.hint("merge"), Seq("source", "gram"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("source"), col("doc_a"), col("doc_b"),
         col("sz_a"), col("sz_b"))
@@ -362,7 +374,8 @@ object Dedup {
       col("doc_id").as("doc_a"), col("sz").as("sz_a"))
     val b = posting.select(col("source"), col("gram"),
       col("doc_id").as("doc_b"))
-    a.join(b, Seq("source", "gram"))
+    // merge hint: see [[jaccardPairsBySource]]'s join note
+    a.join(b.hint("merge"), Seq("source", "gram"))
       .filter(col("doc_a") =!= col("doc_b"))
       .groupBy(col("source"), col("doc_a"), col("doc_b"), col("sz_a"))
       .agg(count(lit(1)).as("shared"))

@@ -151,12 +151,16 @@ object Similarity {
       bits: Int = 6, tables: Int = 8, dim: Int = 64): DataFrame = {
     def bucketed(df: DataFrame, idCol: String, eCol: String) =
       bucketedLsh(df, idCol, eCol, bits, tables, dim)
+    // the QUERY side is the broadcast side BY CONTRACT (a bounded
+    // probe set ≪ corpus): explicit, because both bucket frames have
+    // explode-garbled size estimates and the planner must never pick
+    // the corpus side to build
     val cand = bucketed(
         emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("e_c")),
         "neighbor_id", "e_c")
-      .join(bucketed(
+      .join(broadcast(bucketed(
         queries.select(col("vec_id").as("query_id"), col("embedding").as("e_q")),
-        "query_id", "e_q"), Seq("tbl", "bucket"))
+        "query_id", "e_q")), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))
@@ -314,8 +318,13 @@ object Similarity {
         col("nrm").as("n_b"), col("cluster").as("cluster_b"), col("sub").as("sub_b"))
       .join(broadcast(compatDf), Seq("cluster_b", "sub_b"))
     val unitKeys = Seq("cluster_a", "sub_a", "cluster_b", "sub_b")
+    // merge hint: both sides are the unit-replicated corpus and the
+    // compat-join lineage defeats size estimation — left alone the
+    // planner can BROADCAST the replicated b-side (driver-built hash
+    // of the whole corpus; OOM at scale) — see
+    // [[graft.ext.Dedup.jaccardPairsBySource]]'s join note
     aSide.repartition(par, unitKeys.map(col): _*)
-      .join(bSide, unitKeys)
+      .join(bSide.hint("merge"), unitKeys)
       .filter(col("cluster_a") =!= col("cluster_b") ||
         col("sub_a") =!= col("sub_b") || col("id_a") < col("id_b"))
       .withColumn("sim", vec_dot(col("e_a"), col("e_b")) / (col("n_a") * col("n_b")))
@@ -347,7 +356,9 @@ object Similarity {
     val (assignedCorpus, qProbes) = model
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("sim").desc, col("neighbor_id"))
-    qProbes.join(assignedCorpus, "cluster")
+    // probe side broadcast BY CONTRACT (queries × nprobe rows ≪
+    // corpus); the corpus side must never be the build side
+    broadcast(qProbes).join(assignedCorpus, "cluster")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("sim", cosine(col("e_q"), col("e_c")))
       .withColumn("rank", row_number().over(w))
@@ -482,7 +493,10 @@ object Similarity {
         val qFull = withNorm(queries, "query_id", "e_q", "n_q")
         val rw = Window.partitionBy(col("query_id"))
           .orderBy(col("sim_exact").desc, col("neighbor_id"))
-        cand.join(corpus.select(col("vec_id").as("neighbor_id"),
+        // cand is bounded (≤ queries × k × rerankFactor rows):
+        // broadcast it explicitly so the full-width corpus is the
+        // streamed side at any scale
+        broadcast(cand).join(corpus.select(col("vec_id").as("neighbor_id"),
             col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
           .join(broadcast(qFull), "query_id")
           .withColumn("sim_exact",

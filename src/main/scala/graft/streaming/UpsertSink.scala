@@ -20,10 +20,13 @@ import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
   * semantics over an at-least-once channel, the same contract the
   * MySQL PK gives the reference.
   *
-  * The store here is an in-JVM map (zero-egress build); the
-  * production variant swaps `apply` for a JDBC
-  * `INSERT ... ON DUPLICATE KEY UPDATE` batch — the plumbing
-  * (foreachBatch, epoch tracking, key extraction) is identical.
+  * '''TEST DOUBLE — not a production sink and not on any gate
+  * path.''' The store is an in-JVM map with a driver-side
+  * `collect()`, which only StreamingSpec uses to make upsert
+  * semantics observable synchronously. Every gate replay and any
+  * real deployment goes through [[JdbcUpsertSink]] — the
+  * executor-side `foreachPartition` prepared-statement path with the
+  * same epoch-idempotence contract and none of the driver collect.
   */
 final class UpsertSink(keyCols: Seq[String]) extends Serializable {
 
