@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.GenerateExec
+import org.apache.spark.sql.execution.joins._
+
+/** Whole-registry join-strategy audit (builder-side main, like
+  * [[ScaleRehearsal]]): for every batch gate, print the physical
+  * join inventory and flag any `BroadcastHashJoin` whose BUILD side
+  * contains a `Generate` — the round-4 failure signature, where
+  * explode-derived lineage defeats Catalyst's size estimation and a
+  * corpus-sized frame gets guessed small and broadcast (accelerating
+  * super-quadratic wall-clock locally; driver/executor OOM on a
+  * cluster).
+  *
+  * Run with AQE disabled: the STATIC planner makes the hazardous
+  * choice, and `AdaptiveSparkPlanExec` hides the join tree from
+  * `collect`. Streaming/generator gates are skipped (their query
+  * construction executes the replay).
+  *
+  * A flag is not automatically a bug — explicit `broadcast()` of a
+  * side bounded BY CONTRACT also explodes (LSH/IVF query probes, the
+  * skew-join's replicated dim, decontamination eval n-grams). The
+  * sanctioned set is listed here and asserted in PlansSpec's
+  * pair-join regression test; anything NEW in the flag list is a
+  * finding.
+  */
+object PlanAudit {
+
+  /** Gates whose flagged broadcast is an explicit bounded-by-contract
+    * side (reviewed round 4). */
+  val sanctioned = Set(
+    "sim_ann_ivf",       // broadcast(qProbes): queries × nprobe
+    "sim_ann_lsh",       // broadcast(bucketed(queries)): probe set
+    "skew_join_segment", // replicated small dim — the operator's design
+    "text_decontam")     // eval-set n-grams — bounded holdout
+
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.configure(
+      SparkSession.builder().master("local[8]"), "8").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val skip = Set("stream_", "gen_")
+    var findings = 0
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      if (!skip.exists(name.startsWith)) {
+        try {
+          val plan = fn(spark, dir).queryExecution.executedPlan
+          val hazardous = plan.collect { case j: BroadcastHashJoinExec =>
+            val build = j.buildSide match {
+              case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+              case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+            }
+            build.collect { case g: GenerateExec => g }.nonEmpty
+          }.count(identity)
+          val joins = plan.collect {
+            case _: BroadcastHashJoinExec => "BHJ"
+            case _: SortMergeJoinExec => "SMJ"
+            case _: ShuffledHashJoinExec => "SHJ"
+            case _: BroadcastNestedLoopJoinExec => "BNLJ"
+            case _: CartesianProductExec => "CARTESIAN"
+          }
+          val tag =
+            if (hazardous == 0) ""
+            else if (sanctioned(name)) "  [sanctioned bounded-side broadcast]"
+            else { findings += 1; "  <<< FINDING: broadcast over Generate" }
+          println(f"AUDIT $name%-32s ${joins.groupBy(identity)
+            .map { case (k, v) => s"$k=${v.size}" }.toSeq.sorted.mkString(",")}$tag")
+        } catch { case e: Throwable =>
+          findings += 1
+          println(s"AUDIT $name ERROR ${String.valueOf(e.getMessage).take(100)}")
+        }
+      }
+    }
+    spark.stop()
+    if (findings > 0) {
+      System.err.println(s"[audit] $findings unsanctioned finding(s)")
+      sys.exit(1)
+    }
+  }
+}

@@ -165,11 +165,18 @@ object Dedup {
       .select(least(col("da"), col("db")).as("doc_a"),
         greatest(col("da"), col("db")).as("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    // Exact verify: shingle arrays re-attached to the (tiny)
-    // candidate set only.
+    // Exact verify: shingle arrays re-attached to the candidate set
+    // only. Merge hints: the candidate set is CORPUS-PROPORTIONAL
+    // (LSH bounds it probabilistically, not adversarially) and its
+    // bucket-explode lineage defeats size estimation — unhinted, the
+    // planner broadcast the candidate side (plan audit, round 4);
+    // the keyed shuffle join is the shape that survives a pathological
+    // bucket. `prepped` is cached with accurate stats either way.
     candidates
-      .join(prepped.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), "doc_a")
-      .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), "doc_b")
+      .join(prepped.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("merge"), "doc_a")
+      .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("merge"), "doc_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"))

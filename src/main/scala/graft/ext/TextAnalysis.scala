@@ -165,7 +165,10 @@ object TextAnalysis {
     val df = exploded.select(col("doc_id"), col("term")).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
-    val ranked = tf.join(df, "term")
+    // merge hint: tf and df are both VOCABULARY-sized (web-corpus
+    // vocabularies reach 10⁸+ terms) with explode-garbled estimates —
+    // the unhinted planner broadcast one side (round-4 plan audit)
+    val ranked = tf.join(df.hint("merge"), "term")
       .crossJoin(broadcast(n))
       .filter(col("df") >= 2 && col("df") * 5 <= col("n_docs") * 4)
       .withColumn("tfidf",

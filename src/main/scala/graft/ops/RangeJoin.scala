@@ -37,7 +37,13 @@ object RangeJoin {
       floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
     val l = left.withColumn("__b",
       floor(col(tsCol).cast("double") / bucketSeconds).cast("long"))
-    l.join(r, Seq("__b"))
+    // merge hint: the exploded interval side has Generate-garbled
+    // size estimates, and the unhinted planner BROADCAST it (round-4
+    // plan audit) — silently reintroducing the broadcast dependence
+    // this operator exists to remove. Callers who KNOW the interval
+    // set is tiny can broadcast before calling; the default is the
+    // shape that survives a large interval table.
+    l.join(r.hint("merge"), Seq("__b"))
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")
   }

@@ -110,6 +110,58 @@ class PlansSpec extends AnyFunSuite {
       s"sub-block keys missing from the join:\n$plan")
   }
 
+  test("pair joins never broadcast an exploded corpus side") {
+    // The round-4 ladder discovery, pinned against regression:
+    // explode-derived lineage defeats size estimation, and an
+    // unhinted planner broadcast the ENTIRE duplicated corpus side
+    // of the pair joins (super-quadratic locally, OOM at scale).
+    // Contract: in these operators' physical plans, no broadcast
+    // build side may contain a Generate (the explode that multiplies
+    // the corpus) — broadcasts must stay census/probe-sized frames.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    def brokenBroadcasts(p: SparkPlan): Seq[String] =
+      p.collect { case j: BroadcastHashJoinExec =>
+        val build = j.buildSide match {
+          case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
+          case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
+        }
+        val hasGenerate = build.collect {
+          case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty
+        if (hasGenerate) Seq(j.simpleStringWithNodeId()) else Seq.empty
+      }.flatten
+    // AQE's executedPlan root (AdaptiveSparkPlanExec) hides the join
+    // tree from collect() — the STATIC planner makes the hazardous
+    // choice, so assert on the static plan (AQE respects join hints
+    // and cannot reintroduce it at runtime)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val docs = Tables.documents(spark, dir)
+      val emb = Tables.embeddings(spark, dir)
+      val cases: Seq[(String, org.apache.spark.sql.DataFrame)] = Seq(
+        "jaccardPairsBySource" ->
+          graft.ext.Dedup.jaccardPairsBySource(docs, 0.6, targetSubBlock = 16),
+        "ngramJaccardPairs" -> graft.ext.Dedup.ngramJaccardPairs(docs, 0.4),
+        "simhashPairs" -> graft.ext.Dedup.simhashPairs(docs),
+        "containmentPairs" -> graft.ext.Dedup.containmentPairs(docs),
+        "cosineNearDupPairs" -> graft.ext.Similarity.cosineNearDupPairs(emb, 0.4),
+        "coActivityEdges" -> graft.ext.GraphOps.coActivityEdges(spark, dir),
+        "minhashPairs" -> graft.ext.Dedup.minhashPairs(docs),
+        "topTerms" -> graft.ext.TextAnalysis.topTerms(docs),
+        "rangeJoin" -> graft.queries.ExtraQueries.queries("range_join_spikes")(spark, dir))
+      for ((name, df) <- cases) {
+        val plan = df.queryExecution.executedPlan
+        // guard against the guard: the walk must actually SEE joins
+        assert(plan.collect { case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j }.nonEmpty,
+          s"$name: plan walk found no joins — traversal is broken:\n$plan")
+        val bad = brokenBroadcasts(plan)
+        assert(bad.isEmpty,
+          s"$name broadcasts an exploded corpus side:\n${bad.mkString("\n")}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("injected SQL functions carry proper identity and usage in the catalog") {
     val desc = spark.sql("DESCRIBE FUNCTION EXTENDED simhash64")
       .collect().map(_.getString(0)).mkString("\n")
