@@ -111,8 +111,10 @@ object ScaleRehearsal {
     val chain = spark.range(chainLen - 1)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
     val (ccSec, ccRows) = time {
+      // localMaxEdges = 0: measure the distributed loop (2M edges sit
+      // above the adaptive default anyway; pinned for clarity)
       graft.ext.Dedup.connectedComponents(
-          chain.union(cliques), "doc_a", "doc_b")
+          chain.union(cliques), "doc_a", "doc_b", localMaxEdges = 0L)
         .queryExecution.toRdd.count()
     }
     report("components_2m_edges_100k_chain", nEdges, ccSec, ccRows)

@@ -125,7 +125,11 @@ object ScalingLadder {
     }
     val edgeBase = sys.env.getOrElse("SPARK_GRAFT_LADDER_EDGES", "1000000").toLong
     ladder("connected_components", edgeBase) { n =>
-      graft.ext.Dedup.connectedComponents(edges(spark, n), "doc_a", "doc_b")
+      // localMaxEdges = 0: the ladder measures the DISTRIBUTED
+      // log-round loop (the 100 TB path) — the adaptive single-task
+      // escape hatch would otherwise absorb the 1M rung
+      graft.ext.Dedup.connectedComponents(edges(spark, n), "doc_a", "doc_b",
+          localMaxEdges = 0L)
         .queryExecution.toRdd.count()
     }
     ladder("pagerank_5rounds", edgeBase) { n =>

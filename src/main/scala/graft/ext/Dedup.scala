@@ -417,10 +417,67 @@ object Dedup {
     * Each round shuffles (node, label) pairs — 16 bytes per edge
     * endpoint — never the documents themselves.
     * Output: (node, component) with component = min node id reachable.
+    *
+    * ADAPTIVE small-graph path: the pair graph a near-dup stage emits
+    * is typically orders of magnitude smaller than the corpus it came
+    * from (only documents WITH a near-duplicate appear at all), and
+    * below `localMaxEdges` the log-round loop is pure task overhead —
+    * each of its ~log d rounds costs two joins plus a count of
+    * near-empty partitions. So the edge set is counted once (it is
+    * persisted for the loop anyway) and, when it fits one task's
+    * memory comfortably (≤ 2²⁰ edges ≈ 16 MB of endpoints), solved by
+    * union-find with path compression INSIDE one executor task
+    * (`mapPartitions` over `coalesce(1)` — per-partition imperative
+    * logic, not a driver collect). Same output by construction: roots
+    * are united under the smaller id, so every node's root is the min
+    * reachable id — property-tested equal to the loop on random
+    * graphs. Long-typed node ids only (the engine's doc ids); any
+    * other type keeps the loop, as does anything over the threshold —
+    * the 1M/2M-edge rehearsals and ladder rungs still measure the
+    * distributed rounds.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-      maxIters: Int = 30): DataFrame = {
+      maxIters: Int = 30, localMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
+    val longIds =
+      pairs.schema(aCol).dataType == org.apache.spark.sql.types.LongType &&
+        pairs.schema(bCol).dataType == org.apache.spark.sql.types.LongType
+    // One directed copy of the pair set, persisted and counted: the
+    // count picks the path AND materializes the (often expensive)
+    // pair derivation exactly once — the both-direction union below
+    // then reads the cache twice instead of re-deriving pairs twice.
+    val pe = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEdges = pe.count()
+    if (longIds && nEdges <= localMaxEdges) {
+      try {
+        import spark.implicits._
+        val labeled = pe.select(col("u").as("_1"), col("v").as("_2"))
+          .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val parent = scala.collection.mutable.LongMap.empty[Long]
+          def find(x: Long): Long = {
+            var r = x
+            while (parent(r) != r) r = parent(r)
+            var c = x
+            while (parent(c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+            r
+          }
+          it.foreach { case (u, v) =>
+            if (!parent.contains(u)) parent.update(u, u)
+            if (!parent.contains(v)) parent.update(v, v)
+            val ru = find(u); val rv = find(v)
+            if (ru < rv) parent.update(rv, ru)
+            else if (rv < ru) parent.update(ru, rv)
+          }
+          // snapshot keys before the final finds: path compression
+          // rewrites values in place and must not race the iterator
+          val nodes = parent.keys.toArray
+          nodes.iterator.map(nd => (nd, find(nd)))
+        }.toDF("node", "component")
+          .localCheckpoint(true) // eager: safe to release pe below
+        labeled
+      } finally pe.unpersist()
+    } else {
     // The label frame is two longs per clustered doc — orders of
     // magnitude smaller than the corpus the pairs came from. At 32
     // shuffle partitions each round pays ~3 near-empty shuffles of
@@ -431,8 +488,8 @@ object Dedup {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     // persisted hash-partitioned on the join key: every round's join
     // reuses the stored partitioning instead of re-shuffling the edges
-    val edges = pairs.select(col(aCol).as("u"), col(bCol).as("v"))
-      .union(pairs.select(col(bCol).as("u"), col(aCol).as("v")))
+    val edges = pe
+      .union(pe.select(col("v").as("u"), col("u").as("v")))
       .repartition(8, col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
@@ -476,6 +533,8 @@ object Dedup {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       edges.unpersist()
+      pe.unpersist()
+    }
     }
   }
 

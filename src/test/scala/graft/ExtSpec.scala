@@ -243,12 +243,37 @@ class ExtSpec extends AnyFunSuite {
     // collapse it within the 30-round cap — and to the right labels
     val n = 2000L
     val chain = (0L until n - 1).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
-    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b")
+    // localMaxEdges = 0 forces the distributed log-round loop — the
+    // thing this test exists to exercise (the adaptive default would
+    // route a 2000-edge graph to the single-task union-find path)
+    val cc = Dedup.connectedComponents(chain, "doc_a", "doc_b",
+        localMaxEdges = 0L)
       .agg(countDistinct(col("component")).as("c"),
         count(lit(1)).as("n"), max(col("component")).as("m"))
       .collect()(0)
     assert((cc.getLong(0), cc.getLong(1), cc.getLong(2)) === ((1L, n, 0L)),
       "all chain nodes must collapse to component 0")
+  }
+
+  test("connected components: single-task union-find ≡ distributed loop on random graphs") {
+    import spark.implicits._
+    // the adaptive fast path must be indistinguishable from the
+    // pointer-jumping loop on anything: random multigraphs with
+    // self-loops, duplicate edges, reversed duplicates, and ids far
+    // above the node count (hash-like)
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val ids = Array.fill(60)(rnd.nextLong().abs % 1000000L)
+      val edges = (0 until 150).map { _ =>
+        (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+      }.toDF("doc_a", "doc_b")
+      val fast = Dedup.connectedComponents(edges, "doc_a", "doc_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val loop = Dedup.connectedComponents(edges, "doc_a", "doc_b",
+          localMaxEdges = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(fast === loop, s"trial $trial diverged")
+    }
   }
 
   test("hash sampling: deterministic, partition-invariant, monotone in rate, unbiased") {
