@@ -15,10 +15,10 @@ import graft.sources.Tables
   * n-gram construction, chunk slicing and per-chunk stats happen
   * INSIDE a narrow projection (no UDFs, no pre-explosion of token
   * rows), so the only shuffles are the ones the semantics require
-  * (the gram joins / per-doc gram counts). Word n-grams are built
-  * once by [[wordGrams]] and shared by decontamination and
-  * repetition; the DuckDB oracles are generated from the same
-  * constants so the engines cannot drift.
+  * (the decontamination gram join). Token and gram arrays are
+  * materialized once per row by [[gramArrays]] and shared by
+  * decontamination and repetition; the DuckDB oracles are generated
+  * from the same constants so the engines cannot drift.
   *
   * Scale notes (100 TB design):
   *  - Decontamination: the eval side of the join is a benchmark
@@ -28,10 +28,10 @@ import graft.sources.Tables
   *    grams happens in the array domain (`array_distinct` before
   *    explode), cutting the exploded row count ~in half before the
   *    join.
-  *  - Repetition: one shuffle on (doc_id, gram) with map-side
-  *    partial counts, then a tiny per-doc rollup that reuses the
-  *    same hash partitioning (doc_id is a prefix of the first
-  *    grouping key — Catalyst plans no second exchange).
+  *  - Repetition: zero shuffles — the metric is per-document, so the
+  *    whole computation (sorted-bigram equal-run fold for the top
+  *    multiplicity) stays inside the scan projection; only the
+  *    one-narrow-row-per-doc output sort exchanges anything.
   *  - Chunking: zero shuffles — `sequence`/`transform`/`inline`
   *    emit (chunk_idx, n_tokens, md5) structs per document inside
   *    whole-stage codegen. At 100 TB this runs at scan speed, which
@@ -69,10 +69,33 @@ object CorpusPrep {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** (doc_id, g): the n-gram array materialized through two Generate
+    * barriers so tokens and grams are each computed EXACTLY once per
+    * row. Spark's higher-order-function path is interpreted and
+    * lambda bodies re-evaluate captured sub-expressions per element —
+    * an un-pinned `tokens()` inside the gram transform costs one
+    * regex split per gram — and CollapseProject would inline the
+    * gram expression into every downstream use (measured: the
+    * un-pinned form made the zero-shuffle repetition rewrite 3×
+    * SLOWER than the shuffle it replaced; pinned, 6× faster).
+    * `explode(array(x))` emits exactly one row per input row (empty
+    * arrays included) and is the established pinning idiom — see
+    * [[graft.ops.FuzzyJoin]].
+    */
+  private def gramArrays(docs: DataFrame, n: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("w"))
+      .select(col("doc_id"),
+        explode(array(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - lit(n)),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>")))).as("g"))
+
   /** Distinct (doc_id, gram) pairs over [[DecontamN]]-grams. */
   private def gramPairs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(array_distinct(wordGrams(col("text"), DecontamN))).as("gram"))
+    gramArrays(docs, DecontamN).select(col("doc_id"),
+      explode(array_distinct(col("g"))).as("gram"))
 
   /** Benchmark decontamination: for every corpus document, the number
     * of distinct [[DecontamN]]-grams it shares with the eval set
@@ -96,21 +119,45 @@ object CorpusPrep {
     * top-bigram fraction (both ×10⁴ as integers — the engines'
     * bit-identical doubles floor identically; see
     * [[TextAnalysis.qualityScore]] for why not `round`).
+    *
+    * ZERO-shuffle form: the metric is per-document by definition, so
+    * nothing about it needs a corpus-keyed exchange. The bigram
+    * multiset is sorted in the array domain and the top-bigram count
+    * falls out as the longest equal-run in one linear HOF fold —
+    * O(d log d) per doc in-scan, where the earlier
+    * explode → groupBy(doc, gram) → rollup form shuffled every bigram
+    * of the corpus twice. At 100 TB that is the difference between a
+    * quality filter that runs at scan speed next to [[chunk]] and one
+    * that owns the largest shuffle in the pipeline. (Same integer/
+    * double arithmetic as before, oracle-verified unchanged; the
+    * output sort is the gate's determinism contract, over one narrow
+    * row per doc.)
     */
-  def repetitionStats(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
-        explode(wordGrams(col("text"), 2)).as("gram"))
-      .groupBy(col("doc_id"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy(col("doc_id"))
-      .agg(
-        sum(col("cnt")).cast("long").as("n_bigrams"),
-        count(lit(1)).as("distinct_bigrams"),
-        floor((lit(1.0) - count(lit(1)) * lit(1.0) / sum(col("cnt")))
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val folded = gramArrays(docs, 2)
+      .filter(size(col("g")) > 0)
+      .select(col("doc_id"),
+        size(col("g")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("g"))).cast("long").as("distinct_bigrams"),
+        // longest equal-run in the sorted bigram array = max bigram
+        // multiplicity ("" never collides: bigrams are two non-empty
+        // tokens joined by a space)
+        aggregate(sort_array(col("g")),
+          struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+          (acc, x) => {
+            val run = when(x === acc("prev"), acc("run") + lit(1L))
+              .otherwise(lit(1L))
+            struct(x.as("prev"), run.as("run"),
+              greatest(acc("best"), run).as("best"))
+          },
+          acc => acc("best")).as("max_cnt"))
+    folded.select(col("doc_id"), col("n_bigrams"), col("distinct_bigrams"),
+        floor((lit(1.0) - col("distinct_bigrams") * lit(1.0) / col("n_bigrams"))
           * lit(10000.0) + lit(0.5)).cast("long").as("dup_x10k"),
-        floor(max(col("cnt")) * lit(10000.0) / sum(col("cnt")) + lit(0.5))
+        floor(col("max_cnt") * lit(10000.0) / col("n_bigrams") + lit(0.5))
           .cast("long").as("top_x10k"))
       .orderBy(col("doc_id"))
+  }
 
   /** Sliding-window chunks ([[ChunkSize]] words, stride
     * [[ChunkStride]]): (doc_id, chunk_idx, n_tokens, chunk_md5) per
@@ -118,8 +165,12 @@ object CorpusPrep {
     * narrow projection and `inline`-exploded — no shuffle, no UDF.
     */
   def chunk(docs: DataFrame): DataFrame = {
-    val w = TextAnalysis.tokens(col("text"))
+    val w = col("w")
     docs
+      // tokens pinned behind a Generate barrier: the chunk lambda
+      // would otherwise re-run the regex split once per window
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("w"))
       .select(col("doc_id"),
         inline(transform(
           sequence(lit(0), size(w) - lit(1), lit(ChunkStride)),
