@@ -53,12 +53,16 @@ object Search {
       terms: Seq[String], k: Int): DataFrame = {
     require(terms.nonEmpty && terms.distinct == terms,
       "bm25: terms must be a non-empty distinct list")
-    val toks = tokens(col(textCol))
-    val perDoc = docs.select(
-      col(idCol) +: size(toks).as("dl") +:
-        terms.zipWithIndex.map { case (t, i) =>
-          size(filter(toks, x => x === lit(t))).as(s"tf_$i")
-        }: _*)
+    // tokens pinned behind a Generate barrier: one split per row,
+    // not one per query term (see CorpusPrep.gramArrays)
+    val toks = col("toks")
+    val perDoc = docs
+      .select(col(idCol), explode(array(tokens(col(textCol)))).as("toks"))
+      .select(
+        col(idCol) +: size(toks).as("dl") +:
+          terms.zipWithIndex.map { case (t, i) =>
+            size(filter(toks, x => x === lit(t))).as(s"tf_$i")
+          }: _*)
     val stats = perDoc.agg(
       count(lit(1)).as("n"),
       sum(col("dl")).as("sdl") +:

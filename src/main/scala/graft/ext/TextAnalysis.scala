@@ -62,12 +62,18 @@ object TextAnalysis {
     * narrow projection, no shuffle — is the part that matters at scale.
     */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
-    val scored = docs.select(
-      col("doc_id") +: col("lang").as("labeled_lang") +:
-        lexicon.map { case (lang, words) =>
-          size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"hits_$lang")
-        }: _*)
+    // tokens pinned behind a Generate barrier: one regex split per
+    // row, not one per language lexicon (see CorpusPrep.gramArrays
+    // for the idiom and the measured cost of leaving it un-pinned)
+    val toks = col("toks")
+    val scored = docs
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        explode(array(tokens(col("text")))).as("toks"))
+      .select(
+        col("doc_id") +: col("labeled_lang") +:
+          lexicon.map { case (lang, words) =>
+            size(filter(toks, t => t.isInCollection(words))).cast("long").as(s"hits_$lang")
+          }: _*)
     // chained argmax with >= so earlier lexicon entries win ties
     val pred = lexicon.map(_._1).foldRight(lit("und")) { (lang, elseCol) =>
       val others = lexicon.map(_._1).filterNot(_ == lang)
@@ -83,7 +89,11 @@ object TextAnalysis {
     * 0.2·en-stopword-ratio + 0.2·(1 − punctuation-density).
     */
   def qualityScore(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+    // tokens pinned: three uses below (count, diversity, stopwords)
+    // would each re-run the split under CollapseProject
+    val pinned = docs.select(col("doc_id"), col("text"),
+      explode(array(tokens(col("text")))).as("toks"))
+    val toks = col("toks")
     val nTok = size(toks).cast("double")
     val enWords = lexicon.head._2
     val lenSat = least(lit(1.0), nTok / lit(100.0))
@@ -100,7 +110,7 @@ object TextAnalysis {
     // HALF_UP and an oracle's scaled-multiply round disagree.
     // floor(q·10⁴ + 0.5) is computed identically on the bit-identical
     // doubles both engines produce for this expression.
-    docs.select(col("doc_id"),
+    pinned.select(col("doc_id"),
       floor(q * lit(10000.0) + lit(0.5)).as("quality_x10k"))
   }
 

@@ -110,11 +110,17 @@ class SearchSpec extends AnyFunSuite {
     assert(viaJoin.except(rolled).count() === 0)
   }
 
-  test("bm25 plan: no token explode, top-k via TakeOrderedAndProject") {
+  test("bm25 plan: no row-multiplying token explode, top-k via TakeOrderedAndProject") {
     val plan = Search.bm25(Tables.documents(spark, dir), "doc_id", "text",
       Seq("spark", "hash"), 10).queryExecution.executedPlan.toString
-    assert(!plan.contains("Generate"),
-      s"bm25 must not explode tokens:\n$plan")
+    // the token-array PIN (explode over a 1-element array — one row
+    // in, one row out) is allowed; a Generate over the token array
+    // itself (one row PER TOKEN, the wordcount shape bm25 exists to
+    // avoid) is not
+    assert(!plan.contains("Generate explode(filter(split("),
+      s"bm25 must not explode tokens row-per-token:\n$plan")
+    assert(plan.contains("Generate explode(array("),
+      s"the token-array pin must survive (one split per row):\n$plan")
     assert(plan.contains("TakeOrderedAndProject"),
       s"top-k must be a bounded take, not a global sort:\n$plan")
   }
