@@ -35,6 +35,20 @@ object PlanAudit {
     "skew_join_segment", // replicated small dim — the operator's design
     "text_decontam")     // eval-set n-grams — bounded holdout
 
+  /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
+    * not the hazard this audit hunts: it multiplies nothing and
+    * passes child size statistics through essentially unchanged (the
+    * idiom exists to stop interpreted-HOF re-evaluation; see
+    * CorpusPrep.gramArrays). Only row-multiplying generators mark a
+    * build side as estimation-blind.
+    */
+  def isUnitPin(g: GenerateExec): Boolean = g.generator match {
+    case org.apache.spark.sql.catalyst.expressions.Explode(
+      ca: org.apache.spark.sql.catalyst.expressions.CreateArray) =>
+      ca.children.size == 1
+    case _ => false
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.configure(
       SparkSession.builder().master("local[8]"), "8").getOrCreate()
@@ -52,7 +66,7 @@ object PlanAudit {
               case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
               case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
             }
-            build.collect { case g: GenerateExec => g }.nonEmpty
+            build.collect { case g: GenerateExec if !isUnitPin(g) => g }.nonEmpty
           }.count(identity)
           val joins = plan.collect {
             case _: BroadcastHashJoinExec => "BHJ"

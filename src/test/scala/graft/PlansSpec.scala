@@ -126,8 +126,11 @@ class PlansSpec extends AnyFunSuite {
           case org.apache.spark.sql.catalyst.optimizer.BuildLeft => j.left
           case org.apache.spark.sql.catalyst.optimizer.BuildRight => j.right
         }
+        // unit pins (explode(array(x)), 1:1) are not explosions —
+        // same predicate the PlanAudit main uses
         val hasGenerate = build.collect {
-          case g: org.apache.spark.sql.execution.GenerateExec => g }.nonEmpty
+          case g: org.apache.spark.sql.execution.GenerateExec
+              if !graft.PlanAudit.isUnitPin(g) => g }.nonEmpty
         if (hasGenerate) Seq(j.simpleStringWithNodeId()) else Seq.empty
       }.flatten
     // AQE's executedPlan root (AdaptiveSparkPlanExec) hides the join
