@@ -226,7 +226,9 @@ object ScaleRehearsal {
     val prEdges = chain.union(cliques)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     val (prSec, prRows) = time {
-      graft.ext.GraphOps.pageRankFixedPoint(prEdges, iters = 5)
+      // localMaxEdges = 0: measure the distributed rounds
+      graft.ext.GraphOps.pageRankFixedPoint(prEdges, iters = 5,
+          localMaxEdges = 0L)
         .queryExecution.toRdd.count()
     }
     report("pagerank_2m_edges", nEdges, prSec, prRows)

@@ -133,9 +133,11 @@ object ScalingLadder {
         .queryExecution.toRdd.count()
     }
     ladder("pagerank_5rounds", edgeBase) { n =>
+      // localMaxEdges = 0: measure the distributed rounds (see the
+      // connected_components rung note)
       graft.ext.GraphOps.pageRankFixedPoint(
           edges(spark, n).select(col("doc_a").as("a"), col("doc_b").as("b")),
-          iters = 5)
+          iters = 5, localMaxEdges = 0L)
         .queryExecution.toRdd.count()
     }
     ladder("coactivity_hot_minute", 5000) { n =>

@@ -195,19 +195,77 @@ object GraphOps {
     * round its full pass costs less than the round it saves.
     */
   def pageRankFixedPoint(edges: DataFrame, iters: Int = 5,
-      damping: Double = 0.85): DataFrame =
-    pageRankWithRounds(edges, iters, damping)._1
+      damping: Double = 0.85, localMaxEdges: Long = 1L << 20): DataFrame =
+    pageRankWithRounds(edges, iters, damping, localMaxEdges)._1
 
   /** [[pageRankFixedPoint]] plus the number of rounds actually run —
     * the observable for the early-exit tests.
+    *
+    * ADAPTIVE like [[Dedup.connectedComponents]]: the directed edge
+    * frame is checkpointed (materialized) anyway, so one cheap count
+    * routes graphs at or under `localMaxEdges` to a single executor
+    * task that runs the SAME integer fixed point over an in-memory
+    * adjacency (every operation exact, non-negative `div`s — the
+    * iteration is bit-deterministic, so both paths and the unrolled
+    * DuckDB oracle agree to the bit; property-tested). The per-round
+    * distributed machinery — two keyed shuffles, a checkpoint, a
+    * convergence join — is pure overhead on the co-activity graphs
+    * the gates actually produce (~1k edges); the scale path below is
+    * unchanged and the ladder/rehearsal pin `localMaxEdges = 0` to
+    * measure it.
     */
   private[graft] def pageRankWithRounds(edges: DataFrame, iters: Int,
-      damping: Double): (DataFrame, Int) = {
+      damping: Double, localMaxEdges: Long = 1L << 20): (DataFrame, Int) = {
+    val spark = edges.sparkSession
     val dMicro = math.round(damping * 1000000L)
     val base = 1000000L - dMicro
     val directed = edges.select(col("a").as("src"), col("b").as("dst"))
       .unionAll(edges.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(true)
+    val nDirected = directed.count()
+    if (nDirected > 0 && nDirected <= 2 * localMaxEdges) {
+      import spark.implicits._
+      val res = directed.select(col("src").as("_1"), col("dst").as("_2"))
+        .as[(Long, Long)].coalesce(1).mapPartitions { it =>
+          val out = scala.collection.mutable.LongMap
+            .empty[scala.collection.mutable.ArrayBuffer[Long]]
+          it.foreach { case (s, d) =>
+            out.getOrElseUpdate(s,
+              scala.collection.mutable.ArrayBuffer.empty[Long]) += d
+          }
+          // directed holds both orientations, so every node has an
+          // out-edge and appears as a key
+          val nodes = out.keys.toArray
+          var rank = scala.collection.mutable.LongMap.empty[Long]
+          nodes.foreach(n => rank.update(n, 1000000L))
+          var round = 0
+          var converged = false
+          while (round < iters && !converged) {
+            round += 1
+            val contrib = scala.collection.mutable.LongMap.empty[Long]
+            out.foreach { case (s, ds) =>
+              val share = rank(s) / ds.length // rank div deg
+              ds.foreach(d =>
+                contrib.update(d, contrib.getOrElse(d, 0L) + share))
+            }
+            var changed = false
+            val next = scala.collection.mutable.LongMap.empty[Long]
+            nodes.foreach { n =>
+              val r = base + (dMicro * contrib.getOrElse(n, 0L)) / 1000000L
+              if (r != rank(n)) changed = true
+              next.update(n, r)
+            }
+            rank = next
+            converged = !changed
+          }
+          val rr = round
+          nodes.iterator.map(n => (n, rank(n), rr))
+        }.toDF("node", "rank", "rounds")
+        .localCheckpoint(true)
+      val rounds = res.select(max(col("rounds"))).first().getInt(0)
+      return (res.select(col("node"), col("rank"))
+        .orderBy(col("rank").desc, col("node")).limit(20), rounds)
+    }
     val deg = directed.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     val nodes = directed.select(col("src").as("node")).distinct()

@@ -62,20 +62,40 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(tri(hub, 1L << 22) === 1L)
   }
 
-  test("PageRank early-exits at the fixed point; cap still binds") {
+  test("PageRank early-exits at the fixed point; cap still binds (both paths)") {
     import spark.implicits._
-    // 4-cycle: regular degree 2, so rank stays exactly 1e6 — the
-    // fixed point is reached at round 1 and rounds 2..5 are saved
-    val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
-    val (cr, cRounds) = GraphOps.pageRankWithRounds(cycle, iters = 5, 0.85)
-    assert(cRounds === 1)
-    assert(cr.collect().forall(_.getLong(1) === 1000000L))
-    // star: hub/leaf ranks keep moving — the cap must bind
-    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
-    val (sr, sRounds) = GraphOps.pageRankWithRounds(star, iters = 5, 0.85)
-    assert(sRounds === 5)
-    val ranks = sr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(ranks(1L) > ranks(2L), "hub must outrank leaves")
+    // exercised on BOTH the adaptive single-task path (default) and
+    // the distributed loop (localMaxEdges = 0) — same rounds, same
+    // bit-exact integer ranks
+    for (lme <- Seq(1L << 20, 0L)) {
+      // 4-cycle: regular degree 2, so rank stays exactly 1e6 — the
+      // fixed point is reached at round 1 and rounds 2..5 are saved
+      val cycle = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L)).toDF("a", "b")
+      val (cr, cRounds) = GraphOps.pageRankWithRounds(cycle, iters = 5, 0.85, lme)
+      assert(cRounds === 1, s"localMaxEdges=$lme")
+      assert(cr.collect().forall(_.getLong(1) === 1000000L))
+      // star: hub/leaf ranks keep moving — the cap must bind
+      val star = Seq((1L, 2L), (1L, 3L), (1L, 4L)).toDF("a", "b")
+      val (sr, sRounds) = GraphOps.pageRankWithRounds(star, iters = 5, 0.85, lme)
+      assert(sRounds === 5, s"localMaxEdges=$lme")
+      val ranks = sr.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(ranks(1L) > ranks(2L), "hub must outrank leaves")
+    }
+  }
+
+  test("PageRank single-task path ≡ distributed loop on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ids = Array.fill(40)(rnd.nextLong().abs % 100000L)
+    val edges = (0 until 120).map { _ =>
+      (ids(rnd.nextInt(ids.length)), ids(rnd.nextInt(ids.length)))
+    }.filter { case (a, b) => a != b }.toDF("a", "b")
+    val fast = GraphOps.pageRankFixedPoint(edges, iters = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val loop = GraphOps.pageRankFixedPoint(edges, iters = 5,
+        localMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(fast === loop)
   }
 
   test("damping parameter shifts mass toward the uniform term") {
