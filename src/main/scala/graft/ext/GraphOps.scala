@@ -62,11 +62,29 @@ object GraphOps {
     * the synthetic-activity entry point for [[graft.ScaleRehearsal]]'s
     * hot-minute case.
     */
-  def coActivityEdgesOf(act: DataFrame, targetSubBlock: Int = 1024): DataFrame = {
-    val spark = act.sparkSession
+  def coActivityEdgesOf(act0: DataFrame, targetSubBlock: Int = 1024): DataFrame = {
+    val spark = act0.sparkSession
+    // materialized once: the census probe below and both join sides
+    // reuse the distinct activity frame instead of re-deriving it
+    val act = act0.localCheckpoint(true)
     val counts = act.groupBy(col("m"))
       .agg(ceil(count(lit(1)).cast("double") / targetSubBlock)
         .cast("int").as("nsub"))
+    // ADAPTIVE, same discipline as [[triangleCount]]'s hub probe: the
+    // census is computed anyway, and when NO minute exceeds one
+    // sub-block (every nsub = 1 — the common case at sane event
+    // rates) the explode/merge-hint machinery is pure premium — the
+    // plain minute self-join over the checkpointed frame (accurate
+    // stats, planner-chosen strategy) is the same distinct pair set.
+    // A hot minute anywhere engages the sub-block cover below.
+    val maxNsubRow = counts.agg(max(col("nsub"))).first()
+    val maxNsub = if (maxNsubRow.isNullAt(0)) 0 else maxNsubRow.getInt(0)
+    if (maxNsub <= 1) {
+      return act.select(col("m"), col("user_id").as("a"))
+        .join(act.select(col("m"), col("user_id").as("b")), Seq("m"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct()
+    }
     val sub = act.join(broadcast(counts), Seq("m"))
       .withColumn("v", pmod(xxhash64(col("user_id")), col("nsub")).cast("int"))
     val a = sub.select(col("m"), col("user_id").as("a"), col("v").as("p"),
