@@ -26,10 +26,17 @@ import org.apache.spark.storage.StorageLevel
 object CorpusCache {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist `df` at MEMORY_AND_DISK and track it for release. */
+  /** Persist `df` at MEMORY_AND_DISK and track it for release.
+    * Idempotent per logical plan: CacheManager keys by plan, so a
+    * frame whose plan is already cached (a second operator sharing
+    * the same featurized corpus) is neither re-persisted (silences
+    * the "already cached" warning) nor double-tracked.
+    */
   def cache(df: DataFrame): DataFrame = synchronized {
-    df.persist(StorageLevel.MEMORY_AND_DISK)
-    tracked += df
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      tracked += df
+    }
     df
   }
 
