@@ -123,6 +123,18 @@ object ScalingLadder {
       graft.ext.Curation.curate(docs(spark, n, blocks = 20), qualityMin = 0)
         .queryExecution.toRdd.count()
     }
+    ladder("text_repetition_inscan", base * 20) { n =>
+      // the round-4 zero-shuffle rewrite: per-doc sorted-bigram fold
+      // inside the scan — the rung pins that it stays linear (the
+      // only exchange is the one-narrow-row-per-doc output sort)
+      graft.ext.CorpusPrep.repetitionStats(docs(spark, n))
+        .queryExecution.toRdd.count()
+    }
+    ladder("text_decontam_gramjoin", base * 20) { n =>
+      // gram build pinned to one split per doc; eval side broadcasts
+      graft.ext.CorpusPrep.decontaminate(docs(spark, n))
+        .queryExecution.toRdd.count()
+    }
     val edgeBase = sys.env.getOrElse("SPARK_GRAFT_LADDER_EDGES", "1000000").toLong
     ladder("connected_components", edgeBase) { n =>
       // localMaxEdges = 0: the ladder measures the DISTRIBUTED

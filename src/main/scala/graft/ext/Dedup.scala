@@ -41,17 +41,6 @@ object Dedup {
   def tokensNorm(text: Column): Column =
     split(lower(trim(text)), "\\s+")
 
-  /** Word k-shingles of the normalized text. */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val toks = tokensNorm(text)
-    // sequence(0, n-k) -> join k consecutive tokens; empty when n < k
-    array_distinct(
-      when(size(toks) >= k,
-        transform(sequence(lit(0), size(toks) - lit(k)),
-          i => concat_ws(" ", slice(toks, i + 1, lit(k)))))
-        .otherwise(array(concat_ws(" ", toks))))
-  }
-
   // ----------------------------------------------------------- exact
 
   /** Exact dedup: one representative (min doc_id) per distinct text +
