@@ -58,44 +58,57 @@ object ScaleRehearsal {
     def report(name: String, n: Long, secs: Double, rows: Long): Unit =
       println(f"""{"rehearsal":"$name","n":$n,"sec":$secs%.2f,"rows":$rows}""")
 
+    // SPARK_GRAFT_REHEARSAL_ONLY=hotmin[,hub,…] re-measures chosen
+    // sections without paying for the full run (unset ⇒ run all).
+    // Table-definition vals stay unconditional — they are lazy plans,
+    // executed only inside their section's timed action.
+    val only = sys.env.get("SPARK_GRAFT_REHEARSAL_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    def section(name: String)(body: => Unit): Unit =
+      if (only.forall(_.contains(name))) body
+
     // --- embedding-cosine near-dup: clustered corpus, 25x sf0.1 ---
     val nEmb = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_EMB", "50000").toLong
-    val emb = clusteredEmbeddings(spark, nEmb, centers = 200)
-    // k exceeds the true center count: quantizer cells go tight, radii
-    // small, and the triangle bound prunes almost all cluster pairs —
-    // the structure a real near-dup corpus has and IVF exists for
-    val (ivfSec, ivfRows) = time {
-      graft.ext.Similarity.cosineNearDupPairs(emb, threshold = 0.9,
-        nClusters = 256, targetSubBlock = 512)
-        .queryExecution.toRdd.count()
+    section("cosine") {
+      val emb = clusteredEmbeddings(spark, nEmb, centers = 200)
+      // k exceeds the true center count: quantizer cells go tight, radii
+      // small, and the triangle bound prunes almost all cluster pairs —
+      // the structure a real near-dup corpus has and IVF exists for
+      val (ivfSec, ivfRows) = time {
+        graft.ext.Similarity.cosineNearDupPairs(emb, threshold = 0.9,
+          nClusters = 256, targetSubBlock = 512)
+          .queryExecution.toRdd.count()
+      }
+      report("cosine_ivf_clustered", nEmb, ivfSec, ivfRows)
+      // brute-force baseline on a quarter of the corpus (n² growth makes
+      // the full brute run the point: it is what the IVF path avoids)
+      val nBrute = nEmb / 4
+      val embB = clusteredEmbeddings(spark, nBrute, centers = 200)
+      val (bruteSec, bruteRows) = time {
+        graft.ext.Similarity.thresholdJoin(embB, threshold = 0.9)
+          .queryExecution.toRdd.count()
+      }
+      report("cosine_brute_quarter", nBrute, bruteSec, bruteRows)
     }
-    report("cosine_ivf_clustered", nEmb, ivfSec, ivfRows)
-    // brute-force baseline on a quarter of the corpus (n² growth makes
-    // the full brute run the point: it is what the IVF path avoids)
-    val nBrute = nEmb / 4
-    val embB = clusteredEmbeddings(spark, nBrute, centers = 200)
-    val (bruteSec, bruteRows) = time {
-      graft.ext.Similarity.thresholdJoin(embB, threshold = 0.9)
-        .queryExecution.toRdd.count()
-    }
-    report("cosine_brute_quarter", nBrute, bruteSec, bruteRows)
 
     // --- blocked jaccard: ONE dominant block, 4x the sf0.1 corpus ---
     val nDocs = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_DOCS", "20000").toLong
-    val docs = skewedDocs(spark, nDocs)
-    val (jacSec, jacRows) = time {
-      graft.ext.Dedup.jaccardPairsBySource(docs, threshold = 0.8)
-        .queryExecution.toRdd.count()
+    section("jaccard") {
+      val docs = skewedDocs(spark, nDocs)
+      val (jacSec, jacRows) = time {
+        graft.ext.Dedup.jaccardPairsBySource(docs, threshold = 0.8)
+          .queryExecution.toRdd.count()
+      }
+      report("jaccard_single_block", nDocs, jacSec, jacRows)
+      // the approximate path over the SAME corpus: at this density the
+      // right production tool is MinHash banding (exact stays the
+      // oracle); contrast is the point of recording both
+      val (mhSec, mhRows) = time {
+        graft.ext.Dedup.minhashPairs(docs, threshold = 0.8)
+          .queryExecution.toRdd.count()
+      }
+      report("minhash_single_block", nDocs, mhSec, mhRows)
     }
-    report("jaccard_single_block", nDocs, jacSec, jacRows)
-    // the approximate path over the SAME corpus: at this density the
-    // right production tool is MinHash banding (exact stays the
-    // oracle); contrast is the point of recording both
-    val (mhSec, mhRows) = time {
-      graft.ext.Dedup.minhashPairs(docs, threshold = 0.8)
-        .queryExecution.toRdd.count()
-    }
-    report("minhash_single_block", nDocs, mhSec, mhRows)
 
     // --- connected components: 2M edges, mixed topology ---
     // cliques-of-5 (the common near-dup shape) PLUS one 100k-hop
@@ -110,14 +123,16 @@ object ScaleRehearsal {
         ((col("g") * 5) + pmod(xxhash64(col("id")), lit(4)) + 1 + lit(chainLen)).as("doc_b"))
     val chain = spark.range(chainLen - 1)
       .select(col("id").as("doc_a"), (col("id") + 1).as("doc_b"))
-    val (ccSec, ccRows) = time {
-      // localMaxEdges = 0: measure the distributed loop (2M edges sit
-      // above the adaptive default anyway; pinned for clarity)
-      graft.ext.Dedup.connectedComponents(
-          chain.union(cliques), "doc_a", "doc_b", localMaxEdges = 0L)
-        .queryExecution.toRdd.count()
+    section("components") {
+      val (ccSec, ccRows) = time {
+        // localMaxEdges = 0: measure the distributed loop (2M edges sit
+        // above the adaptive default anyway; pinned for clarity)
+        graft.ext.Dedup.connectedComponents(
+            chain.union(cliques), "doc_a", "doc_b", localMaxEdges = 0L)
+          .queryExecution.toRdd.count()
+      }
+      report("components_2m_edges_100k_chain", nEdges, ccSec, ccRows)
     }
-    report("components_2m_edges_100k_chain", nEdges, ccSec, ccRows)
 
     // --- incremental-dedup anti join: 20M-row batch, 5% seen before ---
     // Both baselines, recorded honestly: vs a 1M-key history Spark
@@ -132,28 +147,30 @@ object ScaleRehearsal {
     // equivalence (identical survivor counts) and the cost anatomy
     // rather than a staged victory.
     val nBatch = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BATCH", "20000000").toLong
-    val batch = spark.range(nBatch).select(col("id").as("k"),
-      (col("id") * 37L % 1000L).as("payload"))
-    val hist1m = spark.range(nBatch / 20).select((col("id") * 20L).as("k"))
-    val hist5m = spark.range(nBatch / 4).select((col("id") * 4L).as("k"))
-    val (bcastSec, bcastRows) = time {
-      batch.join(hist1m, Seq("k"), "left_anti")
-        .queryExecution.toRdd.count()
+    section("antijoin") {
+      val batch = spark.range(nBatch).select(col("id").as("k"),
+        (col("id") * 37L % 1000L).as("payload"))
+      val hist1m = spark.range(nBatch / 20).select((col("id") * 20L).as("k"))
+      val hist5m = spark.range(nBatch / 4).select((col("id") * 4L).as("k"))
+      val (bcastSec, bcastRows) = time {
+        batch.join(hist1m, Seq("k"), "left_anti")
+          .queryExecution.toRdd.count()
+      }
+      report("anti_join_plain_broadcast_20m", nBatch, bcastSec, bcastRows)
+      val (smjSec, smjRows) = time {
+        batch.join(hist5m, Seq("k"), "left_anti")
+          .queryExecution.toRdd.count()
+      }
+      report("anti_join_plain_smj_20m", nBatch, smjSec, smjRows)
+      val (bloomSec, bloomRows) = time {
+        graft.ops.BloomJoin.antiJoin(batch, col("k"), hist5m, col("k"),
+            numBits = 1 << 26, numHashes = 5)
+          .queryExecution.toRdd.count()
+      }
+      report("anti_join_bloom_20m", nBatch, bloomSec, bloomRows)
+      require(smjRows == bloomRows,
+        s"bloom anti join diverged: $bloomRows vs $smjRows")
     }
-    report("anti_join_plain_broadcast_20m", nBatch, bcastSec, bcastRows)
-    val (smjSec, smjRows) = time {
-      batch.join(hist5m, Seq("k"), "left_anti")
-        .queryExecution.toRdd.count()
-    }
-    report("anti_join_plain_smj_20m", nBatch, smjSec, smjRows)
-    val (bloomSec, bloomRows) = time {
-      graft.ops.BloomJoin.antiJoin(batch, col("k"), hist5m, col("k"),
-          numBits = 1 << 26, numHashes = 5)
-        .queryExecution.toRdd.count()
-    }
-    report("anti_join_bloom_20m", nBatch, bloomSec, bloomRows)
-    require(smjRows == bloomRows,
-      s"bloom anti join diverged: $bloomRows vs $smjRows")
 
     // --- co-activity edges: ONE flash-sale minute, 10k active users ---
     // The skew case the sub-blocked derivation exists for: C(10k,2) ≈
@@ -163,6 +180,7 @@ object ScaleRehearsal {
     // pins the whole product on one task. Background minutes keep the
     // broadcast count join honest.
     val nHot = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HOTMIN", "10000").toLong
+    section("hotmin") {
     val hotAct = spark.range(nHot)
       .select(lit("2024-01-01 12:00:00").cast("timestamp").as("m"),
         col("id").as("user_id"))
@@ -170,6 +188,16 @@ object ScaleRehearsal {
         expr("timestampadd(MINUTE, cast(pmod(xxhash64(id), 100) as int), " +
           "timestamp'2024-01-01 00:00:00')").as("m"),
         (col("id") + nHot).as("user_id")))
+    // Shuffled-regime pin (same as the triangle hub rehearsal): the
+    // naive arm (targetSubBlock = MaxValue ⇒ nsub = 1) now routes
+    // through the adaptive plain self-join, and at rehearsal sizes
+    // the planner BROADCASTS the checkpointed activity frame — probe
+    // partitions parallelize the hot minute for free, hiding the
+    // single-reducer funnel that exists at 100 TB where the activity
+    // frame is far past any broadcast threshold. Disabling broadcast
+    // for both arms measures the regime the design targets.
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     val (hotSec, hotRows) = time {
       graft.ext.GraphOps.coActivityEdgesOf(hotAct)
         .queryExecution.toRdd.count()
@@ -180,8 +208,10 @@ object ScaleRehearsal {
         .queryExecution.toRdd.count()
     }
     report("coactivity_hot_minute_naive", nHot, hotNaiveSec, hotNaiveRows)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     require(hotRows == hotNaiveRows,
       s"sub-blocked edges diverged: $hotRows vs $hotNaiveRows")
+    }
 
     // --- triangle wedges through ONE 10k-degree hub ---
     // 5k under-neighbors × 5k over-neighbors = 25M wedges on the hub
@@ -197,6 +227,7 @@ object ScaleRehearsal {
     // shuffled regime the design targets, where the plain form funnels
     // 25M wedge rows through one task.
     val nHub = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HUB", "5000").toLong
+    section("hub") {
     val hub = 2 * nHub
     val hubEdges = spark.range(nHub).select(col("id").as("a"), lit(hub).as("b"))
       .union(spark.range(nHub).select(lit(hub).as("a"), (col("id") + hub + 1).as("b")))
@@ -217,21 +248,24 @@ object ScaleRehearsal {
       }
       report("triangles_10k_hub_plain_shuffled", 2 * nHub, hubPlainSec, nHub)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
+    }
 
     // --- PageRank over the same 2M-edge mixed topology ---
     // 5 integer fixed-point rounds; per round the rank frame (16
     // bytes/node) joins edges once and aggregates once — the cost is
     // iterations × two keyed shuffles, independent of float/exactness
     // concerns (the arithmetic is integer by design).
-    val prEdges = chain.union(cliques)
-      .select(col("doc_a").as("a"), col("doc_b").as("b"))
-    val (prSec, prRows) = time {
-      // localMaxEdges = 0: measure the distributed rounds
-      graft.ext.GraphOps.pageRankFixedPoint(prEdges, iters = 5,
-          localMaxEdges = 0L)
-        .queryExecution.toRdd.count()
+    section("pagerank") {
+      val prEdges = chain.union(cliques)
+        .select(col("doc_a").as("a"), col("doc_b").as("b"))
+      val (prSec, prRows) = time {
+        // localMaxEdges = 0: measure the distributed rounds
+        graft.ext.GraphOps.pageRankFixedPoint(prEdges, iters = 5,
+            localMaxEdges = 0L)
+          .queryExecution.toRdd.count()
+      }
+      report("pagerank_2m_edges", nEdges, prSec, prRows)
     }
-    report("pagerank_2m_edges", nEdges, prSec, prRows)
 
     // --- BM25 at corpus scale: 2M docs × 30 words (~60M tokens) ---
     // The HOF-in-scan design claims retrieval at scan speed: no token
@@ -239,6 +273,7 @@ object ScaleRehearsal {
     // rehearsal corpus embeds the query terms at hash-determined
     // positions so tf varies realistically.
     val nBm = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_BM25", "2000000").toLong
+    section("bm25") {
     val bmDocs = spark.range(nBm).select(col("id").as("doc_id"),
       concat_ws(" ",
         (0 until 28).map(i =>
@@ -252,6 +287,7 @@ object ScaleRehearsal {
         Seq("spark", "vector"), k = 15).queryExecution.toRdd.count()
     }
     report("bm25_2m_docs", nBm, bmSec, bmRows)
+    }
 
     // --- sketch UV/frequency at 50M rows, 1M-key space, 30 days ---
     // Bitmap distinct vs exact countDistinct, and CMS build+probe vs
@@ -259,6 +295,7 @@ object ScaleRehearsal {
     // value is re-mergeability / bounded state, not necessarily a
     // same-query speedup on one pass.
     val nSk = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SKETCH", "50000000").toLong
+    section("sketch") {
     val skEv = spark.range(nSk).select(
       pmod(xxhash64(col("id")), lit(1000000L)).as("user_id"),
       pmod(col("id"), lit(30)).as("day"))
@@ -283,6 +320,7 @@ object ScaleRehearsal {
       sketch.queryExecution.toRdd.count()
     }
     report("cms_build_50m", nSk, cmsSec, cmsRows)
+    }
 
     // --- per-group quota at 20M rows, 16 hot groups ---
     // The window form (full per-group sort) vs the bounded-buffer
@@ -290,6 +328,7 @@ object ScaleRehearsal {
     // the scale path when k ≪ group size (map-side partials bound the
     // shuffle to k rows per partition×group).
     val nCap = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_CAP", "20000000").toLong
+    section("cap") {
     val capRows = spark.range(nCap).select(
       concat(lit("g"), pmod(xxhash64(col("id")), lit(16))).as("grp"),
       col("id"),
@@ -313,6 +352,7 @@ object ScaleRehearsal {
     report("topk_agg_20m", nCap, aggSec, aggRows)
     require(winRows == aggRows,
       s"quota paths diverged: window $winRows vs agg $aggRows")
+    }
 
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
