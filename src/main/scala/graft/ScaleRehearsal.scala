@@ -211,6 +211,44 @@ object ScaleRehearsal {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
     require(hotRows == hotNaiveRows,
       s"sub-blocked edges diverged: $hotRows vs $hotNaiveRows")
+    // the bounded-OUTPUT knob over the same activity: sub-blocking
+    // fixes the shuffle skew but the pair set stays C(n,2) by
+    // semantics — capped, the hot minute contributes ≤ C(1024,2)
+    // pairs no matter how many users it has
+    val (hotCapSec, hotCapRows) = time {
+      graft.ext.GraphOps.coActivityEdgesCappedOf(hotAct,
+          maxUsersPerMinute = 1024)
+        .queryExecution.toRdd.count()
+    }
+    report("coactivity_hot_minute_capped1k", nHot, hotCapSec, hotCapRows)
+    require(hotCapRows < hotRows / 10,
+      s"cap should collapse the quadratic output: $hotCapRows vs $hotRows")
+    }
+
+    // --- capped co-activity at a 100k-user hot minute ---
+    // The regime the cap exists for: the UNCAPPED product here is
+    // C(100k, 2) ≈ 5B pairs — not runnable on one node and unwanted
+    // output on any cluster. Capped, the minute still emits exactly
+    // ≤ C(1024, 2) pairs and the cost is the TopK selection scan —
+    // near-flat in the minute's population.
+    section("hotmin100k") {
+      val nBig = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_HOTMIN_BIG",
+        "100000").toLong
+      val bigAct = spark.range(nBig)
+        .select(lit("2024-01-01 12:00:00").cast("timestamp").as("m"),
+          col("id").as("user_id"))
+        .union(spark.range(nBig).select( // background: ~10 users/minute
+          expr("timestampadd(MINUTE, cast(pmod(xxhash64(id), 10000) as int), " +
+            "timestamp'2024-01-01 00:00:00')").as("m"),
+          (col("id") + nBig).as("user_id")))
+      val (bigSec, bigRows) = time {
+        graft.ext.GraphOps.coActivityEdgesCappedOf(bigAct,
+            maxUsersPerMinute = 1024)
+          .queryExecution.toRdd.count()
+      }
+      report("coactivity_100k_minute_capped1k", nBig, bigSec, bigRows)
+      require(bigRows < 2L * 1024 * 1024,
+        s"capped output must stay ~C(cap,2) + quiet background: $bigRows")
     }
 
     // --- triangle wedges through ONE 10k-degree hub ---

@@ -106,6 +106,67 @@ object GraphOps {
       .distinct()
   }
 
+  /** Bounded-OUTPUT co-activity derivation — the degrade-gracefully
+    * knob for event rates where even a perfectly balanced full pair
+    * product is unwanted output. [[coActivityEdges]] fixes the hot
+    * minute's SHUFFLE skew, but the pair set stays quadratic BY
+    * SEMANTICS (C(n, 2) per minute): at 100× rates the edges
+    * themselves become the bottleneck of every downstream consumer.
+    * Here each minute contributes at most `maxUsersPerMinute` users —
+    * a deterministic hash-order sample (smallest 52-bit md5 prefix of
+    * the user id, ties on the id), so the pair output per minute is
+    * bounded by C(cap, 2) regardless of event rate, the kept set is a
+    * pure function of (minute, user) — stable across re-ingests,
+    * cluster sizes, and engines — and the sampled graph is a uniform
+    * vertex sample per minute (md5 is hash-uniform), the standard
+    * structure-preserving degrade for co-occurrence graphs.
+    *
+    * The per-minute selection runs as the bounded-buffer top-k
+    * AGGREGATE ([[graft.functions.TopKRowsAggregator]]): map-side
+    * partials bound the shuffle to cap rows per partition × minute.
+    * The `row_number()` window form would re-create the exact
+    * hot-minute single-task funnel this module exists to avoid — one
+    * partition sorting all 10⁵ flash-sale users; the aggregate form
+    * never materializes a minute's full user list on one task. md5
+    * (not xxhash64) is deliberate: both engines compute it, so the
+    * DuckDB oracle re-runs the SAME selection rather than trusting a
+    * Spark-side materialization, and a fixed-length lowercase-hex
+    * prefix compares identically as a string (oracle) and as the
+    * exact 52-bit double the aggregator scores by (hex digit order is
+    * ASCII order; 52 bits sit inside double's 53-bit mantissa).
+    */
+  def coActivityEdgesCapped(spark: SparkSession, dir: String,
+      maxUsersPerMinute: Int = 4096,
+      targetSubBlock: Int = 1024): DataFrame =
+    coActivityEdgesCappedOf(
+      Tables.events(spark, dir)
+        .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
+        .distinct(),
+      maxUsersPerMinute, targetSubBlock)
+
+  /** [[coActivityEdgesCapped]] over a prepared DISTINCT (m, user_id)
+    * frame — the synthetic-activity entry point for tests and
+    * [[graft.ScaleRehearsal]].
+    */
+  def coActivityEdgesCappedOf(act: DataFrame, maxUsersPerMinute: Int,
+      targetSubBlock: Int = 1024): DataFrame = {
+    import graft.functions.TopKRowsAggregator.{ScoredRow, TopK}
+    val topk = org.apache.spark.sql.functions.udaf(
+      new TopK(maxUsersPerMinute),
+      org.apache.spark.sql.Encoders.product[ScoredRow])
+    // TopK keeps DESCENDING by score; smallest-hash-first ⇒ negate.
+    // conv() yields the prefix's decimal digits; 52 bits cast to
+    // double exactly.
+    val score = conv(substring(md5(col("user_id").cast("string")), 1, 13),
+      16, 10).cast("double") * lit(-1d)
+    val capped = act
+      .groupBy(col("m"))
+      .agg(topk(score, col("user_id")).as("keep"))
+      .select(col("m"), explode(col("keep")).as("r"))
+      .select(col("m"), col("r.id").as("user_id"))
+    coActivityEdgesOf(capped, targetSubBlock)
+  }
+
   /** Triangle count of a canonical (a < b) edge set — 1-row frame.
     *
     * Two keyed equi-joins (wedge build + closing-edge probe), every
@@ -315,7 +376,13 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "graph_triangles" -> (triangleProfile _),
     "graph_pagerank" -> ((s, d) =>
-      pageRankFixedPoint(coActivityEdges(s, d), iters = 5))
+      pageRankFixedPoint(coActivityEdges(s, d), iters = 5)),
+    // cap = 2 bites on every multi-user fixture minute (sf0.01 peaks
+    // at 4 users/minute), so the gate verifies WHICH users the
+    // hash-order selection keeps, not just how many
+    "graph_coactivity_capped" -> ((s, d) =>
+      coActivityEdgesCapped(s, d, maxUsersPerMinute = 2)
+        .orderBy(col("a"), col("b")))
   )
 
   /** The PageRank oracle unrolls the SAME integer fixed-point
@@ -356,6 +423,23 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    // re-runs the SAME hash-order selection: a fixed-length lowercase
+    // hex prefix compares identically as a string here and as the
+    // 52-bit numeric score the Spark aggregator uses
+    "graph_coactivity_capped" ->
+      """WITH act AS (
+        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
+        |ranked AS (
+        |  SELECT m, user_id,
+        |         row_number() OVER (
+        |           PARTITION BY m
+        |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
+        |                    user_id) AS rn
+        |  FROM act),
+        |kept AS (SELECT m, user_id FROM ranked WHERE rn <= 2)
+        |SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id
+        |ORDER BY a, b""".stripMargin,
     "graph_triangles" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),

@@ -44,6 +44,38 @@ class GraphOpsSpec extends AnyFunSuite {
       === naive)
   }
 
+  test("capped coActivityEdges: identity above peak, window-form match below") {
+    import spark.implicits._
+    // a cap no minute reaches must be the identity rewrite
+    val naive = pairSet(naiveEdges())
+    assert(pairSet(GraphOps.coActivityEdgesCapped(spark, dir,
+      maxUsersPerMinute = 4096)) === naive)
+    // synthetic hot minute: 9 users in one minute, 2 in another; a
+    // cap of 3 must keep exactly the 3 smallest-md5-prefix users —
+    // the row_number window form is the test oracle (the aggregate
+    // form exists because the window's per-minute sort is the
+    // hot-minute funnel; see the operator Scaladoc)
+    val act = (0 until 9).map(u => ("2024-01-01 12:00:00", u.toLong))
+      .++(Seq(("2024-01-01 12:05:00", 100L), ("2024-01-01 12:05:00", 101L)))
+      .toDF("ms", "user_id")
+      .select(col("ms").cast("timestamp").as("m"), col("user_id"))
+    val kept = act.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("m"))
+          .orderBy(substring(md5(col("user_id").cast("string")), 1, 13),
+            col("user_id"))))
+      .filter(col("rn") <= 3).drop("rn")
+    val expect = pairSet(
+      kept.select(col("m"), col("user_id").as("a"))
+        .join(kept.select(col("m"), col("user_id").as("b")), Seq("m"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b")).distinct())
+    assert(expect.nonEmpty && expect.size < 9 * 8 / 2 + 1,
+      "cap must actually bite on the hot minute")
+    assert(pairSet(GraphOps.coActivityEdgesCappedOf(act,
+      maxUsersPerMinute = 3)) === expect)
+  }
+
   test("salted triangle join equals the plain form on known topologies") {
     import spark.implicits._
     def tri(edges: Seq[(Long, Long)], fanout: Long): Long =
