@@ -149,7 +149,15 @@ object GraphOps {
     * [[graft.ScaleRehearsal]].
     */
   def coActivityEdgesCappedOf(act: DataFrame, maxUsersPerMinute: Int,
-      targetSubBlock: Int = 1024): DataFrame = {
+      targetSubBlock: Int = 1024): DataFrame =
+    coActivityEdgesOf(cappedActivity(act, maxUsersPerMinute), targetSubBlock)
+
+  /** The selection stage of [[coActivityEdgesCapped]], exposed so
+    * PlansSpec can assert its physical shape (the pairing's eager
+    * localCheckpoint truncates it out of the composed plan).
+    */
+  private[graft] def cappedActivity(act: DataFrame,
+      maxUsersPerMinute: Int): DataFrame = {
     import graft.functions.TopKRowsAggregator.{ScoredRow, TopK}
     val topk = org.apache.spark.sql.functions.udaf(
       new TopK(maxUsersPerMinute),
@@ -159,12 +167,11 @@ object GraphOps {
     // double exactly.
     val score = conv(substring(md5(col("user_id").cast("string")), 1, 13),
       16, 10).cast("double") * lit(-1d)
-    val capped = act
+    act
       .groupBy(col("m"))
       .agg(topk(score, col("user_id")).as("keep"))
       .select(col("m"), explode(col("keep")).as("r"))
       .select(col("m"), col("r.id").as("user_id"))
-    coActivityEdgesOf(capped, targetSubBlock)
   }
 
   /** Triangle count of a canonical (a < b) edge set — 1-row frame.

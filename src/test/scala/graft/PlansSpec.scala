@@ -110,6 +110,21 @@ class PlansSpec extends AnyFunSuite {
       s"sub-block keys missing from the join:\n$plan")
   }
 
+  test("capped co-activity selection is a partial-aggregate, not a window sort") {
+    val act = Tables.events(spark, dir)
+      .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
+      .distinct()
+    val plan = graft.ext.GraphOps.cappedActivity(act, maxUsersPerMinute = 2)
+      .queryExecution.executedPlan.toString
+    // the whole point of the aggregate form: a hot minute's users are
+    // pre-capped map-side (partial_topk before the minute exchange),
+    // never globally sorted on one task per minute
+    assert(plan.contains("partial_topk"),
+      s"no map-side partial top-k in the capped selection:\n$plan")
+    assert(!plan.contains("Window"),
+      s"window (per-minute single-task sort) in the capped selection:\n$plan")
+  }
+
   test("pair joins never broadcast an exploded corpus side") {
     // The round-4 ladder discovery, pinned against regression:
     // explode-derived lineage defeats size estimation, and an
