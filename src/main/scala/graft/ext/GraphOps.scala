@@ -27,7 +27,11 @@ import graft.sources.Tables
   *    per vertex is in(v)·out(v) — the high-degree-hub hazard — so
   *    hub keys are salted: the probe side splits into `ns` salt
   *    buckets, the build side replicates across them, `ns` sized from
-  *    the actual per-key fanout product.
+  *    the actual per-key fanout product;
+  *  - bounded OUTPUT ([[coActivityEdgesCapped]]): sub-blocking fixes
+  *    the shuffle but the pair set stays C(n,2) by semantics — the
+  *    capped variant samples each minute's vertices deterministically
+  *    so output is ≤ C(cap,2)/minute at any event rate.
   *
   * Both are identity rewrites (same distinct pair / count semantics),
   * so the DuckDB oracles are unchanged; equality with the plain forms
