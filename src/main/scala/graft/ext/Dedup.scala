@@ -173,6 +173,53 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Incremental NEAR-dup: near-duplicates of a new ingest batch
+    * AGAINST an already-curated history, without ever re-pairing
+    * history with itself. [[minhashPairs]] dedups a closed corpus —
+    * rerunning it per ingest re-derives history×history pairs that
+    * were already adjudicated. Here only new×history band-key matches
+    * become candidates, verified with exact shingle Jaccard (same
+    * contract as [[minhashPairs]]); the exact-match complement is
+    * [[incrementalDedup]]'s fingerprint bloom path.
+    *
+    * 100 TB shape: band keys are a pure per-document function
+    * ([[minhashBandKeys]] — no corpus statistics), so the history
+    * side is write-once state: materialize it as a table bucketed on
+    * `(band, band_key)` and each ingest computes keys for the BATCH
+    * only and equi-joins against it (bucketing makes that join
+    * exchange-free on the history side; history text is touched only
+    * to fetch shingles for the candidate sliver). This demo derives
+    * both sides from the fixture; the merge hint pins the
+    * strategy-safe shuffled join — band-key lineage defeats size
+    * estimation and the planner must not broadcast an unbounded side
+    * (see [[minhashPairs]]'s join note).
+    */
+  def minhashPairsAgainst(newDocs: DataFrame, history: DataFrame,
+      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      shingleK: Int = 3): DataFrame = {
+    val bNew = minhashBandKeys(newDocs, bands, rowsPerBand, shingleK)
+    val bHist = minhashBandKeys(history, bands, rowsPerBand, shingleK)
+    val candidates = bNew
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
+      .join(bHist.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_hist")).hint("merge"), Seq("band", "band_key"))
+      .select(col("doc_new"), col("doc_hist"))
+      .dropDuplicates("doc_new", "doc_hist")
+    candidates
+      .join(minhashShingles(newDocs, shingleK)
+        .select(col("doc_id").as("doc_new"), col("sh").as("sh_n"))
+        .hint("merge"), "doc_new")
+      .join(minhashShingles(history, shingleK)
+        .select(col("doc_id").as("doc_hist"), col("sh").as("sh_h"))
+        .hint("merge"), "doc_hist")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_n"), col("sh_h"))).cast("double") /
+          size(array_union(col("sh_n"), col("sh_h"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_new"), col("doc_hist"),
+        round(col("jaccard"), 4).as("jaccard"))
+  }
+
   // --------------------------------------------------------- simhash
 
   /** Per-doc 64-bit SimHash signature (native expression). */
@@ -583,6 +630,15 @@ object Dedup {
       exactByKey(Tables.documents(s, d)).orderBy(col("lang"), col("source"))),
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    // deterministic ingest split (doc_id mod 3): third of the corpus
+    // plays the new batch, the rest the curated history
+    "dedup_minhash_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      minhashPairsAgainst(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+        .orderBy(col("doc_new"), col("doc_hist"))
+    }),
     "dedup_simhash" -> ((s, d) =>
       simhash(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "dedup_jaccard_by_source" -> ((s, d) =>
@@ -665,6 +721,26 @@ object Dedup {
         |  JOIN sh sa ON sa.doc_id = c.doc_a
         |  JOIN sh sb ON sb.doc_id = c.doc_b)
         |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+    // same aux state as dedup_minhash_pairs (band keys and shingles
+    // are pure per-document functions, so full-corpus aux slices
+    // cleanly into the new/history sides); the oracle re-runs the
+    // asymmetric band join + exact verify
+    "dedup_minhash_incremental" ->
+      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+        |     sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+        |     cand AS (
+        |       SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
+        |       FROM bk n JOIN bk h
+        |         ON n.band = h.band AND n.band_key = h.band_key
+        |       WHERE n.doc_id % 3 = 0 AND h.doc_id % 3 != 0)
+        |SELECT doc_new, doc_hist, round(j, 4) AS jaccard FROM (
+        |  SELECT c.doc_new, c.doc_hist,
+        |         len(list_intersect(sn.sh, sb.sh)) * 1.0 /
+        |         (len(sn.sh) + len(sb.sh) - len(list_intersect(sn.sh, sb.sh))) AS j
+        |  FROM cand c
+        |  JOIN sh sn ON sn.doc_id = c.doc_new
+        |  JOIN sh sb ON sb.doc_id = c.doc_hist)
+        |WHERE j >= 0.5 ORDER BY doc_new, doc_hist""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     // transitive closure per node via recursive CTE; component = min
     // reachable id — must equal the engine's min-label propagation

@@ -78,6 +78,26 @@ class ExtSpec extends AnyFunSuite {
       "operator-reported jaccard disagrees with recomputation")
   }
 
+  test("incremental minhash equals the cross-split subset of the closed-corpus run") {
+    val docs = Tables.documents(spark, dir)
+    val isNew = (id: Long) => id % 3 == 0
+    val closed = Dedup.minhashPairs(docs, threshold = 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the cross pairs of the closed run, re-oriented (new, hist)
+    val expect = closed.flatMap { case (a, b) =>
+      if (isNew(a) && !isNew(b)) Some((a, b))
+      else if (isNew(b) && !isNew(a)) Some((b, a))
+      else None
+    }.toSet
+    assert(expect.nonEmpty, "fixture must produce cross-split near-dups")
+    val incr = Dedup.minhashPairsAgainst(
+        docs.filter(pmod(col("doc_id"), lit(3)) === 0),
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(incr === expect,
+      "asymmetric band join must find exactly the closed run's cross pairs")
+  }
+
   test("ANN-LSH results are genuine neighbors (subset check vs brute force)") {
     val emb = Tables.embeddings(spark, dir)
     val qs = emb.filter(col("vec_id") < 5)
