@@ -220,8 +220,17 @@ class ExtSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairsBySource(noDocs, 0.6).count() === 0)
     assert(Dedup.ngramJaccardPairs(noDocs, 0.1).count() === 0)
     assert(Dedup.minhashPairs(noDocs).count() === 0)
+    // asymmetric incremental: empty on either side is an empty result,
+    // not an error
+    val someDocs = Seq((1L, "s0", "alpha beta gamma delta"))
+      .toDF("doc_id", "source", "text")
+    assert(Dedup.minhashPairsAgainst(noDocs, someDocs).count() === 0)
+    assert(Dedup.minhashPairsAgainst(someDocs, noDocs).count() === 0)
     assert(Similarity.thresholdJoin(noVecs, 0.4).count() === 0)
     assert(Similarity.cosineNearDupPairs(noVecs, 0.4).count() === 0)
+    // capped co-activity on an empty activity frame
+    val noAct = Seq.empty[(java.sql.Timestamp, Long)].toDF("m", "user_id")
+    assert(graft.ext.GraphOps.coActivityEdgesCappedOf(noAct, 4).count() === 0)
   }
 
   test("vec_dot fails loudly on mismatched vector dimensions") {
