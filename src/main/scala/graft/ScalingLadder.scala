@@ -99,6 +99,17 @@ object ScalingLadder {
       graft.ext.Dedup.minhashPairs(docs(spark, n), threshold = 0.8)
         .queryExecution.toRdd.count()
     }
+    ladder("dedup_minhash_incremental", base) { n =>
+      // mod-3 ingest split of the same corpus: each similarity triple
+      // holds one batch doc + two history docs, so cross near-dups
+      // exist at every n and both sides grow with the rung — ratio ≈ 2
+      // pins the asymmetric band join + cross-sliver verify as linear
+      val all = docs(spark, n)
+      graft.ext.Dedup.minhashPairsAgainst(
+          all.filter(pmod(col("doc_id"), lit(3)) === 0),
+          all.filter(pmod(col("doc_id"), lit(3)) =!= 0), threshold = 0.8)
+        .queryExecution.toRdd.count()
+    }
     ladder("dedup_jaccard_blocked", base) { n =>
       graft.ext.Dedup.jaccardPairsBySource(docs(spark, n), threshold = 0.8)
         .queryExecution.toRdd.count()
