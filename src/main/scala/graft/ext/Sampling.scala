@@ -100,6 +100,51 @@ object Sampling {
       .filter(col("__rn") <= n).drop("__rn")
   }
 
+  /** Token-budget corpus mixing: per source, keep documents in
+    * deterministic hash order until the source's TOKEN budget is
+    * reached — the unit LLM training mixes by (mixture weights are
+    * token counts, not document counts; [[mixCorpus]] is the
+    * rate-based dual, [[capPerGroup]] the doc-count dual). A document
+    * is kept iff the cumulative whitespace-token count BEFORE it is
+    * under `budget`, so the crossing document is included and any
+    * non-empty source keeps at least one document. Selection is a
+    * pure function of (doc_id, budget): stable across re-ingests,
+    * partitionings, and engines.
+    *
+    * Scale shape: the naive form is a per-source total-order window
+    * cumsum — one task sorts the whole source. Here the cumulative
+    * sum is TWO-LEVEL ([[Packing]]'s offsets pattern): the hash key's
+    * leading byte range-partitions each source into 256 ORDERED
+    * segments (fixed-length lowercase-hex md5 order IS numeric prefix
+    * order), per-(source, segment) token sums aggregate map-side into
+    * a ≤ sources×256-row frame whose prefix sums broadcast back, and
+    * the only per-document window runs INSIDE one segment (~1/256 of
+    * a source, bounded). md5 rather than xxhash64 keeps the order
+    * engine-independent — the DuckDB oracle re-runs the identical
+    * selection as one plain window cumsum.
+    */
+  def tokenBudgetPerSource(docs: DataFrame, budget: Long): DataFrame = {
+    val keyed = docs.select(col("doc_id"), col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
+      substring(md5(col("doc_id").cast("string")), 1, 13).as("hk"))
+      .withColumn("seg", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+    val segSums = keyed.groupBy(col("source"), col("seg"))
+      .agg(sum(col("n_tok")).as("seg_tok"))
+    // prefix over the tiny aggregated frame (≤ sources × 256 rows)
+    val segPrefix = segSums.withColumn("seg_before",
+      sum(col("seg_tok")).over(Window.partitionBy(col("source"))
+        .orderBy(col("seg"))) - col("seg_tok"))
+    val inSeg = Window.partitionBy(col("source"), col("seg"))
+      .orderBy(col("hk"), col("doc_id"))
+    keyed
+      .join(broadcast(segPrefix.select(col("source"), col("seg"),
+        col("seg_before"))), Seq("source", "seg"))
+      .withColumn("cum_before",
+        col("seg_before") + sum(col("n_tok")).over(inSeg) - col("n_tok"))
+      .filter(col("cum_before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tok"))
+  }
+
   /** Deterministic train/validation/test assignment (80/10/10 by
     * default): contiguous bucket ranges of the same hash-uniform
     * [[bucket]], so the split is a pure function of the key —
@@ -146,6 +191,11 @@ object Sampling {
       capPerGroup(Tables.documents(s, d), "source", "doc_id",
         md5(col("text")), n = 20)
         .select(col("doc_id"), col("source")).orderBy(col("doc_id"))),
+    // 300 tokens ≈ 40% of a fixture source's total — the budget bites
+    // in every source and the crossing doc is exercised
+    "sample_token_budget" -> ((s, d) =>
+      tokenBudgetPerSource(Tables.documents(s, d), budget = 300L)
+        .orderBy(col("doc_id"))),
     "sample_mix" -> ((s, d) =>
       mixCorpus(Tables.documents(s, d), MixWeights)
         .groupBy(col("source"))
@@ -165,6 +215,22 @@ object Sampling {
          |       d.lang, count(*) AS n
          |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // one plain window cumsum over the same md5 order — the two-level
+    // segment decomposition must be invisible in the result
+    "sample_token_budget" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split_regex(lower(trim(text)), '\s+')) AS BIGINT) AS n_tok,
+        |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hk
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, source, n_tok,
+        |         sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+        |                          ROWS BETWEEN UNBOUNDED PRECEDING
+        |                          AND CURRENT ROW) - n_tok AS cum_before
+        |  FROM t)
+        |SELECT doc_id, source, n_tok FROM c
+        |WHERE cum_before < 300 ORDER BY doc_id""".stripMargin,
     "sample_cap_source" ->
       """SELECT doc_id, source FROM (
         |  SELECT doc_id, source,

@@ -337,6 +337,38 @@ class ExtSpec extends AnyFunSuite {
     assert(kept("c") === 10000L, "the binding source is kept whole")
   }
 
+  test("token-budget mixing: two-level prefix sum equals the naive window cumsum") {
+    import graft.ext.{Sampling, TextAnalysis}
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    def keySet(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    // the naive single-window form over the same md5 order is the
+    // test oracle for the segmented decomposition
+    def naive(budget: Long): Set[Long] = {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(substring(md5(col("doc_id").cast("string")), 1, 13),
+          col("doc_id"))
+      keySet(docs
+        .withColumn("n_tok", size(TextAnalysis.tokens(col("text"))).cast("long"))
+        .withColumn("cb", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("cb") < budget))
+    }
+    for (budget <- Seq(1L, 120L, 400L)) {
+      val fast = keySet(Sampling.tokenBudgetPerSource(docs, budget))
+      assert(fast === naive(budget), s"budget=$budget")
+    }
+    // budget monotone: smaller budget keeps a subset
+    val small = keySet(Sampling.tokenBudgetPerSource(docs, 120L))
+    val large = keySet(Sampling.tokenBudgetPerSource(docs, 400L))
+    assert(small.subsetOf(large))
+    // budget=1 keeps exactly one doc per non-empty source (crossing
+    // doc included by contract)
+    val one = Sampling.tokenBudgetPerSource(docs, 1L)
+      .groupBy("source").count().collect()
+    assert(one.nonEmpty && one.forall(_.getLong(1) === 1L))
+  }
+
   test("curation pipeline: quality gate, exact dedup, near-dup components, representative pick") {
     import spark.implicits._
     import graft.ext.Curation
