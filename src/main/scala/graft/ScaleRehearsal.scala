@@ -392,6 +392,39 @@ object ScaleRehearsal {
       s"quota paths diverged: window $winRows vs agg $aggRows")
     }
 
+    // --- token-budget mixing: ONE 5M-doc source ---
+    // The shape the two-level cumsum exists for: a single dominant
+    // source makes the naive per-source window cumsum a one-task sort
+    // of the whole source; the segmented form's per-doc windows stay
+    // inside 1/256 segments. Equality of kept sets is required in-run.
+    section("tokenbudget") {
+      val nTb = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_TOKBUDGET",
+        "5000000").toLong
+      val tbDocs = spark.range(nTb).select(col("id").as("doc_id"),
+        lit("s0").as("source"),
+        concat_ws(" ", (0 until 12).map(i =>
+          concat(lit("w"), pmod(xxhash64(col("id"), lit(i)), lit(500)))): _*)
+          .as("text"))
+      val budget = nTb // ~1/12 of the source's tokens: the budget bites
+      // localMaxSource = 0 pins the segmented path; MaxValue the plain
+      // window — the honest premium measurement behind the adaptive
+      // dispatch (plain wins while the source fits one task's memory)
+      val (tbSec, tbRows) = time {
+        graft.ext.Sampling.tokenBudgetPerSource(tbDocs, budget,
+            localMaxSource = 0L)
+          .queryExecution.toRdd.count()
+      }
+      report("token_budget_two_level_5m", nTb, tbSec, tbRows)
+      val (tbnSec, tbnRows) = time {
+        graft.ext.Sampling.tokenBudgetPerSource(tbDocs, budget,
+            localMaxSource = Long.MaxValue)
+          .queryExecution.toRdd.count()
+      }
+      report("token_budget_plain_window_5m", nTb, tbnSec, tbnRows)
+      require(tbRows == tbnRows,
+        s"token-budget forms diverged: $tbRows vs $tbnRows")
+    }
+
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
   }

@@ -111,24 +111,46 @@ object Sampling {
     * pure function of (doc_id, budget): stable across re-ingests,
     * partitionings, and engines.
     *
-    * Scale shape: the naive form is a per-source total-order window
-    * cumsum — one task sorts the whole source. Here the cumulative
-    * sum is TWO-LEVEL ([[Packing]]'s offsets pattern): the hash key's
-    * leading byte range-partitions each source into 256 ORDERED
-    * segments (fixed-length lowercase-hex md5 order IS numeric prefix
-    * order), per-(source, segment) token sums aggregate map-side into
-    * a ≤ sources×256-row frame whose prefix sums broadcast back, and
-    * the only per-document window runs INSIDE one segment (~1/256 of
-    * a source, bounded). md5 rather than xxhash64 keeps the order
-    * engine-independent — the DuckDB oracle re-runs the identical
-    * selection as one plain window cumsum.
+    * Scale shape: the plain form is a per-source total-order window
+    * cumsum — one task sorts the whole source, a guaranteed straggler
+    * once a source outgrows a task. Past `localMaxSource` (census
+    * probe) the cumulative sum goes TWO-LEVEL ([[Packing]]'s offsets
+    * pattern): the hash key's leading byte range-partitions each
+    * source into 256 ORDERED segments (fixed-length lowercase-hex md5
+    * order IS numeric prefix order), per-(source, segment) token sums
+    * aggregate map-side into a ≤ sources×256-row frame whose prefix
+    * sums broadcast back, and the only per-document window runs
+    * INSIDE one segment (~1/256 of a source, bounded). Both paths
+    * produce the identical kept set (property-tested; the rehearsal
+    * measures the premium honestly — on local[32] the plain form wins
+    * while the source fits in memory). md5 rather than xxhash64 keeps
+    * the order engine-independent — the DuckDB oracle re-runs the
+    * identical selection as one plain window cumsum.
     */
-  def tokenBudgetPerSource(docs: DataFrame, budget: Long): DataFrame = {
+  def tokenBudgetPerSource(docs: DataFrame, budget: Long,
+      localMaxSource: Long = 1L << 22): DataFrame = {
     val keyed = docs.select(col("doc_id"), col("source"),
       size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tok"),
       substring(md5(col("doc_id").cast("string")), 1, 13).as("hk"))
+    // ADAPTIVE, same probe discipline as the graph family: the plain
+    // window form sorts each source on one task — fine (and measured
+    // FASTER: 7.9 vs 11.9 s at 5M docs, no join/broadcast premium)
+    // while every source fits a task; a census max(count) probe
+    // routes oversized sources to the segmented decomposition.
+    val maxRow = docs.groupBy(col("source")).count()
+      .agg(max(col("count"))).first()
+    val maxSource = if (maxRow.isNullAt(0)) 0L else maxRow.getLong(0)
+    if (maxSource <= localMaxSource) {
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("hk"), col("doc_id"))
+      return keyed
+        .withColumn("cum_before", sum(col("n_tok")).over(w) - col("n_tok"))
+        .filter(col("cum_before") < budget)
+        .select(col("doc_id"), col("source"), col("n_tok"))
+    }
+    val seged = keyed
       .withColumn("seg", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
-    val segSums = keyed.groupBy(col("source"), col("seg"))
+    val segSums = seged.groupBy(col("source"), col("seg"))
       .agg(sum(col("n_tok")).as("seg_tok"))
     // prefix over the tiny aggregated frame (≤ sources × 256 rows)
     val segPrefix = segSums.withColumn("seg_before",
@@ -136,7 +158,7 @@ object Sampling {
         .orderBy(col("seg"))) - col("seg_tok"))
     val inSeg = Window.partitionBy(col("source"), col("seg"))
       .orderBy(col("hk"), col("doc_id"))
-    keyed
+    seged
       .join(broadcast(segPrefix.select(col("source"), col("seg"),
         col("seg_before"))), Seq("source", "seg"))
       .withColumn("cum_before",

@@ -355,8 +355,14 @@ class ExtSpec extends AnyFunSuite {
         .filter(col("cb") < budget))
     }
     for (budget <- Seq(1L, 120L, 400L)) {
-      val fast = keySet(Sampling.tokenBudgetPerSource(docs, budget))
-      assert(fast === naive(budget), s"budget=$budget")
+      // localMaxSource = 0 forces the segmented path; the default
+      // takes the plain window here (fixture sources are tiny) —
+      // BOTH must equal the naive reference
+      val seg = keySet(Sampling.tokenBudgetPerSource(docs, budget,
+        localMaxSource = 0L))
+      assert(seg === naive(budget), s"segmented, budget=$budget")
+      val plain = keySet(Sampling.tokenBudgetPerSource(docs, budget))
+      assert(plain === naive(budget), s"plain, budget=$budget")
     }
     // budget monotone: smaller budget keeps a subset
     val small = keySet(Sampling.tokenBudgetPerSource(docs, 120L))
