@@ -425,6 +425,27 @@ object ScaleRehearsal {
         s"token-budget forms diverged: $tbRows vs $tbnRows")
     }
 
+    section("shuffleorder") {
+      val nSo = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SHUFFLE",
+        "5000000").toLong
+      val soDocs = spark.range(nSo).select(col("id").as("doc_id"))
+      // localMax = 0 pins the 256-segment rank decomposition;
+      // MaxValue the plain global window — same honest premium
+      // protocol as the token-budget pair above
+      val (soSec, soRows) = time {
+        graft.ext.Sampling.shuffleOrder(soDocs, localMax = 0L)
+          .queryExecution.toRdd.count()
+      }
+      report("shuffle_order_two_level_5m", nSo, soSec, soRows)
+      val (sopSec, sopRows) = time {
+        graft.ext.Sampling.shuffleOrder(soDocs, localMax = Long.MaxValue)
+          .queryExecution.toRdd.count()
+      }
+      report("shuffle_order_plain_window_5m", nSo, sopSec, sopRows)
+      require(soRows == sopRows,
+        s"shuffle-order forms diverged: $soRows vs $sopRows")
+    }
+
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     spark.stop()
   }

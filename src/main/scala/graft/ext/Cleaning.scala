@@ -69,6 +69,53 @@ object Cleaning {
       col("doc_id") +: piiCounts(col(textCol)) :+
         redactPii(col(textCol)).as("clean_text"): _*)
 
+  // ---------------------------------------- line-level boilerplate dedup
+
+  /** A line is boilerplate when it appears verbatim in at least this
+    * many distinct documents. */
+  val BoilerMinDocs = 5L
+
+  /** Corpus-level line deduplication — the CCNet/C4-style boilerplate
+    * removal pass: a line occurring verbatim in ≥ `minDocs` distinct
+    * documents (cookie banners, navigation text, license footers) is
+    * dropped from EVERY document; per document the op returns line
+    * counts and the md5 fingerprint of the surviving text (the
+    * fingerprint rather than the text itself — at 100 TB the cleaned
+    * rewrite is a separate data-scale pass and this op is its plan).
+    * Every input document appears in the output, including ones
+    * stripped to nothing (`clean_md5 = md5("")`).
+    *
+    * Scale shape: two keyed shuffles, both as narrow as the semantics
+    * allow. (1) Line frequency groups by the 128-bit md5 of the line,
+    * NOT the line text — the exchange carries a fixed-width key, and
+    * the distinct-doc count combines map-side. (2) Document
+    * reassembly is one groupBy(doc_id) whose collect_list is sorted
+    * in the array domain (line_idx leads the struct), so the rebuilt
+    * order is deterministic regardless of shuffle arrival. The
+    * boilerplate marker set is heavy-hitter-bounded (≤ total_lines /
+    * minDocs) and joins back by the same fixed-width key.
+    */
+  def lineDedup(docs: DataFrame, minDocs: Long = BoilerMinDocs,
+      textCol: String = "text"): DataFrame = {
+    val lines = docs
+      .select(col("doc_id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_idx", "line")))
+      .withColumn("lh", md5(col("line")))
+    val boiler = lines.groupBy(col("lh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select(col("lh"), lit(true).as("is_boiler"))
+    lines.join(boiler, Seq("lh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_lines"),
+        count(when(col("is_boiler").isNull, 1)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("is_boiler").isNull,
+            struct(col("line_idx"), col("line"))))),
+          s => s("line")), "\n")).as("clean_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ gate
 
   /** The fixture text annotated with deterministic PII derived from
@@ -84,10 +131,28 @@ object Cleaning {
       lit(" see https://"), col("source"), lit(".example.com/d/"),
       col("doc_id").cast("string"))
 
+  /** The fixture text carries no newlines, so the line-dedup gate
+    * synthesizes multi-line structure the same way [[annotated]]
+    * synthesizes PII: a header line shared by ALL docs, the original
+    * text as the (unique) body line, a footer line shared by all
+    * docs, and a fourth line shared by the doc_id % 4 == 0 quarter —
+    * so the op strips 3 lines from a quarter of the corpus and 2
+    * from the rest, and keeps every unique body. The DuckDB oracle
+    * builds the identical string.
+    */
+  private def lineAnnotated: Column =
+    concat(lit("all rights reserved\n"), col("text"),
+      lit("\ncontact support via the site footer"),
+      when(col("doc_id") % 4 === 0,
+        lit("\nsubscribe to the newsletter for updates"))
+        .otherwise(lit("")))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_clean_pii" -> ((s, d) =>
       clean(Tables.documents(s, d).withColumn("text", annotated))
-        .orderBy(col("doc_id")))
+        .orderBy(col("doc_id"))),
+    "text_line_dedup" -> ((s, d) =>
+      lineDedup(Tables.documents(s, d).withColumn("text", lineAnnotated)))
   )
 
   private val annotatedSql =
@@ -124,6 +189,30 @@ object Cleaning {
          |        '$UrlPattern', '<URL>', 'g'),
          |      '$LongNumPattern', '<ID>', 'g'),
          |    '$WsClass', ' ', 'g')) AS clean_text
-         |FROM a ORDER BY doc_id""".stripMargin
+         |FROM a ORDER BY doc_id""".stripMargin,
+    // the oracle re-runs the same line split / frequency / strip /
+    // ordered-reassembly pipeline; line_idx bases differ (0- vs
+    // 1-based) but only the ordering they induce is observable
+    "text_line_dedup" ->
+      s"""WITH a AS (SELECT doc_id,
+         |             'all rights reserved' || chr(10) || text || chr(10) ||
+         |             'contact support via the site footer' ||
+         |             CASE WHEN doc_id % 4 = 0
+         |                  THEN chr(10) || 'subscribe to the newsletter for updates'
+         |                  ELSE '' END AS text
+         |           FROM documents),
+         |l AS (SELECT doc_id, i AS line_idx, ls[i] AS line
+         |      FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM a),
+         |           unnest(range(1, len(ls) + 1)) AS t(i)),
+         |f AS (SELECT md5(line) AS lh
+         |      FROM l GROUP BY 1
+         |      HAVING count(DISTINCT doc_id) >= $BoilerMinDocs)
+         |SELECT l.doc_id, count(*) AS n_lines,
+         |       count(*) FILTER (WHERE f.lh IS NULL) AS n_kept,
+         |       md5(coalesce(
+         |         string_agg(l.line, chr(10) ORDER BY l.line_idx)
+         |           FILTER (WHERE f.lh IS NULL), '')) AS clean_md5
+         |FROM l LEFT JOIN f ON md5(l.line) = f.lh
+         |GROUP BY l.doc_id ORDER BY l.doc_id""".stripMargin
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -125,6 +126,36 @@ object Layout {
           col(s"__n_$a").as(s"${a}_new"))): _*)
   }
 
+  /** Compaction planning — the OPTIMIZE small-files pass as explicit
+    * dataflow: given file-level stats, group CONTIGUOUS files (in
+    * deterministic `fileCol` order) into bins of ≈ `targetBytes` via
+    * cumulative-size binning, `bin = floor(cum_bytes_before /
+    * target)`. Contiguous greedy binning preserves the sort/partition
+    * locality of the existing layout (files that were range-neighbors
+    * compact together), which is why OPTIMIZE-style compactors use
+    * it. Bin ids can skip values after an oversized file (it owns
+    * several bins' worth of the cumsum) — they are grouping keys, not
+    * dense ordinals.
+    *
+    * Scale note: planning is METADATA-scale work — the input is a
+    * file listing (millions of rows per exabyte, not the data
+    * itself), so the single total-order window here is the right
+    * plan; the data-scale rewrite it drives is
+    * [[writePartitioned]]'s job, one task per bin.
+    */
+  def compactionPlan(files: DataFrame, fileCol: String, bytesCol: String,
+      targetBytes: Long): DataFrame = {
+    val w = Window.orderBy(col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("cum_before",
+        sum(col(bytesCol)).over(w) - col(bytesCol))
+      // long/long division promotes to double in BOTH engines; the
+      // operands are exact integers, so floor-of-quotient matches
+      .withColumn("bin", floor(col("cum_before") / lit(targetBytes)))
+      .drop("cum_before")
+  }
+
   /** The pruning round-trip surfaced at the gate: lay `documents`
     * out partitioned by `lang` (sorted by `source, doc_id` within
     * partitions), then aggregate ONE language partition. The read
@@ -208,6 +239,17 @@ object Layout {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // the (source, lang) slices of `documents` stand in for the file
+    // listing (bytes = total chars); target 4096 makes most bins span
+    // several files while the big en slices straddle bin boundaries
+    "layout_compaction_plan" -> ((s, d) =>
+      compactionPlan(
+        Tables.documents(s, d)
+          .groupBy(concat(col("source"), lit("/"), col("lang"))
+            .as("file_id"))
+          .agg(sum(col("n_chars")).as("bytes")),
+        "file_id", "bytes", targetBytes = 4096L)
+        .orderBy(col("file_id"))),
     "cdc_snapshot_diff" -> (cdcSnapshotDiff _),
     "layout_prune_agg" -> (pruneAggregate _),
     "zonemap_prune_agg" -> (zonemapPruneAgg _),
@@ -234,6 +276,19 @@ object Layout {
   )
 
   val oracles: Map[String, String] = Map(
+    "layout_compaction_plan" ->
+      """WITH f AS (SELECT source || '/' || lang AS file_id,
+        |                  CAST(sum(n_chars) AS BIGINT) AS bytes
+        |           FROM documents GROUP BY 1),
+        |c AS (SELECT file_id, bytes,
+        |             sum(bytes) OVER (ORDER BY file_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |               - bytes AS cum_before
+        |      FROM f)
+        |SELECT file_id, bytes,
+        |       CAST(floor(CAST(cum_before AS DOUBLE) / 4096.0) AS BIGINT)
+        |         AS bin
+        |FROM c ORDER BY file_id""".stripMargin,
     "cdc_snapshot_diff" ->
       """WITH prev AS (
         |  SELECT c_custkey, c_mktsegment, c_acctbal FROM customer),

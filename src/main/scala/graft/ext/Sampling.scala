@@ -167,6 +167,85 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tok"))
   }
 
+  /** Temperature-weighted corpus rebalancing: keep each group (the
+    * canonical use is language) at rate `r_g = (n_min / n_g)^(1-α)` —
+    * the downsample-only realization of temperature sampling
+    * `p_g ∝ n_g^α` that multilingual LLM mixes use (α ≈ 0.2–0.7
+    * up-weights low-resource languages relative to their corpus
+    * share; α = 1 is natural proportions, α = 0 is uniform). The
+    * smallest group keeps everything and larger groups downsample
+    * toward the tempered shares, so no group is ever upsampled.
+    *
+    * Same shape as [[mixCorpus]]: the rate derivation reduces the
+    * corpus to one |groups|-row frame (empty-window global min,
+    * broadcast join back), and selection is the narrow hash-Bernoulli
+    * filter — one count-scan plus one filtered scan at 100 TB.
+    *
+    * The gate pins α = 0.5, where the exponent is `sqrt`: IEEE 754
+    * requires sqrt — like the `n_min/n_g` division and the threshold
+    * multiply — to be correctly rounded, so the keep thresholds (and
+    * hence the kept set) are bit-identical across engines. General α
+    * goes through `pow`, which carries no cross-library rounding
+    * guarantee and is therefore not oracle-gated.
+    */
+  def temperatureMix(docs: DataFrame, alpha: Double = 0.5,
+      groupCol: String = "lang", keyCol: String = "doc_id",
+      seed: Long = 7L): DataFrame = {
+    val ratio = col("nmin").cast("double") / col("n").cast("double")
+    val rate =
+      if (alpha == 0.5) sqrt(ratio) else pow(ratio, lit(1.0 - alpha))
+    val keep = docs.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+      .withColumn("nmin", min(col("n")).over(Window.partitionBy()))
+      .withColumn("keep", rate)
+      .select(col(groupCol), col("keep"))
+    docs.join(broadcast(keep), groupCol)
+      .filter(bucket(col(keyCol), seed).cast("double") <
+        col("keep") * lit(Buckets.toDouble))
+      .drop("keep")
+  }
+
+  /** Deterministic global training-order shuffle: every document gets
+    * a position 1..N in seed-folded md5-hash order — the epoch
+    * shuffle a trainer consumes (hash-uniform ⇒ the order is an
+    * unbiased permutation; a new seed is a new epoch's permutation;
+    * and the position is a pure function of (seed, key), so every
+    * re-run, engine, and cluster size produces the identical order —
+    * resumable training needs exactly that).
+    *
+    * Scale shape, same discipline as [[tokenBudgetPerSource]]: rank
+    * assignment is a GLOBAL total order, and the plain `row_number`
+    * window funnels the corpus through one task — fine below
+    * `localMax` (count probe), a guaranteed straggler above it. The
+    * decomposed path turns the rank into segment-offset + in-segment
+    * rank: the hash key's leading byte splits the order into 256
+    * contiguous segments (fixed-width lowercase-hex md5 order IS
+    * leading-byte order), per-segment counts prefix-sum on a 256-row
+    * frame that broadcasts back, and `row_number` runs only INSIDE a
+    * segment (~1/256 of the corpus, bounded). Both paths emit the
+    * identical positions (property-tested).
+    */
+  def shuffleOrder(docs: DataFrame, seed: Long = 7L,
+      keyCol: String = "doc_id", localMax: Long = 1L << 22): DataFrame = {
+    val keyed = docs.select(col(keyCol),
+      substring(md5(concat(lit(seed.toString), lit(":"),
+        col(keyCol).cast("string"))), 1, 13).as("hk"))
+    if (docs.count() <= localMax) {
+      val w = Window.orderBy(col("hk"), col(keyCol))
+      return keyed.select(col(keyCol),
+        row_number().over(w).cast("long").as("pos"))
+    }
+    val seged = keyed
+      .withColumn("seg", conv(substring(col("hk"), 1, 2), 16, 10).cast("int"))
+    val segPrefix = seged.groupBy(col("seg")).agg(count(lit(1)).as("c"))
+      .withColumn("seg_before",
+        sum(col("c")).over(Window.orderBy(col("seg"))) - col("c"))
+      .select(col("seg"), col("seg_before"))
+    val inSeg = Window.partitionBy(col("seg")).orderBy(col("hk"), col(keyCol))
+    seged.join(broadcast(segPrefix), "seg")
+      .select(col(keyCol),
+        (col("seg_before") + row_number().over(inSeg)).cast("long").as("pos"))
+  }
+
   /** Deterministic train/validation/test assignment (80/10/10 by
     * default): contiguous bucket ranges of the same hash-uniform
     * [[bucket]], so the split is a pure function of the key —
@@ -218,6 +297,16 @@ object Sampling {
     "sample_token_budget" -> ((s, d) =>
       tokenBudgetPerSource(Tables.documents(s, d), budget = 300L)
         .orderBy(col("doc_id"))),
+    // lang counts in the fixture are genuinely skewed (en ≈ 3× fr),
+    // so every rate is non-trivial and the smallest lang keeps all
+    "sample_temperature_mix" -> ((s, d) =>
+      temperatureMix(Tables.documents(s, d))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+        .orderBy(col("lang"))),
+    "sample_shuffle_order" -> ((s, d) =>
+      shuffleOrder(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "sample_mix" -> ((s, d) =>
       mixCorpus(Tables.documents(s, d), MixWeights)
         .groupBy(col("source"))
@@ -270,6 +359,32 @@ object Sampling {
          |                             WHEN 'zh' THEN 100000
          |                             ELSE 250000 END
          |ORDER BY d.doc_id""".stripMargin,
+    // one plain window over the same seed-folded md5 order — the
+    // segment decomposition must be invisible in the result
+    "sample_shuffle_order" ->
+      """WITH t AS (SELECT doc_id,
+        |                  substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13)
+        |                    AS hk
+        |           FROM documents)
+        |SELECT doc_id,
+        |       row_number() OVER (ORDER BY hk, doc_id) AS pos
+        |FROM t ORDER BY doc_id""".stripMargin,
+    // sqrt / division / multiply are all IEEE-correctly-rounded, so
+    // DuckDB computes the bit-identical keep thresholds from the same
+    // integer counts
+    "sample_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |r AS (SELECT lang, n, min(n) OVER () AS nmin FROM c),
+         |k AS (SELECT lang,
+         |             sqrt(CAST(nmin AS DOUBLE) / CAST(n AS DOUBLE)) AS keep
+         |      FROM r),
+         |s AS (SELECT d.doc_id, d.lang
+         |      FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |      JOIN k USING (lang)
+         |      WHERE CAST(b.bucket AS DOUBLE) < k.keep * 1000000.0)
+         |SELECT lang, count(*) AS n_kept, min(doc_id) AS first_doc,
+         |       max(doc_id) AS last_doc
+         |FROM s GROUP BY lang ORDER BY lang""".stripMargin,
     "sample_mix" -> {
       val values = MixWeights
         .map { case (s, w) => s"('$s', ${w.toDouble})" }.mkString(", ")

@@ -47,6 +47,34 @@ class CleaningSpec extends AnyFunSuite {
       col("clean_text").rlike(Cleaning.LongNumPattern)).count() === 0)
   }
 
+  test("line dedup strips corpus-frequent lines, keeps unique bodies in order") {
+    import spark.implicits._
+    // 6 docs share header/footer; each has a unique body; doc 6 is
+    // ONLY boilerplate and must survive as an empty document
+    val docs = (1 to 5).map(i =>
+        (i.toLong, s"shared header\nunique body $i\nline two $i\nshared footer")) :+
+      (6L, "shared header\nshared footer")
+    val out = Cleaning.lineDedup(docs.toDF("doc_id", "text"), minDocs = 5L)
+      .collect()
+    assert(out.length === 6)
+    val byId = out.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    (1 to 5).foreach { i =>
+      assert(byId(i.toLong).getAs[Long]("n_lines") === 4L)
+      assert(byId(i.toLong).getAs[Long]("n_kept") === 2L)
+      // fingerprint matches the kept lines joined in original order
+      val expect = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"unique body $i\nline two $i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(byId(i.toLong).getAs[String]("clean_md5") === expect)
+    }
+    assert(byId(6L).getAs[Long]("n_kept") === 0L)
+    assert(byId(6L).getAs[String]("clean_md5") ===
+      "d41d8cd98f00b204e9800998ecf8427e") // md5("")
+    // below the threshold nothing is boilerplate
+    val loose = Cleaning.lineDedup(docs.toDF("doc_id", "text"), minDocs = 7L)
+    assert(loose.filter(col("n_kept") =!= col("n_lines")).count() === 0)
+  }
+
   test("top terms: ranked by tf within lang, df band excludes stopword-like and hapax terms") {
     val docs = Tables.documents(spark, dir)
     val top = TextAnalysis.topTerms(docs, k = 5)

@@ -231,6 +231,13 @@ class ExtSpec extends AnyFunSuite {
     // capped co-activity on an empty activity frame
     val noAct = Seq.empty[(java.sql.Timestamp, Long)].toDF("m", "user_id")
     assert(graft.ext.GraphOps.coActivityEdgesCappedOf(noAct, 4).count() === 0)
+    // the round-4 sampling/cleaning/layout additions
+    val noLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.ext.Sampling.temperatureMix(noLang).count() === 0)
+    assert(graft.ext.Cleaning.lineDedup(noLang).count() === 0)
+    val noFiles = Seq.empty[(String, Long)].toDF("file_id", "bytes")
+    assert(graft.ext.Layout.compactionPlan(
+      noFiles, "file_id", "bytes", 10L).count() === 0)
   }
 
   test("vec_dot fails loudly on mismatched vector dimensions") {
@@ -335,6 +342,66 @@ class ExtSpec extends AnyFunSuite {
     assert(math.abs(kept("a") - 5000.0) < 300, s"a: ${kept("a")}")
     assert(math.abs(kept("b") - 5000.0) < 300, s"b: ${kept("b")}")
     assert(kept("c") === 10000L, "the binding source is kept whole")
+  }
+
+  test("temperature mix: smallest group whole, larger groups at (nmin/n)^(1-a), a=1 is identity") {
+    import graft.ext.Sampling
+    // 64k/16k/4k docs in groups a/b/c: at α=0.5 expected rates are
+    // sqrt(4k/64k)=0.25, sqrt(4k/16k)=0.5, 1.0
+    val df = spark.range(84000L).toDF("doc_id")
+      .withColumn("lang",
+        when(col("doc_id") < 64000L, "a")
+          .when(col("doc_id") < 80000L, "b").otherwise("c"))
+    val kept = Sampling.temperatureMix(df)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kept("c") === 4000L, "smallest group is kept whole")
+    assert(math.abs(kept("a") - 16000.0) < 4 * math.sqrt(64000.0 * 0.25 * 0.75),
+      s"a: ${kept("a")}")
+    assert(math.abs(kept("b") - 8000.0) < 4 * math.sqrt(16000.0 * 0.5 * 0.5),
+      s"b: ${kept("b")}")
+    // kept sets nest: α=0.5 selection ⊆ the α=1 (natural, keep-all) corpus
+    assert(Sampling.temperatureMix(df, alpha = 1.0).count() === 84000L)
+    assert(Sampling.temperatureMix(df).select("doc_id", "lang")
+      .exceptAll(df.select("doc_id", "lang")).count() === 0)
+  }
+
+  test("compaction plan: contiguous cumsum bins, oversized file owns its span") {
+    import graft.ext.Layout
+    import spark.implicits._
+    val files = Seq(("f1", 4L), ("f2", 4L), ("f3", 4L),
+      ("f4", 25L), ("f5", 4L)).toDF("file_id", "bytes")
+    val plan = Layout.compactionPlan(files, "file_id", "bytes", 10L)
+      .orderBy("file_id")
+      .collect().map(r => r.getAs[String]("file_id") -> r.getAs[Long]("bin"))
+    // cum_before: 0,4,8,12,37 → bins 0,0,0,1,3 (bin 2 consumed by f4)
+    assert(plan.toSeq === Seq("f1" -> 0L, "f2" -> 0L, "f3" -> 0L,
+      "f4" -> 1L, "f5" -> 3L))
+    // every bin's contiguous span: files in a bin are adjacent in order
+    val bins = plan.map(_._2)
+    assert(bins.toSeq === bins.sorted.toSeq)
+  }
+
+  test("shuffle order: a seed-keyed permutation; segmented path equals the plain window") {
+    import graft.ext.Sampling
+    val df = spark.range(20000L).toDF("doc_id")
+    val plain = Sampling.shuffleOrder(df)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // positions are exactly 1..N (a permutation)
+    assert(plain.values.toSeq.sorted === (1L to 20000L))
+    // localMax = 0 forces the 256-segment decomposition — identical order
+    val seg = Sampling.shuffleOrder(df, localMax = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(seg === plain)
+    // a different seed is a different epoch's permutation
+    val other = Sampling.shuffleOrder(df, seed = 8L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(other !== plain)
+    assert(other.values.toSeq.sorted === (1L to 20000L))
+    // partitioning must not change the assigned order
+    val repart = Sampling.shuffleOrder(df.repartition(17))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart === plain)
   }
 
   test("token-budget mixing: two-level prefix sum equals the naive window cumsum") {
