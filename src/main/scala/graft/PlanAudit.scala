@@ -31,6 +31,7 @@ object PlanAudit {
     * side (reviewed round 4). */
   val sanctioned = Set(
     "sim_ann_ivf",       // broadcast(qProbes): queries × nprobe
+    "sim_ann_ivf_incremental", // broadcast(batch probes): ingest batch × nprobe — broadcast-sized BY the ingest contract (see Similarity.ivfIncrementalFor)
     "sim_ann_lsh",       // broadcast(bucketed(queries)): probe set
     "skew_join_segment", // replicated small dim — the operator's design
     "text_decontam")     // eval-set n-grams — bounded holdout

@@ -95,6 +95,10 @@ object ScalingLadder {
     }
 
     val base = sys.env.getOrElse("SPARK_GRAFT_LADDER_DOCS", "25000").toLong
+    // the ann_ivf_ingest rung's one-time frozen index (train + assign),
+    // shared across its warm-up and both timed runs — rebuilding it per
+    // run would time the index build, not the ingest
+    var ingestIndex: Option[(Array[(Int, Seq[Double])], org.apache.spark.sql.DataFrame)] = None
     ladder("dedup_minhash", base) { n =>
       graft.ext.Dedup.minhashPairs(docs(spark, n), threshold = 0.8)
         .queryExecution.toRdd.count()
@@ -125,6 +129,27 @@ object ScalingLadder {
       graft.ext.Similarity.cosineNearDupPairs(
           ScaleRehearsal.clusteredEmbeddings(spark, n, centers = (n / 250).toInt),
           threshold = 0.9, nClusters = k, targetSubBlock = 512)
+        .queryExecution.toRdd.count()
+    }
+    ladder("ann_ivf_ingest", 2500) { n =>
+      // batch-proportional ingest claim, measured directly: a FIXED
+      // 100k-vector history index is trained + assigned + materialized
+      // ONCE (the precomputed bucketed state a production deployment
+      // keeps); the rung doubles only the BATCH, timing probe-list
+      // derivation + probe join + top-k — ratio ≈ 2 pins per-ingest
+      // cost as proportional to the batch, independent of history size
+      val hist = ScaleRehearsal.clusteredEmbeddings(spark, 100000L, centers = 200)
+      val (centroids, histAssigned) = ingestIndex.getOrElse {
+        val c = graft.ext.Similarity.ivfTrain(hist, nClusters = 128)
+        val a = graft.ext.Similarity.ivfAssignCorpus(c, hist).localCheckpoint(true)
+        val pair = (c, a)
+        ingestIndex = Some(pair)
+        pair
+      }
+      val batch = ScaleRehearsal.clusteredEmbeddings(spark, n, centers = 200)
+        .withColumn("vec_id", col("vec_id") + lit(100000L))
+      graft.ext.Similarity.ivfTopK(
+          (histAssigned, graft.ext.Similarity.ivfProbes(centroids, batch)), k = 10)
         .queryExecution.toRdd.count()
     }
     ladder("curate_corpus", base / 5) { n =>

@@ -71,6 +71,10 @@ object SparkEntry {
         S.ivfAssignmentsFor(s, d)._1.select("neighbor_id", "cluster")),
       "ivf_probes" -> ((s, d) =>
         S.ivfAssignmentsFor(s, d)._2.select("query_id", "cluster")),
+      "ivf_inc_corpus" -> ((s, d) =>
+        S.ivfIncrementalFor(s, d)._1.select("neighbor_id", "cluster")),
+      "ivf_inc_probes" -> ((s, d) =>
+        S.ivfIncrementalFor(s, d)._2.select("query_id", "cluster")),
       "pq_codes" -> ((s, d) => S.pqModelFor(s, d).get._1),
       "pq_tables" -> ((s, d) => S.pqModelFor(s, d).get._2),
       "pq_norms" -> ((s, d) => {

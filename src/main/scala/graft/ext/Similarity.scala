@@ -372,15 +372,52 @@ object Similarity {
     * lists `(query_id, e_q, cluster)`. Public so Verify can
     * materialize the id/cluster projections as aux inputs for the
     * DuckDB oracle (probe join + exact cosine top-k in SQL).
+    *
+    * Composed from the frozen-model pieces ([[ivfTrain]] →
+    * [[ivfAssignCorpus]] + [[ivfProbes]]); an incremental deployment
+    * calls those directly — train rarely, keep the assigned corpus as
+    * bucketed state, and run only [[ivfProbes]] + [[ivfTopK]] per
+    * ingest batch (cost proportional to the batch, pinned by the
+    * `ann_ivf_ingest` ladder rung).
     */
   def ivfAssignments(emb: DataFrame, queries: DataFrame,
       nClusters: Int = 16, nProbe: Int = 4,
       lloydIters: Int = 2): (DataFrame, DataFrame) = {
-    import graft.functions.VecDot.vec_dot
+    val centroids = ivfTrain(emb, nClusters, lloydIters)
+    (ivfAssignCorpus(centroids, emb), ivfProbes(centroids, queries, nProbe))
+  }
 
-    val corpus = emb.select(col("vec_id"),
+  /** (id, double-vector) projection shared by train/assign/probe. */
+  private def ivfCorpus(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       transform(col("embedding"), v => v.cast("double")).as("e"))
 
+  /** argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²);
+    * reads the `__scores` column a prior ivfScored(...) projection
+    * added (native one-pass argmax — see
+    * [[graft.functions.ArgMaxDouble]]). */
+  private def nearestClusterFromScores =
+    graft.functions.ArgMaxDouble.arg_max_double(col("__scores"))
+
+  private def ivfScored(centroids: Array[(Int, Seq[Double])],
+      df: DataFrame, e: Column): DataFrame = {
+    import graft.functions.VecDot.vec_dot
+    val scores = centroids.map { case (_, c) =>
+      val c2 = c.map(x => x * x).sum
+      vec_dot(e, typedlit(c)) * 2.0 - lit(c2)
+    }
+    df.withColumn("__scores", array(scores: _*))
+  }
+
+  /** Train the coarse quantizer: deterministic init (first nClusters
+    * vectors by id) refined by `lloydIters` Lloyd rounds expressed as
+    * DataFrame aggregations — the driver only ever holds the k × dim
+    * centroid doubles. The returned array is the FROZEN model state an
+    * incremental deployment retrains rarely and reuses every batch.
+    */
+  def ivfTrain(emb: DataFrame, nClusters: Int = 16,
+      lloydIters: Int = 2): Array[(Int, Seq[Double])] = {
+    val corpus = ivfCorpus(emb)
     // deterministic init: first nClusters vectors as seeds
     var centroids: Array[(Int, Seq[Double])] = corpus
       .orderBy(col("vec_id")).limit(nClusters).collect()
@@ -388,23 +425,8 @@ object Similarity {
     // dimensionality from the data, not a parameter (see
     // [[cosineNearDupPairs]])
     val dim = if (centroids.isEmpty) 0 else centroids(0)._2.length
-
-    // argmin over squared distance ⇔ argmax of (2·dot − ‖c‖²);
-    // reads the `__scores` column a prior scored(...) projection added
-    // (native one-pass argmax — see [[graft.functions.ArgMaxDouble]])
-    def nearestClusterFromScores =
-      graft.functions.ArgMaxDouble.arg_max_double(col("__scores"))
-
-    def scored(df: DataFrame, e: Column) = {
-      val scores = centroids.map { case (_, c) =>
-        val c2 = c.map(x => x * x).sum
-        vec_dot(e, typedlit(c)) * 2.0 - lit(c2)
-      }
-      df.withColumn("__scores", array(scores: _*))
-    }
-
     for (_ <- 0 until lloydIters) {
-      val assigned = scored(corpus, col("e"))
+      val assigned = ivfScored(centroids, corpus, col("e"))
         .withColumn("cluster", nearestClusterFromScores)
       val means = assigned.groupBy(col("cluster"))
         .agg(array((0 until dim).map(d =>
@@ -414,15 +436,25 @@ object Similarity {
       val byId = means.toMap
       centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
     }
+    centroids
+  }
 
-    val assignedCorpus = scored(corpus, col("e"))
+  /** Assign a corpus to frozen centroids: the write-once bucketed
+    * index state `(neighbor_id, e_c, cluster)`. */
+  def ivfAssignCorpus(centroids: Array[(Int, Seq[Double])],
+      emb: DataFrame): DataFrame =
+    ivfScored(centroids, ivfCorpus(emb), col("e"))
       .withColumn("cluster", nearestClusterFromScores)
       .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("cluster"))
 
-    // probe lists: nProbe best clusters per query
+  /** Per-query probe lists against frozen centroids: the nProbe best
+    * clusters per query — the only per-batch derivation an
+    * incremental ingest runs. */
+  def ivfProbes(centroids: Array[(Int, Seq[Double])], queries: DataFrame,
+      nProbe: Int = 4): DataFrame = {
     val qPrepped = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), v => v.cast("double")).as("e_q"))
-    val qProbes = scored(qPrepped, col("e_q"))
+    ivfScored(centroids, qPrepped, col("e_q"))
       .select(col("query_id"), col("e_q"),
         posexplode(slice(array_sort(
           // sort (score, cluster) descending by score via negated score
@@ -431,8 +463,6 @@ object Similarity {
               lit(i).as("cluster"))): _*)), 1, nProbe))
           .as(Seq("p", "probe")))
       .select(col("query_id"), col("e_q"), col("probe.cluster").as("cluster"))
-
-    (assignedCorpus, qProbes)
   }
 
   /** ANN via product quantization (IVF-ADC family): the COMPRESSED
@@ -592,6 +622,8 @@ object Similarity {
   // stay distributed — only the handles live here).
   private val ivfMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), (DataFrame, DataFrame)]()
+  private val ivfIncMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), (DataFrame, DataFrame)]()
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Option[(DataFrame, DataFrame, Seq[Seq[Double]])]]()
 
@@ -602,6 +634,35 @@ object Similarity {
     ivfMemo.computeIfAbsent((spark, dir), { _ =>
       val emb = Tables.embeddings(spark, dir)
       ivfAssignments(emb, querySet(emb))
+    })
+
+  /** The incremental-ingest split of the embeddings fixture: vec_id
+    * ≡ 0 (mod 3) is the NEW batch, the rest the indexed HISTORY —
+    * the vector-side twin of [[Dedup.minhashPairsAgainst]]'s corpus
+    * split. Public so the gate and aux builders share it. */
+  def ingestSplit(emb: DataFrame): (DataFrame, DataFrame) =
+    (emb.filter(col("vec_id") % 3 =!= 0),
+      emb.filter(col("vec_id") % 3 === 0))
+
+  /** Incremental ANN ingest model: centroids trained on HISTORY
+    * ONLY, the new batch assigned to those FROZEN centroids as probe
+    * lists — the production pattern (retrain rarely, assign every
+    * batch; a batch never re-pairs history with itself, and at scale
+    * the history side is precomputed cluster-bucketed state, so
+    * per-ingest cost is batch-proportional). [[ivfAssignments]]
+    * already has exactly this asymmetry: the corpus argument trains,
+    * the queries argument is only ever assigned. Trained once per
+    * (session, dir) and shared with the aux materialization.
+    *
+    * Search is [[ivfTopK]]'s probe join: its broadcast hint holds
+    * while the ingest batch is broadcast-sized (gate contract); a
+    * bulk backfill would drop the hint and let the cluster-keyed
+    * equi-join shuffle both sides.
+    */
+  def ivfIncrementalFor(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    ivfIncMemo.computeIfAbsent((spark, dir), { _ =>
+      val (hist, newBatch) = ingestSplit(Tables.embeddings(spark, dir))
+      ivfAssignments(hist, newBatch)
     })
 
   /** PQ model for the fixture at `dir`, trained once per
@@ -633,6 +694,11 @@ object Similarity {
     // through a second training
     "sim_ann_ivf" -> ((s, d) =>
       ivfTopK(ivfAssignmentsFor(s, d), k = GateK)
+        .orderBy(col("query_id"), col("rank"))),
+    // incremental ingest: the new batch searches the history-trained
+    // index only — neighbors always come from history, never the batch
+    "sim_ann_ivf_incremental" -> ((s, d) =>
+      ivfTopK(ivfIncrementalFor(s, d), k = GateK)
         .orderBy(col("query_id"), col("rank"))),
     "sim_ann_pq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -681,6 +747,24 @@ object Similarity {
     "sim_ann_ivf" ->
       s"""WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
         |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_probes/*.parquet'))
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT p.query_id, c.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY p.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    c.neighbor_id) AS rank
+        |  FROM p JOIN c ON p.cluster = c.cluster
+        |       JOIN embeddings qe ON qe.vec_id = p.query_id
+        |       JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  WHERE p.query_id != c.neighbor_id)
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
+    // same probe-join shape as sim_ann_ivf over the incremental aux:
+    // given the (history-trained) assignments the result set is fully
+    // deterministic, so the gate is an exact hash-match here too
+    "sim_ann_ivf_incremental" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_inc_corpus/*.parquet')),
+        |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_inc_probes/*.parquet'))
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (
         |  SELECT p.query_id, c.neighbor_id,

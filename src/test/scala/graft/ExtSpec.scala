@@ -143,6 +143,29 @@ class ExtSpec extends AnyFunSuite {
     assert(hit >= 3, s"IVF missed too many true top-1 neighbors: $hit/5")
   }
 
+  test("incremental IVF ingest: batch searches history only, with solid top-1 recall") {
+    val emb = Tables.embeddings(spark, dir)
+    val (hist, newBatch) = Similarity.ingestSplit(emb)
+    val histIds = hist.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val batchIds = newBatch.select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    val inc = Similarity.ivfTopK(
+      Similarity.ivfAssignments(hist, newBatch), k = 10).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")))
+    assert(inc.nonEmpty)
+    // the ingest invariant: every query is a batch vector, every
+    // neighbor an indexed history vector — a batch never pairs with itself
+    assert(inc.forall { case (q, n) => batchIds(q) && histIds(n) },
+      "incremental search must pair batch queries with history neighbors only")
+    // frozen-centroid probe quality: most true (history-side) top-1
+    // neighbors survive probing 4/16 clusters
+    val brute = Similarity.bruteTopK(hist, newBatch, 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val found = inc.toSet
+    val hits = brute.count(found.contains)
+    assert(hits.toDouble / brute.size >= 0.6,
+      s"incremental IVF found $hits/${brute.size} true top-1 neighbors")
+  }
+
   test("multimodal feature extraction is deterministic and metadata prunes payload") {
     import spark.implicits._
     val media = Multimodal.mediaTable(spark, dir).as[Multimodal.MediaRow]
