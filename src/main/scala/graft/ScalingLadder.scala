@@ -166,6 +166,14 @@ object ScalingLadder {
       graft.ext.CorpusPrep.repetitionStats(docs(spark, n))
         .queryExecution.toRdd.count()
     }
+    ladder("text_span_dedup", base * 4) { n =>
+      // the fixture's triples share 29/30 template words, so dup
+      // 8-gram density is constant in n (hits and output both scale
+      // linearly BY CONSTRUCTION) — the rung measures the gram
+      // count-shuffle + merge join + per-doc island windows
+      graft.ext.CorpusPrep.spanDupStats(docs(spark, n))
+        .queryExecution.toRdd.count()
+    }
     ladder("text_decontam_gramjoin", base * 20) { n =>
       // gram build pinned to one split per doc; eval side broadcasts
       graft.ext.CorpusPrep.decontaminate(docs(spark, n))

@@ -183,6 +183,64 @@ object CorpusPrep {
 
   }
 
+  /** Span width (words) for cross-document repeated-span coverage. */
+  val SpanN = 8
+
+  /** Cross-document repeated-span coverage, the signal behind exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): for each document,
+    * the fraction of its tokens covered by at least one [[SpanN]]-word
+    * gram that also occurs in ANOTHER document. Overlapping hits
+    * merge via interval union (gaps-and-islands over gram start
+    * positions: a gram at `pos` covers `[pos, pos+n)`; a new island
+    * starts when `pos` exceeds the running max end), so a long shared
+    * passage counts its tokens once, not once per gram. Only
+    * documents with ≥1 cross-doc span are emitted — at scale the
+    * output feeds span-removal or doc-drop, and the clean majority
+    * never materializes (same contract as [[decontaminate]]).
+    *
+    * Scale shape: the gram-frequency aggregation and the hit join are
+    * the wordcount family — shuffles keyed on the gram string,
+    * map-side combined; the join is `hint("merge")`-pinned because
+    * BOTH sides sit on explode-derived lineage whose size Catalyst
+    * cannot estimate (the round-4 broadcast-over-Generate hazard).
+    * The island windows partition by doc_id — per-task state is
+    * bounded by one document's hit count, never the corpus.
+    */
+  def spanDupStats(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // tokens pinned once per row (see [[gramArrays]]); n_tokens rides
+    // along so no second scan of the corpus is needed for the ratio
+    val grams = docs
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("w"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        posexplode(when(size(col("w")) >= n,
+          transform(sequence(lit(0), size(col("w")) - lit(n)),
+            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
+          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1).select(col("gram"))
+    val hits = grams.join(dup.hint("merge"), "gram")
+    val wPrev = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    hits
+      .withColumn("brk", when(col("pos") >
+          coalesce(max(col("pos") + lit(n)).over(wPrev), lit(-1)), lit(1L))
+        .otherwise(lit(0L)))
+      .withColumn("island", sum(col("brk")).over(wRun))
+      .groupBy(col("doc_id"), col("n_tokens"), col("island"))
+      .agg((max(col("pos") + lit(n)) - min(col("pos"))).cast("long").as("covered"))
+      .groupBy(col("doc_id"), col("n_tokens"))
+      .agg(sum(col("covered")).as("dup_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
+        floor(col("dup_tokens") * lit(10000.0) / col("n_tokens") + lit(0.5))
+          .cast("long").as("cov_x10k"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Top merge candidates for BPE step 1. */
   val BpeTopK = 50
 
@@ -219,6 +277,7 @@ object CorpusPrep {
     "text_decontam" -> ((s, d) => decontaminate(Tables.documents(s, d))),
     "text_repetition" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
+    "text_span_dedup" -> ((s, d) => spanDupStats(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d)))
   )
 
@@ -259,6 +318,30 @@ object CorpusPrep {
          |       md5(array_to_string(w[s:s+${ChunkSize - 1}], ' ')) AS chunk_md5
          |FROM w, unnest(range(1, len(w) + 1, $ChunkStride)) AS t(s)
          |ORDER BY doc_id, chunk_idx""".stripMargin,
+    "text_span_dedup" ->
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, len(w) AS n_tokens, i - 1 AS pos,
+         |             array_to_string(w[i:i+${SpanN - 1}], ' ') AS gram
+         |      FROM w, unnest(range(1, greatest(len(w) - ${SpanN - 2}, 1))) AS t(i)),
+         |dup AS (SELECT gram FROM g GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) > 1),
+         |h AS (SELECT g.doc_id, g.n_tokens, g.pos FROM g JOIN dup USING (gram)),
+         |b AS (SELECT doc_id, n_tokens, pos,
+         |             CASE WHEN pos > coalesce(max(pos + $SpanN) OVER
+         |               (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM h),
+         |isl AS (SELECT doc_id, n_tokens, pos,
+         |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM b),
+         |cov AS (SELECT doc_id, n_tokens, island,
+         |               max(pos + $SpanN) - min(pos) AS covered
+         |        FROM isl GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(sum(covered) AS BIGINT) AS dup_tokens,
+         |       CAST(floor(sum(covered) * 10000.0 / n_tokens + 0.5) AS BIGINT) AS cov_x10k
+         |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT unnest($W) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wc FROM t

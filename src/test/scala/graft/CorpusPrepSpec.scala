@@ -69,6 +69,38 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out(0).getString(3) === expectMd5)
   }
 
+  test("span dedup: shared passage counted once via island merge, clean docs absent") {
+    // docs 1 and 2 embed the SAME 10-word passage (p1..p10) in
+    // different contexts: with SpanN = 8, each doc has 3 hit grams at
+    // consecutive start positions that merge into ONE island covering
+    // exactly the 10 passage tokens. doc 3 shares nothing 8 words long.
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = docsOf(
+      1L -> s"u1 u2 u3 $passage v1 v2",
+      2L -> s"x1 $passage y1 y2 y3",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    val out = CorpusPrep.spanDupStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq(
+      (1L, 15L, 10L, 6667L),   // floor(10*10000/15 + .5) = 6667
+      (2L, 14L, 10L, 7143L)))  // floor(10*10000/14 + .5) = 7143
+  }
+
+  test("span dedup: two disjoint shared spans stay separate islands") {
+    // doc 1 shares span A with doc 2 and span B with doc 3; A and B
+    // sit far apart in doc 1 → two islands, coverage = 8 + 8
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val b = (1 to 8).map(i => s"b$i").mkString(" ")
+    val docs = docsOf(
+      1L -> s"$a f1 f2 f3 f4 $b",
+      2L -> s"n1 n2 $a",
+      3L -> s"$b m1 m2")
+    val out = CorpusPrep.spanDupStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(out(1L) === 16L)
+    assert(out(2L) === 8L && out(3L) === 8L)
+  }
+
   test("int8 quantization: known codes, constant-vector guard, dim preservation") {
     import spark.implicits._
     val emb = Seq(
