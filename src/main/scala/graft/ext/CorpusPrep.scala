@@ -207,10 +207,15 @@ object CorpusPrep {
     * The island windows partition by doc_id — per-task state is
     * bounded by one document's hit count, never the corpus.
     */
-  def spanDupStats(docs: DataFrame, n: Int = SpanN): DataFrame = {
+  /** Merged duplicated-span intervals per document:
+    * `(doc_id, n_tokens, island, st, en)` with `[st, en)` in 0-based
+    * token positions — the shared core of [[spanDupStats]] (coverage
+    * statistic) and [[removeDupSpans]] (the removal action).
+    */
+  private def spanIslands(docs: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     // tokens pinned once per row (see [[gramArrays]]); n_tokens rides
-    // along so no second scan of the corpus is needed for the ratio
+    // along so no second scan of the corpus is needed downstream
     val grams = docs
       .select(col("doc_id"),
         explode(array(TextAnalysis.tokens(col("text")))).as("w"))
@@ -232,12 +237,48 @@ object CorpusPrep {
         .otherwise(lit(0L)))
       .withColumn("island", sum(col("brk")).over(wRun))
       .groupBy(col("doc_id"), col("n_tokens"), col("island"))
-      .agg((max(col("pos") + lit(n)) - min(col("pos"))).cast("long").as("covered"))
+      .agg(min(col("pos")).as("st"), (max(col("pos")) + lit(n)).as("en"))
+  }
+
+  def spanDupStats(docs: DataFrame, n: Int = SpanN): DataFrame =
+    spanIslands(docs, n)
       .groupBy(col("doc_id"), col("n_tokens"))
-      .agg(sum(col("covered")).as("dup_tokens"))
+      .agg(sum((col("en") - col("st")).cast("long")).as("dup_tokens"))
       .select(col("doc_id"), col("n_tokens"), col("dup_tokens"),
         floor(col("dup_tokens") * lit(10000.0) / col("n_tokens") + lit(0.5))
           .cast("long").as("cov_x10k"))
+      .orderBy(col("doc_id"))
+
+  /** The removal ACTION on [[spanDupStats]]'s signal: re-emit each
+    * contaminated document with every cross-document duplicated span
+    * excised (all occurrences removed, the Lee et al. 2022 policy —
+    * deterministic and ownerless, so no doc-election join is needed).
+    * Output is `(doc_id, n_tokens, n_kept, kept_md5)` — the cleaned
+    * text is fingerprinted rather than re-emitted so the gate result
+    * stays narrow; a pipeline would `array_join` the same kept array
+    * into a text column instead. Clean documents never appear (they
+    * are pass-through by definition).
+    *
+    * Shape: one extra doc-keyed merge join (islands collapse to ONE
+    * spans-array row per contaminated doc) + an in-scan HOF filter of
+    * the pinned token array against that interval list — no explode of
+    * kept tokens, no second corpus shuffle beyond [[spanIslands]]'s.
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = SpanN): DataFrame = {
+    // sort_array: collect_list order is partition-dependent; islands
+    // are disjoint so (st, en) sorts deterministically
+    val spans = spanIslands(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("st"), col("en")))).as("spans"))
+    docs.join(spans.hint("merge"), "doc_id")
+      .select(col("doc_id"),
+        explode(array(TextAnalysis.tokens(col("text")))).as("w"), col("spans"))
+      .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
+        filter(col("w"), (x, i) =>
+          !exists(col("spans"), s => i >= s("st") && i < s("en"))).as("kept"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(col("kept")).cast("long").as("n_kept"),
+        md5(array_join(col("kept"), " ")).as("kept_md5"))
       .orderBy(col("doc_id"))
   }
 
@@ -278,6 +319,7 @@ object CorpusPrep {
     "text_repetition" -> ((s, d) => repetitionStats(Tables.documents(s, d))),
     "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => spanDupStats(Tables.documents(s, d))),
+    "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d)))
   )
 
@@ -342,6 +384,36 @@ object CorpusPrep {
          |       CAST(sum(covered) AS BIGINT) AS dup_tokens,
          |       CAST(floor(sum(covered) * 10000.0 / n_tokens + 0.5) AS BIGINT) AS cov_x10k
          |FROM cov GROUP BY doc_id, n_tokens ORDER BY doc_id""".stripMargin,
+    "text_span_removal" ->
+      s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
+         |g AS (SELECT doc_id, i - 1 AS pos,
+         |             array_to_string(w[i:i+${SpanN - 1}], ' ') AS gram
+         |      FROM w, unnest(range(1, greatest(len(w) - ${SpanN - 2}, 1))) AS t(i)),
+         |dup AS (SELECT gram FROM g GROUP BY gram
+         |        HAVING count(DISTINCT doc_id) > 1),
+         |h AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)),
+         |b AS (SELECT doc_id, pos,
+         |             CASE WHEN pos > coalesce(max(pos + $SpanN) OVER
+         |               (PARTITION BY doc_id ORDER BY pos
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |             THEN 1 ELSE 0 END AS brk
+         |      FROM h),
+         |isl AS (SELECT doc_id, pos,
+         |               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |        FROM b),
+         |cov AS (SELECT doc_id, island, min(pos) AS st, max(pos + $SpanN) AS en
+         |        FROM isl GROUP BY 1, 2),
+         |sp AS (SELECT doc_id, list({'st': st, 'en': en}) AS spans
+         |       FROM cov GROUP BY 1),
+         |sel AS (SELECT w.doc_id, len(w.w) AS n_tokens,
+         |               list_filter(w.w, (x, i) ->
+         |                 len(list_filter(sp.spans, s ->
+         |                   (i - 1) >= s.st AND (i - 1) < s.en)) = 0) AS kept
+         |        FROM w JOIN sp USING (doc_id))
+         |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         |       CAST(len(kept) AS BIGINT) AS n_kept,
+         |       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_md5
+         |FROM sel ORDER BY doc_id""".stripMargin,
     "bpe_pair_counts" ->
       s"""WITH t AS (SELECT unnest($W) AS word FROM documents),
          |wc AS (SELECT word, count(*) AS wc FROM t

@@ -101,6 +101,32 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(out(2L) === 8L && out(3L) === 8L)
   }
 
+  test("span removal: shared passage excised from ALL holders, context kept, clean docs absent") {
+    val passage = (1 to 10).map(i => s"p$i").mkString(" ")
+    val docs = docsOf(
+      1L -> s"u1 u2 u3 $passage v1 v2",
+      2L -> s"x1 $passage y1 y2 y3",
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11 z12")
+    val out = CorpusPrep.removeDupSpans(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out.toSeq === Seq(
+      (1L, 15L, 5L, md5("u1 u2 u3 v1 v2")),
+      (2L, 14L, 4L, md5("x1 y1 y2 y3"))))
+  }
+
+  test("span removal: fully-duplicated doc keeps zero tokens, md5 of empty string") {
+    val a = (1 to 8).map(i => s"a$i").mkString(" ")
+    val docs = docsOf(1L -> a, 2L -> s"c1 $a c2")
+    val out = CorpusPrep.removeDupSpans(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    def md5(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(out(1L) === ((0L, md5(""))))
+    assert(out(2L) === ((2L, md5("c1 c2"))))
+  }
+
   test("int8 quantization: known codes, constant-vector guard, dim preservation") {
     import spark.implicits._
     val emb = Seq(
