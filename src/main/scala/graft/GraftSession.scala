@@ -12,10 +12,18 @@ import org.apache.spark.sql.SparkSession
   *    Spark default 200 (local[32] → 32).
   *  - Session timezone pinned UTC — every time-keyed query formats
   *    wall time explicitly, so results are environment-independent.
-  *  - `parquet.nanosAsLong`: the fixture `events.ts` is
-  *    TIMESTAMP(NANOS) which Spark has no native type for; we read it
-  *    as epoch-nanos LONG and convert to a microsecond TIMESTAMP in
-  *    [[graft.sources.Tables.events]].
+  *  - `parquet.nanosAsLong`: a TIMESTAMP(NANOS) source column (one
+  *    fixture generation shipped `events.ts` that way) has no native
+  *    Spark type; read it as epoch-nanos LONG and convert to a
+  *    microsecond TIMESTAMP in [[graft.sources.Tables.events]].
+  *  - `parquet.inferTimestampNTZ` OFF: tz-naive parquet timestamps
+  *    (isAdjustedToUTC=false — what pandas/pyarrow write by default,
+  *    and the current fixture generation) read as plain TIMESTAMP
+  *    epoch-micros instants, not TIMESTAMP_NTZ. With the session tz
+  *    pinned UTC the wall-clock view is identical, every downstream
+  *    `unix_micros`/cast/JDBC surface keeps its TIMESTAMP contract,
+  *    and the DuckDB oracle (which reads the same column as a naive
+  *    timestamp) agrees byte-for-byte.
   */
 object GraftSession {
 
@@ -25,6 +33,7 @@ object GraftSession {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     .config("spark.sql.warehouse.dir",
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
     .config("spark.ui.enabled", "false")

@@ -41,11 +41,19 @@ object Tables {
   def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
   def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark cannot
-    * represent natively: read it as epoch-nano LONG
-    * (`spark.sql.legacy.parquet.nanosAsLong`) and truncate to a
-    * microsecond TIMESTAMP. Truncation only ever moves an instant
-    * earlier by <1µs, so second-grain comparisons are unaffected.
+  /** `events.ts` normalized to a microsecond TIMESTAMP whatever the
+    * at-rest parquet representation — fixture generations have
+    * shipped it two ways:
+    *  - TIMESTAMP(NANOS), which Spark cannot represent natively: read
+    *    as epoch-nano LONG (`spark.sql.legacy.parquet.nanosAsLong`)
+    *    and truncate to micros. Truncation only ever moves an instant
+    *    earlier by <1µs, so second-grain comparisons are unaffected.
+    *  - tz-naive TIMESTAMP(MICROS) (isAdjustedToUTC=false): the
+    *    engine session reads it as a plain TIMESTAMP instant
+    *    ([[graft.GraftSession]] disables `inferTimestampNTZ`); a
+    *    foreign session with NTZ inference on yields TIMESTAMP_NTZ,
+    *    cast here to the instant type (wall clock taken as session
+    *    tz = UTC — the same reading).
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -55,6 +63,9 @@ object Tables {
         raw.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => raw
     }
   }

@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, LongType, StringType, StructField, StructType, TimestampType}
 
 /** Streaming twins of the reference's four Flink SQL queries
   * (Q1–Q4, `doc/temp.md:375-411`), as Structured Streaming pipelines
@@ -273,14 +273,39 @@ object StreamingQueries {
 
   // ------------------------------------------------- gate-facing replay
 
-  /** Fixture `events.parquet` as a *streaming* source (file source,
-    * explicit schema — `ts` read as epoch-nanos LONG, see
-    * [[graft.sources.Tables.events]]).
+  /** Fixture `events.ts` at-rest representation probe. Generations of
+    * the fixture have shipped `ts` two ways (see
+    * [[graft.sources.Tables.events]]): TIMESTAMP(NANOS), which the
+    * legacy flag surfaces as an epoch-nanos LONG, and tz-naive
+    * TIMESTAMP(MICROS), which reads as a plain µs TIMESTAMP. A
+    * streaming file source needs an EXPLICIT schema, so the replay
+    * probes one batch-read footer per path and mirrors whatever the
+    * batch path sees — the stream and its batch oracle can then never
+    * disagree about what an instant means.
     */
-  private val rawEventSchema = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  private def tsReadAsLong(spark: SparkSession, parquetPath: String): Boolean = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(parquetPath).schema("ts").dataType == LongType
+  }
+
+  private def rawEventSchema(tsLong: Boolean): StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", if (tsLong) LongType else TimestampType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streamed fixture events with `ts` normalized to a µs TIMESTAMP
+    * whatever the at-rest representation. `probeFile` must be a
+    * concrete parquet file covered by `glob` under `srcDir`.
+    */
+  private def eventStream(spark: SparkSession, srcDir: String,
+      glob: String, probeFile: String): DataFrame = {
+    val tsLong = tsReadAsLong(spark, probeFile)
+    val src = spark.readStream.schema(rawEventSchema(tsLong))
+      .option("pathGlobFilter", glob).parquet(srcDir)
+    if (tsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else src
+  }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
 
@@ -300,11 +325,8 @@ object StreamingQueries {
   def replay(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, keys: Seq[String],
       outputMode: String = "update"): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet") // file source needs a dir
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // file source needs a dir; glob selects the one fixture file
+    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
     val db = s"replay_${replaySeq.incrementAndGet()}"
     val sink = new JdbcUpsertSink(s"jdbc:derby:memory:$db;create=true",
       "result_table", keys)
@@ -342,11 +364,7 @@ object StreamingQueries {
     */
   def replayComplete(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val src = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
     val name = s"replay_complete_${replaySeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // see replay()
@@ -384,7 +402,7 @@ object StreamingQueries {
     */
   def replayAppendFlush(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsLong = tsReadAsLong(spark, s"$dir/events.parquet")
     val scratch = graft.RunScratch.dir("replay_flush", dir)
     new java.io.File(scratch).mkdirs()
     val link = java.nio.file.Paths.get(scratch, "events.parquet")
@@ -393,24 +411,26 @@ object StreamingQueries {
         link, java.nio.file.Paths.get(dir, "events.parquet"))
     val sentinel = java.nio.file.Paths.get(scratch, "zz_flush.parquet")
     if (!java.nio.file.Files.exists(sentinel)) {
-      val maxTs = spark.read.schema(rawEventSchema)
-        .parquet(s"$dir/events.parquet")
-        .agg(max(col("ts"))).collect()(0).getLong(0)
-      val flushTs = maxTs + 3L * 24 * 3600 * 1000000000L // +3 days (nanos)
+      // the sentinel must ship in the fixture's own at-rest ts
+      // representation — the stream reads both files with one schema
+      val schema = rawEventSchema(tsLong)
+      val maxRow = spark.read.schema(schema).parquet(s"$dir/events.parquet")
+        .agg(max(col("ts"))).collect()(0)
+      val flushTs: Any =
+        if (tsLong) maxRow.getLong(0) + 3L * 24 * 3600 * 1000000000L // +3 days (nanos)
+        else java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
+          .plus(java.time.Duration.ofDays(3)))
       val row = org.apache.spark.sql.Row(-1L, flushTs, -1L, "flush", 0.0, null)
       val tmp = s"$scratch/.sentinel_build"
       spark.createDataFrame(
-          java.util.Collections.singletonList(row), rawEventSchema)
+          java.util.Collections.singletonList(row), schema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException("sentinel part file missing"))
       java.nio.file.Files.copy(part.toPath, sentinel)
     }
-    val src = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "*.parquet")
-      .parquet(scratch)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventStream(spark, scratch, "*.parquet", s"$dir/events.parquet")
     val name = s"replay_append_${replaySeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // see replay()
@@ -435,14 +455,10 @@ object StreamingQueries {
     * survive underneath.
     */
   def fanoutRollup(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val base = graft.RunScratch.dir("fanout", dir)
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
-    val src = spark.readStream.schema(rawEventSchema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
     val q = dualSinkFanout(src, s"$base/a", s"$base/b", s"$base/ckpt")
     try { q.processAllAvailable() } finally q.stop()
     spark.read.parquet(s"$base/a")

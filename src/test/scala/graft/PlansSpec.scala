@@ -16,15 +16,42 @@ class PlansSpec extends AnyFunSuite {
   lazy val spark: SparkSession = GraftSession.local("graft-plans-test")
   val dir = "/root/testdata/sf0.001"
 
+  /** A nanos-SOURCED events frame: the current driver fixture ships
+    * `ts` as tz-naive TIMESTAMP(MICROS) (read natively — Catalyst
+    * pushes its filters unaided), but the engine still supports
+    * TIMESTAMP(NANOS) sources, which arrive as epoch-nanos LONGs and
+    * get the `timestamp_micros(ts div 1000)` conversion in
+    * [[Tables.events]]. Spark cannot WRITE parquet nanos, so the
+    * fixture here materializes the post-read shape directly: a LONG
+    * `ts` parquet column + the same conversion expression — byte-
+    * identical to what a nanos source produces, which is exactly the
+    * plan shape [[graft.plans.NanosFilterPushdown]] rewrites.
+    */
+  lazy val nanosEvents: org.apache.spark.sql.DataFrame = {
+    val path = RunScratch.dir("nanos_fixture", dir)
+    Tables.events(spark, dir)
+      .select(col("event_id"),
+        (unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+      .write.mode("overwrite").parquet(path)
+    spark.read.parquet(path)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   test("nanos filter pushdown: raw ts bound reaches the parquet scan") {
-    val q = Tables.events(spark, dir)
+    val q = nanosEvents
       .filter(col("ts") >= to_timestamp(lit("2024-01-30 00:00:00")))
       .select(col("event_id"))
     val plan = q.queryExecution.executedPlan.toString
     // 2024-01-30T00:00:00Z = 1706572800 s; sign-safe bound is
     // n > (C−1 µs)·1000 (valid for trunc-toward-zero division)
-    assert(plan.contains("PushedFilters: [IsNotNull(ts), GreaterThan(ts,1706572799999999000)]"),
+    assert(plan.contains("GreaterThan(ts,1706572799999999000)"),
       s"raw nanos bound not pushed:\n$plan")
+    // and the rewrite preserves the result set exactly
+    val viaLong = q.collect().map(_.getLong(0)).sorted
+    val native = Tables.events(spark, dir)
+      .filter(col("ts") >= to_timestamp(lit("2024-01-30 00:00:00")))
+      .select(col("event_id")).collect().map(_.getLong(0)).sorted
+    assert(viaLong.sameElements(native), "nanos-sourced path diverged from native")
   }
 
   test("pushdown rule preserves q6 results exactly") {
@@ -44,7 +71,7 @@ class PlansSpec extends AnyFunSuite {
   }
 
   test("equality comparison expands to a half-open nanos range") {
-    val q = Tables.events(spark, dir)
+    val q = nanosEvents
       .filter(col("ts") === to_timestamp(lit("2024-01-15 12:00:00")))
       .select(col("event_id"))
     val plan = q.queryExecution.executedPlan.toString
@@ -55,7 +82,7 @@ class PlansSpec extends AnyFunSuite {
   test("literal-on-left comparison shapes also reach PushedFilters") {
     // lit >= ts is the mirror of ts <= lit: both must land a raw
     // nanos upper bound in the scan
-    val q = Tables.events(spark, dir)
+    val q = nanosEvents
       .filter(to_timestamp(lit("2024-01-15 00:00:00")) >= col("ts"))
       .select(col("event_id"))
     val plan = q.queryExecution.executedPlan.toString
@@ -78,7 +105,7 @@ class PlansSpec extends AnyFunSuite {
     // (us+1)·1000 for 9999-12-31 wraps Long negative; the rule must
     // SKIP the rewrite (the literal implies no useful bound), not emit
     // a wrapped conjunct that filters out every row
-    val ev = Tables.events(spark, dir)
+    val ev = nanosEvents
     val all = ev.count()
     val q = ev.filter(col("ts") <= to_timestamp(lit("9999-12-31 00:00:00")))
     assert(q.count() === all, "sentinel upper bound dropped rows")
