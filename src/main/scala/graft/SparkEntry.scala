@@ -54,6 +54,9 @@ object SparkEntry {
       "sample_buckets" -> ((s, d) =>
         Tables.documents(s, d).select(col("doc_id"),
           Sampling.bucket(col("doc_id"), 7L).as("bucket"))),
+      "leakage_buckets" -> ((s, d) =>
+        Sampling.leakageAssign(Tables.documents(s, d))
+          .select(col("doc_id"), col("component"), col("bucket"))),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),

@@ -266,6 +266,49 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Near-dup-component assignment + split bucket per document: the
+    * shared derivation under [[leakageSafeSplits]] and its aux dump.
+    * Component = min reachable doc_id over the exact-Jaccard pair
+    * graph ([[Dedup.jaccardComponents]]); documents in no pair are
+    * their own singleton component.
+    */
+  def leakageAssign(docs: DataFrame, threshold: Double = 0.6,
+      seed: Long = 7L): DataFrame =
+    docs.join(
+        Dedup.jaccardComponents(docs, threshold)
+          .withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", bucket(col("component"), seed))
+
+  /** Leakage-safe train/validation/test splits: a near-duplicate of a
+    * test document must NOT land in train — a plain per-doc hash split
+    * ([[splitAssign]]) leaks every near-dup cluster that straddles the
+    * cut, silently inflating eval scores. The fix: hash the near-dup
+    * COMPONENT representative instead of the document, so a whole
+    * cluster moves as one unit and can never span splits (leak-free by
+    * construction — property-tested, not just spot-checked).
+    *
+    * Scale shape: the component derivation is the already-gated dedup
+    * path (banded/blocked pair generation + pointer-jumping
+    * components, no all-pairs stage); the assignment itself is one
+    * id-keyed equi-join + a narrow hash — the same cost as running
+    * dedup, which a curation pipeline has already paid (in production
+    * the component column is reused from the dedup stage, making this
+    * op a pure projection).
+    */
+  def leakageSafeSplits(docs: DataFrame, threshold: Double = 0.6,
+      trainPct: Double = 0.8, valPct: Double = 0.1,
+      seed: Long = 7L): DataFrame = {
+    val trainHi = (trainPct * Buckets).toLong
+    val valHi = ((trainPct + valPct) * Buckets).toLong
+    leakageAssign(docs, threshold, seed)
+      .withColumn("split",
+        when(col("bucket") < trainHi, "train")
+          .when(col("bucket") < valHi, "validation")
+          .otherwise("test"))
+  }
+
   // -------------------------------------------------------- gate wiring
 
   /** Weight for srcN = 1 + (N mod 5): rates 0.2/0.4/0.6/0.8/1.0 over
@@ -286,6 +329,10 @@ object Sampling {
         .select(col("doc_id"), col("lang")).orderBy(col("doc_id"))),
     "sample_splits" -> ((s, d) =>
       splitAssign(Tables.documents(s, d), "doc_id")
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
+    "split_leakage_safe" -> ((s, d) =>
+      leakageSafeSplits(Tables.documents(s, d))
         .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
     "sample_cap_source" -> ((s, d) =>
@@ -326,6 +373,40 @@ object Sampling {
          |       d.lang, count(*) AS n
          |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // DuckDB independently RECOMPUTES the near-dup components (the
+    // dedup_components recursive CTE) and takes only the component
+    // hash bucket from aux (no xxhash64 in DuckDB): a wrong Spark
+    // component assignment shifts documents between splits and the
+    // counts hash-mismatch
+    "split_leakage_safe" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+        |         FROM reach GROUP BY a),
+        |ac AS (SELECT d.doc_id, d.lang,
+        |              coalesce(c.component, d.doc_id) AS component
+        |       FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |b AS (SELECT DISTINCT component, bucket
+        |      FROM read_parquet('__OUTDIR__/.aux/leakage_buckets/*.parquet'))
+        |SELECT CASE WHEN b.bucket < 800000 THEN 'train'
+        |            WHEN b.bucket < 900000 THEN 'validation'
+        |            ELSE 'test' END AS split,
+        |       ac.lang, count(*) AS n
+        |FROM ac JOIN b USING (component)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one plain window cumsum over the same md5 order — the two-level
     // segment decomposition must be invisible in the result
     "sample_token_budget" ->

@@ -367,6 +367,75 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** Hard-negative mining for contrastive/embedding training: for
+    * each query, the top-k most-similar corpus vectors whose LABEL
+    * DIFFERS from the query's — "looks like it, isn't it", the
+    * negatives that actually move a contrastive loss.
+    *
+    * Pure composition over the frozen IVF state: the probe join is
+    * [[ivfTopK]]'s (bounded probe side broadcast BY CONTRACT, corpus
+    * never the build side) with one extra predicate. Labels join in
+    * as two id-keyed equi-joins: the query side against the bounded
+    * probe list (broadcast build), the corpus side co-keyed on the
+    * vector id — at scale the index state would simply STORE the
+    * label beside the vector (one wide column) and that join
+    * disappears; here the fixture's `embeddings` table is the store.
+    */
+  def hardNegatives(model: (DataFrame, DataFrame), labels: DataFrame,
+      k: Int): DataFrame = {
+    val (assignedCorpus, qProbes) = model
+    val lab = labels.select(col("vec_id"), col("label"))
+    val probesLab = broadcast(qProbes).join(
+      lab.withColumnRenamed("vec_id", "query_id")
+        .withColumnRenamed("label", "label_q"), "query_id")
+    val corpusLab = assignedCorpus.join(
+      lab.withColumnRenamed("vec_id", "neighbor_id")
+        .withColumnRenamed("label", "label_c"), "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim").desc, col("neighbor_id"))
+    broadcast(probesLab).join(corpusLab, "cluster")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .filter(col("label_q") =!= col("label_c"))
+      .withColumn("sim", cosine(col("e_q"), col("e_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("label_c").as("neg_label"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Embedding-space decontamination screen: flag corpus vectors
+    * whose nearest EVAL-SET vector exceeds a cosine threshold — the
+    * semantic-similarity twin of the n-gram `text_decontam` (which
+    * catches verbatim leakage; this catches paraphrase leakage).
+    * Returns every corpus row with its closest eval example, the
+    * similarity, and the removal flag, so a curation report can show
+    * WHY each document was dropped.
+    *
+    * Scale shape: the eval set is bounded by contract (benchmarks are
+    * small) → broadcast nested-loop against the corpus scan, then the
+    * per-vector argmax is a map-side-combined `max(struct)` — the
+    * shuffle carries ONE narrow row per corpus vector per partition,
+    * and nothing ever sorts. Ties break to the smaller eval id via
+    * the negated-id struct field (exact-equality doubles only).
+    */
+  def evalDecontam(corpus: DataFrame, evalSet: DataFrame,
+      threshold: Double): DataFrame = {
+    val ev = evalSet.select(col("vec_id").as("eval_id"),
+      transform(col("embedding"), v => v.cast("double")).as("e_v"))
+    corpus.select(col("vec_id"), col("label"),
+        transform(col("embedding"), v => v.cast("double")).as("e"))
+      .crossJoin(broadcast(ev)) // |eval| candidates per corpus row, eval bounded
+      .withColumn("sim", cosine(col("e"), col("e_v")))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(max(struct(col("sim"),
+        (lit(0L) - col("eval_id")).as("neg"),
+        col("eval_id").as("eval_id"))).as("m"))
+      .select(col("vec_id"), col("label"),
+        col("m.eval_id").as("closest_eval"),
+        round(col("m.sim"), 6).as("sim"),
+        (col("m.sim") >= lit(threshold)).cast("int").as("removed"))
+  }
+
   /** The IVF model state, deterministic end-to-end: corpus cluster
     * assignments `(neighbor_id, e_c, cluster)` and per-query probe
     * lists `(query_id, e_q, cluster)`. Public so Verify can
@@ -704,6 +773,19 @@ object Similarity {
       val emb = Tables.embeddings(s, d)
       pqTopK(emb, pqModelFor(s, d), querySet(emb), k = GateK)
         .orderBy(col("query_id"), col("rank"))
+    }),
+    // hard negatives over the SAME shared IVF model (and the same aux)
+    "sim_hard_negatives" -> ((s, d) =>
+      hardNegatives(ivfAssignmentsFor(s, d), Tables.embeddings(s, d), k = GateK)
+        .orderBy(col("query_id"), col("rank"))),
+    // eval set = vec_id ≡ 0 (mod 20); the rest is the screened corpus
+    "decontam_embedding" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      evalDecontam(
+        emb.filter(pmod(col("vec_id"), lit(DecontamEvalMod)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(DecontamEvalMod)) === 0),
+        threshold = DecontamThreshold)
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -714,6 +796,11 @@ object Similarity {
   val GateQueryCut = 5 // querySet: vec_id < 5
   val PqM = 8
   val PqRerank = 8
+  val DecontamEvalMod = 20 // eval set: vec_id ≡ 0 (mod 20)
+  // chosen where the fixture's eval-similarity tail actually sits
+  // (max observed ≈0.49, p90 ≈0.33) so the flag bites without being
+  // universal; a production screen tunes this to its eval suite
+  val DecontamThreshold = 0.33
 
   /** DuckDB twins force DOUBLE[] so both engines do double-precision
     * sequential accumulation — results match to the last bit, surviving
@@ -810,6 +897,38 @@ object Similarity {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+    // same probe-join shape + the label-mismatch predicate, over the
+    // same ivf aux the sim_ann_ivf oracle consumes
+    "sim_hard_negatives" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
+        |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_probes/*.parquet'))
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       neg_label, round(sim, 6) AS sim FROM (
+        |  SELECT p.query_id, c.neighbor_id, ce.label AS neg_label,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY p.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    c.neighbor_id) AS rank
+        |  FROM p JOIN c ON p.cluster = c.cluster
+        |       JOIN embeddings qe ON qe.vec_id = p.query_id
+        |       JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+        |  WHERE p.query_id != c.neighbor_id AND qe.label != ce.label)
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
+    "decontam_embedding" ->
+      s"""WITH ev AS (SELECT vec_id AS eval_id, embedding FROM embeddings
+        |            WHERE vec_id % $DecontamEvalMod = 0),
+        |co AS (SELECT vec_id, label, embedding FROM embeddings
+        |       WHERE vec_id % $DecontamEvalMod != 0),
+        |s AS (
+        |  SELECT co.vec_id, co.label, ev.eval_id,
+        |         list_cosine_similarity(co.embedding::DOUBLE[], ev.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY co.vec_id
+        |           ORDER BY list_cosine_similarity(co.embedding::DOUBLE[], ev.embedding::DOUBLE[]) DESC,
+        |                    ev.eval_id) AS rn
+        |  FROM co CROSS JOIN ev)
+        |SELECT vec_id, label, eval_id AS closest_eval, round(sim, 6) AS sim,
+        |       CAST(CASE WHEN sim >= $DecontamThreshold THEN 1 ELSE 0 END AS INTEGER) AS removed
+        |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin,
     "sim_brute_topk" ->
       """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (

@@ -207,6 +207,54 @@ object TextAnalysis {
         col("st.total_chars"))
   }
 
+  /** Gopher-style quality-rule filter (the rule-set shape of Rae et
+    * al. 2021's document filters, bounds scaled to the fixture's
+    * 10–99-word documents — production runs the canonical 50/100k
+    * bounds through the same parameters). Emits one row per document
+    * with each rule's pass flag and the conjunction, so a curation
+    * report can show WHICH rule removed a document, not just that one
+    * did.
+    *
+    * Every rule is an INTEGER comparison (cross-multiplied
+    * thresholds: `sumLen·10 ≥ nw·40` rather than `sumLen/nw ≥ 4.0`),
+    * so both engines compare exact integers and no float division
+    * can land a document on different sides of a boundary.
+    *
+    * Scale shape: a pure narrow map inside the scan's codegen stage
+    * (the token array is pinned behind one unit Generate — each rule
+    * reads the SAME array; un-pinned, CollapseProject would re-run
+    * the split per rule). Zero shuffles at any corpus size.
+    */
+  def gopherFilter(docs: DataFrame): DataFrame = {
+    val pinned = docs.select(col("doc_id"), col("text"),
+      explode(array(tokens(col("text")))).as("toks"))
+    val toks = col("toks")
+    val nw = size(toks).cast("long")
+    val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(toks,
+      t => t.isInCollection(lexicon.head._2))).cast("long")
+    val nDistinct = size(array_distinct(toks)).cast("long")
+    val wcOk = nw >= GopherMinWords && nw <= GopherMaxWords
+    val lenOk = sumLen * 10L >= nw * GopherLenLo10 &&
+      sumLen * 10L <= nw * GopherLenHi10
+    val stopOk = nStop >= GopherMinStop
+    val dupOk = nDistinct * 100L >= nw * (100L - GopherMaxDupPct)
+    pinned.select(col("doc_id"), nw.as("n_words"),
+      wcOk.cast("int").as("wc_ok"), lenOk.cast("int").as("len_ok"),
+      stopOk.cast("int").as("stop_ok"), dupOk.cast("int").as("dup_ok"),
+      (wcOk && lenOk && stopOk && dupOk).cast("int").as("keep"))
+  }
+
+  /** [[gopherFilter]] bounds, shared with the oracle text. Scaled to
+    * the fixture (see the Scaladoc); each rule measurably bites there.
+    */
+  val GopherMinWords = 25L
+  val GopherMaxWords = 80L
+  val GopherLenLo10 = 40L // mean word length ≥ 4.0
+  val GopherLenHi10 = 47L // mean word length ≤ 4.7
+  val GopherMinStop = 2L
+  val GopherMaxDupPct = 65L // duplicate-word fraction ≤ 0.65
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_stats_by_lang" -> ((s, d) =>
       statsByLang(Tables.documents(s, d)).orderBy(col("lang"))),
@@ -217,6 +265,8 @@ object TextAnalysis {
         .select(col("doc_id"), col("pred_lang")).orderBy(col("doc_id"))),
     "text_quality" -> ((s, d) =>
       qualityScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "text_gopher_filter" -> ((s, d) =>
+      gopherFilter(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_fingerprint" -> ((s, d) =>
       fingerprint(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_top_terms" -> ((s, d) =>
@@ -281,6 +331,30 @@ object TextAnalysis {
     "text_quality" ->
       s"""SELECT doc_id, $qualitySqlExpr AS quality_x10k
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // integer cross-multiplied rules generated from the same constants
+    "text_gopher_filter" -> {
+      val enList = sqlList(lexicon.head._2)
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |         CAST(len($sqlToks) AS BIGINT) AS nw,
+         |         CAST(list_sum(list_transform($sqlToks, t -> length(t))) AS BIGINT) AS sum_len,
+         |         CAST(len(list_filter($sqlToks, t -> t IN $enList)) AS BIGINT) AS n_stop,
+         |         CAST(len(list_distinct($sqlToks)) AS BIGINT) AS n_distinct
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, nw,
+         |         CASE WHEN nw >= $GopherMinWords AND nw <= $GopherMaxWords THEN 1 ELSE 0 END AS wc_ok,
+         |         CASE WHEN sum_len * 10 >= nw * $GopherLenLo10
+         |               AND sum_len * 10 <= nw * $GopherLenHi10 THEN 1 ELSE 0 END AS len_ok,
+         |         CASE WHEN n_stop >= $GopherMinStop THEN 1 ELSE 0 END AS stop_ok,
+         |         CASE WHEN n_distinct * 100 >= nw * ${100L - GopherMaxDupPct} THEN 1 ELSE 0 END AS dup_ok
+         |  FROM t)
+         |SELECT doc_id, nw AS n_words,
+         |       CAST(wc_ok AS INTEGER) AS wc_ok, CAST(len_ok AS INTEGER) AS len_ok,
+         |       CAST(stop_ok AS INTEGER) AS stop_ok, CAST(dup_ok AS INTEGER) AS dup_ok,
+         |       CAST(wc_ok * len_ok * stop_ok * dup_ok AS INTEGER) AS keep
+         |FROM f ORDER BY doc_id""".stripMargin
+    },
     "xmodal_label_quality" ->
       s"""WITH q AS (SELECT doc_id, $qualitySqlExpr AS quality_x10k
          |           FROM documents)

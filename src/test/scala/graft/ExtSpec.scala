@@ -550,6 +550,86 @@ class ExtSpec extends AnyFunSuite {
     assert(odd.except(cust.filter(col("c_custkey") % 2 === 1)).isEmpty)
   }
 
+  test("hard negatives: labels always differ from the query's; ranks dense from 1") {
+    val emb = Tables.embeddings(spark, dir)
+    val hn = Similarity.hardNegatives(
+      Similarity.ivfAssignmentsFor(spark, dir), emb, k = 10)
+    val labeled = hn.join(
+      emb.select(col("vec_id").as("query_id"), col("label").as("label_q")),
+      "query_id")
+    assert(labeled.filter(col("neg_label") === col("label_q")).count() === 0,
+      "a hard negative shared the query's label")
+    // ranks are 1..n(query) with no gaps
+    val ranks = hn.groupBy("query_id")
+      .agg(count(lit(1)).as("n"), max(col("rank")).as("mx"), min(col("rank")).as("mn"))
+    assert(ranks.filter(col("mx") =!= col("n") || col("mn") =!= 1).count() === 0)
+    // and each is a genuine neighbor: sim matches a direct recomputation
+    val direct = hn.join(emb.select(col("vec_id").as("query_id"),
+        col("embedding").as("e_q")), "query_id")
+      .join(emb.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("e_c")), "neighbor_id")
+      .withColumn("sim2", round(Similarity.cosine(col("e_q"), col("e_c")), 6))
+    assert(direct.filter(col("sim") =!= col("sim2")).count() === 0)
+  }
+
+  test("embedding decontam: removed == (max eval sim >= t); closest_eval is the argmax") {
+    val emb = Tables.embeddings(spark, dir)
+    val eval = emb.filter(col("vec_id") % 20 === 0)
+    val corpus = emb.filter(col("vec_id") % 20 =!= 0)
+    val out = Similarity.evalDecontam(corpus, eval, threshold = 0.33)
+    // brute-force max sim per corpus vector
+    val brute = corpus.select(col("vec_id"), col("embedding").as("e"))
+      .crossJoin(eval.select(col("vec_id").as("ev"), col("embedding").as("e_v")))
+      .withColumn("s", Similarity.cosine(col("e"), col("e_v")))
+      .groupBy("vec_id").agg(max(col("s")).as("mx"))
+    val j = out.join(brute, "vec_id")
+    assert(j.filter(round(col("sim"), 6) =!= round(col("mx"), 6)).count() === 0,
+      "closest_eval sim is not the max eval similarity")
+    assert(j.filter((col("mx") >= 0.33).cast("int") =!= col("removed")).count() === 0)
+    assert(out.count() === corpus.count(), "screen must cover every corpus row")
+  }
+
+  test("gopher filter: keep is the rule conjunction; rules match direct recomputation") {
+    import spark.implicits._
+    val docs = Seq(
+      // long enough, diverse, stopword-rich: keeps
+      (1L, "the quick brown fox jumps over a lazy dog and then walks to " +
+        "the river bank where it drinks some cool water before returning " +
+        "home in the warm evening light of summer sunset hours today", "s"),
+      // word repetition: dup rule fails
+      (2L, ("spam " * 40).trim, "s"),
+      // too short: word-count rule fails
+      (3L, "tiny doc", "s")).toDF("doc_id", "text", "source")
+    val out = graft.ext.TextAnalysis.gopherFilter(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5), r.getInt(6))).toMap
+    assert(out(2L)._4 === 0, "all-spam doc must fail the dup rule")
+    assert(out(3L)._1 === 0, "3-word doc must fail the word-count rule")
+    // keep == conjunction on the full fixture corpus too
+    val fx = graft.ext.TextAnalysis.gopherFilter(Tables.documents(spark, dir))
+    assert(fx.filter(col("keep") =!=
+      col("wc_ok") * col("len_ok") * col("stop_ok") * col("dup_ok")).count() === 0)
+  }
+
+  test("leakage-safe splits: no near-dup component ever spans two splits") {
+    val docs = Tables.documents(spark, dir)
+    val assigned = graft.ext.Sampling.leakageSafeSplits(docs)
+    // every component lands in exactly one split
+    assert(assigned.groupBy("component")
+      .agg(countDistinct(col("split")).as("ns"))
+      .filter(col("ns") > 1).count() === 0,
+      "a component straddles a split boundary — leakage")
+    // and the assignment covers the corpus exactly
+    assert(assigned.count() === docs.count())
+    // control: the plain per-doc split DOES leak on this corpus (the
+    // fixture has near-dup clusters), which is why this operator exists
+    val plain = graft.ext.Sampling.splitAssign(docs, "doc_id")
+      .join(assigned.select(col("doc_id"), col("component")), "doc_id")
+    val plainLeaks = plain.groupBy("component")
+      .agg(countDistinct(col("split")).as("ns")).filter(col("ns") > 1).count()
+    assert(plainLeaks > 0, "fixture has no straddling clusters; control is vacuous")
+  }
+
   test("containment is asymmetric: planted excerpt scores 1.0 one way only") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon zeta eta theta"
