@@ -179,6 +179,26 @@ object ScalingLadder {
       graft.ext.CorpusPrep.decontaminate(docs(spark, n))
         .queryExecution.toRdd.count()
     }
+    ladder("text_gopher_filter", base * 20) { n =>
+      // pure narrow map (pinned token array, zero shuffles): the rung
+      // pins that no rule re-expansion sneaks in a super-linear term
+      graft.ext.TextAnalysis.gopherFilter(docs(spark, n))
+        .queryExecution.toRdd.count()
+    }
+    ladder("decontam_embedding", base * 4) { n =>
+      // FIXED 500-vector eval set (bounded by contract — benchmarks
+      // don't grow with the corpus); only the corpus doubles. The
+      // per-vector cost is |eval| dots + one map-side-combined
+      // max(struct) — ratio ≈ 2 pins the screen as linear in the
+      // corpus with the eval side broadcast
+      val evalSet = ScaleRehearsal.clusteredEmbeddings(spark, 500L, centers = 50)
+      val corpus = ScaleRehearsal
+        .clusteredEmbeddings(spark, n, centers = (n / 250).toInt)
+        .withColumn("vec_id", col("vec_id") + lit(10000000L))
+        .withColumn("label", pmod(col("vec_id"), lit(100)).cast("int"))
+      graft.ext.Similarity.evalDecontam(corpus, evalSet, threshold = 0.9)
+        .queryExecution.toRdd.count()
+    }
     val edgeBase = sys.env.getOrElse("SPARK_GRAFT_LADDER_EDGES", "1000000").toLong
     ladder("connected_components", edgeBase) { n =>
       // localMaxEdges = 0: the ladder measures the DISTRIBUTED

@@ -420,12 +420,18 @@ object Similarity {
     */
   def evalDecontam(corpus: DataFrame, evalSet: DataFrame,
       threshold: Double): DataFrame = {
-    val ev = evalSet.select(col("vec_id").as("eval_id"),
-      transform(col("embedding"), v => v.cast("double")).as("e_v"))
+    import graft.functions.VecDot.vec_dot
+    // norms once per ROW on each side, never per pair (the
+    // [[thresholdJoin]] O(n·d)-not-O(n²·d) discipline); division
+    // shape dot/(nₐ·nᵦ) stays syntactically the oracle's cosine
+    val ev = withNorm(evalSet, "eval_id", "e_v", "n_v")
     corpus.select(col("vec_id"), col("label"),
-        transform(col("embedding"), v => v.cast("double")).as("e"))
+        transform(col("embedding"), v => v.cast("double")).as("e"),
+        sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, v) => acc + v.cast("double") * v.cast("double"))).as("n_e"))
       .crossJoin(broadcast(ev)) // |eval| candidates per corpus row, eval bounded
-      .withColumn("sim", cosine(col("e"), col("e_v")))
+      .withColumn("sim",
+        vec_dot(col("e"), col("e_v")) / (col("n_e") * col("n_v")))
       .groupBy(col("vec_id"), col("label"))
       .agg(max(struct(col("sim"),
         (lit(0L) - col("eval_id")).as("neg"),
