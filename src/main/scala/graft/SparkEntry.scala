@@ -60,6 +60,10 @@ object SparkEntry {
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
+      "kmv_hashes" -> ((s, d) =>
+        Tables.events(s, d).select(col("user_id")).distinct()
+          .select(col("user_id"),
+            Sketches.kmvHash(col("user_id")).as("h"))),
       "cms_buckets" -> ((s, d) =>
         Tables.events(s, d).select(col("user_id")).distinct()
           .select(col("user_id") +:

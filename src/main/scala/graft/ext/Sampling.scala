@@ -255,7 +255,7 @@ object Sampling {
     * assignment is a narrow expression inside the scan.
     */
   def splitAssign(df: DataFrame, keyCol: String,
-      trainPct: Double = 0.8, valPct: Double = 0.1,
+      trainPct: Double = DefaultTrainPct, valPct: Double = DefaultValPct,
       seed: Long = 7L): DataFrame = {
     val b = bucket(col(keyCol), seed)
     val trainHi = (trainPct * Buckets).toLong
@@ -272,7 +272,8 @@ object Sampling {
     * graph ([[Dedup.jaccardComponents]]); documents in no pair are
     * their own singleton component.
     */
-  def leakageAssign(docs: DataFrame, threshold: Double = 0.6,
+  def leakageAssign(docs: DataFrame,
+      threshold: Double = DefaultJaccardThreshold,
       seed: Long = 7L): DataFrame =
     docs.join(
         Dedup.jaccardComponents(docs, threshold)
@@ -297,8 +298,9 @@ object Sampling {
     * the component column is reused from the dedup stage, making this
     * op a pure projection).
     */
-  def leakageSafeSplits(docs: DataFrame, threshold: Double = 0.6,
-      trainPct: Double = 0.8, valPct: Double = 0.1,
+  def leakageSafeSplits(docs: DataFrame,
+      threshold: Double = DefaultJaccardThreshold,
+      trainPct: Double = DefaultTrainPct, valPct: Double = DefaultValPct,
       seed: Long = 7L): DataFrame = {
     val trainHi = (trainPct * Buckets).toLong
     val valHi = ((trainPct + valPct) * Buckets).toLong
@@ -318,6 +320,18 @@ object Sampling {
     (0 until 20).map(i => s"src$i" -> (1.0 + i % 5))
 
   val LangRates: Seq[(String, Double)] = Seq("en" -> 0.5, "zh" -> 0.1)
+
+  /** Split defaults, shared by the Spark ops AND interpolated into
+    * their oracle SQL below — changing a default (or [[Buckets]])
+    * moves engine and oracle together instead of desyncing silently
+    * until a gate run hash-mismatches.
+    */
+  val DefaultTrainPct = 0.8
+  val DefaultValPct = 0.1
+  val DefaultJaccardThreshold = 0.6
+  private def defaultTrainHi: Long = (DefaultTrainPct * Buckets).toLong
+  private def defaultValHi: Long =
+    ((DefaultTrainPct + DefaultValPct) * Buckets).toLong
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_hash" -> ((s, d) =>
@@ -367,8 +381,8 @@ object Sampling {
 
   val oracles: Map[String, String] = Map(
     "sample_splits" ->
-      s"""SELECT CASE WHEN b.bucket < 800000 THEN 'train'
-         |            WHEN b.bucket < 900000 THEN 'validation'
+      s"""SELECT CASE WHEN b.bucket < $defaultTrainHi THEN 'train'
+         |            WHEN b.bucket < $defaultValHi THEN 'validation'
          |            ELSE 'test' END AS split,
          |       d.lang, count(*) AS n
          |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
@@ -379,34 +393,34 @@ object Sampling {
     // component assignment shifts documents between splits and the
     // counts hash-mismatch
     "split_leakage_safe" ->
-      """WITH RECURSIVE
-        |t AS (
-        |  SELECT doc_id, source,
-        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
-        |  FROM documents),
-        |pairs AS (
-        |  SELECT a.doc_id AS u, b.doc_id AS v
-        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
-        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-        |reach(a, b) AS (
-        |  SELECT u, v FROM edges
-        |  UNION
-        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
-        |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
-        |         FROM reach GROUP BY a),
-        |ac AS (SELECT d.doc_id, d.lang,
-        |              coalesce(c.component, d.doc_id) AS component
-        |       FROM documents d LEFT JOIN comp c USING (doc_id)),
-        |b AS (SELECT DISTINCT component, bucket
-        |      FROM read_parquet('__OUTDIR__/.aux/leakage_buckets/*.parquet'))
-        |SELECT CASE WHEN b.bucket < 800000 THEN 'train'
-        |            WHEN b.bucket < 900000 THEN 'validation'
-        |            ELSE 'test' END AS split,
-        |       ac.lang, count(*) AS n
-        |FROM ac JOIN b USING (component)
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+      s"""WITH RECURSIVE
+         |t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |  FROM documents),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+         |        len(list_distinct(list_concat(a.toks, b.toks))) >= $DefaultJaccardThreshold),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |ac AS (SELECT d.doc_id, d.lang,
+         |              coalesce(c.component, d.doc_id) AS component
+         |       FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (SELECT DISTINCT component, bucket
+         |      FROM read_parquet('__OUTDIR__/.aux/leakage_buckets/*.parquet'))
+         |SELECT CASE WHEN b.bucket < $defaultTrainHi THEN 'train'
+         |            WHEN b.bucket < $defaultValHi THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |       ac.lang, count(*) AS n
+         |FROM ac JOIN b USING (component)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // one plain window cumsum over the same md5 order — the two-level
     // segment decomposition must be invisible in the result
     "sample_token_budget" ->

@@ -50,6 +50,71 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 1024L
 
+  /** KMV (k-minimum-values) distinct-count sketch parameters. k = 16
+    * keeps the estimator branch exercised at gate scale (daily UV at
+    * sf0.01 exceeds k) while the n < k branch degrades to exact.
+    */
+  val KmvK = 16
+  val KmvSalt = 64L
+
+  /** The KMV hash — shared by the gated query and the `.aux`
+    * materialization the oracle recomputes from, so the only trusted
+    * surface is the key→hash mapping (the selection and the estimate
+    * are re-derived independently in DuckDB).
+    */
+  def kmvHash(key: Column): Column = xxhash64(key)
+
+  /** Approximate daily UV via a DETERMINISTIC KMV sketch — the
+    * oracle-checkable replacement for HLL `approx_count_distinct`
+    * (which is seeded/implementation-specific and can never
+    * hash-match an oracle; its tolerance is asserted in FidelitySpec
+    * instead). Estimate: with h normalized to [0,1) by a monotone
+    * affine map of the signed 64-bit hash, and hₖ the k-th smallest
+    * distinct hash of the day, UV ≈ (k−1)/hₖ; days with fewer than k
+    * distinct hashes report the exact count.
+    *
+    * Scale shape: the distinct layer is a map-side-combined
+    * (day, h) aggregation; the k-th order statistic is selected in
+    * TWO window levels — per (day, h mod 64) salt bucket first, then
+    * per day over ≤ 64·k survivors — so no task ever sorts more than
+    * a salt bucket's distinct hashes (global k-min ⊆ union of
+    * per-bucket k-mins, so the two-level selection is exact). KMV
+    * sketches are re-mergeable (union the hash sets, keep the k
+    * smallest), so daily sketches roll up to weeks/months like the
+    * bitmap layer does.
+    *
+    * All float steps are IEEE-pinned and mirrored literally in the
+    * oracle: signed-hash + 2⁶³ then ÷ 2⁶⁴ (both exactly-representable
+    * doubles), one division, `floor`. The `greatest(…, 2⁻⁶⁵)` guard
+    * only fires for the measure-zero h = Long.MinValue day-minimum
+    * and keeps both engines finite.
+    */
+  def kmvDailyUv(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val distinctHashes = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        kmvHash(col("user_id")).as("h"))
+      .distinct()
+    val wSalt = Window
+      .partitionBy(col("date_str"), pmod(col("h"), lit(KmvSalt)))
+      .orderBy(col("h"))
+    val wDay = Window.partitionBy(col("date_str")).orderBy(col("h"))
+    val frac = greatest(
+      (col("hk").cast("double") + lit(9.223372036854776e18)) /
+        lit(1.8446744073709552e19),
+      lit(2.710505431213761e-20))
+    distinctHashes
+      .withColumn("rn", row_number().over(wSalt)).filter(col("rn") <= KmvK)
+      .withColumn("rn2", row_number().over(wDay)).filter(col("rn2") <= KmvK)
+      .groupBy(col("date_str"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+      .select(col("date_str"),
+        when(col("m") < KmvK, col("m"))
+          .otherwise(floor(lit((KmvK - 1).toDouble) / frac).cast("long"))
+          .as("uv_est"))
+      .orderBy(col("date_str"))
+  }
+
   /** Bucket of `key` in CMS table `t` — pure function shared by the
     * sketch build, the estimate probe, and the `.aux` materialization
     * the oracle recomputes from.
@@ -94,6 +159,7 @@ object Sketches {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bitmap_daily_uv" -> (bitmapDailyUv _),
+    "kmv_daily_uv" -> (kmvDailyUv _),
     "sketch_cms_users" -> (cmsUserCounts _)
   )
 
@@ -103,6 +169,28 @@ object Sketches {
       """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
         |       count(DISTINCT user_id) AS uv
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    // DuckDB re-derives the k smallest per-day distinct hashes from
+    // the materialized user→hash mapping DIRECTLY (one global window,
+    // mathematically identical to the engine's two-level salted
+    // selection) and re-applies the pinned estimate formula
+    "kmv_daily_uv" ->
+      s"""WITH a AS (SELECT * FROM
+         |           read_parquet('__OUTDIR__/.aux/kmv_hashes/*.parquet')),
+         |d AS (SELECT DISTINCT strftime(e.ts, '%Y-%m-%d') AS date_str, a.h
+         |      FROM events e JOIN a USING (user_id)),
+         |r AS (SELECT date_str, h,
+         |             row_number() OVER (PARTITION BY date_str ORDER BY h) AS rn
+         |      FROM d),
+         |s AS (SELECT date_str, max(h) AS hk, count(*) AS m
+         |      FROM r WHERE rn <= $KmvK GROUP BY 1)
+         |SELECT date_str,
+         |       CASE WHEN m < $KmvK THEN m
+         |            ELSE CAST(floor(${(KmvK - 1).toDouble} /
+         |                 greatest((CAST(hk AS DOUBLE) + 9.223372036854776e18)
+         |                          / 1.8446744073709552e19,
+         |                          2.710505431213761e-20)) AS BIGINT)
+         |       END AS uv_est
+         |FROM s ORDER BY date_str""".stripMargin,
     // DuckDB re-runs the estimate from the materialized bucket
     // assignments: cell(t,b) = total rows whose key hashes to b in
     // table t; estimate = min over tables of the key's cell

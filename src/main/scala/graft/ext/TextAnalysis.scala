@@ -32,6 +32,15 @@ object TextAnalysis {
     "zh" -> Seq("的", "是", "在", "了", "和")
   )
 
+  /** The ENGLISH stopword list, selected by key — the single copy
+    * shared by [[qualityScore]]'s stopword-ratio term,
+    * [[gopherFilter]]'s stop_ok floor, and their oracle generators.
+    * (Selecting positionally via `lexicon.head` would silently change
+    * semantics on a lexicon reorder — in engine and oracle together,
+    * where the gate cannot catch it.)
+    */
+  val EnStop: Seq[String] = lexicon.toMap.apply("en")
+
   /** Whitespace tokens of `text` (lowercased). */
   def tokens(text: Column): Column =
     split(lower(trim(text)), "\\s+")
@@ -95,7 +104,7 @@ object TextAnalysis {
       explode(array(tokens(col("text")))).as("toks"))
     val toks = col("toks")
     val nTok = size(toks).cast("double")
-    val enWords = lexicon.head._2
+    val enWords = EnStop
     val lenSat = least(lit(1.0), nTok / lit(100.0))
     val diversity = size(array_distinct(toks)).cast("double") / nTok
     val stopRatio = size(filter(toks, t => t.isInCollection(enWords))).cast("double") / nTok
@@ -210,7 +219,10 @@ object TextAnalysis {
   /** Gopher-style quality-rule filter (the rule-set shape of Rae et
     * al. 2021's document filters, bounds scaled to the fixture's
     * 10–99-word documents — production runs the canonical 50/100k
-    * bounds through the same parameters). Emits one row per document
+    * bounds through the same parameters). The stopword floor
+    * (`stop_ok`) is ENGLISH-only by design, mirroring Gopher's
+    * English-corpus rule — non-English documents fail it and are
+    * expected to be routed by `lang` upstream. Emits one row per document
     * with each rule's pass flag and the conjunction, so a curation
     * report can show WHICH rule removed a document, not just that one
     * did.
@@ -232,7 +244,7 @@ object TextAnalysis {
     val nw = size(toks).cast("long")
     val sumLen = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
     val nStop = size(filter(toks,
-      t => t.isInCollection(lexicon.head._2))).cast("long")
+      t => t.isInCollection(EnStop))).cast("long")
     val nDistinct = size(array_distinct(toks)).cast("long")
     val wcOk = nw >= GopherMinWords && nw <= GopherMaxWords
     val lenOk = sumLen * 10L >= nw * GopherLenLo10 &&
@@ -294,7 +306,7 @@ object TextAnalysis {
     * form, so the engines cannot drift).
     */
   private lazy val qualitySqlExpr: String = {
-    val enList = sqlList(lexicon.head._2)
+    val enList = sqlList(EnStop)
     s"""CAST(floor((
        |  0.3 * least(1.0, len($sqlToks) / 100.0) +
        |  0.3 * (len(list_distinct($sqlToks)) * 1.0 / len($sqlToks)) +
@@ -333,7 +345,7 @@ object TextAnalysis {
          |FROM documents ORDER BY doc_id""".stripMargin,
     // integer cross-multiplied rules generated from the same constants
     "text_gopher_filter" -> {
-      val enList = sqlList(lexicon.head._2)
+      val enList = sqlList(EnStop)
       s"""WITH t AS (
          |  SELECT doc_id,
          |         CAST(len($sqlToks) AS BIGINT) AS nw,

@@ -48,10 +48,11 @@ object WindowQueries {
 
   /** Q1's UV with `approx_count_distinct` (HLL++): the sketch-based
     * alternative SURVEY.md §7.5 names for streaming exact-distinct at
-    * scale. The sketch value is Spark-specific (rows-only at the
-    * gate); the EXACT twin is gated beside it ([[exactDailyUv]]) so
-    * the shared shape is oracle-anchored, and |approx − exact| ≤ 5%
-    * is asserted in tests.
+    * scale. The sketch value is Spark-specific, so this surface is
+    * pinned by FidelitySpec's |approx − exact| ≤ 5% tolerance against
+    * [[exactDailyUv]] rather than gated; the oracle-checkable
+    * approximate-distinct gate is `kmv_daily_uv`
+    * ([[graft.ext.Sketches.kmvDailyUv]], deterministic KMV).
     */
   def approxDailyUv(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
@@ -202,7 +203,11 @@ object WindowQueries {
     "win_lead_lag" -> (leadLagGaps _),
     "win_sliding_counts" -> (slidingCounts _),
     "win_user_sessions" -> (userSessions _),
-    "win_approx_daily_uv" -> (approxDailyUv _),
+    // approxDailyUv (HLL) is deliberately NOT gated: its sketch value
+    // is implementation-seeded and can never hash-match an oracle.
+    // FidelitySpec pins its tolerance against exactDailyUv; the
+    // oracle-checkable approximate-distinct surface is
+    // graft.ext.Sketches.kmvDailyUv (gate `kmv_daily_uv`).
     "win_exact_daily_uv" -> (exactDailyUv _),
     "ts_gapfill" -> (gapFillMinutes _)
   )

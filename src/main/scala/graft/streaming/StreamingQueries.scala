@@ -283,10 +283,18 @@ object StreamingQueries {
     * batch path sees — the stream and its batch oracle can then never
     * disagree about what an instant means.
     */
-  private def tsReadAsLong(spark: SparkSession, parquetPath: String): Boolean = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(parquetPath).schema("ts").dataType == LongType
-  }
+  private val tsProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), java.lang.Boolean]()
+
+  private def tsReadAsLong(spark: SparkSession, parquetPath: String): Boolean =
+    // memoized per (session, path) — the ivfMemo pattern: every replay
+    // constructs a stream (several per gate run, two per
+    // replayAppendFlush call), and un-memoized each construction pays
+    // a batch footer probe + a session-conf mutation
+    tsProbeMemo.computeIfAbsent((spark, parquetPath), { _ =>
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(parquetPath).schema("ts").dataType == LongType
+    })
 
   private def rawEventSchema(tsLong: Boolean): StructType = StructType(Seq(
     StructField("event_id", LongType),

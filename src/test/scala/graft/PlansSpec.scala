@@ -31,7 +31,8 @@ class PlansSpec extends AnyFunSuite {
     val path = RunScratch.dir("nanos_fixture", dir)
     Tables.events(spark, dir)
       .select(col("event_id"),
-        (unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"))
+        (unix_micros(col("ts")) * 1000L).as("ts"), col("user_id"),
+        col("value"))
       .write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -58,7 +59,7 @@ class PlansSpec extends AnyFunSuite {
     // run the same query with extensions on (GraftSession) vs a rule-free
     // re-expression: compare row sets
     val q6 = EventQueries.q6TrailingRollup(spark, dir).collect()
-    val manual = Tables.events(spark, dir)
+    def q6Shape(ev: org.apache.spark.sql.DataFrame) = ev
       .filter(col("ts") >= to_timestamp(lit("2024-01-30 00:00:00")))
       .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("dt"), col("user_id"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("amt"))
@@ -67,7 +68,14 @@ class PlansSpec extends AnyFunSuite {
         round(sum(col("amt")), 2).as("amount"))
       .orderBy(col("dt").desc)
       .collect()
-    assert(q6.toSeq === manual.toSeq)
+    assert(q6.toSeq === q6Shape(Tables.events(spark, dir)).toSeq)
+    // and the SAME rollup over the nanos-sourced frame: with the
+    // fixture now tz-naive micros, only this leg actually executes the
+    // NanosFilterPushdown rewrite end-to-end through an aggregate (the
+    // native leg above plans timestamp filters unaided)
+    val viaNanos = q6Shape(nanosEvents)
+    assert(q6.toSeq === viaNanos.toSeq,
+      "q6 rollup diverged on the rewritten long-column scan")
   }
 
   test("equality comparison expands to a half-open nanos range") {

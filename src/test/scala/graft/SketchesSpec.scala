@@ -25,6 +25,56 @@ class SketchesSpec extends AnyFunSuite {
     assert(exact.except(viaBitmap).count() === 0)
   }
 
+  test("KMV estimate: exact below k, sane above k, oracle-shape invariant") {
+    import spark.implicits._
+    val exact = Tables.events(spark, dir)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val est = Sketches.kmvDailyUv(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet === exact.keySet)
+    est.foreach { case (day, e) =>
+      val n = exact(day)
+      if (n < Sketches.KmvK)
+        assert(e === n, s"$day: below-k days must be exact")
+      else {
+        // k=16 ⇒ relative standard error ≈ 1/√(k−2) ≈ 27%; a 3σ-ish
+        // sanity band, not a correctness bound (the gate's oracle
+        // recomputes the identical formula independently)
+        assert(e > n / 3 && e < n * 3,
+          s"$day: estimate $e implausible vs exact $n")
+      }
+    }
+    // the two-level salted selection must equal the direct global
+    // k-min the oracle uses: re-derive hk/m the oracle's way
+    import org.apache.spark.sql.expressions.Window
+    val direct = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        Sketches.kmvHash(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("date_str")).orderBy(col("h"))))
+      .filter(col("rn") <= Sketches.KmvK)
+      .groupBy(col("date_str"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+    val engine = Tables.events(spark, dir)
+      .select(date_format(col("ts"), "yyyy-MM-dd").as("date_str"),
+        Sketches.kmvHash(col("user_id")).as("h"))
+      .distinct()
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("date_str"), pmod(col("h"), lit(Sketches.KmvSalt)))
+          .orderBy(col("h"))))
+      .filter(col("rn") <= Sketches.KmvK)
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("date_str")).orderBy(col("h"))))
+      .filter(col("rn2") <= Sketches.KmvK)
+      .groupBy(col("date_str"))
+      .agg(max(col("h")).as("hk"), count(lit(1)).as("m"))
+    assert(engine.except(direct).count() === 0)
+    assert(direct.except(engine).count() === 0)
+  }
+
   test("CMS estimate is an upper bound and exact absent collisions") {
     val r = Sketches.cmsUserCounts(spark, dir).collect()
     assert(r.nonEmpty)
