@@ -378,13 +378,37 @@ class StreamingSpec extends AnyFunSuite {
       val q = sink.writeTo(
         StreamingQueries.q3UserGmv(in.toDF()).writeStream.outputMode("update"))
       in.addData(data)
-      q.processAllAvailable(); q.stop()
+      q.processAllAvailable()
+      // the provider must have ACTUALLY engaged — a mistyped conf key
+      // would silently fall back to the heap provider and this test
+      // would still pass on results alone. RocksDB surfaces its own
+      // customMetrics through the state operator's progress.
+      val prog = q.lastProgress
+      q.stop()
+      assert(prog.stateOperators.nonEmpty, "no state operator in progress")
+      val metricKeys = prog.stateOperators.flatMap(
+        _.customMetrics.keySet().toArray(Array.empty[String])).toSet
+      assert(metricKeys.exists(_.startsWith("rocksdb")),
+        s"RocksDB provider not engaged; state metrics: $metricKeys")
       val batch = data.toDF()
         .groupBy(col("user_id")).agg(round(sum(col("value")), 2).as("amount"))
         .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
       val streamed = sink.snapshot.map { case (k, row) =>
         k.head.asInstanceOf[Long] -> row.getAs[Double]("amount") }
       assert(streamed === batch)
+      // and the Q1 dedup-distinct shape — TWO stateful operators
+      // (dropDuplicates state + agg state), the state surface the
+      // 100x framing worries about — through the full fixture replay
+      // on the same pinned provider, against the batch twin
+      val dir = "/root/testdata/sf0.001"
+      val viaRocks = StreamingQueries.replay(spark, dir,
+        StreamingQueries.q1DailyUv, Seq("date_str"))
+        .collect().map(r => r.getAs[String]("date_str") -> r.getAs[Long]("uv")).toMap
+      val batchUv = graft.sources.Tables.events(spark, dir)
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("date_str"))
+        .agg(countDistinct(col("user_id")).as("uv"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaRocks === batchUv)
     } finally {
       prev match {
         case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
