@@ -425,6 +425,24 @@ object ScaleRehearsal {
         s"token-budget forms diverged: $tbRows vs $tbnRows")
     }
 
+    // --- PQ ADC tables at a 100k-query batch ---
+    // Past PqMaxDriverQueries the per-query lookup-table build leaves
+    // the driver: 100k queries × (8 sub-spaces × 16 centroids) =
+    // 12.8M table cells that the old collect-and-map path would have
+    // built single-threaded through driver memory; the distributed
+    // branch is one narrow centroid_scores projection per sub-space.
+    section("pq") {
+      val nPq = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_PQ", "100000").toLong
+      val pqCorpus = clusteredEmbeddings(spark, 20000, centers = 64)
+      val pqQueries = clusteredEmbeddings(spark, nPq, centers = 64)
+      val (pqSec, pqRows) = time {
+        val model = graft.ext.Similarity.pqModel(pqCorpus, pqQueries)
+        model.get._2.queryExecution.toRdd.count()
+      }
+      report("pq_tables_100k_queries", nPq, pqSec, pqRows)
+      require(pqRows == nPq, s"expected $nPq query tables, got $pqRows")
+    }
+
     section("shuffleorder") {
       val nSo = sys.env.getOrElse("SPARK_GRAFT_REHEARSAL_SHUFFLE",
         "5000000").toLong

@@ -585,6 +585,11 @@ object Similarity {
         // ADC scan: lookup-adds over codes, no full vectors touched
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("approx_cos").desc, col("neighbor_id"))
+        // qTables is queries × (m·kSub doubles): broadcast holds
+        // through the PqMaxDriverQueries contract (~4k queries ≈ 4 MB)
+        // and well past it; a query batch too big to broadcast should
+        // be chunked by the caller — the scan is queries × corpus work
+        // by definition, and chunking keeps each pass broadcast-shaped
         val cand = codes.join(broadcast(qTables),
             col("query_id") =!= col("neighbor_id"))
           .withColumn("approx_cos",
@@ -664,20 +669,62 @@ object Similarity {
     val codes = corpus.select(col("vec_id").as("neighbor_id"),
       array((0 until m).map(codeCol): _*).as("codes"))
 
-    // per-query lookup tables, driver-built (queries are few and
-    // broadcast by contract — same shape as [[bruteTopK]])
-    val qRows = withNorm(queries, "query_id", "e_q", "n_q").collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1), r.getDouble(2)))
-    val dotTables = qRows.map { case (qid, q, nq) =>
+    // per-query lookup tables — dispatch on query-batch size:
+    //  ≤ [[PqMaxDriverQueries]]: driver-built (the gate contract —
+    //  a handful of broadcast queries; unchanged path, shared with
+    //  the sim_ann_pq oracle aux). Above: the SAME tables as one
+    //  distributed centroid_scores projection per sub-space — the
+    //  codebook is a tiny foldable literal (m × kSub × dSub doubles),
+    //  so a 100k-query batch never funnels through the driver.
+    //  Branch equality is unit-tested on fixed codebooks (ExtSpec)
+    //  and the distributed branch rehearsed at 100k queries
+    //  (ScaleRehearsal `pq` section).
+    val qNorm = withNorm(queries, "query_id", "e_q", "n_q")
+    val probe = qNorm.limit(PqMaxDriverQueries + 1).collect()
+    val qTables =
+      if (probe.length <= PqMaxDriverQueries)
+        pqDotTablesDriver(spark, probe.toSeq, books, m, dSub)
+      else pqDotTablesDistributed(qNorm, books, m, dSub)
+    val normTable = (0 until m).map(s =>
+      books(s).map(c => c.map(x => x * x).sum).toSeq).toSeq
+    Some((codes, qTables, normTable))
+  }
+
+  /** Contract bound for driver-built per-query ADC tables: below it
+    * the collect costs less than a job launch; above it [[pqModel]]
+    * builds the identical tables distributed.
+    */
+  val PqMaxDriverQueries = 4096
+
+  /** Driver-side ADC table build over collected query rows
+    * `(query_id, e_q, n_q)` — the small-batch branch.
+    */
+  private[graft] def pqDotTablesDriver(spark: SparkSession,
+      qRows: Seq[org.apache.spark.sql.Row],
+      books: Array[Array[Seq[Double]]], m: Int, dSub: Int): DataFrame = {
+    import spark.implicits._
+    qRows.map { r =>
+      val (qid, q, nq) = (r.getLong(0), r.getSeq[Double](1), r.getDouble(2))
       (qid, nq, (0 until m).map(s => books(s).map(c =>
         c.zip(q.slice(s * dSub, (s + 1) * dSub)).map { case (a, b) => a * b }.sum
       ).toSeq).toSeq)
-    }.toSeq
-    val normTable = (0 until m).map(s =>
-      books(s).map(c => c.map(x => x * x).sum).toSeq).toSeq
-    import spark.implicits._
-    val qTables = dotTables.toDF("query_id", "n_q", "dot_table")
-    Some((codes, qTables, normTable))
+    }.toDF("query_id", "n_q", "dot_table")
+  }
+
+  /** Distributed ADC table build: per sub-space, one
+    * [[graft.functions.CentroidScores]] sweep of the query sub-vector
+    * against the (foldable-literal) codebook — bit-identical to the
+    * driver fold (same sequential accumulation order), as a narrow
+    * codegen projection over the query frame.
+    */
+  private[graft] def pqDotTablesDistributed(qNorm: DataFrame,
+      books: Array[Array[Seq[Double]]], m: Int, dSub: Int): DataFrame = {
+    import graft.functions.CentroidScores
+    qNorm.select(col("query_id"), col("n_q"),
+      array((0 until m).map(s =>
+        CentroidScores.centroid_scores(
+          slice(col("e_q"), s * dSub + 1, dSub),
+          typedlit(books(s).toSeq))): _*).as("dot_table"))
   }
 
   // ------------------------------------------------------------ queries

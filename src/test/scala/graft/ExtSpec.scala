@@ -630,6 +630,36 @@ class ExtSpec extends AnyFunSuite {
     assert(plainLeaks > 0, "fixture has no straddling clusters; control is vacuous")
   }
 
+  test("PQ ADC tables: distributed build equals driver build on fixed codebooks") {
+    import spark.implicits._
+    // fixed codebooks — no training, so this pins the two dispatch
+    // branches of pqModel's table build against each other with no
+    // bet on Lloyd determinism: m=2 sub-spaces, kSub=3, dSub=2
+    val books: Array[Array[Seq[Double]]] = Array(
+      Array(Seq(1.0, 2.0), Seq(0.5, -1.0), Seq(0.0, 0.25)),
+      Array(Seq(-3.0, 0.125), Seq(7.0, 2.5), Seq(1.5, -0.75)))
+    val qNorm = Seq(
+      (10L, Seq(0.1, -0.2, 0.3, 0.4), 0.5477),
+      (11L, Seq(1.0, 1.0, -1.0, 2.0), 2.6458),
+      (12L, Seq(0.0, 0.0, 0.0, 0.0), 0.0))
+      .toDF("query_id", "e_q", "n_q")
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[scala.collection.Seq[Double]](2).map(_.toSeq)))
+      .sortBy(_._1).toSeq
+    val viaDriver = Similarity.pqDotTablesDriver(
+      spark, qNorm.collect().toSeq, books, m = 2, dSub = 2)
+    val viaDistributed = Similarity.pqDotTablesDistributed(
+      qNorm, books, m = 2, dSub = 2)
+    assert(canon(viaDriver) === canon(viaDistributed))
+    // and the values are the actual sub-space dot products
+    val t10 = canon(viaDriver).head._3
+    assert(t10(0) === Seq(0.1 * 1.0 + -0.2 * 2.0, 0.1 * 0.5 + -0.2 * -1.0,
+      0.1 * 0.0 + -0.2 * 0.25))
+    assert(t10(1) === Seq(0.3 * -3.0 + 0.4 * 0.125, 0.3 * 7.0 + 0.4 * 2.5,
+      0.3 * 1.5 + 0.4 * -0.75))
+  }
+
   test("containment is asymmetric: planted excerpt scores 1.0 one way only") {
     import spark.implicits._
     val small = "alpha beta gamma delta epsilon zeta eta theta"
