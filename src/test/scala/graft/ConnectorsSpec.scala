@@ -23,6 +23,39 @@ class ConnectorsSpec extends AnyFunSuite {
       " ON DUPLICATE KEY UPDATE uv = VALUES(uv), buy_cnt = VALUES(buy_cnt), amount = VALUES(amount)")
   }
 
+  test("mysql upsert dialect EXECUTES end-to-end; parity with the Derby dialect") {
+    import spark.implicits._
+    import graft.streaming.JdbcUpsertSink
+    MysqlMock.ensureRegistered()
+    MysqlMock.clear("upsert_exec")
+    // the sink's real executor-side path (foreachPartition, prepared-
+    // statement batches) through the ON DUPLICATE KEY branch, against
+    // the emulated MySQL endpoint — batch 2 overlaps batch 1's keys so
+    // both the insert and the duplicate-key update legs execute
+    val my = new JdbcUpsertSink(s"${MysqlMock.Prefix}upsert_exec",
+      "res", Seq("user_id"), dialect = "mysql")
+    val b1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("user_id", "amount")
+    val b2 = Seq((2L, 25.0), (3L, 35.0), (4L, 45.0)).toDF("user_id", "amount")
+    my.apply(b1, 0L)
+    my.apply(b2, 1L)
+    my.apply(b2, 1L) // replayed epoch: at-least-once channel, no-op
+    def viaMock = MysqlMock.db("upsert_exec")("res").rows
+      .map { case (k, v) =>
+        k.head.asInstanceOf[Long] -> v(1).asInstanceOf[Double] }.toMap
+    assert(viaMock === Map(1L -> 10.0, 2L -> 25.0, 3L -> 35.0, 4L -> 45.0))
+    // parity: the portable Derby dialect lands the same final state
+    // from the same batch sequence
+    val derby = new JdbcUpsertSink(
+      "jdbc:derby:memory:mysqlparity;create=true", "res", Seq("user_id"))
+    derby.apply(b1, 0L); derby.apply(b2, 1L); derby.apply(b2, 1L)
+    val viaDerby = derby.toDF(spark).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Double]("amount")).toMap
+    assert(viaMock === viaDerby)
+    try java.sql.DriverManager
+      .getConnection("jdbc:derby:memory:mysqlparity;drop=true")
+    catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
+  }
+
   test("kafka wire decode: generated JSON orders round-trip through the consumer path") {
     val wire = OrderGen.ordersJson(spark, 500)
     val decoded = Connectors.kafkaWireDecode(wire)
