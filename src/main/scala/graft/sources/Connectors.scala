@@ -113,6 +113,17 @@ object Connectors {
     * JSON decode with the declared schema. The returned builder is
     * ready to `.load()` where a broker exists; offline tests use
     * [[kafkaWireDecode]] on any DataFrame with a `value` column.
+    *
+    * Live-broker status: this sandbox ships neither the
+    * `spark-sql-kafka` connector jar nor a broker (zero egress), so
+    * `.load()` here cannot execute offline — the strongest executable
+    * pin is ConnectorsSpec's "kafka wire SCHEMA" test, which streams
+    * micro-batches carrying the connector's exact output relation
+    * (binary key/value, topic, partition, offset, timestamp,
+    * timestampType) through the same `select(value)` →
+    * [[kafkaWireDecode]] chain [[wireStream]]'s kafka case uses after
+    * `.load()`. A deployment adds the connector jar and broker
+    * coordinates; no code changes.
     */
   def kafkaSourceReader(spark: SparkSession, bootstrap: String, topic: String,
       startingOffsets: String = "earliest") =

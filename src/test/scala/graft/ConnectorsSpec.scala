@@ -8,6 +8,17 @@ import graft.gen.OrderGen
 import graft.ops.SkewJoin
 import graft.sources.{Connectors, Tables}
 
+/** A record shaped exactly like one row of the Kafka connector's fixed
+  * output relation (kafka source docs: key/value binary, topic string,
+  * partition int, offset long, timestamp timestamp, timestampType int).
+  * Used to drive the consume chain with connector-schema micro-batches
+  * in the zero-egress sandbox, where the connector jar and a broker do
+  * not exist.
+  */
+case class KafkaWire(key: Array[Byte], value: Array[Byte], topic: String,
+  partition: Int, offset: Long, timestamp: java.sql.Timestamp,
+  timestampType: Int)
+
 /** Connector/storage/skew surface: everything runnable offline runs
   * for real; network connectors are checked at the SQL/wire level.
   */
@@ -64,6 +75,46 @@ class ConnectorsSpec extends AnyFunSuite {
       Set("order_id", "user_id", "order_tz", "amount", "currency", "channel_id", "order_time", "ts"))
     // schema-on-read: all fields non-null after JSON decode
     assert(decoded.filter(col("order_id").isNull || col("ts").isNull).count() === 0)
+  }
+
+  test("kafka wire SCHEMA: binary connector-shaped records stream through the consume chain") {
+    // The strongest executable statement about wireStream's kafka
+    // branch in this sandbox (no spark-sql-kafka jar, no broker, zero
+    // egress): a real micro-batch stream whose rows carry the
+    // connector's exact output schema — binary value included — driven
+    // through the SAME `select(value) → kafkaWireDecode` chain the
+    // kafka case uses after `.load()`. Closes the one branch the
+    // format=text e2e could not reach: BINARY value → cast(string) →
+    // from_json under a streaming watermark.
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    implicit val sqlCtx = spark.sqlContext
+    val jsons = OrderGen.ordersJson(spark, 300).as[String].collect().toSeq
+    val wire = jsons.zipWithIndex.map { case (v, i) =>
+      KafkaWire(s"k$i".getBytes("UTF-8"), v.getBytes("UTF-8"),
+        "user_behavior", i % 3, i.toLong,
+        new java.sql.Timestamp(1704067200000L + i * 1000L), 0)
+    }
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[KafkaWire]
+    // the stream's relation IS the connector's fixed schema (names +
+    // types; nullability is encoder-dependent and not part of the pin)
+    val kafkaConnectorSchema = Seq(
+      "key" -> BinaryType, "value" -> BinaryType, "topic" -> StringType,
+      "partition" -> IntegerType, "offset" -> LongType,
+      "timestamp" -> TimestampType, "timestampType" -> IntegerType)
+    assert(in.toDF().schema.fields.map(f => f.name -> f.dataType).toSeq
+      === kafkaConnectorSchema)
+    val decoded = Connectors.kafkaWireDecode(in.toDF().select(col("value")))
+    val q = decoded.writeStream.format("memory")
+      .queryName("kafka_wire_schema_decode").outputMode("append").start()
+    in.addData(wire.take(150)); q.processAllAvailable()
+    in.addData(wire.drop(150)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kafka_wire_schema_decode")
+    val batch = OrderGen.decodeJson(jsons.toDF("value"))
+    assert(streamed.count() === 300)
+    assert(streamed.exceptAll(batch).count() === 0
+      && batch.exceptAll(streamed).count() === 0)
   }
 
   test("bucketed ORC table: write, catalog metadata, read back, bucket pruning shape") {
