@@ -309,10 +309,35 @@ object StreamingQueries {
   private def eventStream(spark: SparkSession, srcDir: String,
       glob: String, probeFile: String): DataFrame = {
     val tsLong = tsReadAsLong(spark, probeFile)
+    // recursiveFileLookup: `events.parquet` may be a single FILE (the
+    // driver fixture) or a DIRECTORY of part files (every written-by-
+    // Spark dataset, e.g. the sf1.0 canary) — possibly symlinked into
+    // the replayAppendFlush scratch dir. Listing must traverse into
+    // it either way; the explicit schema means no partition inference
+    // is lost.
     val src = spark.readStream.schema(rawEventSchema(tsLong))
-      .option("pathGlobFilter", glob).parquet(srcDir)
+      .option("pathGlobFilter", glob)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
     if (tsLong) src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else src
+  }
+
+  /** Stream `<dir>/events.parquet` whatever its on-disk layout: the
+    * driver fixture ships it as ONE parquet file directly under `dir`
+    * (stream `dir` with a name filter — streaming the bare file path
+    * is not a directory source), while any Spark-written copy of the
+    * fixture (the sf1.0 canary, a real ingest landing) is a DIRECTORY
+    * of part files (stream the directory itself; the glob keeps
+    * `_SUCCESS` markers out). The sf1.0 canary caught the
+    * single-layout assumption: a part-file directory matched zero
+    * files against the `events.parquet` leaf-name glob and the replay
+    * streamed nothing.
+    */
+  private def fixtureEventStream(spark: SparkSession, dir: String): DataFrame = {
+    val path = s"$dir/events.parquet"
+    if (new java.io.File(path).isDirectory)
+      eventStream(spark, path, "*.parquet", path)
+    else eventStream(spark, dir, "events.parquet", path)
   }
 
   private val replaySeq = new java.util.concurrent.atomic.AtomicLong()
@@ -333,8 +358,7 @@ object StreamingQueries {
   def replay(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, keys: Seq[String],
       outputMode: String = "update"): DataFrame = {
-    // file source needs a dir; glob selects the one fixture file
-    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
+    val src = fixtureEventStream(spark, dir)
     val db = s"replay_${replaySeq.incrementAndGet()}"
     val sink = new JdbcUpsertSink(s"jdbc:derby:memory:$db;create=true",
       "result_table", keys)
@@ -372,7 +396,7 @@ object StreamingQueries {
     */
   def replayComplete(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame): DataFrame = {
-    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
+    val src = fixtureEventStream(spark, dir)
     val name = s"replay_complete_${replaySeq.incrementAndGet()}"
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8") // see replay()
@@ -466,7 +490,7 @@ object StreamingQueries {
     val base = graft.RunScratch.dir("fanout", dir)
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
-    val src = eventStream(spark, dir, "events.parquet", s"$dir/events.parquet")
+    val src = fixtureEventStream(spark, dir)
     val q = dualSinkFanout(src, s"$base/a", s"$base/b", s"$base/ckpt")
     try { q.processAllAvailable() } finally q.stop()
     spark.read.parquet(s"$base/a")

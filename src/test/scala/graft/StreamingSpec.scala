@@ -452,6 +452,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(written.columns.contains("event_date"))
   }
 
+  test("replay streams events.parquet as a part-file DIRECTORY (Spark-written layout)") {
+    // The sf1.0 canary regression: the driver fixture ships
+    // events.parquet as ONE file, but every Spark-written dataset is a
+    // directory of part files — the replay's leaf-name glob matched
+    // zero of them and streamed nothing (zero batches, empty sink).
+    // Re-land sf0.001 events in the written-by-Spark layout and assert
+    // both the update-mode replay and the sentinel-flushed append
+    // replay see every row.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirlayout").toString
+    graft.sources.Tables.events(spark, "/root/testdata/sf0.001")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    assert(new java.io.File(s"$dir/events.parquet").isDirectory)
+    val streamed = StreamingQueries.replay(spark, dir,
+      StreamingQueries.q3UserGmv, Seq("user_id"))
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(col("user_id")).agg(round(sum(col("value")), 2).as("amount"))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    val sessions = StreamingQueries.replayAppendFlush(spark, dir,
+      StreamingQueries.qSessions).filter(col("user_id") =!= -1L)
+    val sessionsFixture = StreamingQueries.replayAppendFlush(spark,
+      "/root/testdata/sf0.001", StreamingQueries.qSessions)
+      .filter(col("user_id") =!= -1L)
+    assert(sessions.count() > 0)
+    assert(sessions.exceptAll(sessionsFixture).count() === 0
+      && sessionsFixture.exceptAll(sessions).count() === 0)
+  }
+
   test("streaming session windows merge across micro-batches (append mode)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
