@@ -208,7 +208,7 @@ object Similarity {
     * with corpus size (k ≈ √n keeps per-cluster work flat).
     */
   def cosineNearDupPairs(emb: DataFrame, threshold: Double,
-      nClusters: Int = 32, lloydIters: Int = 2,
+      nClusters: Int = 0, lloydIters: Int = 2,
       targetSubBlock: Int = 256): DataFrame = {
     import graft.functions.VecDot.vec_dot
     val spark = emb.sparkSession
@@ -234,9 +234,14 @@ object Similarity {
       val n = math.sqrt(c.map(x => x * x).sum)
       if (n == 0.0) c else c.map(_ / n)
     }
-    // deterministic init: first nClusters vectors (unit-normalized)
+    // nClusters = 0 ⇒ √N auto-sizing (see [[autoNlist]]): per-cluster
+    // population — and with it the quadratic same-cluster verify work —
+    // then grows only as √N instead of linearly
+    val k = if (nClusters > 0) nClusters
+      else autoNlist(prepped.count(), 32)
+    // deterministic init: first k vectors (unit-normalized)
     var centroids: Array[(Int, Seq[Double])] = prepped
-      .orderBy(col("vec_id")).limit(nClusters).collect()
+      .orderBy(col("vec_id")).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, normalize(r.getSeq[Double](3))) }
     if (centroids.isEmpty) return emb.sparkSession.emptyDataFrame
       .select(lit(0L).as("id_a"), lit(0L).as("id_b"), lit(0.0).as("sim"))
@@ -347,7 +352,7 @@ object Similarity {
     * drops by ~k/nprobe versus brute force.
     */
   def annIvf(emb: DataFrame, queries: DataFrame, k: Int,
-      nClusters: Int = 16, nProbe: Int = 4, lloydIters: Int = 2): DataFrame =
+      nClusters: Int = 0, nProbe: Int = 4, lloydIters: Int = 2): DataFrame =
     ivfTopK(ivfAssignments(emb, queries, nClusters, nProbe, lloydIters), k)
 
   /** Probe join + exact cosine top-k over a trained IVF model —
@@ -456,7 +461,7 @@ object Similarity {
     * `ann_ivf_ingest` ladder rung).
     */
   def ivfAssignments(emb: DataFrame, queries: DataFrame,
-      nClusters: Int = 16, nProbe: Int = 4,
+      nClusters: Int = 0, nProbe: Int = 4,
       lloydIters: Int = 2): (DataFrame, DataFrame) = {
     val centroids = ivfTrain(emb, nClusters, lloydIters)
     (ivfAssignCorpus(centroids, emb), ivfProbes(centroids, queries, nProbe))
@@ -484,24 +489,52 @@ object Similarity {
     df.withColumn("__scores", array(scores: _*))
   }
 
+  /** `nClusters = 0` ⇒ size the quantizer to the corpus:
+    * `max(floor, ⌈√N⌉)`. ANN candidate work per query is
+    * `(N / nlist) · nProbe`, so a FIXED nlist makes probe cost grow
+    * linearly with the corpus — and total ANN cost quadratically when
+    * the query side grows with it. √N keeps cluster population (and
+    * per-query probe cost) growing only as √N, the standard IVF
+    * sizing rule. Pinned by the sf1.0 canary: the fixed-16
+    * incremental gate scaled 18× for 10× data before this.
+    */
+  private def autoNlist(n: Long, floor: Int): Int =
+    math.max(floor, math.ceil(math.sqrt(n.toDouble)).toInt)
+
+  /** Deterministic training subsample: Lloyd cost is
+    * `iters × |train| × k`, and past a few hundred points per
+    * centroid extra rows stop moving the means — hash-keep every
+    * m-th vector targeting ~256·k training rows. Identity under the
+    * threshold (every fixture/gate corpus), a pure function of
+    * vec_id above it (re-trainable, no RNG state).
+    */
+  private def trainSample(corpus: DataFrame, n: Long, k: Int): DataFrame = {
+    val m = n / (256L * k)
+    if (m <= 1) corpus
+    else corpus.filter(pmod(xxhash64(col("vec_id")), lit(m)) === 0)
+  }
+
   /** Train the coarse quantizer: deterministic init (first nClusters
     * vectors by id) refined by `lloydIters` Lloyd rounds expressed as
     * DataFrame aggregations — the driver only ever holds the k × dim
     * centroid doubles. The returned array is the FROZEN model state an
     * incremental deployment retrains rarely and reuses every batch.
     */
-  def ivfTrain(emb: DataFrame, nClusters: Int = 16,
+  def ivfTrain(emb: DataFrame, nClusters: Int = 0,
       lloydIters: Int = 2): Array[(Int, Seq[Double])] = {
     val corpus = ivfCorpus(emb)
-    // deterministic init: first nClusters vectors as seeds
-    var centroids: Array[(Int, Seq[Double])] = corpus
-      .orderBy(col("vec_id")).limit(nClusters).collect()
+    val n = corpus.count()
+    val k = if (nClusters > 0) nClusters else autoNlist(n, 16)
+    val train = trainSample(corpus, n, k)
+    // deterministic init: first k training vectors as seeds
+    var centroids: Array[(Int, Seq[Double])] = train
+      .orderBy(col("vec_id")).limit(k).collect()
       .zipWithIndex.map { case (r, i) => (i, r.getSeq[Double](1)) }
     // dimensionality from the data, not a parameter (see
     // [[cosineNearDupPairs]])
     val dim = if (centroids.isEmpty) 0 else centroids(0)._2.length
     for (_ <- 0 until lloydIters) {
-      val assigned = ivfScored(centroids, corpus, col("e"))
+      val assigned = ivfScored(centroids, train, col("e"))
         .withColumn("cluster", nearestClusterFromScores)
       val means = assigned.groupBy(col("cluster"))
         .agg(array((0 until dim).map(d =>
