@@ -393,7 +393,18 @@ object GraphOps {
     // hash-order selection keeps, not just how many
     "graph_coactivity_capped" -> ((s, d) =>
       coActivityEdgesCapped(s, d, maxUsersPerMinute = 2)
-        .orderBy(col("a"), col("b")))
+        .orderBy(col("a"), col("b"))),
+    // triangle census over the CAPPED derivation — the composition
+    // that stays bounded at scale. The uncapped graph_triangles gate
+    // is intrinsically superlinear in per-minute population (pair
+    // edges grow as C(n,2), triangle work as ~m^1.5): the sf1.0
+    // canary measured it at 1300x for 10x data, while this capped
+    // form's edge set is ≤ C(cap,2) per minute by construction. cap=3
+    // is the smallest value where triangles exist at all (each hot
+    // minute's kept users form a clique), so the gate checks the
+    // capped clique structure, not a degenerate zero
+    "graph_triangles_capped" -> ((s, d) =>
+      triangleCount(coActivityEdgesCapped(s, d, maxUsersPerMinute = 3)))
   )
 
   /** The PageRank oracle unrolls the SAME integer fixed-point
@@ -451,6 +462,24 @@ object GraphOps {
         |SELECT DISTINCT x.user_id AS a, y.user_id AS b
         |FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id
         |ORDER BY a, b""".stripMargin,
+    "graph_triangles_capped" ->
+      """WITH act AS (
+        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
+        |ranked AS (
+        |  SELECT m, user_id,
+        |         row_number() OVER (
+        |           PARTITION BY m
+        |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
+        |                    user_id) AS rn
+        |  FROM act),
+        |kept AS (SELECT m, user_id FROM ranked WHERE rn <= 3),
+        |e AS (
+        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+        |  FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id)
+        |SELECT count(*) AS n_triangles
+        |FROM e e1
+        |JOIN e e2 ON e2.a = e1.b
+        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "graph_triangles" ->
       """WITH act AS (
         |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
