@@ -472,6 +472,27 @@ object Dedup {
     * the 1M/2M-edge rehearsals and ladder rungs still measure the
     * distributed rounds.
     */
+  /** Eagerly materialize `df` as a persisted `InternalRow` RDD and
+    * rebuild the frame over it — a per-round plan barrier with LEAF
+    * statistics. The iterative loop below cannot use
+    * `Dataset.localCheckpoint`: Spark 4 rewrites the source plan's
+    * Statistics onto the checkpointed node
+    * (`LogicalRDD.fromDataset`), so round-over-round checkpoints
+    * compound size-in-bytes estimates multiplicatively until the
+    * driver livelocks multiplying million-digit BigIntegers during
+    * planning (measured: the 2000-hop-chain spec went from seconds to
+    * stuck). Returns the barrier frame plus the RDD handle so the
+    * loop can release the previous round's blocks.
+    */
+  private def roundBarrier(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
+    val rdd = df.queryExecution.toRdd.map(_.copy())
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    rdd.count() // eager
+    (org.apache.spark.sql.graftbridge.Bridge.internalDf(
+      df.sparkSession, rdd, df.schema), rdd)
+  }
+
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
       maxIters: Int = 30, localMaxEdges: Long = 1L << 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -517,24 +538,66 @@ object Dedup {
     // The label frame is two longs per clustered doc — orders of
     // magnitude smaller than the corpus the pairs came from. At 32
     // shuffle partitions each round pays ~3 near-empty shuffles of
-    // pure task overhead, which dominates the loop; size the rounds
-    // to the data (AQE coalescing doesn't cover every stage here
-    // because localCheckpoint pins materialization). Restored after.
+    // pure task overhead, which dominates the loop at gate scale; but
+    // a FIXED count under-parallelizes and spills once the graph
+    // grows (the 10M-edge ladder rung measured 2.6×/doubling at a
+    // pinned 8). Size partitions to the data: ~1M directed rows each
+    // keeps per-round sorts in memory, the floor keeps small graphs
+    // at near-zero task overhead, the cap keeps partitions ≥ cores
+    // busy rather than fragmenting (AQE coalescing doesn't cover
+    // every stage here because localCheckpoint pins materialization).
+    // Restored after.
+    val parts = math.max(8, math.min(
+      spark.sparkContext.defaultParallelism * 4,
+      (2L * nEdges / 1000000L).toInt))
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
     // persisted hash-partitioned on the join key: every round's join
     // reuses the stored partitioning instead of re-shuffling the edges
     val edges = pe
       .union(pe.select(col("v").as("u"), col("u").as("v")))
-      .repartition(8, col("u"))
+      .repartition(parts, col("u"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
-      var labels = edges.select(col("u").as("node")).distinct()
-        .withColumn("label", col("node")).localCheckpoint(true)
+      var (labels, labelsRdd) = roundBarrier(
+        edges.select(col("u").as("node")).distinct()
+          .withColumn("label", col("node")))
       var changed = 1L
       var it = 0
+      // LIVE-EDGE CONTRACTION: the loop below is the standard
+      // min-label propagation + pointer jumping (O(log d) rounds),
+      // but naively every round shuffles all 2m edge rows even though
+      // after round 0 the overwhelming share of nodes is settled
+      // (5M-edge ladder, 100k-chain topology: round 0 moves 3.4M
+      // labels, every later round ~100k chain nodes — yet each paid
+      // the full 2m shuffle, 17 rounds long). After each round the
+      // edge set is CONTRACTED in label space: an edge whose endpoints
+      // share a current label is a witness that both sides are already
+      // merged and can never transmit new information once its label
+      // node carries the truth — it is dropped; a cross-label edge is
+      // rewritten to its label pair. Labels are node ids, so the
+      // contracted endpoints are valid rows of the label frame and
+      // propagation over them composes with the jump join that pulls
+      // updates down to every original node. Critically the LABEL
+      // frame is never restarted — pointer-jumping reach keeps
+      // compounding, so a high-diameter chain still converges in
+      // log₂(d) rounds (a restart-and-recurse contraction shrinks a
+      // chain only linearly per level: its label graph is again a
+      // chain — measured dead end). Clique-heavy graphs (every
+      // near-dup corpus) collapse the live set after the first
+      // rounds, making later rounds O(live)+O(n) instead of O(m).
+      //
+      // Round materialization is [[roundBarrier]], NOT
+      // Dataset.localCheckpoint: Spark 4 checkpoints inherit the
+      // source plan's Statistics (LogicalRDD.fromDataset originStats),
+      // so checkpoint-per-round compounds size estimates
+      // multiplicatively and the driver livelocks in BigInteger stats
+      // arithmetic after ~a dozen rounds (see
+      // [[org.apache.spark.sql.graftbridge.Bridge.internalDf]]).
+      var live = edges
+      var liveRdd: org.apache.spark.rdd.RDD[_] = null
       while (changed > 0 && it < maxIters) {
-        val prop = edges.join(labels.withColumnRenamed("node", "u"), "u")
+        val prop = live.join(labels.withColumnRenamed("node", "u"), "u")
           .groupBy(col("v").as("node")).agg(min(col("label")).as("nbr"))
         val afterNbr = labels.join(prop, Seq("node"), "left")
           .select(col("node"),
@@ -546,26 +609,50 @@ object Dedup {
         // carry the did-anything-change flag INSIDE the checkpointed
         // frame: the convergence check is then a scan of materialized
         // rows, not another join + shuffle per round
-        val next = afterNbr.join(
+        val (next, nextRdd) = roundBarrier(afterNbr.join(
             afterNbr.select(col("node").as("jnode"), col("label").as("jlabel")),
             col("label") === col("jnode"), "left")
           .select(col("node"),
             least(col("label"), coalesce(col("jlabel"), col("label"))).as("label"),
-            (col("moved_n") || col("jlabel") < col("label")).as("moved"))
-          .localCheckpoint(true)
+            (col("moved_n") || col("jlabel") < col("label")).as("moved")))
         changed = next.filter(col("moved")).count()
         // next is eagerly materialized with its lineage cut, so the
-        // previous round's checkpoint blocks can be released NOW —
-        // otherwise peak storage is rounds × frame size and large
-        // corpora evict the edges cache mid-loop
-        labels.unpersist()
+        // previous round's blocks can be released NOW — otherwise
+        // peak storage is rounds × frame size and large corpora evict
+        // the edges cache mid-loop
+        labelsRdd.unpersist()
+        labelsRdd = nextRdd
         labels = next.select(col("node"), col("label"))
+        if (changed > 0) {
+          // contract the live set under the refreshed labeling; the
+          // barrier both materializes the (shrinking) frame and cuts
+          // lineage so per-round plans stay constant size
+          val (contractedLive, contractedRdd) = roundBarrier(live
+            .join(labels.select(col("node").as("u"), col("label").as("lu")), "u")
+            .join(labels.select(col("node").as("v"), col("label").as("lv")), "v")
+            .filter(col("lu") =!= col("lv"))
+            .select(col("lu").as("u"), col("lv").as("v")).distinct())
+          if (liveRdd != null) liveRdd.unpersist()
+          live = contractedLive
+          liveRdd = contractedRdd
+        }
+        if (sys.env.contains("SPARK_GRAFT_DEBUG"))
+          System.err.println(s"[components] round=$it moved=$changed " +
+            s"live=${if (liveRdd == null) "full" else liveRdd.count().toString} " +
+            s"parts=$parts")
         it += 1
       }
       if (changed > 0)
         throw new IllegalStateException(
           s"connectedComponents did not converge in $maxIters rounds")
-      labels.select(col("node"), col("label").as("component"))
+      // barrier: the finally below unpersists edges/pe, and the label
+      // frame must not lazily re-derive the pair set after the cache
+      // is gone
+      val result = roundBarrier(
+        labels.select(col("node"), col("label").as("component")))._1
+      labelsRdd.unpersist()
+      if (liveRdd != null) liveRdd.unpersist()
+      result
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       edges.unpersist()
