@@ -484,7 +484,7 @@ object Dedup {
     * stuck). Returns the barrier frame plus the RDD handle so the
     * loop can release the previous round's blocks.
     */
-  private def roundBarrier(df: DataFrame)
+  private[graft] def roundBarrier(df: DataFrame)
       : (DataFrame, org.apache.spark.rdd.RDD[_]) = {
     val rdd = df.queryExecution.toRdd.map(_.copy())
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -361,6 +361,13 @@ object GraphOps {
     val nodes = directed.select(col("src").as("node")).distinct()
       .localCheckpoint(true)
     var rank = nodes.withColumn("rank", lit(1000000L))
+    // per-round materialization via Dedup.roundBarrier, NOT
+    // localCheckpoint: Spark 4 checkpoints inherit source-plan
+    // Statistics, and a checkpoint-per-round loop compounds size
+    // estimates multiplicatively — harmless at the default 5 rounds,
+    // a driver livelock in BigInteger stats math by ~15 (see the
+    // connectedComponents loop note; measured there)
+    var rankRdd: org.apache.spark.rdd.RDD[_] = null
     var converged = false
     var round = 0
     while (round < iters && !converged) {
@@ -370,16 +377,18 @@ object GraphOps {
         .join(deg, Seq("src"))
         .select(col("dst").as("node"), expr("rank div deg").as("share"))
         .groupBy(col("node")).agg(sum(col("share")).as("c"))
-      val next = nodes.join(contrib, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr(s"($dMicro * coalesce(c, bigint(0))) div 1000000"))
-            .as("rank"))
-        .localCheckpoint(true)
+      val (next, nextRdd) = graft.ext.Dedup.roundBarrier(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (lit(base) + expr(s"($dMicro * coalesce(c, bigint(0))) div 1000000"))
+              .as("rank")))
       converged = next.withColumnRenamed("rank", "r_next")
         .join(rank.withColumnRenamed("rank", "r_prev"), Seq("node"))
         .filter(col("r_next") =!= col("r_prev"))
         .isEmpty
+      if (rankRdd != null) rankRdd.unpersist()
       rank = next
+      rankRdd = nextRdd
     }
     (rank.orderBy(col("rank").desc, col("node")).limit(20), round)
   }
