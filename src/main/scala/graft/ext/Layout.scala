@@ -36,6 +36,22 @@ object Layout {
     * rows inside each task so every written file carries monotone
     * `sortCols` ranges — the layout parquet min/max pruning exploits.
     */
+  /** Read a layout THIS engine just wrote back with its KNOWN schema.
+    * Schema inference fails on the empty case — an all-empty write
+    * under `partitionBy` leaves a file-less (dynamic-overwrite: even
+    * absent) directory — and a reader of its own layout never needs
+    * inference in the first place. Empty input must flow through a
+    * write→read round-trip as an empty frame, not an
+    * UNABLE_TO_INFER_SCHEMA crash (EmptyFixtureSpec pins this for
+    * every registry operator).
+    */
+  def readBack(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!new java.io.File(path).exists())
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(path)
+
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],
       maxRecordsPerFile: Long = 1000000L): Unit =
@@ -169,10 +185,11 @@ object Layout {
     // invocations rewrite ONE layout copy instead of leaking a fresh
     // temp directory per call (Bench alone runs this 5× per run)
     val tmp = graft.RunScratch.dir("layout_prune", dir)
-    writePartitioned(Tables.documents(spark, dir), tmp,
+    val docs = Tables.documents(spark, dir)
+    writePartitioned(docs, tmp,
       partitionCols = Seq("lang"), sortCols = Seq("source", "doc_id"),
       maxRecordsPerFile = 100000L)
-    spark.read.parquet(tmp)
+    readBack(spark, tmp, docs.schema)
       .filter(col("lang") === "en")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

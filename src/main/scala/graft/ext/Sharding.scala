@@ -62,8 +62,10 @@ object Sharding {
     */
   def shardManifestGate(spark: SparkSession, dir: String): DataFrame = {
     val tmp = graft.RunScratch.dir("shard_export", dir)
-    exportShards(Tables.documents(spark, dir), tmp, keyCol = "doc_id")
-    manifest(spark.read.parquet(tmp), "text")
+    val docs = Tables.documents(spark, dir)
+    exportShards(docs, tmp, keyCol = "doc_id")
+    manifest(Layout.readBack(spark, tmp,
+      docs.withColumn("shard", shardKey(col("doc_id"), 1)).schema), "text")
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

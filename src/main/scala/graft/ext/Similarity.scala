@@ -533,6 +533,9 @@ object Similarity {
     // dimensionality from the data, not a parameter (see
     // [[cosineNearDupPairs]])
     val dim = if (centroids.isEmpty) 0 else centroids(0)._2.length
+    // empty corpus ⇒ empty model: the Lloyd rounds would otherwise
+    // build a zero-arm score array (array<null>, analysis error)
+    if (centroids.isEmpty) return centroids
     for (_ <- 0 until lloydIters) {
       val assigned = ivfScored(centroids, train, col("e"))
         .withColumn("cluster", nearestClusterFromScores)
@@ -548,10 +551,17 @@ object Similarity {
   }
 
   /** Assign a corpus to frozen centroids: the write-once bucketed
-    * index state `(neighbor_id, e_c, cluster)`. */
+    * index state `(neighbor_id, e_c, cluster)`. An EMPTY model (zero
+    * training vectors) assigns nothing — guarded because a zero-arm
+    * `array()` of scores types as array<null> and fails analysis, not
+    * execution. */
   def ivfAssignCorpus(centroids: Array[(Int, Seq[Double])],
       emb: DataFrame): DataFrame =
-    ivfScored(centroids, ivfCorpus(emb), col("e"))
+    if (centroids.isEmpty)
+      ivfCorpus(emb).filter(lit(false))
+        .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"),
+          lit(0).as("cluster"))
+    else ivfScored(centroids, ivfCorpus(emb), col("e"))
       .withColumn("cluster", nearestClusterFromScores)
       .select(col("vec_id").as("neighbor_id"), col("e").as("e_c"), col("cluster"))
 
@@ -562,6 +572,8 @@ object Similarity {
       nProbe: Int = 4): DataFrame = {
     val qPrepped = queries.select(col("vec_id").as("query_id"),
       transform(col("embedding"), v => v.cast("double")).as("e_q"))
+    if (centroids.isEmpty)
+      return qPrepped.filter(lit(false)).withColumn("cluster", lit(0))
     ivfScored(centroids, qPrepped, col("e_q"))
       .select(col("query_id"), col("e_q"),
         posexplode(slice(array_sort(

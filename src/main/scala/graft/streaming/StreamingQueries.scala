@@ -448,10 +448,19 @@ object StreamingQueries {
       val schema = rawEventSchema(tsLong)
       val maxRow = spark.read.schema(schema).parquet(s"$dir/events.parquet")
         .agg(max(col("ts"))).collect()(0)
+      // an EMPTY fixture has no max event time — any sentinel instant
+      // flushes the zero open sessions; pin the fixture epoch
       val flushTs: Any =
-        if (tsLong) maxRow.getLong(0) + 3L * 24 * 3600 * 1000000000L // +3 days (nanos)
-        else java.sql.Timestamp.from(maxRow.getTimestamp(0).toInstant
-          .plus(java.time.Duration.ofDays(3)))
+        if (tsLong) {
+          val base = if (maxRow.isNullAt(0)) 1704067200L * 1000000000L
+            else maxRow.getLong(0)
+          base + 3L * 24 * 3600 * 1000000000L // +3 days (nanos)
+        } else {
+          val base = if (maxRow.isNullAt(0))
+            java.time.Instant.ofEpochSecond(1704067200L)
+          else maxRow.getTimestamp(0).toInstant
+          java.sql.Timestamp.from(base.plus(java.time.Duration.ofDays(3)))
+        }
       val row = org.apache.spark.sql.Row(-1L, flushTs, -1L, "flush", 0.0, null)
       val tmp = s"$scratch/.sentinel_build"
       spark.createDataFrame(
@@ -493,7 +502,8 @@ object StreamingQueries {
     val src = fixtureEventStream(spark, dir)
     val q = dualSinkFanout(src, s"$base/a", s"$base/b", s"$base/ckpt")
     try { q.processAllAvailable() } finally q.stop()
-    spark.read.parquet(s"$base/a")
+    graft.ext.Layout.readBack(spark, s"$base/a",
+        src.schema.add("batch_id", org.apache.spark.sql.types.LongType))
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("uv"),
