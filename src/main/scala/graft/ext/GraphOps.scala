@@ -413,7 +413,17 @@ object GraphOps {
     // minute's kept users form a clique), so the gate checks the
     // capped clique structure, not a degenerate zero
     "graph_triangles_capped" -> ((s, d) =>
-      triangleCount(coActivityEdgesCapped(s, d, maxUsersPerMinute = 3)))
+      triangleCount(coActivityEdgesCapped(s, d, maxUsersPerMinute = 3))),
+    // PageRank over the CAPPED derivation — the composition that stays
+    // bounded at scale (the round-5 canary measured the uncapped gate
+    // at 22x for 10x data, all of it in the C(n,2) edge derivation the
+    // iteration consumes; the capped edge set is ≤ C(cap,2)/minute by
+    // construction, so input to the linear iteration is rate-bounded).
+    // cap=3 matches graph_triangles_capped: per-minute cliques give the
+    // ranking real structure (shared-minute hubs outrank singletons)
+    "graph_pagerank_capped" -> ((s, d) =>
+      pageRankFixedPoint(
+        coActivityEdgesCapped(s, d, maxUsersPerMinute = 3), iters = 5))
   )
 
   /** The PageRank oracle unrolls the SAME integer fixed-point
@@ -422,8 +432,15 @@ object GraphOps {
     * and `div` in Spark both truncate, and inputs are non-negative.
     * Early exit on the Spark side never diverges from the unrolled
     * form: post-fixed-point rounds are identities in both engines.
+    *
+    * `cap` = Some(c) routes the edge CTE through the SAME
+    * smallest-md5-prefix per-minute selection as the
+    * `graph_coactivity_capped` oracle, so the capped-PageRank oracle
+    * re-derives both the bounded edge set and the iteration
+    * independently.
     */
-  private def pageRankOracle(iters: Int, damping: Double = 0.85): String = {
+  private def pageRankOracle(iters: Int, damping: Double = 0.85,
+      cap: Option[Int] = None): String = {
     val dMicro = math.round(damping * 1000000L)
     val base = 1000000L - dMicro
     val rounds = (1 to iters).map { i =>
@@ -437,11 +454,26 @@ object GraphOps {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
+    val vertexCte = cap match {
+      case Some(c) =>
+        s"""ranked AS (
+           |  SELECT m, user_id,
+           |         row_number() OVER (
+           |           PARTITION BY m
+           |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
+           |                    user_id) AS rn
+           |  FROM act),
+           |kept AS (SELECT m, user_id FROM ranked WHERE rn <= $c),""".stripMargin
+      case None => ""
+    }
+    val pairSource = if (cap.isDefined) "kept" else "act"
     s"""WITH act AS (
        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
+       |$vertexCte
        |ue AS (
        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-       |  FROM act x JOIN act y ON x.m = y.m AND x.user_id < y.user_id),
+       |  FROM $pairSource x JOIN $pairSource y
+       |    ON x.m = y.m AND x.user_id < y.user_id),
        |e AS (SELECT a AS src, b AS dst FROM ue
        |      UNION ALL SELECT b, a FROM ue),
        |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
@@ -454,6 +486,7 @@ object GraphOps {
 
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
+    "graph_pagerank_capped" -> pageRankOracle(5, cap = Some(3)),
     // re-runs the SAME hash-order selection: a fixed-length lowercase
     // hex prefix compares identically as a string here and as the
     // 52-bit numeric score the Spark aggregator uses
