@@ -38,12 +38,20 @@ object GraftSession {
       sys.env.getOrElse("SPARK_GRAFT_WAREHOUSE", "/tmp/graft_warehouse"))
     .config("spark.ui.enabled", "false")
 
-  /** Local session with the engine defaults applied. */
+  /** Local session with the engine defaults applied.
+    *
+    * Master is `local[n, 2]` — 2 task attempts, where plain `local[n]`
+    * pins maxFailures=1. A cluster's default is 4 attempts and task
+    * retry is routine at 100 TB; the retry-tolerant scheduler lets
+    * RetryDeterminismSpec inject a transient task failure and assert
+    * the selection operators re-execute bit-identically. Suites share
+    * one JVM/SparkContext, so the knob lives here, not per-spec.
+    */
   def local(appName: String = "graft"): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
     val spark = configure(
-      SparkSession.builder().appName(appName).master(s"local[$cpus]"), cpus)
+      SparkSession.builder().appName(appName).master(s"local[$cpus, 2]"), cpus)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark

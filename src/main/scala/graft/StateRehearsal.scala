@@ -80,9 +80,19 @@ object StateRehearsal {
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
     def run(arm: String, provider: String,
-        shape: DataFrame => DataFrame): Unit = {
+        shape: DataFrame => DataFrame,
+        changelog: Boolean = false): Unit = {
       if (!only.forall(arm.contains(_))) return
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
+      // Changelog checkpointing: per-commit the store uploads the small
+      // batch changelog instead of a full SST snapshot (snapshots move
+      // to a background cadence), decoupling commit latency from
+      // compaction/snapshot size — the knob under test for the dedup
+      // arm's 13–15 s commit spikes. Reset per arm: conf is read at
+      // query start.
+      spark.conf.set(
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+        changelog.toString)
       val ckpt = RunScratch.dir(s"state_rehearsal_$arm", arm)
       val src = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rowsPerBatch)
@@ -113,6 +123,8 @@ object StateRehearsal {
 
     run("rocksdb_q3", RocksDbProvider, q3Shape)
     run("rocksdb_q1_dedup", RocksDbProvider, q1Shape)
+    run("rocksdb_q1_dedup_changelog", RocksDbProvider, q1Shape,
+      changelog = true)
     run("hdfs_q3",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       q3Shape)

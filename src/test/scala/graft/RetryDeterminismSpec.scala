@@ -1,0 +1,145 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ext.{GraphOps, Sampling}
+import graft.sources.Tables
+
+/** Injects one transient task failure into partition 0's first attempt
+  * of every job launched while armed. Task-level statics are visible
+  * because tests run local-mode (executor == driver JVM); the armed
+  * window is per-test, the fired counter proves the failure actually
+  * happened (a spec that "survives" a failure that never fired tests
+  * nothing).
+  */
+object FlakyInjector {
+  @volatile var armed = false
+  val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  def maybeFail(): Unit = {
+    val tc = org.apache.spark.TaskContext.get()
+    if (armed && tc != null && tc.partitionId() == 0 &&
+        tc.attemptNumber() == 0) {
+      fired.incrementAndGet()
+      throw new RuntimeException(
+        "graft-test: injected transient task failure (retry expected)")
+    }
+  }
+}
+
+/** Retry-determinism: at 100 TB task retries are ROUTINE (spot-kills,
+  * OOMs, fetch failures — a cluster's default is 4 attempts), and a
+  * selection operator whose kept set depends on execution accidents
+  * (arrival order, partition count, which attempt survived) is the
+  * classic silent corruption: results differ between retried and
+  * clean runs with no error anywhere. The engine's selection family
+  * is pure-function-of-key BY DESIGN (seeded xxhash64 buckets, md5
+  * prefix order, integer thresholds); this spec pins that the design
+  * actually survives re-execution — each operator runs once clean and
+  * once with an injected first-attempt task failure (the scheduler
+  * retries under the session's `local[n, 2]` master, see
+  * [[GraftSession.local]]), and the outputs must be bit-identical.
+  *
+  * The injection wraps the INPUT scan, so the retried task re-runs
+  * the upstream read + every narrow stage fused onto it — the same
+  * recompute shape a lost-executor retry produces. The fired counter
+  * asserts the failure really happened in every armed run.
+  */
+class RetryDeterminismSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = GraftSession.local("graft-retry-test")
+  val dir = "/root/testdata/sf0.001"
+
+  /** The input frame with the failure hook on every partition. */
+  private def flaky(df: DataFrame): DataFrame = {
+    val schema = df.schema
+    val rdd = df.rdd.mapPartitions { it =>
+      FlakyInjector.maybeFail()
+      it
+    }
+    df.sparkSession.createDataFrame(rdd, schema)
+  }
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  /** Run `op` clean, then over the flaky wrapper with the injector
+    * armed; assert ≥1 injected failure fired and bit-identical output.
+    */
+  private def assertRetrySafe(name: String, input: DataFrame,
+      op: DataFrame => DataFrame): Unit = {
+    val clean = canon(op(input))
+    assert(clean.nonEmpty, s"$name: test input must produce rows")
+    val before = FlakyInjector.fired.get()
+    FlakyInjector.armed = true
+    val retried =
+      try canon(op(flaky(input)))
+      finally FlakyInjector.armed = false
+    assert(FlakyInjector.fired.get() > before,
+      s"$name: the injected failure never fired - nothing was tested")
+    assert(retried === clean,
+      s"$name: output changed under task retry")
+  }
+
+  private lazy val docs = Tables.documents(spark, dir)
+
+  test("scheduler retries the injected failure (sanity)") {
+    import spark.implicits._
+    val base = (1 to 100).toDF("v")
+    val before = FlakyInjector.fired.get()
+    FlakyInjector.armed = true
+    try {
+      assert(flaky(base).agg(sum(col("v"))).first().getLong(0) === 5050L)
+    } finally FlakyInjector.armed = false
+    assert(FlakyInjector.fired.get() > before)
+  }
+
+  test("hashSample kept set is identical under task retry") {
+    assertRetrySafe("hashSample", docs,
+      d => Sampling.hashSample(d, "doc_id", 0.35).select(col("doc_id")))
+  }
+
+  test("capPerGroup kept set is identical under task retry") {
+    assertRetrySafe("capPerGroup", docs,
+      d => Sampling.capPerGroup(d, "source", "doc_id",
+        md5(col("doc_id").cast("string")), 5).select(col("doc_id")))
+  }
+
+  test("tokenBudgetPerSource is identical under task retry (both paths)") {
+    // plain window path
+    assertRetrySafe("tokenBudget/plain", docs,
+      d => Sampling.tokenBudgetPerSource(d, budget = 500L))
+    // forced two-level decomposition (census probe + broadcast prefix
+    // sums + in-segment window - the multi-stage path where a retried
+    // upstream task feeds several consumers)
+    assertRetrySafe("tokenBudget/decomposed", docs,
+      d => Sampling.tokenBudgetPerSource(d, budget = 500L,
+        localMaxSource = 0L))
+  }
+
+  test("shuffleOrder positions are identical under task retry (both paths)") {
+    assertRetrySafe("shuffleOrder/plain", docs,
+      d => Sampling.shuffleOrder(d))
+    assertRetrySafe("shuffleOrder/decomposed", docs,
+      d => Sampling.shuffleOrder(d, localMax = 0L))
+  }
+
+  test("capped co-activity selection is identical under task retry") {
+    import spark.implicits._
+    // the GraphOpsSpec hot-minute fixture: cap=3 bites on the 9-user
+    // minute, so the md5-order TopK selection itself is under test
+    val act = (0 until 9).map(u => ("2024-01-01 12:00:00", u.toLong))
+      .++(Seq(("2024-01-01 12:05:00", 100L), ("2024-01-01 12:05:00", 101L)))
+      .toDF("ms", "user_id")
+      .select(col("ms").cast("timestamp").as("m"), col("user_id"))
+    assertRetrySafe("coActivityCapped", act,
+      a => GraphOps.coActivityEdgesCappedOf(a, maxUsersPerMinute = 3))
+  }
+
+  test("splitAssign is identical under task retry") {
+    assertRetrySafe("splitAssign", docs,
+      d => Sampling.splitAssign(d, "doc_id").select(col("doc_id"), col("split")))
+  }
+}
