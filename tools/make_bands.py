@@ -1,0 +1,46 @@
+#!/usr/bin/env python3
+"""Mechanical per-query band table for BASELINE.md (builder tooling).
+
+Inputs: a fresh full-suite Bench stdout (the long JSON line with the
+per-query map) plus whatever per-query values survive in the driver's
+BENCH_r*.json tail captures. Per gate, band = [0.7 x min(samples),
+1.6 x max(samples)] -- the 0.7/1.6 spread covers the documented
+shared-host drift (BASELINE.md round-4 note: +/-5-20 pct across
+untouched queries, occasional 1.5x on streaming replays); the driver's
+hard contract stays 2x of band midpoint. Emits a markdown table sorted
+by gate name and a total band.
+
+Usage: python3 tools/make_bands.py <fresh_bench_stdout> [BENCH_rN.json ...]
+"""
+import json, re, sys
+
+def from_bench_stdout(path):
+    for line in open(path):
+        if '"queries"' in line:
+            return json.loads(line)["queries"]
+    raise SystemExit(f"no queries line in {path}")
+
+def from_driver_artifact(path):
+    # tail captures truncate the head; scavenge "name":value pairs
+    txt = json.load(open(path)).get("tail", "")
+    out = {}
+    for m in re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', txt):
+        k, v = m.group(1), float(m.group(2))
+        if k not in ("value", "sf"):
+            out[k] = v
+    return out
+
+fresh = from_bench_stdout(sys.argv[1])
+hist = [from_driver_artifact(p) for p in sys.argv[2:]]
+
+print("| gate | min-of-4 sec (r6) | prior samples | band (sec) |")
+print("|---|---|---|---|")
+lo_t = hi_t = 0.0
+for q in sorted(fresh):
+    samples = [fresh[q]] + [h[q] for h in hist if q in h]
+    lo, hi = 0.7 * min(samples), 1.6 * max(samples)
+    lo_t += lo; hi_t += hi
+    prior = ", ".join(f"{h[q]:.2f}" for h in hist if q in h) or "—"
+    print(f"| {q} | {fresh[q]:.2f} | {prior} | {lo:.2f}–{hi:.2f} |")
+print(f"| **total ({len(fresh)} gates)** | "
+      f"**{sum(fresh.values()):.1f}** | — | **{lo_t:.0f}–{hi_t:.0f}** |")
