@@ -73,7 +73,38 @@ object DataQuality {
     v.agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Key-skew profile — the diagnostic every 100 TB join/agg plan
+    * starts from: the distribution of per-key row counts for a
+    * prospective shuffle key, reduced to one row (distinct keys,
+    * total rows, max/p50/p99 frequency, skew ratio, and the salt
+    * factor [[graft.ops.SkewJoin]] would need to equalize the hot
+    * key). `skew_x100` = max·100/mean and `salt_factor` =
+    * ⌈max/mean⌉ are integer-exact (cross-multiplied `div`, ceil as
+    * `(a + b - 1) div b`) so the oracle compares exact integers.
+    *
+    * Scale shape: one map-side-combined groupBy(key) count, then a
+    * single-row reduction whose exact-percentile buffer is keyed by
+    * DISTINCT FREQUENCY VALUES, not keys — per-key counts repeat
+    * massively (most keys share small frequencies), so the final
+    * task's state is the frequency histogram, bounded far below the
+    * key count.
+    */
+  def keySkewProfile(df: DataFrame, keyCol: String): DataFrame =
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+      .agg(
+        count(lit(1)).as("n_keys"),
+        sum(col("cnt")).as("total_rows"),
+        max(col("cnt")).as("max_cnt"),
+        round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
+        round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+      .withColumn("skew_x100",
+        expr("(max_cnt * 100 * n_keys) div total_rows"))
+      .withColumn("salt_factor",
+        expr("(max_cnt * n_keys + total_rows - 1) div total_rows"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_key_skew" -> ((s, d) =>
+      keySkewProfile(Tables.events(s, d), "user_id")),
     "dq_report" -> ((s, d) => report(Tables.events(s, d), eventRules)),
     "dq_clean_count" -> ((s, d) =>
       clean(Tables.events(s, d), eventRules)
@@ -82,6 +113,17 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT count(*) AS n_keys,
+        |       CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        |       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+        |       (max(cnt) * 100 * count(*)) // CAST(sum(cnt) AS BIGINT) AS skew_x100,
+        |       (max(cnt) * count(*) + CAST(sum(cnt) AS BIGINT) - 1)
+        |         // CAST(sum(cnt) AS BIGINT) AS salt_factor
+        |FROM c""".stripMargin,
     "dq_report" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN ok_ts AND ok_uid AND ok_val AND ok_type AND ok_json

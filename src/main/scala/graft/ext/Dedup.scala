@@ -745,6 +745,11 @@ object Dedup {
     "dedup_embedding_cosine" -> ((s, d) =>
       graft.ext.Similarity.cosineNearDupPairs(Tables.embeddings(s, d), threshold = 0.4)
         .orderBy(col("id_a"), col("id_b"))),
+    // SemDeDup composition: the pair stage above -> components -> one
+    // kept representative per semantic cluster (full keep-list out)
+    "dedup_semantic" -> ((s, d) =>
+      graft.ext.Similarity.semanticDedup(Tables.embeddings(s, d), threshold = 0.4)
+        .orderBy(col("vec_id"))),
     // incremental ingest: even doc_ids = historical index, odd = the
     // arriving batch; survivors are batch docs with an unseen
     // bag-of-words fingerprint
@@ -895,6 +900,29 @@ object Dedup {
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    // brute exact pairs (recall-1.0 twin of the gate's IVF candidate
+    // stage) -> recursive-CTE closure -> min representative per
+    // component -> keep-list over ALL vectors (singletons keep)
+    "dedup_semantic" ->
+      """WITH RECURSIVE
+        |p AS (
+        |  SELECT a.vec_id AS u, b.vec_id AS v
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |  WHERE list_cosine_similarity(
+        |          a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4),
+        |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+        |comp AS (SELECT a AS vec_id, least(a, min(b)) AS component
+        |         FROM reach GROUP BY a)
+        |SELECT e.vec_id,
+        |       coalesce(c.component, e.vec_id) AS representative,
+        |       CASE WHEN coalesce(c.component, e.vec_id) = e.vec_id
+        |            THEN 1 ELSE 0 END AS keep
+        |FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
     "dedup_jaccard_by_source" ->
       """WITH t AS (
         |  SELECT doc_id, source,

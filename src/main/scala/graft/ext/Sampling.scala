@@ -246,6 +246,26 @@ object Sampling {
         (col("seg_before") + row_number().over(inSeg)).cast("long").as("pos"))
   }
 
+  /** Quality-weighted sampling: each document is kept with probability
+    * equal to its quality score — the standard curation knob between
+    * a hard quality cutoff (loses all low-quality diversity) and
+    * uniform sampling (keeps all the junk). Selection is the shared
+    * hash [[bucket]] against the integer quality score
+    * ([[TextAnalysis.qualityScore]]'s `quality_x10k`), compared
+    * CROSS-MULTIPLIED (`bucket·10⁴ < q_x10k·10⁶`) so both engines
+    * compare exact integers and no float boundary can flip a
+    * document. Pure function of (seed, doc) ⇒ reproducible across
+    * re-ingests, partitionings, engines, and task retries.
+    *
+    * Scale shape: quality is a narrow in-scan map (token array pinned
+    * behind one Generate), the keep decision a narrow filter — zero
+    * shuffles at any corpus size.
+    */
+  def qualityWeightedSample(docs: DataFrame, seed: Long = 7L): DataFrame =
+    TextAnalysis.qualityScore(docs)
+      .filter(bucket(col("doc_id"), seed) * lit(10000L) <
+        col("quality_x10k") * lit(Buckets))
+
   /** Deterministic train/validation/test assignment (80/10/10 by
     * default): contiguous bucket ranges of the same hash-uniform
     * [[bucket]], so the split is a pure function of the key —
@@ -368,6 +388,8 @@ object Sampling {
         .orderBy(col("lang"))),
     "sample_shuffle_order" -> ((s, d) =>
       shuffleOrder(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "sample_quality_weighted" -> ((s, d) =>
+      qualityWeightedSample(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "sample_mix" -> ((s, d) =>
       mixCorpus(Tables.documents(s, d), MixWeights)
         .groupBy(col("source"))
@@ -380,6 +402,15 @@ object Sampling {
     "SELECT doc_id, bucket FROM read_parquet('__OUTDIR__/.aux/sample_buckets/*.parquet')"
 
   val oracles: Map[String, String] = Map(
+    // the same integer cross-multiplied comparison, from the SHARED
+    // quality expression (TextAnalysis.qualitySqlExpr — one copy for
+    // text_quality, xmodal and this gate) and the materialized
+    // xxhash64 buckets (no DuckDB twin for the hash itself)
+    "sample_quality_weighted" ->
+      s"""SELECT d.doc_id, ${TextAnalysis.qualitySqlExpr} AS quality_x10k
+         |FROM documents d JOIN ($bucketsAux) b USING (doc_id)
+         |WHERE b.bucket * 10000 < ${TextAnalysis.qualitySqlExpr} * ${Buckets}
+         |ORDER BY d.doc_id""".stripMargin,
     "sample_splits" ->
       s"""SELECT CASE WHEN b.bucket < $defaultTrainHi THEN 'train'
          |            WHEN b.bucket < $defaultValHi THEN 'validation'

@@ -339,6 +339,36 @@ object Similarity {
         round(col("sim"), 6).as("sim"))
   }
 
+  /** SemDeDup-style semantic deduplication (the rule-shape of Abbas
+    * et al. 2023): embedding-cosine near-dup PAIRS →
+    * connected-component CLUSTERS → one kept representative (min id)
+    * per cluster. Emits the full keep-list — every vector with its
+    * cluster representative and a keep flag — so a curation pipeline
+    * can either filter (`keep = 1`) or audit what was removed and why
+    * (`representative` names the survivor that shadowed it).
+    *
+    * Pure composition of two gated operators: the pair derivation is
+    * [[cosineNearDupPairs]] (IVF candidates + triangle-inequality
+    * pruning, recall 1.0 guaranteed, never an all-pairs join) and the
+    * clustering is [[Dedup.connectedComponents]] (adaptive union-find
+    * / pointer-jumping). The join-back is one id-keyed equi-join of
+    * the corpus against the component labeling — at 100 TB both
+    * stages are the already-rehearsed dedup paths, and the keep
+    * decision is a pure function of the pair graph (no arrival-order
+    * or partitioning dependence).
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double): DataFrame = {
+    val comp = Dedup.connectedComponents(
+      cosineNearDupPairs(emb, threshold), "id_a", "id_b")
+      .withColumnRenamed("node", "vec_id")
+    emb.select(col("vec_id"))
+      .join(comp, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("component"), col("vec_id")).as("representative"))
+      .withColumn("keep",
+        (col("vec_id") === col("representative")).cast("int"))
+  }
+
   /** IVF-style ANN (cluster-then-probe): the other scale path the
     * contract names besides LSH.
     *

@@ -305,7 +305,7 @@ object TextAnalysis {
     * oracles (generated from the same lexicon/constants as the Spark
     * form, so the engines cannot drift).
     */
-  private lazy val qualitySqlExpr: String = {
+  private[ext] lazy val qualitySqlExpr: String = {
     val enList = sqlList(EnStop)
     s"""CAST(floor((
        |  0.3 * least(1.0, len($sqlToks) / 100.0) +

@@ -678,4 +678,65 @@ class ExtSpec extends AnyFunSuite {
     // and the unrelated doc matches nothing
     assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
   }
+
+  test("semantic dedup: min-id representative per cluster, singletons keep") {
+    import spark.implicits._
+    // two exact-duplicate clusters {1,2,3} and {4,5} + one orthogonal
+    // singleton; cosine(identical) = 1 > 0.95, cross-cluster ~ 0
+    val a = Array.tabulate(8)(i => if (i < 4) 1.0f else 0.0f)
+    val b = Array.tabulate(8)(i => if (i >= 4) 1.0f else 0.0f)
+    val c = Array.tabulate(8)(i => if (i % 2 == 0) 1.0f else -1.0f)
+    val emb = Seq((1L, a), (2L, a), (3L, a), (4L, b), (5L, b), (6L, c))
+      .toDF("vec_id", "embedding")
+    val rows = Similarity.semanticDedup(emb, threshold = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(rows === Map(
+      1L -> (1L, 1), 2L -> (1L, 0), 3L -> (1L, 0),
+      4L -> (4L, 1), 5L -> (4L, 0), 6L -> (6L, 1)))
+  }
+
+  test("semantic dedup invariants on the real corpus") {
+    val res = Similarity.semanticDedup(Tables.embeddings(spark, dir), 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val n = Tables.embeddings(spark, dir).count()
+    assert(res.length === n, "keep-list must cover every vector")
+    // representative is the min id of its group and is itself kept
+    val byRep = res.groupBy(_._2)
+    byRep.foreach { case (rep, members) =>
+      assert(members.map(_._1).min === rep)
+      assert(members.count(_._3 == 1) === 1, s"exactly one keep in $rep")
+      assert(members.find(_._1 == rep).get._3 === 1)
+    }
+  }
+
+  test("quality-weighted sample keeps exactly the bucket<quality docs") {
+    import graft.ext.{Sampling, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val kept = Sampling.qualityWeightedSample(docs)
+      .collect().map(_.getLong(0)).toSet
+    val expected = TextAnalysis.qualityScore(docs)
+      .withColumn("b", Sampling.bucket(col("doc_id"), 7L))
+      .collect()
+      .filter(r => r.getAs[Long]("b") * 10000L <
+        r.getAs[Long]("quality_x10k") * Sampling.Buckets)
+      .map(_.getLong(0)).toSet
+    assert(kept === expected)
+    assert(kept.nonEmpty && kept.size < docs.count(),
+      "the quality weighting must actually bite")
+  }
+
+  test("key-skew profile: known-answer frequencies") {
+    import spark.implicits._
+    val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
+      .toDF("k")
+    val r = graft.ext.DataQuality.keySkewProfile(df, "k").collect()(0)
+    assert(r.getAs[Long]("n_keys") === 4L)
+    assert(r.getAs[Long]("total_rows") === 10L)
+    assert(r.getAs[Long]("max_cnt") === 6L)
+    // sorted counts [1,1,2,6]: p50 = 1.5, p99 = 2 + 0.97*(6-2) = 5.88
+    assert(r.getAs[Double]("p50_cnt") === 1.5)
+    assert(r.getAs[Double]("p99_cnt") === 5.88)
+    assert(r.getAs[Long]("skew_x100") === 240L) // 6*100*4/10
+    assert(r.getAs[Long]("salt_factor") === 3L) // ceil(6/2.5)
+  }
 }

@@ -142,4 +142,9 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assertRetrySafe("splitAssign", docs,
       d => Sampling.splitAssign(d, "doc_id").select(col("doc_id"), col("split")))
   }
+
+  test("qualityWeightedSample is identical under task retry") {
+    assertRetrySafe("qualityWeightedSample", docs,
+      d => Sampling.qualityWeightedSample(d))
+  }
 }
