@@ -668,6 +668,37 @@ object Dedup {
     connectedComponents(
       jaccardPairsBySource(docs, threshold), "doc_a", "doc_b")
 
+  /** Incremental connected components — fold a new batch's pairs into
+    * an EXISTING history labeling without re-deriving history pairs
+    * (the clustering-side twin of [[minhashPairsAgainst]]'s
+    * pair-side incrementality: daily ingest at 100 TB re-clusters
+    * nothing it already clustered).
+    *
+    * History connectivity is represented by its STAR EDGES
+    * (component → node): a component's star is connectivity-equivalent
+    * to its original pair set and carries the same min label (the
+    * representative IS the component min), so running
+    * [[connectedComponents]] over `stars ∪ newPairs` yields labels
+    * IDENTICAL to a full recompute over `historyPairs ∪ newPairs` —
+    * including the case a batch document BRIDGES two history
+    * components (their stars become connected through it and the
+    * merged label is the global min). That identity is the gate's
+    * oracle (full-corpus closure) and an ExtSpec property.
+    *
+    * Scale shape: the folded edge set is |history nodes| + |new
+    * pairs| — star edges are the already-materialized labeling, the
+    * expensive pair derivation runs on the batch sliver only, and
+    * stars form depth-1 trees so the label propagation's effective
+    * diameter collapses to ~the new-pair graph's.
+    */
+  def incrementalComponents(historyLabels: DataFrame, newPairs: DataFrame,
+      aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
+    val stars = historyLabels.filter(col("node") =!= col("component"))
+      .select(col("component").as(aCol), col("node").as(bCol))
+    connectedComponents(
+      stars.unionByName(newPairs.select(col(aCol), col(bCol))), aCol, bCol)
+  }
+
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set —
     * the order-insensitive canonical form between exact-text equality
     * and shingle similarity (token-shuffled rewrites collide, topic-
@@ -740,6 +771,22 @@ object Dedup {
     "dedup_components" -> ((s, d) =>
       jaccardComponents(Tables.documents(s, d), threshold = 0.6)
         .orderBy(col("node"))),
+    // incremental clustering: history (doc_id mod 3 != 0) is labeled
+    // first, then only the batch-touching pair sliver folds in via
+    // star edges. The oracle is the FULL-corpus closure — the gate
+    // requires incremental ≡ full recompute, merges included. (The
+    // gate derives the sliver by filtering the full exact pair set so
+    // the oracle stays exact; production derives it asymmetrically —
+    // minhashPairsAgainst — without ever pairing history with itself.)
+    "dedup_components_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val hist = jaccardComponents(
+        docs.filter(pmod(col("doc_id"), lit(3)) =!= 0), threshold = 0.6)
+      val sliver = jaccardPairsBySource(docs, threshold = 0.6)
+        .filter(pmod(col("doc_a"), lit(3)) === 0 ||
+          pmod(col("doc_b"), lit(3)) === 0)
+      incrementalComponents(hist, sliver).orderBy(col("node"))
+    }),
     // dedup family #5: embedding-cosine near-dup (same engine path as
     // the similarity threshold join, registered under its dedup role)
     "dedup_embedding_cosine" -> ((s, d) =>
@@ -836,6 +883,26 @@ object Dedup {
     "dedup_simhash" -> simhashOracleSql,
     // transitive closure per node via recursive CTE; component = min
     // reachable id — must equal the engine's min-label propagation
+    // the incremental gate's oracle IS the full-corpus closure: star
+    // folding must be indistinguishable from a full recompute
+    "dedup_components_incremental" ->
+      """WITH RECURSIVE
+        |t AS (
+        |  SELECT doc_id, source,
+        |         list_distinct(string_split_regex(lower(trim(text)), '\s+')) AS toks
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+        |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a)
+        |SELECT a AS node, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin,
     "dedup_components" ->
       """WITH RECURSIVE
         |t AS (

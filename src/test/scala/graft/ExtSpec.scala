@@ -679,6 +679,37 @@ class ExtSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => a == 3L || b == 3L })
   }
 
+  test("incremental components: a batch doc bridging two history components merges them") {
+    import spark.implicits._
+    // history components {2,5} (label 2) and {3,7} (label 3)
+    val histPairs = Seq((2L, 5L), (3L, 7L)).toDF("doc_a", "doc_b")
+    val hist = Dedup.connectedComponents(histPairs, "doc_a", "doc_b")
+    // batch doc 1 pairs with one member of EACH -> single component,
+    // global min label 1
+    val sliver = Seq((1L, 5L), (1L, 7L)).toDF("doc_a", "doc_b")
+    val res = Dedup.incrementalComponents(hist, sliver)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(res === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 1L, 7L -> 1L))
+  }
+
+  test("incremental components equal the full recompute on random splits") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = (0 until 300).map { _ =>
+      (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)
+    }.filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val (histEdges, newEdges) = edges.partition(_ => rnd.nextBoolean())
+    val hist = Dedup.connectedComponents(
+      histEdges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+    val inc = Dedup.incrementalComponents(hist, newEdges.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.connectedComponents(
+        edges.toDF("doc_a", "doc_b"), "doc_a", "doc_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(inc === full)
+  }
+
   test("semantic dedup: min-id representative per cluster, singletons keep") {
     import spark.implicits._
     // two exact-duplicate clusters {1,2,3} and {4,5} + one orthogonal

@@ -160,6 +160,37 @@ class PlansSpec extends AnyFunSuite {
       s"window (per-minute single-task sort) in the capped selection:\n$plan")
   }
 
+  test("quality-weighted sample is a zero-shuffle narrow plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val plan = graft.ext.Sampling
+      .qualityWeightedSample(Tables.documents(spark, dir))
+      .queryExecution.executedPlan
+    val shuffles = plan.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.isEmpty,
+      s"selection must stay inside the scan stage:\n$plan")
+  }
+
+  test("key-skew profile: map-side-combined count, no all-rows funnel") {
+    val plan = graft.ext.DataQuality
+      .keySkewProfile(Tables.events(spark, dir), "user_id")
+      .queryExecution.executedPlan.toString
+    // per-key counts partial-aggregate before the key exchange, so the
+    // shuffle carries one row per (partition, key), not per input row
+    assert(plan.contains("partial_count"),
+      s"no map-side combine in the count stage:\n$plan")
+    assert(!plan.contains("Window"),
+      s"unexpected window (single-task sort) in the profile:\n$plan")
+  }
+
+  test("semantic dedup keeps the equi-join shape end-to-end") {
+    val plan = graft.ext.Similarity
+      .semanticDedup(Tables.embeddings(spark, dir), 0.4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs join in the semantic dedup composition:\n$plan")
+  }
+
   test("pair joins never broadcast an exploded corpus side") {
     // The round-4 ladder discovery, pinned against regression:
     // explode-derived lineage defeats size estimation, and an
