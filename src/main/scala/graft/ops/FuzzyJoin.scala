@@ -52,4 +52,42 @@ object FuzzyJoin {
       .select(col("*"),
         explode(array(levenshtein(col(leftText), col(rightText)))).as("dist"))
       .filter(col("dist") <= maxDist)
+
+  /** Entity-resolution canonicalization: the full record-linkage
+    * composition — fuzzy pairs → connected components → one canonical
+    * record per entity cluster. Input is a DICTIONARY frame (one row
+    * per distinct `nameCol`, with a stable numeric `idCol` such as
+    * min source key — see [[byEditDistance]]'s scale note: ER always
+    * runs over the distinct dictionary, never raw fact rows). Output
+    * maps every name to its `entity_id` (the min reachable id over
+    * the edit-distance graph) and the `canonical_name` that id
+    * carries — spelling variants collapse to one entity, unmatched
+    * names are their own.
+    *
+    * Components run over the numeric ids
+    * ([[graft.ext.Dedup.connectedComponents]] — the adaptive
+    * union-find / pointer-jumping path), and the canonical-name
+    * attachment is one self-join of the (tiny) labeled dictionary on
+    * `entity_id`.
+    */
+  def canonicalEntities(dict: DataFrame, idCol: String, nameCol: String,
+      blockCol: String, maxDist: Int): DataFrame = {
+    val a = dict.select(col(blockCol), col(nameCol).as("__n1"),
+      col(idCol).as("__i1"))
+    val b = dict.select(col(blockCol), col(nameCol).as("__n2"),
+      col(idCol).as("__i2"))
+    val pairs = byEditDistance(a, b, blockCol, "__n1", "__n2", maxDist,
+        pairFilter = col("__n1") < col("__n2"))
+      .select(col("__i1").as("doc_a"), col("__i2").as("doc_b"))
+    val comp = graft.ext.Dedup.connectedComponents(pairs, "doc_a", "doc_b")
+      .withColumnRenamed("node", idCol)
+    val labeled = dict.join(comp, Seq(idCol), "left")
+      .withColumn("entity_id", coalesce(col("component"), col(idCol)))
+      .select(col(idCol), col(nameCol), col("entity_id"))
+    labeled.join(
+        labeled.filter(col(idCol) === col("entity_id"))
+          .select(col("entity_id"), col(nameCol).as("canonical_name")),
+        Seq("entity_id"))
+      .select(col(nameCol), col("entity_id"), col("canonical_name"))
+  }
 }

@@ -387,7 +387,22 @@ object ExtraQueries {
       .orderBy(col("event_type"))
   }
 
+  /** ER canonicalization over the part-name catalog: the
+    * [[fuzzyPartNames]] dictionary (name_id = min p_partkey — stable,
+    * numeric, oracle-derivable) through
+    * [[graft.ops.FuzzyJoin.canonicalEntities]].
+    */
+  def erCanonicalParts(spark: SparkSession, dir: String): DataFrame = {
+    val dict = Tables.part(spark, dir)
+      .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
+      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+    graft.ops.FuzzyJoin
+      .canonicalEntities(dict, "name_id", "p_name", "noun", maxDist = 3)
+      .orderBy(col("p_name"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "er_canonical_parts" -> (erCanonicalParts _),
     "winsorize_value_by_type" -> (winsorizeValueByType _),
     "right_outer_orders" -> (rightOuterOrders _),
     "ts_daily_percentiles" -> (dailyPercentiles _),
@@ -410,6 +425,34 @@ object ExtraQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // independent re-derivation: noun-blocked levenshtein pairs over
+    // the same min-partkey dictionary, recursive closure, min-id
+    // entity, canonical name via self-join on the entity id
+    "er_canonical_parts" ->
+      """WITH RECURSIVE
+        |names AS (
+        |  SELECT p_name, min(p_partkey) AS name_id,
+        |         string_split(p_name, ' ')[2] AS noun
+        |  FROM part GROUP BY 1),
+        |p AS (
+        |  SELECT a.name_id AS u, b.name_id AS v
+        |  FROM names a JOIN names b
+        |    ON a.noun = b.noun AND a.p_name < b.p_name
+        |  WHERE levenshtein(a.p_name, b.p_name) <= 3),
+        |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+        |comp AS (SELECT a AS name_id, least(a, min(b)) AS component
+        |         FROM reach GROUP BY a),
+        |lab AS (
+        |  SELECT n.p_name, n.name_id,
+        |         coalesce(c.component, n.name_id) AS entity_id
+        |  FROM names n LEFT JOIN comp c USING (name_id))
+        |SELECT l.p_name, l.entity_id, cn.p_name AS canonical_name
+        |FROM lab l JOIN lab cn ON cn.name_id = l.entity_id
+        |ORDER BY l.p_name""".stripMargin,
     "winsorize_value_by_type" ->
       """WITH b AS (
         |  SELECT event_type, quantile_cont(value, 0.05) AS lo,

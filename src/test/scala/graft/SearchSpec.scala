@@ -91,6 +91,31 @@ class SearchSpec extends AnyFunSuite {
     assert(blocked.count() > 0, "fixture must exercise the operator")
   }
 
+  test("ER canonicalization: variants collapse to one min-id entity") {
+    import spark.implicits._
+    // "acme corp"/"acme corpx"/"acme corps" are within dist 3 of each
+    // other; "acme industries" shares the block but is too far; a
+    // different block never pairs
+    val dict = Seq(
+      (10L, "acme corp", "corp"), (20L, "acme corpx", "corp"),
+      (30L, "acme corps", "corp"), (40L, "acme corporation", "corp"),
+      (50L, "zenith gear", "gear"))
+      .toDF("name_id", "name", "blk")
+    val res = graft.ops.FuzzyJoin
+      .canonicalEntities(dict, "name_id", "name", "blk", maxDist = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(res("acme corp") === (10L, "acme corp"))
+    assert(res("acme corpx") === (10L, "acme corp"))
+    assert(res("acme corps") === (10L, "acme corp"))
+    // "corporation" is 7 edits from "corp" - its own entity
+    assert(res("acme corporation") === (40L, "acme corporation"))
+    assert(res("zenith gear") === (50L, "zenith gear"))
+    // every canonical name is the name of its entity id
+    assert(res.values.toSeq.distinct.forall { case (id, cn) =>
+      res(cn)._1 === id })
+  }
+
   test("range-frame rolling 7d equals a bounded self-join") {
     val rolled = WindowQueries.rollingUserDaily(spark, dir)
     val daily = Tables.events(spark, dir)
