@@ -40,11 +40,19 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     var failed = List.empty[String]
-    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run (substring
-    // match) for single-query iteration; the driver never sets it.
+    // Dev aid: SPARK_GRAFT_ONLY=q1,q2 restricts the run for
+    // single-query iteration; the driver never sets it. A token that
+    // IS an exact gate name selects only that gate (gate names
+    // prefix each other — dedup_components[_incremental],
+    // graph_pagerank[_capped] — and the substring form would drag
+    // the longer twin into a solo re-band); other tokens stay
+    // substring patterns.
+    val allNames = SparkEntry.queries.keySet
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
+    def tokenMatches(tok: String, n: String) =
+      if (allNames.contains(tok)) n == tok else n.contains(tok)
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (n, _) => only.forall(_.exists(n.contains)) }
+      .filter { case (n, _) => only.forall(_.exists(tokenMatches(_, n))) }
     // stable ordering; streaming replays timed like any other query
     // (their checkpoint dirs are unique per run).
     def once(name: String, fn: (SparkSession, String) => DataFrame): Option[Double] =

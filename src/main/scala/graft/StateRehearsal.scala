@@ -123,7 +123,10 @@ object StateRehearsal {
 
     run("rocksdb_q3", RocksDbProvider, q3Shape)
     run("rocksdb_q1_dedup", RocksDbProvider, q1Shape)
-    run("rocksdb_q1_dedup_changelog", RocksDbProvider, q1Shape,
+    // arm name deliberately NOT a superstring of rocksdb_q1_dedup:
+    // SPARK_GRAFT_STATE_ONLY is a substring filter, and the plain
+    // arm's documented solo invocation must not drag this one in
+    run("rocksdb_changelog_q1_dedup", RocksDbProvider, q1Shape,
       changelog = true)
     run("hdfs_q3",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",

@@ -13,9 +13,13 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // Dev aid (same contract as Bench): SPARK_GRAFT_ONLY=a,b restricts
     // the dump AND the emitted oracle_sql.json to matching queries for
-    // single-query iteration; the driver never sets it.
+    // single-query iteration; the driver never sets it. Exact gate
+    // names match exactly (names prefix each other — see Bench);
+    // other tokens are substring patterns.
+    val allNames = SparkEntry.queries.keySet
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(',').toSeq)
-    def selected(name: String) = only.forall(_.exists(name.contains))
+    def selected(name: String) = only.forall(_.exists(tok =>
+      if (allNames.contains(tok)) name == tok else name.contains(tok)))
     SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

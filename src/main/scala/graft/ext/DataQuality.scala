@@ -78,9 +78,16 @@ object DataQuality {
     * prospective shuffle key, reduced to one row (distinct keys,
     * total rows, max/p50/p99 frequency, skew ratio, and the salt
     * factor [[graft.ops.SkewJoin]] would need to equalize the hot
-    * key). `skew_x100` = max·100/mean and `salt_factor` =
-    * ⌈max/mean⌉ are integer-exact (cross-multiplied `div`, ceil as
-    * `(a + b - 1) div b`) so the oracle compares exact integers.
+    * key). `skew_x100` ≈ max·100/mean and `salt_factor` = ⌈max/mean⌉
+    * are integer-exact and OVERFLOW-SAFE at catalog scale: the mean
+    * is fixed first (`mean_x100 = total·100 div n_keys`) and the
+    * ratios divide by it, so every intermediate stays ≤
+    * max(total, max_cnt)·10⁴ — the naive cross-multiply
+    * `max·100·n_keys` wraps Long at ~1e10 keys × 1e9-row hot key,
+    * exactly the population this diagnostic exists for (and the
+    * DuckDB twin would hard-error on the overflow while Spark wraps
+    * silently — the worst parity split). Both engines evaluate the
+    * SAME floor compositions, so the oracle compares exact integers.
     *
     * Scale shape: one map-side-combined groupBy(key) count, then a
     * single-row reduction whose exact-percentile buffer is keyed by
@@ -97,10 +104,12 @@ object DataQuality {
         max(col("cnt")).as("max_cnt"),
         round(expr("percentile(cnt, 0.5)"), 4).as("p50_cnt"),
         round(expr("percentile(cnt, 0.99)"), 4).as("p99_cnt"))
+      .withColumn("mean_x100", expr("(total_rows * 100) div n_keys"))
       .withColumn("skew_x100",
-        expr("(max_cnt * 100 * n_keys) div total_rows"))
+        expr("(max_cnt * 10000) div mean_x100"))
       .withColumn("salt_factor",
-        expr("(max_cnt * n_keys + total_rows - 1) div total_rows"))
+        expr("(max_cnt * 100 + mean_x100 - 1) div mean_x100"))
+      .drop("mean_x100")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dq_key_skew" -> ((s, d) =>
@@ -114,16 +123,19 @@ object DataQuality {
 
   val oracles: Map[String, String] = Map(
     "dq_key_skew" ->
-      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
-        |SELECT count(*) AS n_keys,
-        |       CAST(sum(cnt) AS BIGINT) AS total_rows,
-        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
-        |       round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
-        |       round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
-        |       (max(cnt) * 100 * count(*)) // CAST(sum(cnt) AS BIGINT) AS skew_x100,
-        |       (max(cnt) * count(*) + CAST(sum(cnt) AS BIGINT) - 1)
-        |         // CAST(sum(cnt) AS BIGINT) AS salt_factor
-        |FROM c""".stripMargin,
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT count(*) AS n_keys,
+        |         CAST(sum(cnt) AS BIGINT) AS total_rows,
+        |         CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |         round(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+        |         round(quantile_cont(cnt, 0.99), 4) AS p99_cnt
+        |  FROM c),
+        |m AS (SELECT *, (total_rows * 100) // n_keys AS mean_x100 FROM s)
+        |SELECT n_keys, total_rows, max_cnt, p50_cnt, p99_cnt,
+        |       (max_cnt * 10000) // mean_x100 AS skew_x100,
+        |       (max_cnt * 100 + mean_x100 - 1) // mean_x100 AS salt_factor
+        |FROM m""".stripMargin,
     "dq_report" ->
       """SELECT count(*) AS total_rows,
         |  CAST(sum(CASE WHEN ok_ts AND ok_uid AND ok_val AND ok_type AND ok_json

@@ -454,22 +454,9 @@ object GraphOps {
          |    JOIN deg d ON d.src = e.src
          |    GROUP BY 1) s ON s.node = n.node)""".stripMargin
     }.mkString(",\n")
-    val vertexCte = cap match {
-      case Some(c) =>
-        s"""ranked AS (
-           |  SELECT m, user_id,
-           |         row_number() OVER (
-           |           PARTITION BY m
-           |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
-           |                    user_id) AS rn
-           |  FROM act),
-           |kept AS (SELECT m, user_id FROM ranked WHERE rn <= $c),""".stripMargin
-      case None => ""
-    }
+    val baseCte = cap.map(cappedKeptCte).getOrElse(ActCte)
     val pairSource = if (cap.isDefined) "kept" else "act"
-    s"""WITH act AS (
-       |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
-       |$vertexCte
+    s"""WITH $baseCte,
        |ue AS (
        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
        |  FROM $pairSource x JOIN $pairSource y
@@ -484,47 +471,51 @@ object GraphOps {
        |ORDER BY rank DESC, node LIMIT 20""".stripMargin
   }
 
+  /** The distinct per-minute activity CTE shared by every graph
+    * oracle. */
+  private val ActCte =
+    """act AS (
+      |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events)""".stripMargin
+
+  /** The per-minute smallest-md5-prefix selection as oracle CTEs —
+    * ONE copy for every capped-graph oracle (coactivity, triangles,
+    * PageRank): the selection text must stay bit-compatible with the
+    * Spark TopK scoring (13-char prefix, user_id tie-break), and a
+    * drift between per-oracle copies would make the capped gates
+    * disagree with each other. A fixed-length lowercase hex prefix
+    * compares identically as a string here and as the 52-bit numeric
+    * score the Spark aggregator uses.
+    */
+  private def cappedKeptCte(cap: Int): String =
+    s"""$ActCte,
+       |ranked AS (
+       |  SELECT m, user_id,
+       |         row_number() OVER (
+       |           PARTITION BY m
+       |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
+       |                    user_id) AS rn
+       |  FROM act),
+       |kept AS (SELECT m, user_id FROM ranked WHERE rn <= $cap)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "graph_pagerank" -> pageRankOracle(5),
     "graph_pagerank_capped" -> pageRankOracle(5, cap = Some(3)),
-    // re-runs the SAME hash-order selection: a fixed-length lowercase
-    // hex prefix compares identically as a string here and as the
-    // 52-bit numeric score the Spark aggregator uses
     "graph_coactivity_capped" ->
-      """WITH act AS (
-        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
-        |ranked AS (
-        |  SELECT m, user_id,
-        |         row_number() OVER (
-        |           PARTITION BY m
-        |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
-        |                    user_id) AS rn
-        |  FROM act),
-        |kept AS (SELECT m, user_id FROM ranked WHERE rn <= 2)
-        |SELECT DISTINCT x.user_id AS a, y.user_id AS b
-        |FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id
-        |ORDER BY a, b""".stripMargin,
+      s"""WITH ${cappedKeptCte(2)}
+         |SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id
+         |ORDER BY a, b""".stripMargin,
     "graph_triangles_capped" ->
-      """WITH act AS (
-        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
-        |ranked AS (
-        |  SELECT m, user_id,
-        |         row_number() OVER (
-        |           PARTITION BY m
-        |           ORDER BY substr(md5(CAST(user_id AS VARCHAR)), 1, 13),
-        |                    user_id) AS rn
-        |  FROM act),
-        |kept AS (SELECT m, user_id FROM ranked WHERE rn <= 3),
-        |e AS (
-        |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
-        |  FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id)
-        |SELECT count(*) AS n_triangles
-        |FROM e e1
-        |JOIN e e2 ON e2.a = e1.b
-        |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
+      s"""WITH ${cappedKeptCte(3)},
+         |e AS (
+         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
+         |  FROM kept x JOIN kept y ON x.m = y.m AND x.user_id < y.user_id)
+         |SELECT count(*) AS n_triangles
+         |FROM e e1
+         |JOIN e e2 ON e2.a = e1.b
+         |JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b""".stripMargin,
     "graph_triangles" ->
-      """WITH act AS (
-        |  SELECT DISTINCT date_trunc('minute', ts) AS m, user_id FROM events),
+      s"""WITH $ActCte,
         |e AS (
         |  SELECT DISTINCT x.user_id AS a, y.user_id AS b
         |  FROM act x JOIN act y ON x.m = y.m AND x.user_id < y.user_id),

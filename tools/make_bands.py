@@ -17,7 +17,13 @@ import json, re, sys
 def from_bench_stdout(path):
     for line in open(path):
         if '"queries"' in line:
-            return json.loads(line)["queries"]
+            q = json.loads(line)["queries"]
+            # Bench reports -1.0 when every sample of a gate failed;
+            # that is a failed RUN, not a timing — refuse to band it
+            failed = sorted(k for k, v in q.items() if v < 0)
+            if failed:
+                raise SystemExit(f"refusing to band a failed run: {failed}")
+            return q
     raise SystemExit(f"no queries line in {path}")
 
 def from_driver_artifact(path):

@@ -24,10 +24,19 @@ FACTOR="${2:-3}"
 SRC=/root/testdata/sf0.1
 OUT="target/canary/sf0.$FACTOR"
 
-if [ ! -d "$OUT" ]; then
+# completion marker: a partially-written fixture (CanaryGen interrupted
+# mid-table) must trigger regeneration, not a bench against undersized
+# data — a flat ratio over a partial fixture is the canary lying
+if [ ! -f "$OUT/.complete" ]; then
   echo "[canary] deriving factor-$FACTOR fixture under $OUT"
-  sbt -batch "runMain graft.CanaryGen $SRC $OUT $FACTOR" 2>&1 \
-    | grep '\[canary\]' || true
+  GEN_LOG="$(mktemp)"
+  if ! sbt -batch "runMain graft.CanaryGen $SRC $OUT $FACTOR" >"$GEN_LOG" 2>&1; then
+    grep '\[canary\]' "$GEN_LOG" || tail -20 "$GEN_LOG"
+    echo "[canary] CanaryGen FAILED - not benching a partial fixture" >&2
+    exit 1
+  fi
+  grep '\[canary\]' "$GEN_LOG" || true
+  touch "$OUT/.complete"
 fi
 
 bench() {
