@@ -511,11 +511,93 @@ object StreamingQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Streaming incremental dedup — the continuous-ingest form of
+    * [[graft.ext.Dedup.incrementalDedup]]: documents arrive in
+    * micro-batches, each batch's survivors are the docs whose
+    * bag-of-words fingerprint is absent from EVERY earlier batch, and
+    * both survivors and the fingerprint state land per-batch
+    * idempotently ([[writeBatchIdempotent]] — a crash between the two
+    * writes heals on replay, both sinks converge to exactly-once).
+    * Per batch the anti join is the gated bloom path: history
+    * fingerprints build the prefilter, definite-new docs pass inside
+    * the batch scan, only the maybe-member sliver shuffles.
+    *
+    * Replay determinism (the gate requires it): batches are
+    * `doc_id mod nBatches`, written as one file each with STRICTLY
+    * INCREASING mtimes so the file source's maxFilesPerTrigger=1
+    * ordering is pinned — the batch sequence is a pure function of
+    * the fixture, and the DuckDB oracle re-runs the same
+    * first-batch-wins rule as a NOT EXISTS over smaller mod classes
+    * (two same-fp docs in ONE batch both survive, exactly the
+    * anti-join semantics). At 100 TB the state side is the
+    * append-only fingerprint index bucketed by fp — each ingest
+    * reads it as the anti-join build, never rewrites it.
+    */
+  def streamDedupIncremental(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    import graft.ext.{Dedup, Layout}
+    val base = graft.RunScratch.dir("stream_dedup", dir)
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
+    val (srcDir, outDir, stateDir) =
+      (s"$base/src", s"$base/out", s"$base/state")
+    val docs = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    (0 until nBatches).foreach { b =>
+      val p = s"$srcDir/batch_$b"
+      docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
+        .coalesce(1).write.mode("overwrite").parquet(p)
+      // pin the source's processing order: distinct, increasing mtimes
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => { f.setLastModified(1000000000000L + b * 60000L); () })
+    }
+    val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fp",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("batch_id",
+        org.apache.spark.sql.types.LongType)))
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val s = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          val hist = Layout.readBack(s, stateDir, fpSchema).select(col("fp"))
+          val survivors = graft.ops.BloomJoin.antiJoin(
+            cached.toDF().withColumn("__fp",
+              Dedup.bagFingerprint(col("text"))),
+            col("__fp"), hist, col("fp"))
+          writeBatchIdempotent(
+            survivors.select(col("doc_id"), col("source")), id, outDir)
+          writeBatchIdempotent(
+            cached.toDF().select(
+              Dedup.bagFingerprint(col("text")).as("fp")), id, stateDir)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+    Layout.readBack(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("batch_id",
+          org.apache.spark.sql.types.LongType))))
+      .select(col("doc_id"), col("source"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming queries surfaced at the correctness gate. Each shares
     * its batch twin's DuckDB oracle — the gate itself asserts
     * stream ≡ batch.
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_dedup_incremental" -> ((s, d) => streamDedupIncremental(s, d)),
     "stream_fanout_rollup" -> (fanoutRollup _),
     "stream_q1_daily_uv" -> ((s, d) =>
       replay(s, d, q1DailyUv, Seq("date_str")).orderBy(col("date_str"))),
@@ -542,6 +624,20 @@ object StreamingQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // first-batch-wins over mod-3 micro-batches: a doc survives iff
+    // no doc in a SMALLER mod class shares its fingerprint (same-fp
+    // docs within one batch both survive — the anti-join semantics)
+    "stream_dedup_incremental" ->
+      """WITH f AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(list_sort(list_distinct(
+        |           string_split_regex(lower(trim(text)), '\s+'))), ' ')) AS fp
+        |  FROM documents)
+        |SELECT doc_id, source FROM f b
+        |WHERE NOT EXISTS (SELECT 1 FROM f h
+        |                  WHERE h.fp = b.fp
+        |                    AND h.doc_id % 3 < b.doc_id % 3)
+        |ORDER BY doc_id""".stripMargin,
     "stream_fanout_rollup" ->
       """SELECT event_type, count(*) AS n_events,
         |       count(DISTINCT user_id) AS uv,

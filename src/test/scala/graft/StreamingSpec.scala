@@ -535,4 +535,30 @@ class StreamingSpec extends AnyFunSuite {
       "duplicates within the watermark must collapse to one row")
     assert(out.count() === 2)
   }
+
+  test("streaming incremental dedup: first-batch-wins, replay-deterministic") {
+    import graft.streaming.StreamingQueries
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def run(): Seq[(Long, String)] =
+      StreamingQueries.streamDedupIncremental(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val a = run()
+    // batch twin: a doc survives iff no smaller-mod-class doc shares
+    // its bag-of-words fingerprint
+    val fp = graft.ext.Dedup.bagFingerprint(col("text"))
+    val f = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), fp.as("fp"),
+        pmod(col("doc_id"), lit(3)).as("b"))
+    val expected = f.as("x").join(f.as("h"),
+        col("h.fp") === col("x.fp") && col("h.b") < col("x.b"), "left_anti")
+      .select(col("doc_id"), col("source")).orderBy(col("doc_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(a === expected)
+    assert(a.nonEmpty && a.size < Tables.documents(spark, dir).count(),
+      "the cross-batch dedup must actually drop something")
+    // the batch sequence is a pure function of the fixture: a full
+    // re-run (fresh checkpoint + state) reproduces identical output
+    assert(run() === a)
+  }
 }
