@@ -105,7 +105,14 @@ object Cleaning {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select(col("lh"), lit(true).as("is_boiler"))
-    lines.join(boiler, Seq("lh"), "left")
+    // merge hint, per the round-4 pair-join discipline: boiler is
+    // CORPUS-derived (the distinct ≥minDocs line set — a template
+    // farm makes it arbitrarily large) and sits on explode-blind
+    // lineage, so an unhinted planner broadcasts it on a guessed-small
+    // estimate. Both sides key on lh, which the groupBy above already
+    // hash-partitioned — the SMJ reuses that exchange and adds one
+    // sort, no new shuffle of the lines side.
+    lines.join(boiler.hint("merge"), Seq("lh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),
         count(when(col("is_boiler").isNull, 1)).as("n_kept"),
