@@ -48,8 +48,48 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** The funnel report over the SAME stage frames as [[curate]]: one
+    * row per stage with its survivor count and integer basis-point
+    * share of the input — what a pipeline owner actually reads after
+    * a curation run ("quality dropped 38%, near-dup another 6%").
+    * Expressed as a union of per-stage 1-row aggregates in ONE lazy
+    * plan; the share is an exact integer (`n·10⁴ div input`), so the
+    * oracle compares exact values.
+    */
+  def curationFunnel(docs: DataFrame, qualityMin: Long = 5000,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val pass = docs.join(
+      TextAnalysis.qualityScore(docs)
+        .filter(col("quality_x10k") >= qualityMin).select("doc_id"),
+      "doc_id")
+    val kept = pass.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+    val kd = docs.join(kept, "doc_id")
+    val dropList = Dedup.connectedComponents(
+        Dedup.jaccardPairsBySource(kd, jaccardThreshold), "doc_a", "doc_b")
+      .filter(col("node") =!= col("component"))
+      .select(col("node").as("doc_id"))
+    val curated = kd.join(dropList, Seq("doc_id"), "left_anti")
+    def stage(idx: Int, name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_docs"))
+        .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
+          col("n_docs"))
+    stage(0, "input", docs)
+      .unionByName(stage(1, "quality_pass", pass))
+      .unionByName(stage(2, "exact_kept", kd))
+      .unionByName(stage(3, "near_dup_kept", curated))
+      .crossJoin(docs.agg(count(lit(1)).as("n_input")))
+      // empty-corpus guard: ANSI div-by-zero throws in both engines;
+      // an empty input reports NULL shares instead
+      .withColumn("share_x10k", expr(
+        "CASE WHEN n_input = 0 THEN NULL ELSE (n_docs * 10000) div n_input END"))
+      .drop("n_input")
+      .orderBy(col("stage_idx"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d)))
+    "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
+    "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d)))
   )
 
   /** The composed oracle: quality CTE is [[TextAnalysis]]'s gated SQL
@@ -92,6 +132,51 @@ object Curation {
          |  WHERE dl.node IS NULL)
          |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
          |FROM curated GROUP BY source ORDER BY source""".stripMargin
+    },
+    // the same staged CTE chain, reduced to per-stage survivor counts
+    "curate_funnel" -> {
+      val qualitySql = TextAnalysis.oracles("text_quality")
+        .replace(" ORDER BY doc_id", "")
+      s"""WITH RECURSIVE
+         |q AS ($qualitySql),
+         |pass AS (
+         |  SELECT d.* FROM documents d
+         |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
+         |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
+         |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
+         |       JOIN kept k ON k.doc_id = d.doc_id),
+         |t AS (
+         |  SELECT doc_id, source,
+         |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+         |  FROM kd),
+         |pairs AS (
+         |  SELECT a.doc_id AS u, b.doc_id AS v
+         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+         |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |curated AS (
+         |  SELECT kd.* FROM kd
+         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+         |    ON kd.doc_id = dl.node
+         |  WHERE dl.node IS NULL),
+         |f AS (
+         |  SELECT 0 AS stage_idx, 'input' AS stage,
+         |         (SELECT count(*) FROM documents) AS n_docs
+         |  UNION ALL SELECT 1, 'quality_pass', (SELECT count(*) FROM pass)
+         |  UNION ALL SELECT 2, 'exact_kept', (SELECT count(*) FROM kd)
+         |  UNION ALL SELECT 3, 'near_dup_kept', (SELECT count(*) FROM curated))
+         |SELECT stage_idx, stage, n_docs,
+         |       CASE WHEN (SELECT count(*) FROM documents) = 0 THEN NULL
+         |            ELSE (n_docs * 10000) // (SELECT count(*) FROM documents)
+         |       END AS share_x10k
+         |FROM f ORDER BY stage_idx""".stripMargin
     }
   )
 }
