@@ -149,7 +149,40 @@ object Multimodal {
 
   // ------------------------------------------------------------ queries
 
+  /** Exact media dedup by PAYLOAD BYTES — the multimodal twin of
+    * [[Dedup.exact]]: one kept representative (min media_id) per
+    * distinct binary content, across formats (a re-encoded mimetype
+    * label does not make a new asset; identical bytes do not become
+    * distinct by being called audio). Same collision discipline as
+    * the text form: the md5 spreads the shuffle key, keeping the
+    * payload in the key preserves exactness under hash collisions,
+    * and map-side combine collapses duplicates before they shuffle.
+    */
+  def mediaExactDedup(media: DataFrame): DataFrame =
+    media.groupBy(md5(col("payload")).as("payload_md5"), col("payload"))
+      .agg(min(col("media_id")).as("keep_media_id"),
+        count(lit(1)).as("dup_count"))
+      .select(col("keep_media_id"), col("dup_count"),
+        octet_length(col("payload")).cast("long").as("n_bytes"))
+
+  /** The fixture's texts are all distinct, so the gate synthesizes
+    * duplicate payloads the way the line-dedup gate synthesizes
+    * lines: every doc_id ≡ 0 (mod 7) carries the SAME placeholder
+    * bytes — the default-thumbnail/missing-asset pattern every real
+    * media crawl exhibits — so the dedup measurably bites (one
+    * ~1/7-of-corpus group) while the rest stay unique. The DuckDB
+    * oracle builds the identical bytes.
+    */
+  private def dupAnnotatedPayload: org.apache.spark.sql.Column =
+    when(col("media_id") % 7 === 0,
+      encode(lit("placeholder: asset unavailable"), "UTF-8"))
+      .otherwise(col("payload"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_exact_dedup" -> ((s, d) =>
+      mediaExactDedup(mediaTable(s, d)
+          .withColumn("payload", dupAnnotatedPayload))
+        .orderBy(col("keep_media_id"))),
     // metadata-only plumbing: oracle-checkable (no codec involved)
     "mm_media_meta" -> ((s, d) =>
       mediaTable(s, d)
@@ -188,6 +221,19 @@ object Multimodal {
     * determinism and shape are asserted in ExtSpec.
     */
   val oracles: Map[String, String] = Map(
+    // groups by the payload BYTES themselves (DuckDB encode -> BLOB),
+    // ignoring the md5 shuffle spreader entirely
+    "mm_exact_dedup" ->
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 7 = 0
+        |              THEN encode('placeholder: asset unavailable')
+        |              ELSE encode(text) END AS payload
+        |  FROM documents)
+        |SELECT min(media_id) AS keep_media_id,
+        |       count(*) AS dup_count,
+        |       CAST(octet_length(payload) AS BIGINT) AS n_bytes
+        |FROM m GROUP BY payload ORDER BY keep_media_id""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image/png'

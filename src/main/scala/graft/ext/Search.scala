@@ -118,6 +118,34 @@ object Search {
       .orderBy(col("cnt").desc, col("ngram"))
       .limit(40)
 
+  /** Per-document out-of-vocabulary rate against the capped
+    * dictionary ([[vocabEncode]]) — the tokenizer-prep diagnostic:
+    * how much of each document a fixed vocabulary fails to cover
+    * (rising OOV on fresh ingest = vocabulary drift). The dictionary
+    * is ≤ `maxVocab` tokens BY CONTRACT, so it broadcasts explicitly
+    * and the per-token membership probe is a map-side hash lookup —
+    * the corpus explode never shuffles. Zero-token documents report
+    * NULL rate (ANSI div-by-zero guard), not a silent 0.
+    */
+  def vocabOovRate(docs: DataFrame, textCol: String,
+      minCount: Long, maxVocab: Int): DataFrame = {
+    val vocab = vocabEncode(docs, textCol, minCount, maxVocab)
+      .select(col("token")).withColumn("__in", lit(1))
+    val perDoc = docs
+      .select(col("doc_id"), explode(tokens(col(textCol))).as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        count(when(col("__in").isNull, 1)).as("n_oov"))
+    // explode drops zero-token docs; re-attach them with 0/0/NULL
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"))
+      .withColumn("oov_x10k", expr(
+        "CASE WHEN n_tokens = 0 THEN NULL ELSE (n_oov * 10000) div n_tokens END"))
+  }
+
   // ---- gate wiring -------------------------------------------------
 
   private val QueryTerms = Seq("spark", "hash", "vector")
@@ -128,6 +156,9 @@ object Search {
     "vocab_encode" -> ((s, d) =>
       vocabEncode(Tables.documents(s, d), "text", minCount = 20L,
         maxVocab = 1000)),
+    "vocab_oov_rate" -> ((s, d) =>
+      vocabOovRate(Tables.documents(s, d), "text", minCount = 20L,
+        maxVocab = 1000).orderBy(col("doc_id"))),
     "ngram_gen_counts" -> (ngramGenCounts _)
   )
 
@@ -185,6 +216,33 @@ object Search {
         |SELECT token,
         |       CAST(row_number() OVER (ORDER BY cnt DESC, token) AS INTEGER) AS id,
         |       cnt
-        |FROM capped ORDER BY id""".stripMargin
+        |FROM capped ORDER BY id""".stripMargin,
+    // the same capped dictionary, then per-doc membership counts via
+    // an explode + left join; zero-token docs re-attach with NULL rate
+    "vocab_oov_rate" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(text, '\s+'),
+        |                            x -> x <> '')) AS token
+        |  FROM documents),
+        |c AS (SELECT token, count(*) AS cnt FROM toks
+        |      GROUP BY 1 HAVING count(*) >= 20),
+        |v AS (SELECT token FROM c ORDER BY cnt DESC, token LIMIT 1000),
+        |dt AS (
+        |  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+        |                                    x -> x <> '')) AS token
+        |  FROM documents),
+        |agg AS (
+        |  SELECT dt.doc_id, count(*) AS n_tokens,
+        |         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS n_oov
+        |  FROM dt LEFT JOIN v ON v.token = dt.token
+        |  GROUP BY dt.doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(a.n_tokens, 0) AS n_tokens,
+        |       coalesce(a.n_oov, 0) AS n_oov,
+        |       CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL
+        |            ELSE (a.n_oov * 10000) // a.n_tokens END AS oov_x10k
+        |FROM documents d LEFT JOIN agg a USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin
   )
 }
