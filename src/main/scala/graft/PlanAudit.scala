@@ -34,6 +34,7 @@ object PlanAudit {
     "sim_ann_ivf_incremental", // broadcast(batch probes): ingest batch × nprobe — broadcast-sized BY the ingest contract (see Similarity.ivfIncrementalFor)
     "sim_ann_lsh",       // broadcast(bucketed(queries)): probe set
     "sim_hard_negatives", // broadcast(qProbes + labels): the same bounded query probe set as sim_ann_ivf, explicit (reviewed round 6 — the gate postdated the round-4 review)
+    "vocab_oov_rate",    // broadcast(vocab): ≤ maxVocab tokens BY CONTRACT (capped dictionary), explicit
     "skew_join_segment", // replicated small dim — the operator's design
     "text_decontam")     // eval-set n-grams — bounded holdout
 

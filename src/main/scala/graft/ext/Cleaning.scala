@@ -109,9 +109,10 @@ object Cleaning {
     // CORPUS-derived (the distinct ≥minDocs line set — a template
     // farm makes it arbitrarily large) and sits on explode-blind
     // lineage, so an unhinted planner broadcasts it on a guessed-small
-    // estimate. Both sides key on lh, which the groupBy above already
-    // hash-partitioned — the SMJ reuses that exchange and adds one
-    // sort, no new shuffle of the lines side.
+    // estimate. Cost: the boiler side reuses its groupBy(lh) exchange;
+    // the lines side pays one new lh-keyed shuffle + sort of the
+    // exploded corpus — the price of never broadcasting an unbounded
+    // frame.
     lines.join(boiler.hint("merge"), Seq("lh"), "left")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_lines"),

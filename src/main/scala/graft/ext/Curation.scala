@@ -20,7 +20,10 @@ import graft.sources.Tables
   * DataFrame plan (only the component loop materializes
   * intermediates); the DuckDB oracle chains the same stages in SQL —
   * quality formula text reused verbatim for bit parity, components
-  * via recursive CTE.
+  * via recursive CTE. The stage frames and the staged CTE prefix each
+  * exist in ONE copy ([[stages]], [[stagesCte]]) shared by the
+  * pipeline and its funnel report, so the two gates can never drift
+  * on what the pipeline does.
   *
   * At 100 TB the composition inherits each stage's scale shape:
   * narrow quality scan → hash-shuffle dedup on (hash,text) →
@@ -29,8 +32,9 @@ import graft.sources.Tables
   */
 object Curation {
 
-  def curate(docs: DataFrame, qualityMin: Long = 5000,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+  /** The shared stage frames: (quality-pass, exact-kept, curated). */
+  private def stages(docs: DataFrame, qualityMin: Long,
+      jaccardThreshold: Double): (DataFrame, DataFrame, DataFrame) = {
     val pass = docs.join(
       TextAnalysis.qualityScore(docs)
         .filter(col("quality_x10k") >= qualityMin).select("doc_id"),
@@ -42,7 +46,13 @@ object Curation {
         Dedup.jaccardPairsBySource(kd, jaccardThreshold), "doc_a", "doc_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
-    kd.join(dropList, Seq("doc_id"), "left_anti")
+    (pass, kd, kd.join(dropList, Seq("doc_id"), "left_anti"))
+  }
+
+  def curate(docs: DataFrame, qualityMin: Long = 5000,
+      jaccardThreshold: Double = 0.6): DataFrame = {
+    val (_, _, curated) = stages(docs, qualityMin, jaccardThreshold)
+    curated
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_curated"), min(col("doc_id")).as("first_doc"))
       .orderBy(col("source"))
@@ -53,32 +63,28 @@ object Curation {
     * share of the input — what a pipeline owner actually reads after
     * a curation run ("quality dropped 38%, near-dup another 6%").
     * Expressed as a union of per-stage 1-row aggregates in ONE lazy
-    * plan; the share is an exact integer (`n·10⁴ div input`), so the
-    * oracle compares exact values.
+    * plan; the input total is taken from the stage-0 row via a
+    * 4-row window (not a second count of the corpus), and the share
+    * is an exact integer (`n·10⁴ div input`), so the oracle compares
+    * exact values.
     */
   def curationFunnel(docs: DataFrame, qualityMin: Long = 5000,
       jaccardThreshold: Double = 0.6): DataFrame = {
-    val pass = docs.join(
-      TextAnalysis.qualityScore(docs)
-        .filter(col("quality_x10k") >= qualityMin).select("doc_id"),
-      "doc_id")
-    val kept = pass.groupBy(col("text"))
-      .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
-    val kd = docs.join(kept, "doc_id")
-    val dropList = Dedup.connectedComponents(
-        Dedup.jaccardPairsBySource(kd, jaccardThreshold), "doc_a", "doc_b")
-      .filter(col("node") =!= col("component"))
-      .select(col("node").as("doc_id"))
-    val curated = kd.join(dropList, Seq("doc_id"), "left_anti")
+    val (pass, kd, curated) = stages(docs, qualityMin, jaccardThreshold)
     def stage(idx: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
         .select(lit(idx).as("stage_idx"), lit(name).as("stage"),
           col("n_docs"))
+    import org.apache.spark.sql.expressions.Window
     stage(0, "input", docs)
       .unionByName(stage(1, "quality_pass", pass))
       .unionByName(stage(2, "exact_kept", kd))
       .unionByName(stage(3, "near_dup_kept", curated))
-      .crossJoin(docs.agg(count(lit(1)).as("n_input")))
+      // the 4-row union funnels through one task anyway; the empty
+      // window frame is the cheap way to read stage 0's count
+      .withColumn("n_input",
+        max(when(col("stage_idx") === 0, col("n_docs")))
+          .over(Window.partitionBy()))
       // empty-corpus guard: ANSI div-by-zero throws in both engines;
       // an empty input reports NULL shares instead
       .withColumn("share_x10k", expr(
@@ -92,80 +98,54 @@ object Curation {
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d)))
   )
 
-  /** The composed oracle: quality CTE is [[TextAnalysis]]'s gated SQL
-    * verbatim (bit parity), then exact dedup, the unigram-Jaccard
-    * pair join over survivors, component closure (recursive CTE), and
-    * representative selection.
+  /** The staged CTE prefix (quality → exact dedup → pair join →
+    * recursive closure → curated) — ONE copy shared by both oracles,
+    * with [[TextAnalysis]]'s gated quality SQL inlined verbatim for
+    * bit parity.
     */
+  private lazy val stagesCte: String = {
+    val qualitySql = TextAnalysis.oracles("text_quality")
+      .replace(" ORDER BY doc_id", "")
+    s"""q AS ($qualitySql),
+       |pass AS (
+       |  SELECT d.* FROM documents d
+       |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
+       |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
+       |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
+       |       JOIN kept k ON k.doc_id = d.doc_id),
+       |t AS (
+       |  SELECT doc_id, source,
+       |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+       |  FROM kd),
+       |pairs AS (
+       |  SELECT a.doc_id AS u, b.doc_id AS v
+       |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
+       |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
+       |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+       |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component
+       |         FROM reach GROUP BY a),
+       |curated AS (
+       |  SELECT kd.* FROM kd
+       |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+       |    ON kd.doc_id = dl.node
+       |  WHERE dl.node IS NULL)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
-    "curate_corpus" -> {
-      val qualitySql = TextAnalysis.oracles("text_quality")
-        .replace(" ORDER BY doc_id", "")
+    "curate_corpus" ->
       s"""WITH RECURSIVE
-         |q AS ($qualitySql),
-         |pass AS (
-         |  SELECT d.* FROM documents d
-         |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
-         |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
-         |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
-         |       JOIN kept k ON k.doc_id = d.doc_id),
-         |t AS (
-         |  SELECT doc_id, source,
-         |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
-         |  FROM kd),
-         |pairs AS (
-         |  SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-         |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
-         |comp AS (SELECT a AS node, least(a, min(b)) AS component
-         |         FROM reach GROUP BY a),
-         |curated AS (
-         |  SELECT kd.* FROM kd
-         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
-         |    ON kd.doc_id = dl.node
-         |  WHERE dl.node IS NULL)
+         |$stagesCte
          |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
-         |FROM curated GROUP BY source ORDER BY source""".stripMargin
-    },
+         |FROM curated GROUP BY source ORDER BY source""".stripMargin,
     // the same staged CTE chain, reduced to per-stage survivor counts
-    "curate_funnel" -> {
-      val qualitySql = TextAnalysis.oracles("text_quality")
-        .replace(" ORDER BY doc_id", "")
+    "curate_funnel" ->
       s"""WITH RECURSIVE
-         |q AS ($qualitySql),
-         |pass AS (
-         |  SELECT d.* FROM documents d
-         |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
-         |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
-         |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
-         |       JOIN kept k ON k.doc_id = d.doc_id),
-         |t AS (
-         |  SELECT doc_id, source,
-         |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
-         |  FROM kd),
-         |pairs AS (
-         |  SELECT a.doc_id AS u, b.doc_id AS v
-         |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
-         |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-         |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
-         |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
-         |reach(a, b) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
-         |comp AS (SELECT a AS node, least(a, min(b)) AS component
-         |         FROM reach GROUP BY a),
-         |curated AS (
-         |  SELECT kd.* FROM kd
-         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
-         |    ON kd.doc_id = dl.node
-         |  WHERE dl.node IS NULL),
+         |$stagesCte,
          |f AS (
          |  SELECT 0 AS stage_idx, 'input' AS stage,
          |         (SELECT count(*) FROM documents) AS n_docs
@@ -177,6 +157,5 @@ object Curation {
          |            ELSE (n_docs * 10000) // (SELECT count(*) FROM documents)
          |       END AS share_x10k
          |FROM f ORDER BY stage_idx""".stripMargin
-    }
   )
 }

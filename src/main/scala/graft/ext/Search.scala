@@ -137,8 +137,12 @@ object Search {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         count(when(col("__in").isNull, 1)).as("n_oov"))
-    // explode drops zero-token docs; re-attach them with 0/0/NULL
-    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+    // explode drops zero-token docs; re-attach them with 0/0/NULL.
+    // merge hint (round-4 pair-join discipline): perDoc descends from
+    // the token explode so its size estimate is explode-blind, and
+    // both sides are corpus-sized — an unhinted planner may broadcast
+    // one of them on a guessed-small estimate
+    docs.select(col("doc_id")).join(perDoc.hint("merge"), Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
         coalesce(col("n_oov"), lit(0L)).as("n_oov"))

@@ -567,7 +567,13 @@ object StreamingQueries {
         val s = batch.sparkSession
         val cached = batch.persist()
         try {
-          val hist = Layout.readBack(s, stateDir, fpSchema).select(col("fp"))
+          // STRICTLY EARLIER batches only: on crash-replay of batch N
+          // its own batch_id=N state partition may already be (fully
+          // or partially) visible, and an unfiltered read would
+          // anti-join the batch against its own fingerprints —
+          // silently dropping correct survivors on the re-run
+          val hist = Layout.readBack(s, stateDir, fpSchema)
+            .filter(col("batch_id") < id).select(col("fp"))
           val survivors = graft.ops.BloomJoin.antiJoin(
             cached.toDF().withColumn("__fp",
               Dedup.bagFingerprint(col("text"))),
