@@ -266,6 +266,30 @@ object Sampling {
       .filter(bucket(col("doc_id"), seed) * lit(10000L) <
         col("quality_x10k") * lit(Buckets))
 
+  /** Multi-epoch training order: the concatenated schedule a trainer
+    * actually consumes — epoch `e` is [[shuffleOrder]]'s permutation
+    * under seed `seed + e` (independent permutations per epoch, the
+    * standard epoch-reshuffle), and `global_pos = e·N + pos` makes the
+    * whole run ONE monotonically consumable stream. Every position is
+    * a pure function of (seed, epoch, key): resuming a run mid-epoch,
+    * re-running on a different cluster size, or re-deriving the
+    * schedule after a loss spike all land on the identical order.
+    *
+    * The corpus count enters as a literal (one count scan — a bounded
+    * driver scalar, same class as the census probes); each epoch's
+    * rank inherits shuffleOrder's adaptive plain-window/segmented
+    * decomposition.
+    */
+  def epochOrder(docs: DataFrame, epochs: Int, seed: Long = 7L,
+      keyCol: String = "doc_id", localMax: Long = 1L << 22): DataFrame = {
+    val n = docs.count()
+    (0 until epochs).map { e =>
+      shuffleOrder(docs, seed + e, keyCol, localMax)
+        .select(lit(e).as("epoch"), col(keyCol), col("pos"),
+          (lit(e.toLong * n) + col("pos")).as("global_pos"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Deterministic train/validation/test assignment (80/10/10 by
     * default): contiguous bucket ranges of the same hash-uniform
     * [[bucket]], so the split is a pure function of the key —
@@ -388,6 +412,9 @@ object Sampling {
         .orderBy(col("lang"))),
     "sample_shuffle_order" -> ((s, d) =>
       shuffleOrder(Tables.documents(s, d)).orderBy(col("doc_id"))),
+    "sample_epoch_order" -> ((s, d) =>
+      epochOrder(Tables.documents(s, d), epochs = 2)
+        .orderBy(col("global_pos"))),
     "sample_quality_weighted" -> ((s, d) =>
       qualityWeightedSample(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "sample_mix" -> ((s, d) =>
@@ -495,6 +522,28 @@ object Sampling {
         |SELECT doc_id,
         |       row_number() OVER (ORDER BY hk, doc_id) AS pos
         |FROM t ORDER BY doc_id""".stripMargin,
+    // two independent seed-keyed permutations (seeds 7 and 8),
+    // concatenated with the epoch offset — the same md5 order as the
+    // shuffle-order oracle, once per epoch seed
+    "sample_epoch_order" ->
+      """WITH r0 AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (
+        |           ORDER BY substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |                    doc_id) AS pos
+        |  FROM documents),
+        |r1 AS (
+        |  SELECT doc_id,
+        |         row_number() OVER (
+        |           ORDER BY substr(md5('8:' || CAST(doc_id AS VARCHAR)), 1, 13),
+        |                    doc_id) AS pos
+        |  FROM documents)
+        |SELECT epoch, doc_id, pos, global_pos FROM (
+        |  SELECT 0 AS epoch, doc_id, pos, pos AS global_pos FROM r0
+        |  UNION ALL
+        |  SELECT 1, doc_id, pos,
+        |         (SELECT count(*) FROM documents) + pos FROM r1)
+        |ORDER BY global_pos""".stripMargin,
     // sqrt / division / multiply are all IEEE-correctly-rounded, so
     // DuckDB computes the bit-identical keep thresholds from the same
     // integer counts

@@ -147,4 +147,9 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assertRetrySafe("qualityWeightedSample", docs,
       d => Sampling.qualityWeightedSample(d))
   }
+
+  test("epochOrder positions are identical under task retry") {
+    assertRetrySafe("epochOrder", docs,
+      d => Sampling.epochOrder(d, epochs = 2))
+  }
 }
