@@ -111,7 +111,33 @@ object DataQuality {
         expr("(max_cnt * 100 + mean_x100 - 1) div mean_x100"))
       .drop("mean_x100")
 
+  /** Per-column presence census — the first profile run on any new
+    * table: rows present (non-null), nulls, and EXACT distinct count
+    * per column, one output row per column. One input scan: the
+    * multi-`countDistinct` aggregate plans as a single Expand +
+    * aggregation pass, and the per-column melt is a `stack` over the
+    * 1-row result — no per-column re-scans. Exact distincts are the
+    * profile's point at validation scale; monitoring at 100 TB swaps
+    * in the gated KMV/HLL sketches per column with the same output
+    * shape.
+    */
+  def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"dst_$c"))) :+
+      count(lit(1)).as("n_rows")
+    val stacked = cols.map(c => s"'$c', cnt_$c, dst_$c").mkString(", ")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(expr(s"stack(${cols.size}, $stacked)")
+        .as(Seq("column", "n_present", "n_distinct")), col("n_rows"))
+      .select(col("column"), col("n_present"),
+        (col("n_rows") - col("n_present")).as("n_null"), col("n_distinct"))
+      .orderBy(col("column"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_column_profile" -> ((s, d) =>
+      columnProfile(Tables.events(s, d),
+        Seq("event_id", "user_id", "event_type", "value", "props"))),
     "dq_key_skew" -> ((s, d) =>
       keySkewProfile(Tables.events(s, d), "user_id")),
     "dq_report" -> ((s, d) => report(Tables.events(s, d), eventRules)),
@@ -122,6 +148,16 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_column_profile" -> {
+      val branches = Seq("event_id", "user_id", "event_type", "value",
+        "props").map { c =>
+        s"""SELECT '$c' AS "column", count($c) AS n_present,
+           |       count(*) - count($c) AS n_null,
+           |       count(DISTINCT $c) AS n_distinct FROM events""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""SELECT * FROM ($branches)
+         |ORDER BY "column"""".stripMargin
+    },
     "dq_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
         |s AS (
