@@ -756,6 +756,73 @@ class ExtSpec extends AnyFunSuite {
       "the quality weighting must actually bite")
   }
 
+  test("media exact dedup: identical bytes collapse across formats") {
+    import spark.implicits._
+    val media = Seq(
+      (1L, "same bytes", "image/png"), (2L, "same bytes", "audio/wav"),
+      (3L, "other bytes", "image/png"))
+      .toDF("media_id", "text", "format")
+      .select(col("media_id"), encode(col("text"), "UTF-8").as("payload"),
+        col("format"))
+    val rows = Multimodal.mediaExactDedup(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // formats differ but the bytes are identical -> one representative
+    assert(rows === Map(1L -> ((2L, 10L)), 3L -> ((1L, 11L))))
+  }
+
+  test("column profile: known nulls and distincts in one pass") {
+    import spark.implicits._
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(1L), None),
+      (Some(2L), Some("b")), (None, Some("a")))
+      .toDF("k", "s")
+    val rows = graft.ext.DataQuality.columnProfile(df, Seq("k", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows("k") === ((3L, 1L, 2L))) // present, null, distinct
+    assert(rows("s") === ((3L, 1L, 2L)))
+  }
+
+  test("epoch order: per-epoch permutations, contiguous global stream") {
+    import graft.ext.Sampling
+    val docs = Tables.documents(spark, dir)
+    val n = docs.count()
+    val rows = Sampling.epochOrder(docs, epochs = 2)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length === 2 * n)
+    // each epoch is a complete permutation 1..N
+    (0 to 1).foreach { e =>
+      val eps = rows.filter(_._1 == e)
+      assert(eps.map(_._3).sorted.toSeq === (1L to n).toSeq, s"epoch $e")
+      assert(eps.map(_._2).distinct.length === n)
+    }
+    // the two epochs order documents DIFFERENTLY (independent seeds)
+    val ord0 = rows.filter(_._1 == 0).sortBy(_._3).map(_._2).toSeq
+    val ord1 = rows.filter(_._1 == 1).sortBy(_._3).map(_._2).toSeq
+    assert(ord0 !== ord1)
+    // global positions are the contiguous concatenation 1..2N
+    assert(rows.map(_._4).sorted.toSeq === (1L to 2 * n).toSeq)
+    // epoch 0 IS the plain shuffle order under the same seed
+    val plain = Sampling.shuffleOrder(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._2).map(_._1).toSeq
+    assert(ord0 === plain)
+  }
+
+  test("vocab OOV rate: known dictionary, planted OOV tokens") {
+    import spark.implicits._
+    // "common" appears 3x (in-vocab at minCount=2); each "rareN" once
+    val docs = Seq(
+      (1L, "common rare1"), (2L, "common rare2"), (3L, "common"))
+      .toDF("doc_id", "text")
+    val rows = graft.ext.Search.vocabOovRate(docs, "text",
+        minCount = 2L, maxVocab = 10)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(rows(1L) === ((2L, 1L, Some(5000L)))) // half OOV
+    assert(rows(2L) === ((2L, 1L, Some(5000L))))
+    assert(rows(3L) === ((1L, 0L, Some(0L))))
+  }
+
   test("key-skew profile: known-answer frequencies") {
     import spark.implicits._
     val df = (Seq.fill(6)("a") ++ Seq.fill(2)("b") ++ Seq("c", "d"))
