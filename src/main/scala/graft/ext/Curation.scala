@@ -32,6 +32,12 @@ import graft.sources.Tables
   */
 object Curation {
 
+  /** Shared default knobs — interpolated into [[stagesCte]] so the
+    * oracle can never desync from the Scala defaults (the
+    * [[Sampling.DefaultJaccardThreshold]] pattern). */
+  val DefaultQualityMin = 5000L
+  val DefaultJaccardThreshold = 0.6
+
   /** The shared stage frames: (quality-pass, exact-kept, curated). */
   private def stages(docs: DataFrame, qualityMin: Long,
       jaccardThreshold: Double): (DataFrame, DataFrame, DataFrame) = {
@@ -49,8 +55,8 @@ object Curation {
     (pass, kd, kd.join(dropList, Seq("doc_id"), "left_anti"))
   }
 
-  def curate(docs: DataFrame, qualityMin: Long = 5000,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+  def curate(docs: DataFrame, qualityMin: Long = DefaultQualityMin,
+      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame = {
     val (_, _, curated) = stages(docs, qualityMin, jaccardThreshold)
     curated
       .groupBy(col("source"))
@@ -68,8 +74,8 @@ object Curation {
     * is an exact integer (`n·10⁴ div input`), so the oracle compares
     * exact values.
     */
-  def curationFunnel(docs: DataFrame, qualityMin: Long = 5000,
-      jaccardThreshold: Double = 0.6): DataFrame = {
+  def curationFunnel(docs: DataFrame, qualityMin: Long = DefaultQualityMin,
+      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame = {
     val (pass, kd, curated) = stages(docs, qualityMin, jaccardThreshold)
     def stage(idx: Int, name: String, df: DataFrame) =
       df.agg(count(lit(1)).as("n_docs"))
@@ -109,7 +115,7 @@ object Curation {
     s"""q AS ($qualitySql),
        |pass AS (
        |  SELECT d.* FROM documents d
-       |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= 5000),
+       |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= $DefaultQualityMin),
        |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
        |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
        |       JOIN kept k ON k.doc_id = d.doc_id),
@@ -121,7 +127,7 @@ object Curation {
        |  SELECT a.doc_id AS u, b.doc_id AS v
        |  FROM t a JOIN t b ON a.source = b.source AND a.doc_id < b.doc_id
        |  WHERE len(list_intersect(a.toks, b.toks)) * 1.0 /
-       |        len(list_distinct(list_concat(a.toks, b.toks))) >= 0.6),
+       |        len(list_distinct(list_concat(a.toks, b.toks))) >= $DefaultJaccardThreshold),
        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
        |reach(a, b) AS (
        |  SELECT u, v FROM edges

@@ -122,15 +122,22 @@ object DataQuality {
     * shape.
     */
   def columnProfile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val aggs = cols.flatMap(c => Seq(
-      count(col(c)).as(s"cnt_$c"), countDistinct(col(c)).as(s"dst_$c"))) :+
+    // positional aliases (c_0/d_0/…), never the caller's names: a
+    // user column named `a b` or `x"y` must not reach any identifier
+    // position. The melt is typed Columns (explode of struct array
+    // over the 1-row aggregate — same single Expand pass stack()
+    // compiled to), so the name appears only as a string LITERAL.
+    val aggs = cols.zipWithIndex.flatMap { case (c, i) => Seq(
+      count(col(c)).as(s"c_$i"), countDistinct(col(c)).as(s"d_$i")) } :+
       count(lit(1)).as("n_rows")
-    val stacked = cols.map(c => s"'$c', cnt_$c, dst_$c").mkString(", ")
+    val rows = array(cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col(s"c_$i").as("n_present"),
+        col(s"d_$i").as("n_distinct")) }: _*)
     df.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stacked)")
-        .as(Seq("column", "n_present", "n_distinct")), col("n_rows"))
-      .select(col("column"), col("n_present"),
-        (col("n_rows") - col("n_present")).as("n_null"), col("n_distinct"))
+      .select(explode(rows).as("r"), col("n_rows"))
+      .select(col("r.column").as("column"), col("r.n_present").as("n_present"),
+        (col("n_rows") - col("r.n_present")).as("n_null"),
+        col("r.n_distinct").as("n_distinct"))
       .orderBy(col("column"))
   }
 

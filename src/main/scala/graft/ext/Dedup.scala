@@ -778,6 +778,27 @@ object Dedup {
     // gate derives the sliver by filtering the full exact pair set so
     // the oracle stays exact; production derives it asymmetrically —
     // minhashPairsAgainst — without ever pairing history with itself.)
+    // THE COMPOSED PRODUCTION PIPELINE (round-7 gate): the asymmetric
+    // minhash pair derivation feeding the star fold as ONE path —
+    // history is labeled from its own minhash pairs, the new batch
+    // contributes only new×hist ([[minhashPairsAgainst]]) plus
+    // within-batch ([[minhashPairs]] on the batch sliver) pairs, and
+    // [[incrementalComponents]] folds them into the history labeling.
+    // Band keys are pure per-document functions, so the three pair
+    // sets partition the full-corpus candidate set EXACTLY — the
+    // oracle is therefore the full-corpus minhash closure (recomputed
+    // independently in DuckDB from the same aux band keys/shingles):
+    // incremental ≡ full recompute, bridging merges included.
+    "dedup_minhash_components" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val batch = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val hist = docs.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+      val histLabels = connectedComponents(minhashPairs(hist), "doc_a", "doc_b")
+      val newPairs = minhashPairsAgainst(batch, hist)
+        .select(col("doc_new").as("doc_a"), col("doc_hist").as("doc_b"))
+        .unionByName(minhashPairs(batch).select(col("doc_a"), col("doc_b")))
+      incrementalComponents(histLabels, newPairs).orderBy(col("node"))
+    }),
     "dedup_components_incremental" -> ((s, d) => {
       val docs = Tables.documents(s, d)
       val hist = jaccardComponents(
@@ -880,6 +901,35 @@ object Dedup {
         |  JOIN sh sn ON sn.doc_id = c.doc_new
         |  JOIN sh sb ON sb.doc_id = c.doc_hist)
         |WHERE j >= 0.5 ORDER BY doc_new, doc_hist""".stripMargin,
+    // full-corpus minhash closure: candidate pairs re-derived from the
+    // aux band keys, exact-verified against the aux shingles (the
+    // dedup_minhash_pairs oracle), then the recursive-CTE component
+    // closure — the composed incremental path must be
+    // indistinguishable from this full recompute
+    "dedup_minhash_components" ->
+      """WITH RECURSIVE
+        |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+        |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |   AND a.doc_id < b.doc_id),
+        |p AS (
+        |  SELECT c.doc_a AS u, c.doc_b AS v
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_a
+        |  JOIN sh sb ON sb.doc_id = c.doc_b
+        |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |        >= 0.5),
+        |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a)
+        |SELECT a AS node, least(a, min(b)) AS component
+        |FROM reach GROUP BY a ORDER BY node""".stripMargin,
     "dedup_simhash" -> simhashOracleSql,
     // transitive closure per node via recursive CTE; component = min
     // reachable id — must equal the engine's min-label propagation

@@ -282,6 +282,7 @@ object Sampling {
     */
   def epochOrder(docs: DataFrame, epochs: Int, seed: Long = 7L,
       keyCol: String = "doc_id", localMax: Long = 1L << 22): DataFrame = {
+    require(epochs >= 1, s"epochOrder needs at least one epoch, got $epochs")
     val n = docs.count()
     (0 until epochs).map { e =>
       shuffleOrder(docs, seed + e, keyCol, localMax)

@@ -238,7 +238,10 @@ object ExtraQueries {
   def fuzzyPartNames(spark: SparkSession, dir: String): DataFrame = {
     val names = Tables.part(spark, dir)
       .groupBy(col("p_name")).agg(count(lit(1)).as("n_rows"))
-      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      // try_element_at: a one-word name yields NULL (the oracle's
+      // string_split(...)[2] semantics) instead of throwing ANSI
+      // INVALID_ARRAY_INDEX
+      .withColumn("noun", try_element_at(split(col("p_name"), " "), lit(2)))
     val a = names.select(col("noun"), col("p_name").as("name1"),
       col("n_rows").as("rows1"))
     val b = names.select(col("noun"), col("p_name").as("name2"),
@@ -395,7 +398,10 @@ object ExtraQueries {
   def erCanonicalParts(spark: SparkSession, dir: String): DataFrame = {
     val dict = Tables.part(spark, dir)
       .groupBy(col("p_name")).agg(min(col("p_partkey")).as("name_id"))
-      .withColumn("noun", element_at(split(col("p_name"), " "), 2))
+      // try_element_at: a one-word name yields NULL (the oracle's
+      // string_split(...)[2] semantics) instead of throwing ANSI
+      // INVALID_ARRAY_INDEX
+      .withColumn("noun", try_element_at(split(col("p_name"), " "), lit(2)))
     graft.ops.FuzzyJoin
       .canonicalEntities(dict, "name_id", "p_name", "noun", maxDist = 3)
       .orderBy(col("p_name"))

@@ -549,7 +549,9 @@ object StreamingQueries {
         .coalesce(1).write.mode("overwrite").parquet(p)
       // pin the source's processing order: distinct, increasing mtimes
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
-        .foreach(f => { f.setLastModified(1000000000000L + b * 60000L); () })
+        .foreach(f => require(f.setLastModified(1000000000000L + b * 60000L),
+          s"setLastModified failed on $f — batch-order pin would silently " +
+            "fall back to listing order"))
     }
     val fpSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("fp",

@@ -26,18 +26,21 @@ def from_bench_stdout(path):
             return q
     raise SystemExit(f"no queries line in {path}")
 
-def from_driver_artifact(path):
-    # tail captures truncate the head; scavenge "name":value pairs
+def from_driver_artifact(path, gate_names):
+    # tail captures truncate the head; scavenge "name":value pairs,
+    # keeping ONLY keys that are gates in the fresh run — a non-gate
+    # numeric field in the artifact (total/elapsed/...) must never be
+    # banded as a query
     txt = json.load(open(path)).get("tail", "")
     out = {}
     for m in re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', txt):
         k, v = m.group(1), float(m.group(2))
-        if k not in ("value", "sf"):
+        if k in gate_names:
             out[k] = v
     return out
 
 fresh = from_bench_stdout(sys.argv[1])
-hist = [from_driver_artifact(p) for p in sys.argv[2:]]
+hist = [from_driver_artifact(p, set(fresh)) for p in sys.argv[2:]]
 
 print("| gate | min-of-4 sec (r6) | prior samples | band (sec) |")
 print("|---|---|---|---|")
