@@ -535,16 +535,25 @@ object StreamingQueries {
     */
   def streamDedupIncremental(spark: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
-    import graft.ext.{Dedup, Layout}
+    val base = prepareDedupStream(spark, dir, nBatches)
+    runDedupStream(spark, dir, base)
+    dedupStreamOutput(spark, base)
+  }
+
+  /** Wipe the scratch area and lay out the micro-batch source files
+    * (split from [[streamDedupIncremental]] so the crash-replay spec
+    * can restart [[runDedupStream]] against the SAME checkpoint —
+    * StreamingSpec "crash-replay"). Returns the scratch base dir.
+    */
+  def prepareDedupStream(spark: SparkSession, dir: String,
+      nBatches: Int = 3): String = {
     val base = graft.RunScratch.dir("stream_dedup", dir)
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
-    val (srcDir, outDir, stateDir) =
-      (s"$base/src", s"$base/out", s"$base/state")
     val docs = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text"))
     (0 until nBatches).foreach { b =>
-      val p = s"$srcDir/batch_$b"
+      val p = s"$base/src/batch_$b"
       docs.filter(pmod(col("doc_id"), lit(nBatches)) === b)
         .coalesce(1).write.mode("overwrite").parquet(p)
       // pin the source's processing order: distinct, increasing mtimes
@@ -553,12 +562,30 @@ object StreamingQueries {
           s"setLastModified failed on $f — batch-order pin would silently " +
             "fall back to listing order"))
     }
+    base
+  }
+
+  /** Start (or RESTART — the checkpoint under `base` is reused as-is)
+    * the dedup stream and drain every available batch. `afterWrites`
+    * runs at the end of each foreachBatch invocation, after both
+    * landings: the crash-replay spec throws from it to kill the query
+    * at the exact point where batch N's own state partition is
+    * already on disk but N's epoch never committed — the replay case
+    * the `batch_id < id` guard exists for. Production path: no-op.
+    */
+  def runDedupStream(spark: SparkSession, dir: String, base: String,
+      afterWrites: Long => Unit = _ => ()): Unit = {
+    import graft.ext.{Dedup, Layout}
+    val (srcDir, outDir, stateDir) =
+      (s"$base/src", s"$base/out", s"$base/state")
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
     val fpSchema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("fp",
         org.apache.spark.sql.types.StringType),
       org.apache.spark.sql.types.StructField("batch_id",
         org.apache.spark.sql.types.LongType)))
-    val stream = spark.readStream.schema(docs.schema)
+    val stream = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
       .option("recursiveFileLookup", "true").parquet(srcDir)
     val q = stream.writeStream
@@ -574,6 +601,9 @@ object StreamingQueries {
           // or partially) visible, and an unfiltered read would
           // anti-join the batch against its own fingerprints —
           // silently dropping correct survivors on the re-run
+          // (executed, not just reasoned: StreamingSpec
+          // "crash-replay after state write converges to the
+          // uninterrupted result")
           val hist = Layout.readBack(s, stateDir, fpSchema)
             .filter(col("batch_id") < id).select(col("fp"))
           val survivors = graft.ops.BloomJoin.antiJoin(
@@ -585,20 +615,25 @@ object StreamingQueries {
           writeBatchIdempotent(
             cached.toDF().select(
               Dedup.bagFingerprint(col("text")).as("fp")), id, stateDir)
+          afterWrites(id)
         } finally { cached.unpersist(); () }
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()
-    Layout.readBack(spark, outDir, org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("doc_id",
-          org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("source",
-          org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("batch_id",
-          org.apache.spark.sql.types.LongType))))
+  }
+
+  /** The landed survivor set under `base`, in gate output shape. */
+  def dedupStreamOutput(spark: SparkSession, base: String): DataFrame =
+    graft.ext.Layout.readBack(spark, s"$base/out",
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("source",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("batch_id",
+            org.apache.spark.sql.types.LongType))))
       .select(col("doc_id"), col("source"))
       .orderBy(col("doc_id"))
-  }
 
   /** Streaming queries surfaced at the correctness gate. Each shares
     * its batch twin's DuckDB oracle — the gate itself asserts

@@ -561,4 +561,37 @@ class StreamingSpec extends AnyFunSuite {
     // re-run (fresh checkpoint + state) reproduces identical output
     assert(run() === a)
   }
+
+  test("crash-replay after state write converges to the uninterrupted result") {
+    import graft.streaming.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // uninterrupted reference run (own prepare → fresh checkpoint)
+    val expected = canon(StreamingQueries.streamDedupIncremental(spark, dir))
+    // crash run: kill the query AFTER batch 1's survivors AND its own
+    // fingerprint state landed, but BEFORE the epoch commits — the
+    // exact window where replay sees the batch's own batch_id=1 state
+    // partition and the `batch_id < id` guard is load-bearing
+    val base = StreamingQueries.prepareDedupStream(spark, dir)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runDedupStream(spark, dir, base, afterWrites = id =>
+        if (id == 1) {
+          crashed.set(true)
+          throw new RuntimeException("graft-test: injected crash after state write")
+        })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    // replay precondition on disk: batch 1's own fingerprint partition
+    // is visible before its epoch ever committed
+    assert(new java.io.File(s"$base/state/batch_id=1").exists(),
+      "crash point must leave batch 1's state partition on disk")
+    // restart from the SAME checkpoint: batch 1 replays (guard active),
+    // batch 2 follows; the landed output must be indistinguishable
+    // from the run that never crashed
+    StreamingQueries.runDedupStream(spark, dir, base)
+    assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+  }
 }
