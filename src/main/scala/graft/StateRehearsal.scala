@@ -81,7 +81,8 @@ object StateRehearsal {
 
     def run(arm: String, provider: String,
         shape: DataFrame => DataFrame,
-        changelog: Boolean = false): Unit = {
+        changelog: Boolean = false,
+        minDeltasForSnapshot: Option[Int] = None): Unit = {
       if (!only.forall(arm.contains(_))) return
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       // Changelog checkpointing: per-commit the store uploads the small
@@ -93,6 +94,14 @@ object StateRehearsal {
       spark.conf.set(
         "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
         changelog.toString)
+      // Snapshot cadence (changelog mode): how many changelog commits
+      // accumulate before a background snapshot consolidates them
+      // (default 10 — exactly the batch-9 deferred landing the round-6
+      // arm caught). Smaller = more frequent, smaller snapshots: the
+      // amortization knob under test in the snap arms. Reset to the
+      // default when unset: conf leaks across arms otherwise.
+      spark.conf.set("spark.sql.streaming.stateStore.minDeltasForSnapshot",
+        minDeltasForSnapshot.getOrElse(10).toString)
       val ckpt = RunScratch.dir(s"state_rehearsal_$arm", arm)
       val src = spark.readStream.format("rate-micro-batch")
         .option("rowsPerBatch", rowsPerBatch)
@@ -128,6 +137,8 @@ object StateRehearsal {
     // arm's documented solo invocation must not drag this one in
     run("rocksdb_changelog_q1_dedup", RocksDbProvider, q1Shape,
       changelog = true)
+    run("rocksdb_changelog_snap3_q1_dedup", RocksDbProvider, q1Shape,
+      changelog = true, minDeltasForSnapshot = Some(3))
     run("hdfs_q3",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       q3Shape)

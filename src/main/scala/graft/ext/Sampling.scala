@@ -283,11 +283,15 @@ object Sampling {
   def epochOrder(docs: DataFrame, epochs: Int, seed: Long = 7L,
       keyCol: String = "doc_id", localMax: Long = 1L << 22): DataFrame = {
     require(epochs >= 1, s"epochOrder needs at least one epoch, got $epochs")
-    val n = docs.count()
+    // N enters LAZILY as a broadcast 1-row census frame (round-6
+    // review consistency note): constructing the plan pays no scan;
+    // the count runs with the job and broadcasts as a scalar column.
+    val n = docs.agg(count(lit(1)).as("__n"))
     (0 until epochs).map { e =>
       shuffleOrder(docs, seed + e, keyCol, localMax)
+        .crossJoin(broadcast(n))
         .select(lit(e).as("epoch"), col(keyCol), col("pos"),
-          (lit(e.toLong * n) + col("pos")).as("global_pos"))
+          (lit(e.toLong) * col("__n") + col("pos")).as("global_pos"))
     }.reduce(_ unionByName _)
   }
 
