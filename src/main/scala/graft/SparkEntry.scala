@@ -57,6 +57,8 @@ object SparkEntry {
       "leakage_buckets" -> ((s, d) =>
         Sampling.leakageAssign(Tables.documents(s, d))
           .select(col("doc_id"), col("component"), col("bucket"))),
+      "dsir_logratio" -> ((s, d) =>
+        Sampling.dsirLogRatio(Tables.documents(s, d), col("lang") === "en")),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),

@@ -360,6 +360,74 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** Hashed-n-gram feature-bucket count for DSIR: 3 hex chars of the
+    * token's md5 = 4096 buckets, a STRING key both engines derive
+    * identically (the md5-prefix idiom [[capPerGroup]]/[[shuffleOrder]]
+    * established — no engine-specific integer hash anywhere).
+    */
+  val DsirBuckets = 4096
+
+  /** Per-bucket smoothed log importance ratio for DSIR-style
+    * importance resampling (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): token occurrences
+    * hash into [[DsirBuckets]] buckets; a bucket's ratio is
+    * `ln p_target(b) − ln p_raw(b)` with Laplace smoothing, where the
+    * target distribution comes from the rows matching `isTarget` and
+    * raw from the whole corpus. The ratio is SNAPPED to integer
+    * nano-units (`lr_x1e9 BIGINT`): `ln` is the one
+    * not-correctly-rounded operation in the pipeline, so it runs
+    * exactly once, here, on a bounded 4096-row frame — everything
+    * downstream (per-doc weights, selection priorities, the DuckDB
+    * oracle's re-derivation) is exact integer arithmetic with no
+    * cross-engine float boundary to flip.
+    *
+    * Scale shape: one narrow token explode → a 4096-key count shuffle
+    * (map-side combined, bucket count is a constant) → a 1-row total.
+    * The result is a broadcast-sized dictionary whatever the corpus.
+    */
+  def dsirLogRatio(docs: DataFrame, isTarget: Column): DataFrame = {
+    val feats = docs.select(isTarget.as("is_t"),
+        explode(Dedup.tokensNorm(col("text"))).as("tok"))
+      .select(col("is_t"), substring(md5(col("tok")), 1, 3).as("b"))
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = feats.agg(count(lit(1)).as("n_r"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        (log(col("c_t") + lit(1)) - log(col("n_t") + lit(DsirBuckets)) -
+          log(col("c_r") + lit(1)) + log(col("n_r") + lit(DsirBuckets)))
+          * lit(1e9), 0).cast("long").as("lr_x1e9"))
+  }
+
+  /** DSIR-style importance selection: rank every document by its
+    * summed bucket log-ratio (how target-like its token distribution
+    * is) and keep the top k. Ordering is lexicographic
+    * `(w_x1e9 DESC, bucket(doc), doc_id)` — exact-weight ties
+    * (verbatim duplicates share a weight) break on the seeded hash
+    * jitter, then the key; no arithmetic on the priority, so no
+    * overflow surface and no float anywhere in the comparison.
+    *
+    * Scale shape: token explode → broadcast join against the 4096-row
+    * ratio dictionary → one doc-keyed sum shuffle (token-count
+    * proportional, the same class as token counting) → bounded-k
+    * TakeOrderedAndProject. No global sort, no driver loop.
+    */
+  def importanceTopK(docs: DataFrame, isTarget: Column, k: Int = 100,
+      seed: Long = 7L): DataFrame = {
+    val lr = dsirLogRatio(docs, isTarget)
+    docs.select(col("doc_id"),
+        explode(Dedup.tokensNorm(col("text"))).as("tok"))
+      .select(col("doc_id"), substring(md5(col("tok")), 1, 3).as("b"))
+      .join(broadcast(lr), "b")
+      .groupBy(col("doc_id")).agg(sum(col("lr_x1e9")).as("w_x1e9"))
+      .orderBy(col("w_x1e9").desc, bucket(col("doc_id"), seed),
+        col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("w_x1e9"))
+  }
+
   // -------------------------------------------------------- gate wiring
 
   /** Weight for srcN = 1 + (N mod 5): rates 0.2/0.4/0.6/0.8/1.0 over
@@ -427,7 +495,12 @@ object Sampling {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("first_doc"),
           max(col("doc_id")).as("last_doc"))
-        .orderBy(col("source")))
+        .orderBy(col("source"))),
+    // target distribution = the English slice; the top-100 most
+    // target-like docs by hashed-token importance weight
+    "sample_importance" -> ((s, d) =>
+      importanceTopK(Tables.documents(s, d), col("lang") === "en")
+        .orderBy(col("doc_id")))
   )
 
   private val bucketsAux =
@@ -484,6 +557,23 @@ object Sampling {
          |       ac.lang, count(*) AS n
          |FROM ac JOIN b USING (component)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the 4096-row integer-snapped ratio dictionary is the aux (ln
+    // runs once, Spark-side — see dsirLogRatio's snapping note); the
+    // oracle re-derives features, per-doc weights, and the jittered
+    // top-k entirely in integer/string space
+    "sample_importance" ->
+      s"""WITH lr AS (SELECT b, lr_x1e9
+         |            FROM read_parquet('__OUTDIR__/.aux/dsir_logratio/*.parquet')),
+         |f AS (SELECT doc_id, substr(md5(tok), 1, 3) AS b
+         |      FROM (SELECT doc_id,
+         |                   unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         |            FROM documents)),
+         |w AS (SELECT f.doc_id, CAST(sum(lr.lr_x1e9) AS BIGINT) AS w_x1e9
+         |      FROM f JOIN lr USING (b) GROUP BY f.doc_id),
+         |topk AS (SELECT w.doc_id, w.w_x1e9
+         |         FROM w JOIN ($bucketsAux) b USING (doc_id)
+         |         ORDER BY w.w_x1e9 DESC, b.bucket, w.doc_id LIMIT 100)
+         |SELECT doc_id, w_x1e9 FROM topk ORDER BY doc_id""".stripMargin,
     // one plain window cumsum over the same md5 order — the two-level
     // segment decomposition must be invisible in the result
     "sample_token_budget" ->

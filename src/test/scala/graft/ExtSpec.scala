@@ -837,4 +837,33 @@ class ExtSpec extends AnyFunSuite {
     assert(r.getAs[Long]("skew_x100") === 240L) // 6*100*4/10
     assert(r.getAs[Long]("salt_factor") === 3L) // ceil(6/2.5)
   }
+
+  test("DSIR importance: target-like docs outrank, duplicates tie-break, weights integer-stable") {
+    import spark.implicits._
+    // two token populations: target docs speak 'tt*', raw-only docs
+    // speak 'rr*'; the mixed doc sits between
+    val docs = Seq(
+      (0L, "tt1 tt2 tt3", "en"), // pure target-language
+      (1L, "tt1 tt2 tt3", "en"), // verbatim duplicate of 0
+      (2L, "tt1 rr1 rr2", "en"), // mixed
+      (3L, "rr1 rr2 rr3", "fr"), // pure raw-only
+      (4L, "rr1 rr2 rr3", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val isT = col("lang") === "en"
+    val lr = graft.ext.Sampling.dsirLogRatio(docs, isT).collect()
+    assert(lr.length === 6) // 6 distinct tokens, no bucket collisions expected at md5/3-hex
+    val top3 = graft.ext.Sampling.importanceTopK(docs, isT, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // the two pure-target docs must lead (identical weights — the
+    // seeded jitter orders them deterministically), the mixed doc third
+    assert(top3.map(_._1).toSet === Set(0L, 1L, 2L))
+    assert(top3(0)._2 === top3(1)._2, "verbatim duplicates share a weight")
+    assert(top3.take(2).map(_._1).toSet === Set(0L, 1L))
+    val wMixed = top3.find(_._1 == 2L).get._2
+    assert(top3(0)._2 > wMixed, "pure target outweighs mixed")
+    // weight is a pure integer function of the corpus: recompute equal
+    val again = graft.ext.Sampling.importanceTopK(docs, isT, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(again.toSeq === top3.toSeq)
+  }
 }
