@@ -312,6 +312,81 @@ object CorpusPrep {
       .limit(BpeTopK)
   }
 
+  /** Merge rounds for [[bpeMergeRounds]] — unrolled in the oracle, so
+    * a bounded constant (the PageRank-oracle discipline). */
+  val BpeMergeRoundsN = 3
+
+  /** The BPE word dictionary in symbol-array form: every eligible
+    * word split to characters, weighted by corpus frequency — the
+    * state a BPE trainer iterates on. */
+  def bpeWordDict(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", split(col("word"), ""))
+
+  /** Adjacent-pair frequencies over the current symbol dictionary,
+    * reduced to the single argmax pair (count desc, then lexical —
+    * deterministic under ties in both engines). */
+  private def bpeTopPair(dict: DataFrame): DataFrame =
+    // the size guard matters: a fully-merged word collapses to ONE
+    // symbol, where `sequence(1, 0)` DESCENDS and the element_at
+    // probes throw under ANSI — such words simply have no pairs
+    dict.select(col("wc"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("p"),
+              element_at(col("syms"), i + 1).as("q"))))
+          .otherwise(array().cast("array<struct<p:string,q:string>>")))
+        .as("pr"))
+      .groupBy(col("pr.p").as("p"), col("pr.q").as("q"))
+      .agg(sum(col("wc")).as("cnt"))
+      .orderBy(col("cnt").desc, col("p"), col("q"))
+      .limit(1)
+
+  /** Greedy-leftmost merge of the chosen pair inside every word's
+    * symbol array — one `aggregate` fold per word, entirely inside
+    * codegen: the accumulator ends with `p` and the next symbol is
+    * `q` ⇒ the tail is replaced by the merged symbol (a fresh merge
+    * result `p‖q` can never re-match `p`, so "a a a" greedily merges
+    * positions (0,1) and keeps 2 — classic BPE semantics). */
+  private def bpeApplyMerge(dict: DataFrame, top: DataFrame): DataFrame =
+    dict.crossJoin(broadcast(top.select(col("p"), col("q"))))
+      .withColumn("syms", aggregate(col("syms"),
+        slice(col("syms"), 1, 0),
+        (acc, x) => when(size(acc) > 0 &&
+            element_at(acc, -1) === col("p") && x === col("q"),
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(concat(col("p"), col("q")))))
+          .otherwise(concat(acc, array(x)))))
+      .drop("p", "q")
+
+  /** Multi-round BPE tokenizer training — the iterative merge loop
+    * [[bpePairCounts]] is round 1 of, distributed: each round counts
+    * adjacent symbol pairs over the word dictionary (the ONLY
+    * corpus-derived state — vocabulary-sized at any corpus scale),
+    * broadcasts the argmax pair, and folds the merge through every
+    * word's symbol array as a narrow codegen map. Returns the merge
+    * table `(round, p, q, cnt)` — the artifact a tokenizer trainer
+    * emits.
+    *
+    * Scale shape per round: one dict-sized pair-count shuffle
+    * (map-side combined) + a 1-row broadcast + a narrow map — no
+    * corpus rescans after the initial word count, no driver-side
+    * data. The per-round full recount is the demonstration shape;
+    * a production trainer batches rounds with pair-delta updates,
+    * same dataflow skeleton.
+    */
+  def bpeMergeRounds(docs: DataFrame,
+      rounds: Int = BpeMergeRoundsN): DataFrame = {
+    var dict = bpeWordDict(docs)
+    (1 to rounds).map { r =>
+      val top = bpeTopPair(dict)
+      dict = bpeApplyMerge(dict, top)
+      top.select(lit(r).as("round"), col("p"), col("q"), col("cnt"))
+    }.reduce(_ unionByName _).orderBy(col("round"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -320,7 +395,8 @@ object CorpusPrep {
     "text_chunks" -> ((s, d) => chunk(Tables.documents(s, d))),
     "text_span_dedup" -> ((s, d) => spanDupStats(Tables.documents(s, d))),
     "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
-    "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d)))
+    "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
+    "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -332,7 +408,71 @@ object CorpusPrep {
   private def sqlGrams(n: Int) =
     s"[array_to_string(w[i:i+${n - 1}], ' ') FOR i IN range(1, greatest(len(w) - ${n - 2}, 1))]"
 
+  /** The BPE merge loop re-run independently in SQL, one unrolled CTE
+    * block per round (the PageRank-oracle discipline): pair counts
+    * from the current symbol lists, argmax with the same
+    * (cnt DESC, p, q) tie-break, then the greedy-leftmost merge as a
+    * WINDOW formulation — merge starts are positions with
+    * `sym=p ∧ lead(sym)=q`, overlapping starts (only possible when
+    * p = q) resolve by run-parity over gaps-and-islands (keep even
+    * offsets within each island of consecutive starts), consumed
+    * positions drop by an anti-join on `start at i−1`. A deliberately
+    * DIFFERENT formulation from the engine's fold — agreement means
+    * the merge semantics match, not that one implementation was
+    * transcribed.
+    */
+  private def bpeMergeOracleSql(rounds: Int): String = {
+    val init =
+      s"""wdict AS (
+         |  SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+         |  GROUP BY 1),
+         |d0 AS (SELECT word, wc,
+         |              [word[i:i] FOR i IN range(1, len(word) + 1)] AS syms
+         |       FROM wdict)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val d = s"d${r - 1}"
+      s"""p$r AS (SELECT s.syms[CAST(i AS INTEGER)] AS p,
+         |               s.syms[CAST(i + 1 AS INTEGER)] AS q,
+         |               CAST(sum(wc) AS BIGINT) AS cnt
+         |        FROM $d s, unnest(range(1, len(s.syms))) t(i)
+         |        GROUP BY 1, 2),
+         |t$r AS (SELECT p, q, cnt FROM p$r ORDER BY cnt DESC, p, q LIMIT 1),
+         |e$r AS (SELECT word, wc, CAST(i AS BIGINT) AS i,
+         |               syms[CAST(i AS INTEGER)] AS sym
+         |        FROM $d, unnest(range(1, len(syms) + 1)) t(i)),
+         |s$r AS (SELECT e.word, e.wc, e.i, e.sym,
+         |               CASE WHEN e.sym = t.p AND
+         |                         lead(e.sym) OVER (PARTITION BY e.word
+         |                                           ORDER BY e.i) = t.q
+         |                    THEN 1 ELSE 0 END AS st
+         |        FROM e$r e, t$r t),
+         |v$r AS (SELECT word, i FROM (
+         |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
+         |          FROM (SELECT word, i,
+         |                       i - row_number() OVER (PARTITION BY word
+         |                                              ORDER BY i) AS g
+         |                FROM s$r WHERE st = 1))
+         |        WHERE off % 2 = 0),
+         |m$r AS (SELECT s.word, s.wc, s.i,
+         |               CASE WHEN v.i IS NOT NULL THEN t.p || t.q
+         |                    ELSE s.sym END AS sym
+         |        FROM s$r s CROSS JOIN t$r t
+         |        LEFT JOIN v$r v ON v.word = s.word AND v.i = s.i
+         |        LEFT JOIN v$r v2 ON v2.word = s.word AND v2.i = s.i - 1
+         |        WHERE v2.i IS NULL),
+         |d$r AS (SELECT word, wc, list(sym ORDER BY i) AS syms
+         |        FROM m$r GROUP BY 1, 2)""".stripMargin
+    }
+    val finalSel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, p, q, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $init,\n${roundCtes.mkString(",\n")}\n$finalSel\nORDER BY round"
+  }
+
   val oracles: Map[String, String] = Map(
+    "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

@@ -176,4 +176,24 @@ class CorpusPrepSpec extends AnyFunSuite {
       col("norm2_x1e6") * lit(1000000.0) <
         col("max_x1e6") * col("max_x1e6") - lit(2000000.0)).count() === 0)
   }
+
+  test("BPE merge rounds: known merge sequence, greedy-leftmost overlap semantics") {
+    // corpus: "aaab" x2, "ab" x1
+    //   round 1 pairs: (a,a) = 2 per "aaab" x wc 2 = 4; (a,b) = 2+1 = 3
+    //     -> merge (a,a), cnt 4; "aaab" folds greedily to [aa, a, b]
+    //   round 2 pairs: (aa,a) = 2; (a,b) = 2+1 = 3 -> merge (a,b), cnt 3
+    //     "aaab" -> [aa, ab]; "ab" -> [ab]
+    //   round 3 pairs: (aa,ab) = 2 -> merge, cnt 2
+    val docs = docsOf(1L -> "aaab aaab ab")
+    val got = CorpusPrep.bpeMergeRounds(docs, rounds = 3).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1, "a", "a", 4L), (2, "a", "b", 3L),
+      (3, "aa", "ab", 2L)))
+    // run-parity check inside one word: "aaaa" merges (0,1) and (2,3)
+    val quad = CorpusPrep.bpeMergeRounds(docsOf(2L -> "aaaa aaaa"), rounds = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // round 1: (a,a) cnt 6 (3 pairs x wc 2); word -> [aa, aa]
+    // round 2: (aa,aa) cnt 2
+    assert(quad.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
+  }
 }
