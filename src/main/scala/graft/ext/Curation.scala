@@ -99,9 +99,36 @@ object Curation {
       .orderBy(col("stage_idx"))
   }
 
+  /** Per-document drop audit — the row-level complement of
+    * [[curationFunnel]]'s stage counts: every input document with the
+    * FIRST stage that dropped it (`quality` / `exact_dup` /
+    * `near_dup`) or `kept`. This is what a curation owner opens when
+    * a source's survival rate moves: which documents, dropped where.
+    * Derived from the SAME [[stages]] frames as the pipeline and the
+    * funnel (two left-anti-shaped membership probes as left joins +
+    * one CASE — no new dataflow), so the three gates cannot drift on
+    * what the pipeline does. Scale: three id-keyed equi-joins against
+    * frames the pipeline already materializes.
+    */
+  def curationAudit(docs: DataFrame, qualityMin: Long = DefaultQualityMin,
+      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame = {
+    val (pass, kd, curated) = stages(docs, qualityMin, jaccardThreshold)
+    docs.select(col("doc_id"), col("source"))
+      .join(pass.select(col("doc_id"), lit(1).as("in_pass")), Seq("doc_id"), "left")
+      .join(kd.select(col("doc_id"), lit(1).as("in_kd")), Seq("doc_id"), "left")
+      .join(curated.select(col("doc_id"), lit(1).as("in_cur")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        when(col("in_pass").isNull, "quality")
+          .when(col("in_kd").isNull, "exact_dup")
+          .when(col("in_cur").isNull, "near_dup")
+          .otherwise("kept").as("outcome"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
-    "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d)))
+    "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
+    "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d)))
   )
 
   /** The staged CTE prefix (quality → exact dedup → pair join →
@@ -148,6 +175,21 @@ object Curation {
          |$stagesCte
          |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
          |FROM curated GROUP BY source ORDER BY source""".stripMargin,
+    // the same staged CTE chain, melted to one first-dropping-stage
+    // row per input document
+    "curate_audit" ->
+      s"""WITH RECURSIVE
+         |$stagesCte
+         |SELECT d.doc_id, d.source,
+         |       CASE WHEN p.doc_id IS NULL THEN 'quality'
+         |            WHEN k.doc_id IS NULL THEN 'exact_dup'
+         |            WHEN c.doc_id IS NULL THEN 'near_dup'
+         |            ELSE 'kept' END AS outcome
+         |FROM documents d
+         |LEFT JOIN pass p ON p.doc_id = d.doc_id
+         |LEFT JOIN kd k ON k.doc_id = d.doc_id
+         |LEFT JOIN curated c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // the same staged CTE chain, reduced to per-stage survivor counts
     "curate_funnel" ->
       s"""WITH RECURSIVE

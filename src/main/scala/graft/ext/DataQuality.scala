@@ -141,7 +141,46 @@ object DataQuality {
       .orderBy(col("column"))
   }
 
+  /** Distribution-drift monitor between two cohorts of the same
+    * table — the check a pipeline owner runs when a new crawl, a new
+    * quarter, or a new upstream version lands: per value bucket, both
+    * cohorts' counts and the integer basis-point share delta
+    * (`nA·10⁴ div totalA − nB·10⁴ div totalB`). Exact integers
+    * end-to-end, so a drift alert threshold compares identically on
+    * every engine and run (a PSI-style score needs `ln` — the shares
+    * table IS its input, the snap-once discipline of
+    * [[Sampling.dsirLogRatio]] applies if one is wanted).
+    *
+    * Scale shape: one narrow bucket map inside the scan, ONE combined
+    * count shuffle on (bucket) carrying both cohorts as conditional
+    * sums (never two scans), totals via a 4-value window over the
+    * bucket frame (bucket-count-sized, not data-sized).
+    */
+  def distributionDrift(df: DataFrame, bucketExpr: org.apache.spark.sql.Column,
+      inB: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.select(bucketExpr.as("bucket"), inB.as("is_b"))
+      .groupBy(col("bucket"))
+      .agg(sum(when(!col("is_b"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("is_b"), 1L).otherwise(0L)).as("n_b"))
+      .withColumn("tot_a", sum(col("n_a")).over(Window.partitionBy()))
+      .withColumn("tot_b", sum(col("n_b")).over(Window.partitionBy()))
+      .withColumn("share_a_x10k", expr(
+        "CASE WHEN tot_a = 0 THEN NULL ELSE (n_a * 10000) div tot_a END"))
+      .withColumn("share_b_x10k", expr(
+        "CASE WHEN tot_b = 0 THEN NULL ELSE (n_b * 10000) div tot_b END"))
+      .withColumn("delta_x10k", col("share_b_x10k") - col("share_a_x10k"))
+      .drop("tot_a", "tot_b")
+      .orderBy(col("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // cohort A = first half of the fixture month, B = the rest; same
+    // 50-wide value buckets as hist_value_buckets
+    "dq_drift_value" -> ((s, d) =>
+      distributionDrift(Tables.events(s, d),
+        floor(col("value") / 50.0).cast("long"),
+        dayofmonth(col("ts")) > 15)),
     "dq_column_profile" -> ((s, d) =>
       columnProfile(Tables.events(s, d),
         Seq("event_id", "user_id", "event_type", "value", "props"))),
@@ -155,6 +194,26 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    // same conditional-sum per bucket, totals as scalar subqueries,
+    // identical integer div — day-of-month cohort split
+    "dq_drift_value" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
+        |         CAST(sum(CASE WHEN day(ts) > 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,
+        |             CAST(sum(n_b) AS BIGINT) AS tot_b FROM b)
+        |SELECT bucket, n_a, n_b,
+        |       CASE WHEN t.tot_a = 0 THEN NULL
+        |            ELSE (n_a * 10000) // t.tot_a END AS share_a_x10k,
+        |       CASE WHEN t.tot_b = 0 THEN NULL
+        |            ELSE (n_b * 10000) // t.tot_b END AS share_b_x10k,
+        |       CASE WHEN t.tot_b = 0 THEN NULL
+        |            ELSE (n_b * 10000) // t.tot_b END -
+        |       CASE WHEN t.tot_a = 0 THEN NULL
+        |            ELSE (n_a * 10000) // t.tot_a END AS delta_x10k
+        |FROM b, t ORDER BY bucket""".stripMargin,
     "dq_column_profile" -> {
       val branches = Seq("event_id", "user_id", "event_type", "value",
         "props").map { c =>

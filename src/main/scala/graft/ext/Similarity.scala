@@ -906,6 +906,25 @@ object Similarity {
     "sim_hard_negatives" -> ((s, d) =>
       hardNegatives(ivfAssignmentsFor(s, d), Tables.embeddings(s, d), k = GateK)
         .orderBy(col("query_id"), col("rank"))),
+    // ANN quality eval: recall@k of the gated IVF index against the
+    // gated brute-force exact top-k, per query — the acceptance
+    // metric an ANN deployment is judged by, computed from the SAME
+    // two operators the index gates run (no third derivation)
+    "sim_ivf_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ivf = ivfTopK(ivfAssignmentsFor(s, d), k = GateK)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTopK(emb, querySet(emb), k = GateK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ivf.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      querySet(emb).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_x100", expr(s"(n_hit * 100) div $GateK"))
+        .orderBy(col("query_id"))
+    }),
     // eval set = vec_id ≡ 0 (mod 20); the rest is the screened corpus
     "decontam_embedding" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1067,6 +1086,40 @@ object Similarity {
         |                    c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 5)
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // the two oracle derivations above intersected per query: IVF@k
+    // from the shared aux assignments, brute@k from the exact
+    // self-join — integer hit counts, integer recall
+    "sim_ivf_recall" ->
+      s"""WITH c AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_corpus/*.parquet')),
+         |     p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivf_probes/*.parquet')),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, c.neighbor_id,
+         |         row_number() OVER (PARTITION BY p.query_id
+         |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+         |                    c.neighbor_id) AS rank
+         |  FROM p JOIN c ON p.cluster = c.cluster
+         |       JOIN embeddings qe ON qe.vec_id = p.query_id
+         |       JOIN embeddings ce ON ce.vec_id = c.neighbor_id
+         |  WHERE p.query_id != c.neighbor_id)
+         |  WHERE rank <= $GateK),
+         |brute AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c2.embedding::DOUBLE[]) DESC,
+         |                    c2.vec_id) AS rank
+         |  FROM embeddings q JOIN embeddings c2 ON q.vec_id != c2.vec_id
+         |  WHERE q.vec_id < $GateQueryCut)
+         |  WHERE rank <= $GateK),
+         |h AS (SELECT i.query_id, count(*) AS n_hit
+         |      FROM ivf i JOIN brute b
+         |        ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |      GROUP BY 1)
+         |SELECT q.vec_id AS query_id,
+         |       coalesce(h.n_hit, 0) AS n_hit,
+         |       (coalesce(h.n_hit, 0) * 100) // $GateK AS recall_x100
+         |FROM embeddings q LEFT JOIN h ON h.query_id = q.vec_id
+         |WHERE q.vec_id < $GateQueryCut
+         |ORDER BY query_id""".stripMargin
   )
 }
