@@ -36,7 +36,9 @@ object PlanAudit {
     "sim_hard_negatives", // broadcast(qProbes + labels): the same bounded query probe set as sim_ann_ivf, explicit (reviewed round 6 — the gate postdated the round-4 review)
     "vocab_oov_rate",    // broadcast(vocab): ≤ maxVocab tokens BY CONTRACT (capped dictionary), explicit
     "skew_join_segment", // replicated small dim — the operator's design
-    "text_decontam")     // eval-set n-grams — bounded holdout
+    "text_decontam",     // eval-set n-grams — bounded holdout
+    "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)
+    "sim_ivf_recall")    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
     * not the hazard this audit hunts: it multiplies nothing and
