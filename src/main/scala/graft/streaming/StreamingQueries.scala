@@ -207,13 +207,20 @@ object StreamingQueries {
     * exactly-once.
     */
   def dualSinkFanout(stream: DataFrame, pathA: String, pathB: String,
-      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+      checkpoint: String,
+      betweenWrites: Long => Unit = _ => ())
+      : org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
         val cached = batch.persist()
         try {
           writeBatchIdempotent(cached.toDF(), id, pathA)
+          // test seam (StreamingSpec "torn fanout"): a thrown error
+          // here IS the mid-fanout crash — A landed, B not, epoch
+          // uncommitted — whose healing this operator's replay
+          // idempotence exists for. Production path: no-op.
+          betweenWrites(id)
           writeBatchIdempotent(cached.toDF(), id, pathB)
         } finally { cached.unpersist(); () }
       }

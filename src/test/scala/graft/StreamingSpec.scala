@@ -347,6 +347,50 @@ class StreamingSpec extends AnyFunSuite {
       "replayed batch overwrote its own partition, no append")
   }
 
+  test("torn fanout: crash between the two sink writes heals on checkpoint restart") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val all = eventsFromFixture(400)
+    val (h1, h2) = all.splitAt(200)
+    val base = s"${sys.props("java.io.tmpdir")}/graft_test_tornfanout_${System.nanoTime()}"
+    val in = MemoryStream[Ev]
+    // crash AFTER sink A landed batch 0, BEFORE sink B — the torn
+    // window the Scaladoc reasons about, now executed
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val q1 = StreamingQueries.dualSinkFanout(in.toDF(),
+      s"$base/a", s"$base/b", s"$base/ckpt", betweenWrites = id =>
+        if (id == 0 && !crashed.getAndSet(true))
+          throw new RuntimeException("graft-test: torn fanout crash"))
+    in.addData(h1)
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q1.processAllAvailable()
+    }
+    q1.stop()
+    assert(crashed.get())
+    // torn on-disk state: A has batch 0, B does not
+    assert(new java.io.File(s"$base/a/batch_id=0").exists(),
+      "crash point must leave sink A's partition on disk")
+    assert(!new java.io.File(s"$base/b/batch_id=0").exists(),
+      "sink B must NOT have landed before the crash")
+    // restart from the same checkpoint with the same source: batch 0
+    // replays (A overwritten byte-equal, B written), then batch 1
+    val q2 = StreamingQueries.dualSinkFanout(in.toDF(),
+      s"$base/a", s"$base/b", s"$base/ckpt")
+    q2.processAllAvailable()
+    in.addData(h2)
+    q2.processAllAvailable()
+    q2.stop()
+    val want = all.map(e => (e.ts, e.user_id, e.value, e.event_type)).toSet
+    def readSink(p: String) = spark.read.parquet(p)
+      .select("ts", "user_id", "value", "event_type").collect()
+      .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    for (s <- Seq("a", "b")) {
+      assert(readSink(s"$base/$s").toSet === want, s"sink $s content")
+      assert(readSink(s"$base/$s").length === all.length,
+        s"sink $s duplicates after heal")
+    }
+  }
+
   test("stream-static enrichment equals the batch join, keeps unmatched facts") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingQueries.replay(spark, dir,
