@@ -387,6 +387,26 @@ object CorpusPrep {
     }.reduce(_ unionByName _).orderBy(col("round"))
   }
 
+  /** The ENCODE side of the trained tokenizer: the word dictionary
+    * after `rounds` learned merges, reported as per-word compression
+    * (`n_chars` symbols in → `n_syms` out, corpus occurrences
+    * weighted by `wc`) — what a tokenizer owner reads to see the
+    * merge table working ("the top words now encode in 2 symbols").
+    * Same loop as [[bpeMergeRounds]], same per-round plan shape; the
+    * final dict is vocabulary-sized at any corpus scale.
+    */
+  def bpeEncodeStats(docs: DataFrame,
+      rounds: Int = BpeMergeRoundsN): DataFrame = {
+    var dict = bpeWordDict(docs)
+    (1 to rounds).foreach { _ =>
+      dict = bpeApplyMerge(dict, bpeTopPair(dict))
+    }
+    dict.select(col("word"), col("wc"),
+      length(col("word")).cast("long").as("n_chars"),
+      size(col("syms")).cast("long").as("n_syms"))
+      .orderBy(col("word"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -396,7 +416,8 @@ object CorpusPrep {
     "text_span_dedup" -> ((s, d) => spanDupStats(Tables.documents(s, d))),
     "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
-    "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d)))
+    "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d))),
+    "bpe_encode_stats" -> ((s, d) => bpeEncodeStats(Tables.documents(s, d)))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -471,8 +492,20 @@ object CorpusPrep {
     s"WITH $init,\n${roundCtes.mkString(",\n")}\n$finalSel\nORDER BY round"
   }
 
+  /** Same unrolled merge chain, final SELECT over the post-merge
+    * dictionary instead of the merge table. */
+  private def bpeEncodeOracleSql(rounds: Int): String = {
+    val base = bpeMergeOracleSql(rounds)
+    val cut = base.lastIndexOf(s"SELECT 1 AS round")
+    base.substring(0, cut) +
+      s"""SELECT word, wc, CAST(len(word) AS BIGINT) AS n_chars,
+         |       CAST(len(syms) AS BIGINT) AS n_syms
+         |FROM d$rounds ORDER BY word""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
+    "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),
