@@ -42,7 +42,7 @@ def from_driver_artifact(path, gate_names):
 fresh = from_bench_stdout(sys.argv[1])
 hist = [from_driver_artifact(p, set(fresh)) for p in sys.argv[2:]]
 
-print("| gate | min-of-4 sec (r6) | prior samples | band (sec) |")
+print("| gate | min-of-4 sec (r7) | prior samples | band (sec) |")
 print("|---|---|---|---|")
 lo_t = hi_t = 0.0
 for q in sorted(fresh):
