@@ -866,4 +866,50 @@ class ExtSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(again.toSeq === top3.toSeq)
   }
+
+  test("distribution drift: known cohort shares and deltas") {
+    import spark.implicits._
+    // cohort A: buckets 0,0,1; cohort B: buckets 1,1,1,2
+    val df = Seq((0L, false), (0L, false), (1L, false),
+      (1L, true), (1L, true), (1L, true), (2L, true)).toDF("b", "is_b")
+    val r = graft.ext.DataQuality.distributionDrift(df, col("b"), col("is_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2),
+        x.getLong(3), x.getLong(4), x.getLong(5)))
+    // shares: A = [2/3, 1/3, 0] -> [6666, 3333, 0] x10k
+    //         B = [0, 3/4, 1/4] -> [0, 7500, 2500] x10k
+    assert(r.toSeq === Seq(
+      (0L, 2L, 0L, 6666L, 0L, -6666L),
+      (1L, 1L, 3L, 3333L, 7500L, 4167L),
+      (2L, 0L, 1L, 0L, 2500L, 2500L)))
+  }
+
+  test("curation audit: outcomes partition the corpus and match the funnel") {
+    val docs = Tables.documents(spark, dir)
+    val audit = graft.ext.Curation.curationAudit(docs)
+    val byOutcome = audit.groupBy(col("outcome")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byOutcome.values.sum === docs.count(), "audit covers every doc")
+    // consistency with the funnel built from the same stage frames
+    val funnel = graft.ext.Curation.curationFunnel(docs)
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    def n(k: String) = byOutcome.getOrElse(k, 0L)
+    assert(n("quality") === funnel("input") - funnel("quality_pass"))
+    assert(n("exact_dup") === funnel("quality_pass") - funnel("exact_kept"))
+    assert(n("near_dup") === funnel("exact_kept") - funnel("near_dup_kept"))
+    assert(n("kept") === funnel("near_dup_kept"))
+    assert(byOutcome.keySet.subsetOf(
+      Set("quality", "exact_dup", "near_dup", "kept")))
+  }
+
+  test("IVF recall: hits are bounded by k and count true intersections") {
+    val r = graft.ext.Similarity.queries("sim_ivf_recall")(spark, dir)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.length === graft.ext.Similarity.GateQueryCut)
+    for ((q, hit, rec) <- r) {
+      assert(hit >= 0 && hit <= graft.ext.Similarity.GateK, s"query $q hits $hit")
+      assert(rec === hit * 100 / graft.ext.Similarity.GateK)
+    }
+    // the fixture's IVF index is good: some query must recall > 0
+    assert(r.map(_._2).sum > 0, "all-zero recall means the intersect is broken")
+  }
 }
