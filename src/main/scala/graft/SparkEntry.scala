@@ -59,6 +59,8 @@ object SparkEntry {
           .select(col("doc_id"), col("component"), col("bucket"))),
       "dsir_logratio" -> ((s, d) =>
         Sampling.dsirLogRatio(Tables.documents(s, d), col("lang") === "en")),
+      "lm_bigram_xent" -> ((s, d) =>
+        TextAnalysis.lmBigramXent(Tables.documents(s, d))),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),

@@ -267,7 +267,77 @@ object TextAnalysis {
   val GopherMinStop = 2L
   val GopherMaxDupPct = 65L // duplicate-word fraction ≤ 0.65
 
+  /** (doc_id, w1, w2): each document's adjacent token bigrams —
+    * shared by the LM training side and the scoring side. The size
+    * guard is the BPE-rounds lesson: `sequence(1, 0)` DESCENDS on a
+    * 1-token doc and the element probes throw under ANSI.
+    */
+  def docBigrams(docs: DataFrame): DataFrame =
+    // the token array is PINNED behind a unit Generate before the
+    // per-position probes reference it (CorpusPrep.gramArrays'
+    // round-4 discipline): a plain projection collapses and re-inlines
+    // the split into every element_at — O(tokens²) splits per doc,
+    // measured 9 s at sf0.1 vs ~1 s pinned
+    docs
+      .select(col("doc_id"), explode(array(tokens(col("text")))).as("w"))
+      .select(col("doc_id"), explode(
+          when(size(col("w")) >= 2,
+            transform(sequence(lit(1), size(col("w")) - 1),
+              i => struct(element_at(col("w"), i).as("w1"),
+                element_at(col("w"), i + 1).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>")))
+          .as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Laplace-smoothed bigram cross-entropy table, trained on the
+    * corpus itself — the CCNet-style LM-quality signal's engine half:
+    * `xent(w1,w2) = −ln((c(w1,w2)+1) / (c(w1·)+V))`, snapped to
+    * integer nano-units (the [[Sampling.dsirLogRatio]] discipline —
+    * `ln` runs exactly once, here; every downstream comparison is
+    * exact integer arithmetic; xent ≥ 0 always since
+    * `c12+1 ≤ c1+V`, so integer division truncation and flooring
+    * agree across engines). Context counts derive from the bigram
+    * table itself (`c1 = Σ_w2 c12`), so the table is self-consistent
+    * by construction.
+    *
+    * Scale shape: the dictionary is bigram-TYPE-sized (vocabulary
+    * bound, not corpus bound) — one (w1,w2)-keyed count shuffle, one
+    * w1-keyed context sum, a 1-row vocab-size broadcast.
+    */
+  def lmBigramXent(docs: DataFrame): DataFrame = {
+    val bg = docBigrams(docs)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
+    val v = docs.select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    bg.join(c1, "w1").crossJoin(broadcast(v))
+      .select(col("w1"), col("w2"),
+        round((log(col("c1") + col("v")) - log(col("c12") + lit(1)))
+          * lit(1e9), 0).cast("long").as("xent_x1e9"))
+  }
+
+  /** Per-document LM fluency score under the corpus bigram model:
+    * bigram count, total and mean cross-entropy in nano-nats —
+    * the quality-filtering signal a perplexity bucket sorts on
+    * (high mean = improbable token transitions = boilerplate, noise,
+    * or wrong-language text). Every corpus bigram exists in the
+    * table by construction, so the dictionary join is inner and
+    * lossless; the merge hint pins the strategy — the dictionary is
+    * data-derived (vocabulary-sized, not bounded-by-contract) and
+    * the explode-lineage estimates would otherwise invite a
+    * corpus-sized broadcast.
+    */
+  def lmScore(docs: DataFrame): DataFrame =
+    docBigrams(docs)
+      .join(lmBigramXent(docs).hint("merge"), Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("xent_x1e9")).as("xent_sum_x1e9"))
+      .withColumn("xent_mean_x1e9", expr("xent_sum_x1e9 div n_bigrams"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_lm_score" -> ((s, d) =>
+      lmScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_stats_by_lang" -> ((s, d) =>
       statsByLang(Tables.documents(s, d)).orderBy(col("lang"))),
     "text_token_counts" -> ((s, d) =>
@@ -316,6 +386,21 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the integer-snapped cross-entropy table is the aux (ln runs
+    // once, engine-side); the oracle re-derives each doc's bigrams
+    // and sums exact integers against it
+    "text_lm_score" ->
+      s"""WITH lp AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/lm_bigram_xent/*.parquet')),
+         |w AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+         |      FROM documents),
+         |bg AS (SELECT doc_id, w[CAST(i AS INTEGER)] AS w1,
+         |              w[CAST(i + 1 AS INTEGER)] AS w2
+         |       FROM w, unnest(range(1, len(w))) t(i))
+         |SELECT bg.doc_id, count(*) AS n_bigrams,
+         |       CAST(sum(lp.xent_x1e9) AS BIGINT) AS xent_sum_x1e9,
+         |       CAST(sum(lp.xent_x1e9) AS BIGINT) // count(*) AS xent_mean_x1e9
+         |FROM bg JOIN lp ON lp.w1 = bg.w1 AND lp.w2 = bg.w2
+         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
     "text_stats_by_lang" ->
       s"""SELECT lang, count(*) AS n_docs,
          |       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t != ''))) AS BIGINT) AS total_tokens,

@@ -867,6 +867,25 @@ class ExtSpec extends AnyFunSuite {
     assert(again.toSeq === top3.toSeq)
   }
 
+  test("LM score: hand-computed bigram cross-entropies, frequent transitions cost less") {
+    import spark.implicits._
+    // bigrams: (a,b) x2, (a,c) x1; c1(a)=3, V=3
+    //   xent(a,b) = -ln((2+1)/(3+3)) = ln 2; xent(a,c) = ln 3
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"))
+      .toDF("doc_id", "text")
+    val lnX1e9 = (x: Double) => Math.round(Math.log(x) * 1e9)
+    val dict = graft.ext.TextAnalysis.lmBigramXent(docs).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(dict === Map(("a", "b") -> lnX1e9(2.0), ("a", "c") -> lnX1e9(3.0)))
+    val scores = graft.ext.TextAnalysis.lmScore(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scores(1L) === ((1L, lnX1e9(2.0), lnX1e9(2.0))))
+    assert(scores(2L) === scores(1L))
+    assert(scores(3L) === ((1L, lnX1e9(3.0), lnX1e9(3.0))))
+    assert(scores(3L)._3 > scores(1L)._3,
+      "the rarer transition must cost more")
+  }
+
   test("distribution drift: known cohort shares and deltas") {
     import spark.implicits._
     // cohort A: buckets 0,0,1; cohort B: buckets 1,1,1,2
