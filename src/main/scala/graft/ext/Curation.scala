@@ -38,9 +38,12 @@ object Curation {
   val DefaultQualityMin = 5000L
   val DefaultJaccardThreshold = 0.6
 
-  /** The shared stage frames: (quality-pass, exact-kept, curated). */
-  private def stages(docs: DataFrame, qualityMin: Long,
-      jaccardThreshold: Double): (DataFrame, DataFrame, DataFrame) = {
+  /** The shared stage frames: (quality-pass, exact-kept, curated),
+    * parameterized by the near-dup PAIR DERIVATION over the exact-dedup
+    * survivors — the exact-Jaccard arm for the oracle-exact gates, the
+    * banded minhash arm for the production-path twin. */
+  private def stagesWith(docs: DataFrame, qualityMin: Long,
+      pairs: DataFrame => DataFrame): (DataFrame, DataFrame, DataFrame) = {
     val pass = docs.join(
       TextAnalysis.qualityScore(docs)
         .filter(col("quality_x10k") >= qualityMin).select("doc_id"),
@@ -48,12 +51,16 @@ object Curation {
     val kept = pass.groupBy(col("text"))
       .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
     val kd = docs.join(kept, "doc_id")
-    val dropList = Dedup.connectedComponents(
-        Dedup.jaccardPairsBySource(kd, jaccardThreshold), "doc_a", "doc_b")
+    val dropList = Dedup.connectedComponents(pairs(kd), "doc_a", "doc_b")
       .filter(col("node") =!= col("component"))
       .select(col("node").as("doc_id"))
     (pass, kd, kd.join(dropList, Seq("doc_id"), "left_anti"))
   }
+
+  private def stages(docs: DataFrame, qualityMin: Long,
+      jaccardThreshold: Double): (DataFrame, DataFrame, DataFrame) =
+    stagesWith(docs, qualityMin,
+      kd => Dedup.jaccardPairsBySource(kd, jaccardThreshold))
 
   def curate(docs: DataFrame, qualityMin: Long = DefaultQualityMin,
       jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame = {
@@ -125,8 +132,29 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** The PRODUCTION-PATH curation twin: identical stage chain, but
+    * the near-dup stage clusters over [[Dedup.minhashPairs]]'s banded
+    * candidates instead of the exact all-pairs-in-block contrast arm
+    * the oracle-exact gates inherit — the one-argument swap the
+    * exact-arm gates' Scaladoc promises, now gated itself (band keys
+    * are pure per-document functions, so the oracle re-derives the
+    * survivor-restricted candidate set from the same full-corpus aux
+    * band keys). Canary-measured in the minhash scaling class, not
+    * the exact arm's.
+    */
+  def curateMinhash(docs: DataFrame,
+      qualityMin: Long = DefaultQualityMin): DataFrame = {
+    val (_, _, curated) = stagesWith(docs, qualityMin,
+      kd => Dedup.minhashPairs(kd))
+    curated
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_curated"), min(col("doc_id")).as("first_doc"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
+    "curate_corpus_minhash" -> ((s, d) => curateMinhash(Tables.documents(s, d))),
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d)))
   )
@@ -136,7 +164,9 @@ object Curation {
     * with [[TextAnalysis]]'s gated quality SQL inlined verbatim for
     * bit parity.
     */
-  private lazy val stagesCte: String = {
+  /** The quality→exact-dedup CTE prefix (q/pass/kept/kd) — shared by
+    * the exact-arm chain below AND the minhash-arm oracle. */
+  private lazy val qualityKdCte: String = {
     val qualitySql = TextAnalysis.oracles("text_quality")
       .replace(" ORDER BY doc_id", "")
     s"""q AS ($qualitySql),
@@ -145,7 +175,11 @@ object Curation {
        |  JOIN q ON q.doc_id = d.doc_id WHERE q.quality_x10k >= $DefaultQualityMin),
        |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
        |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
-       |       JOIN kept k ON k.doc_id = d.doc_id),
+       |       JOIN kept k ON k.doc_id = d.doc_id)""".stripMargin
+  }
+
+  private lazy val stagesCte: String = {
+    s"""$qualityKdCte,
        |t AS (
        |  SELECT doc_id, source,
        |         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
@@ -173,6 +207,44 @@ object Curation {
     "curate_corpus" ->
       s"""WITH RECURSIVE
          |$stagesCte
+         |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
+         |FROM curated GROUP BY source ORDER BY source""".stripMargin,
+    // the production-path twin: the SAME quality→exact prefix, near-dup
+    // pairs re-derived from the full-corpus aux band keys restricted to
+    // the kd survivors (band keys are pure per-document functions, so
+    // the restriction is exact), verified against the aux shingles at
+    // the minhash gate threshold, then the same closure + survivors
+    "curate_corpus_minhash" ->
+      s"""WITH RECURSIVE
+         |$qualityKdCte,
+         |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  JOIN kd ka ON ka.doc_id = a.doc_id
+         |  JOIN kd kb ON kb.doc_id = b.doc_id),
+         |p AS (
+         |  SELECT c.u, c.v FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.u
+         |  JOIN sh sb ON sb.doc_id = c.v
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |        >= 0.5),
+         |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |curated AS (
+         |  SELECT kd.* FROM kd
+         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+         |    ON kd.doc_id = dl.node
+         |  WHERE dl.node IS NULL)
          |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
          |FROM curated GROUP BY source ORDER BY source""".stripMargin,
     // the same staged CTE chain, melted to one first-dropping-stage
