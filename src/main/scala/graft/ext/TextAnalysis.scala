@@ -310,7 +310,11 @@ object TextAnalysis {
     val c1 = bg.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
     val v = docs.select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    bg.join(c1, "w1").crossJoin(broadcast(v))
+    // merge hint: BOTH sides are data-derived vocabulary tables with
+    // explode-garbled size estimates — at web scale the unigram
+    // context frame is itself huge, and an estimate-blind broadcast
+    // of it is the round-4 failure signature (PlanAudit catch, r7)
+    bg.join(c1.hint("merge"), "w1").crossJoin(broadcast(v))
       .select(col("w1"), col("w2"),
         round((log(col("c1") + col("v")) - log(col("c12") + lit(1)))
           * lit(1e9), 0).cast("long").as("xent_x1e9"))
