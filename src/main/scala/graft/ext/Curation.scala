@@ -38,6 +38,14 @@ object Curation {
   val DefaultQualityMin = 5000L
   val DefaultJaccardThreshold = 0.6
 
+  /** Domain-filter knobs ([[domainFilter]]) — the mean bar sits above
+    * the per-document [[DefaultQualityMin]] (a domain is judged on
+    * its typical page, not its best), the census floor keeps
+    * one-page domains from passing on a single good document. Both
+    * interpolated into the oracle. */
+  val DefaultDomainMeanMin = 5250L
+  val DefaultDomainMinDocs = 10L
+
   /** The shared stage frames: (quality-pass, exact-kept, curated),
     * parameterized by the near-dup PAIR DERIVATION over the exact-dedup
     * survivors — the exact-Jaccard arm for the oracle-exact gates, the
@@ -152,8 +160,46 @@ object Curation {
       .orderBy(col("source"))
   }
 
+  /** Domain-level curation (the RefinedWeb/UT1 cut re-expressed over
+    * the `source` column): a whole domain is kept or dropped on its
+    * AGGREGATE document quality — integer mean of the gated
+    * [[TextAnalysis.qualityScore]] plus a census floor — and every
+    * document inherits its domain's verdict. This is the curation
+    * stage that acts BEFORE any per-document model: a spam domain's
+    * occasional good page goes with the domain, and a domain too
+    * small to judge is not kept on one lucky draw.
+    *
+    * Scale shape: narrow quality scan → doc-keyed join of two
+    * doc-sized frames → ONE |domains|-row aggregate (map-side
+    * combined; domain count, not doc count, crosses the wire) →
+    * merge-hinted join-back on `source`. The verdict table is
+    * corpus-derived (millions of domains at web scale), so it is
+    * never broadcast on a size estimate — the same hazard class
+    * PlanAudit caught on the line-dedup boilerplate set; a
+    * pathologically hot domain in the join-back is AQE skew-join's
+    * case ([[graft.ops.SkewJoin]] documents the salted form).
+    * `mean_q_x10k` is BIGINT `sum div count` — exact on every engine,
+    * no float mean to drift.
+    */
+  def domainFilter(docs: DataFrame,
+      meanMin: Long = DefaultDomainMeanMin,
+      minDocs: Long = DefaultDomainMinDocs): DataFrame = {
+    val byDoc = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+    val domains = byDoc.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        expr("sum(quality_x10k) div count(1)").as("mean_q_x10k"))
+      .filter(col("n_docs") >= minDocs && col("mean_q_x10k") >= meanMin)
+    docs.select(col("doc_id"), col("source"))
+      .join(domains.hint("merge"), Seq("source"))
+      .select(col("doc_id"), col("source"), col("n_docs"),
+        col("mean_q_x10k"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
+    "curate_domain_filter" -> ((s, d) => domainFilter(Tables.documents(s, d))),
     "curate_corpus_minhash" -> ((s, d) => curateMinhash(Tables.documents(s, d))),
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d)))
@@ -204,6 +250,23 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // domain verdicts re-derived from the shared quality SQL: integer
+    // mean per source, census floor, every doc inherits its domain
+    "curate_domain_filter" -> {
+      val qualitySql = TextAnalysis.oracles("text_quality")
+        .replace(" ORDER BY doc_id", "")
+      s"""WITH q AS ($qualitySql),
+         |d AS (SELECT doc_id, source FROM documents),
+         |dom AS (
+         |  SELECT source, count(*) AS n_docs,
+         |         CAST(sum(quality_x10k) // count(*) AS BIGINT) AS mean_q_x10k
+         |  FROM d JOIN q USING (doc_id) GROUP BY source)
+         |SELECT d.doc_id, d.source, dom.n_docs, dom.mean_q_x10k
+         |FROM d JOIN dom ON d.source = dom.source
+         |WHERE dom.n_docs >= $DefaultDomainMinDocs
+         |  AND dom.mean_q_x10k >= $DefaultDomainMeanMin
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "curate_corpus" ->
       s"""WITH RECURSIVE
          |$stagesCte
@@ -232,7 +295,7 @@ object Curation {
          |  JOIN sh sb ON sb.doc_id = c.v
          |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
          |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-         |        >= 0.5),
+         |        >= ${Dedup.DefaultMinhashThreshold}),
          |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
          |reach(a, b) AS (
          |  SELECT u, v FROM edges

@@ -28,6 +28,14 @@ import graft.sources.Tables
   */
 object Dedup {
 
+  /** Default exact-verify Jaccard threshold for the banded minhash
+    * family ([[minhashPairs]]/[[minhashPairsAgainst]] and every
+    * composition over them) — interpolated into each oracle that
+    * re-runs the verify, so a default change can never desync the
+    * SQL twins (the [[Sampling.DefaultJaccardThreshold]] /
+    * [[Curation.DefaultQualityMin]] shared-constant pattern). */
+  val DefaultMinhashThreshold = 0.5
+
   /** Normalized text: lowercase, collapse whitespace — the canonical
     * form for near-exact dedup.
     */
@@ -135,7 +143,8 @@ object Dedup {
     * only ever happens inside a bucket.
     */
   def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
-      threshold: Double = 0.5, shingleK: Int = 3): DataFrame = {
+      threshold: Double = DefaultMinhashThreshold,
+      shingleK: Int = 3): DataFrame = {
     val prepped = minhashShingles(docs, shingleK)
     val banded = minhashBandKeys(docs, bands, rowsPerBand, shingleK)
     // Pair generation via groupBy-bucket + in-bucket explosion, NOT a
@@ -195,7 +204,8 @@ object Dedup {
     * (see [[minhashPairs]]'s join note).
     */
   def minhashPairsAgainst(newDocs: DataFrame, history: DataFrame,
-      bands: Int = 16, rowsPerBand: Int = 4, threshold: Double = 0.5,
+      bands: Int = 16, rowsPerBand: Int = 4,
+      threshold: Double = DefaultMinhashThreshold,
       shingleK: Int = 3): DataFrame = {
     val bNew = minhashBandKeys(newDocs, bands, rowsPerBand, shingleK)
     val bHist = minhashBandKeys(history, bands, rowsPerBand, shingleK)
@@ -866,7 +876,7 @@ object Dedup {
     */
   val oracles: Map[String, String] = Map(
     "dedup_minhash_pairs" ->
-      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+      s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
         |     sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
         |     cand AS (
         |       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -880,13 +890,13 @@ object Dedup {
         |  FROM cand c
         |  JOIN sh sa ON sa.doc_id = c.doc_a
         |  JOIN sh sb ON sb.doc_id = c.doc_b)
-        |WHERE j >= 0.5 ORDER BY doc_a, doc_b""".stripMargin,
+        |WHERE j >= $DefaultMinhashThreshold ORDER BY doc_a, doc_b""".stripMargin,
     // same aux state as dedup_minhash_pairs (band keys and shingles
     // are pure per-document functions, so full-corpus aux slices
     // cleanly into the new/history sides); the oracle re-runs the
     // asymmetric band join + exact verify
     "dedup_minhash_incremental" ->
-      """WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+      s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
         |     sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
         |     cand AS (
         |       SELECT DISTINCT n.doc_id AS doc_new, h.doc_id AS doc_hist
@@ -900,14 +910,14 @@ object Dedup {
         |  FROM cand c
         |  JOIN sh sn ON sn.doc_id = c.doc_new
         |  JOIN sh sb ON sb.doc_id = c.doc_hist)
-        |WHERE j >= 0.5 ORDER BY doc_new, doc_hist""".stripMargin,
+        |WHERE j >= $DefaultMinhashThreshold ORDER BY doc_new, doc_hist""".stripMargin,
     // full-corpus minhash closure: candidate pairs re-derived from the
     // aux band keys, exact-verified against the aux shingles (the
     // dedup_minhash_pairs oracle), then the recursive-CTE component
     // closure — the composed incremental path must be
     // indistinguishable from this full recompute
     "dedup_minhash_components" ->
-      """WITH RECURSIVE
+      s"""WITH RECURSIVE
         |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
         |cand AS (
@@ -922,7 +932,7 @@ object Dedup {
         |  JOIN sh sb ON sb.doc_id = c.doc_b
         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-        |        >= 0.5),
+        |        >= $DefaultMinhashThreshold),
         |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
         |reach(a, b) AS (
         |  SELECT u, v FROM edges

@@ -186,6 +186,40 @@ object StreamingQueries {
         col("click_ts"), col("purchase_value"))
   }
 
+  /** Gate window for [[streamJoinAttrib]] — wide enough that the
+    * fixture's per-user click→purchase density yields a real result
+    * set (a 10-minute window matches single digits at sf0.01); the
+    * state-bound story is identical at any width: O(window × rate),
+    * never O(stream). Interpolated into the oracle. */
+  val AttribWindowHours = 4
+
+  /** Stream-stream interval-join GATE: the fixture replayed as two
+    * streams — the click side and the purchase side are two filters
+    * of the shared wire source, a streaming self-join — attributed
+    * through [[clickToPurchase]] and landed append-mode through the
+    * real executor-side upsert sink. An INNER interval join emits on
+    * match (no watermark-finalization wait, unlike the left-outer
+    * twin StreamingSpec pins), so after `processAllAvailable` the
+    * landed set equals the batch interval join the DuckDB oracle
+    * runs. Timestamps cross the gate as `unix_micros` BIGINTs — the
+    * established `epoch_us` parity discipline, and the natural PK
+    * (fixture µs timestamps are collision-free per user, so the
+    * upsert key (user, purchase_us, click_us) is exact).
+    */
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame =
+    replay(spark, dir,
+      src => clickToPurchase(
+          src.filter(col("event_type") === "click"),
+          src.filter(col("event_type") === "purchase"),
+          window = s"$AttribWindowHours hours")
+        .select(col("user_id"),
+          unix_micros(col("purchase_ts")).as("purchase_us"),
+          unix_micros(col("click_ts")).as("click_us"),
+          col("purchase_value")),
+      keys = Seq("user_id", "purchase_us", "click_us"),
+      outputMode = "append")
+      .orderBy(col("user_id"), col("purchase_us"), col("click_us"))
+
   /** Idempotent per-batch landing: the micro-batch lands under
     * `path/batch_id=<id>` via dynamic partition overwrite, so a
     * REPLAYED batch (failure → restart re-delivers the epoch)
@@ -670,7 +704,8 @@ object StreamingQueries {
     "stream_enrich_segment" -> ((s, d) =>
       replay(s, d,
         enrichBySegment(graft.sources.Tables.customer(s, d)),
-        Seq("segment")).orderBy(col("segment")))
+        Seq("segment")).orderBy(col("segment"))),
+    "stream_join_attrib" -> (streamJoinAttrib _)
   )
 
   val oracles: Map[String, String] = Map(
@@ -731,6 +766,20 @@ object StreamingQueries {
         |       count(*) AS n_events,
         |       round(sum(value), 2) AS total_value
         |FROM events LEFT JOIN customer ON user_id = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the batch interval join the streaming inner join must equal;
+    // time compares in epoch µs on both sides (Spark's ts column IS
+    // µs truncation of the nanos fixture, epoch_us matches it)
+    "stream_join_attrib" ->
+      s"""SELECT p.user_id AS user_id,
+         |       epoch_us(p.ts) AS purchase_us,
+         |       epoch_us(c.ts) AS click_us,
+         |       p.value AS purchase_value
+         |FROM events p JOIN events c
+         |  ON c.user_id = p.user_id
+         | AND epoch_us(c.ts) <= epoch_us(p.ts)
+         | AND epoch_us(c.ts) >= epoch_us(p.ts) - ${AttribWindowHours}::BIGINT * 3600000000
+         |WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+         |ORDER BY 1, 2, 3""".stripMargin
   )
 }

@@ -486,6 +486,48 @@ class ExtSpec extends AnyFunSuite {
       "exact dup 2 and near-dup 3 drop; representatives are min ids")
   }
 
+  test("domain filter: verdicts are all-or-nothing per source and match " +
+      "the exact integer mean") {
+    import graft.ext.{Curation, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val out = Curation.domainFilter(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // independent verdict derivation: per-source sums/counts collected
+    // and divided in BigInt on the driver — no Spark `div` in the loop
+    val per = docs.select(col("doc_id"), col("source"))
+      .join(TextAnalysis.qualityScore(docs), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n"), sum(col("quality_x10k")).as("s"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val keptSources = per.collect { case (src, (n, s))
+      if n >= Curation.DefaultDomainMinDocs &&
+        (BigInt(s) / BigInt(n)) >= Curation.DefaultDomainMeanMin => src }.toSet
+    val nDocsBySource = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // all-or-nothing: every doc of a kept source appears, none of a
+    // dropped source does
+    val outBySource = out.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    assert(outBySource.keySet === keptSources)
+    for (src <- keptSources)
+      assert(outBySource(src) === nDocsBySource(src),
+        s"every doc of kept source $src must survive")
+    for ((_, src, n, m) <- out) {
+      val (en, es) = per(src)
+      assert(n === en && m === (BigInt(es) / BigInt(en)).toLong)
+    }
+    assert(keptSources.nonEmpty && keptSources.size < per.size,
+      "gate signal: some sources kept, some dropped")
+  }
+
+  test("domain filter knobs: vacuous bars keep everything, an impossible " +
+      "census keeps nothing") {
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, dir)
+    assert(Curation.domainFilter(docs, meanMin = 0L, minDocs = 1L).count()
+      === docs.count())
+    assert(Curation.domainFilter(docs, minDocs = Long.MaxValue).count() === 0L)
+  }
+
   test("curation invariants on the real corpus: counts bounded by each stage's survivors") {
     import graft.ext.{Curation, TextAnalysis}
     val docs = Tables.documents(spark, dir)

@@ -281,6 +281,31 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture should contain click->purchase pairs")
   }
 
+  test("stream_join_attrib gate: file replay through the upsert sink " +
+      "equals the batch interval join") {
+    val dir = "/root/testdata/sf0.001"
+    val out = StreamingQueries.streamJoinAttrib(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val ev = graft.sources.Tables.events(spark, dir)
+    val batch = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"), col("value"))
+      .join(ev.filter(col("event_type") === "click")
+          .select(col("user_id").as("cu"), col("ts").as("cts")),
+        col("pu") === col("cu") && col("cts") <= col("pts") &&
+          col("cts") >= col("pts") -
+            expr(s"INTERVAL ${StreamingQueries.AttribWindowHours} hours"))
+      .select(col("pu"), unix_micros(col("pts")), unix_micros(col("cts")),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet === batch.toSet)
+    // the upsert PK (user, purchase_us, click_us) must not have
+    // collapsed distinct matches — multiset equality, not just set
+    assert(out.length === batch.length)
+    assert(out.nonEmpty, "fixture should contain click->purchase pairs")
+  }
+
   test("left-outer interval join: inner rows + watermark-gated null padding") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
