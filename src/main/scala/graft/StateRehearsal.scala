@@ -63,6 +63,31 @@ object StateRehearsal {
       .groupBy(col("date_str"))
       .agg(count(lit(1)).as("uv"))
 
+  /** Stream-stream interval-join shape (the `stream_join_attrib`
+    * gate's dataflow): the rate stream split into two sides by value
+    * parity, joined on `value div 2` (each odd row matches exactly
+    * its even twin — the match rate is a constant, never a blow-up)
+    * within a 3-second event-time interval. The claim under test is
+    * the gate Scaladoc's state bound: join state holds BOTH sides'
+    * rows only until the opposite watermark passes the interval —
+    * O(interval × rate), NOT O(stream) — so with rate-micro-batch
+    * advancing 1 s/batch, state must PLATEAU at ~interval+lateness
+    * batches' worth of rows while input ramps forever. A shape whose
+    * state ramped linearly here would be unusable at 100 TB.
+    */
+  def joinShape(stream: DataFrame): DataFrame = {
+    val a = stream.filter(pmod(col("value"), lit(2L)) === 0L)
+      .select(expr("value div 2").as("k"), col("timestamp").as("a_ts"))
+      .withWatermark("a_ts", "1 second")
+    val b = stream.filter(pmod(col("value"), lit(2L)) === 1L)
+      .select(expr("value div 2").as("bk"), col("timestamp").as("b_ts"))
+      .withWatermark("b_ts", "1 second")
+    b.join(a, col("bk") === col("k") &&
+        col("a_ts") <= col("b_ts") &&
+        col("a_ts") >= col("b_ts") - expr("INTERVAL 3 seconds"))
+      .select(col("k"), col("b_ts"))
+  }
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
@@ -82,7 +107,9 @@ object StateRehearsal {
     def run(arm: String, provider: String,
         shape: DataFrame => DataFrame,
         changelog: Boolean = false,
-        minDeltasForSnapshot: Option[Int] = None): Unit = {
+        minDeltasForSnapshot: Option[Int] = None,
+        // stream-stream joins only support append
+        outputMode: String = "update"): Unit = {
       if (!only.forall(arm.contains(_))) return
       spark.conf.set("spark.sql.streaming.stateStore.providerClass", provider)
       // Changelog checkpointing: per-commit the store uploads the small
@@ -107,7 +134,7 @@ object StateRehearsal {
         .option("rowsPerBatch", rowsPerBatch)
         .option("numPartitions", 8)
         .load()
-      val q = shape(src).writeStream.outputMode("update")
+      val q = shape(src).writeStream.outputMode(outputMode)
         .option("checkpointLocation", ckpt)
         .format("noop").start()
       // rate-micro-batch is unbounded: processAllAvailable() would
@@ -139,6 +166,7 @@ object StateRehearsal {
       changelog = true)
     run("rocksdb_changelog_snap3_q1_dedup", RocksDbProvider, q1Shape,
       changelog = true, minDeltasForSnapshot = Some(3))
+    run("rocksdb_ssjoin", RocksDbProvider, joinShape, outputMode = "append")
     run("hdfs_q3",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       q3Shape)
