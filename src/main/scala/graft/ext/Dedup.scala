@@ -230,6 +230,50 @@ object Dedup {
         round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** RECALL of the banded minhash path against exact ground truth —
+    * the acceptance metric a dedup deployment is judged by (the
+    * [[Similarity]] family's `sim_ivf_recall` twin for near-dup):
+    * how many true near-dup pairs does banding actually surface?
+    *
+    * Ground truth WITHOUT an all-pairs join: any pair with shingle
+    * Jaccard ≥ threshold > 0 must share at least one shingle, so the
+    * exact true-pair set is derivable from a shingle POSTING join
+    * (the [[containmentPairs]] machinery) — shared-shingle counts per
+    * pair give Jaccard as `shared / (sz_a + sz_b − shared)` with no
+    * array re-attachment, and pairs sharing nothing are never
+    * touched. [[minhashPairs]]'s verify step divides the same
+    * integers, so found ⊆ truth exactly and recall is a pure count
+    * ratio. Scale: posting-join cost tracks shingle co-occurrence
+    * (the same bound the gated containment/ngram gates carry), not
+    * corpus²; the recall aggregate is one row.
+    */
+  def minhashRecall(docs: DataFrame,
+      threshold: Double = DefaultMinhashThreshold): DataFrame = {
+    val sized = minhashShingles(docs).withColumn("sz", size(col("sh")))
+    val posting = sized.select(col("doc_id"), col("sz"),
+      explode(col("sh")).as("g"))
+    // merge hint: posting sides are corpus-proportional explode
+    // lineages (the jaccardPairsBySource join note)
+    val truth = posting
+      .select(col("g"), col("doc_id").as("doc_a"), col("sz").as("sz_a"))
+      .join(posting.select(col("g"), col("doc_id").as("doc_b"),
+        col("sz").as("sz_b")).hint("merge"), Seq("g"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared").cast("double") /
+        (col("sz_a") + col("sz_b") - col("shared")).cast("double")
+        >= threshold)
+      .select(col("doc_a"), col("doc_b"))
+    val found = minhashPairs(docs, threshold = threshold)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("hit"))
+    truth.join(found, Seq("doc_a", "doc_b"), "left")
+      .agg(count(lit(1)).as("n_true"), count(col("hit")).as("n_found"),
+        // empty-corpus guard: ANSI div-by-zero (the funnel pattern)
+        expr("CASE WHEN count(1) = 0 THEN NULL" +
+          " ELSE (count(hit) * 100) div count(1) END").as("recall_x100"))
+  }
+
   // --------------------------------------------------------- simhash
 
   /** Per-doc 64-bit SimHash signature (native expression). */
@@ -758,6 +802,8 @@ object Dedup {
       exactByKey(Tables.documents(s, d)).orderBy(col("lang"), col("source"))),
     "dedup_minhash_pairs" -> ((s, d) =>
       minhashPairs(Tables.documents(s, d)).orderBy(col("doc_a"), col("doc_b"))),
+    "dedup_minhash_recall" -> ((s, d) =>
+      minhashRecall(Tables.documents(s, d))),
     // deterministic ingest split (doc_id mod 3): third of the corpus
     // plays the new batch, the rest the curated history
     "dedup_minhash_incremental" -> ((s, d) => {
@@ -875,6 +921,37 @@ object Dedup {
     * ScalaTest, the same split the gen_orders_rollup gate uses.
     */
   val oracles: Map[String, String] = Map(
+    // exact truth from the shingle-posting join (J ≥ t > 0 ⇒ the pair
+    // shares a shingle), found = the band join + the same verify
+    // division — recall is a pure count ratio of the two
+    "dedup_minhash_recall" ->
+      s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+         |posting AS (SELECT doc_id, len(sh) AS sz, unnest(sh) AS g FROM sh),
+         |truth AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM posting a JOIN posting b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY a.doc_id, b.doc_id, a.sz, b.sz
+         |  HAVING count(*) * 1.0 / (a.sz + b.sz - count(*))
+         |         >= $DefaultMinhashThreshold),
+         |found AS (
+         |  SELECT DISTINCT c.doc_a, c.doc_b FROM (
+         |    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |    FROM bk a JOIN bk b
+         |      ON a.band = b.band AND a.band_key = b.band_key
+         |     AND a.doc_id < b.doc_id) c
+         |  JOIN sh sa ON sa.doc_id = c.doc_a
+         |  JOIN sh sb ON sb.doc_id = c.doc_b
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |        >= $DefaultMinhashThreshold)
+         |SELECT CAST(count(*) AS BIGINT) AS n_true,
+         |       CAST(count(f.doc_a) AS BIGINT) AS n_found,
+         |       CASE WHEN count(*) = 0 THEN NULL
+         |            ELSE CAST((count(f.doc_a) * 100) // count(*) AS BIGINT)
+         |       END AS recall_x100
+         |FROM truth t
+         |LEFT JOIN found f ON t.doc_a = f.doc_a AND t.doc_b = f.doc_b""".stripMargin,
     "dedup_minhash_pairs" ->
       s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
         |     sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),

@@ -78,6 +78,33 @@ class ExtSpec extends AnyFunSuite {
       "operator-reported jaccard disagrees with recomputation")
   }
 
+  test("minhash recall: posting-join truth equals brute-force truth; " +
+      "identical docs are always recalled") {
+    import spark.implicits._
+    // 10 identical docs (all 45 pairs J=1 — identical signatures share
+    // every band key, so banding can NEVER miss them) + 20 docs whose
+    // pairwise overlap is one shared shingle (J ≈ 0.09 < 0.5)
+    val docs = (1L to 30L).map(i =>
+      (i, "s",
+        if (i % 3 == 0) "alpha beta gamma delta epsilon zeta eta theta"
+        else s"unique text number w$i x$i y$i z$i"))
+      .toDF("doc_id", "source", "text")
+    val r = graft.ext.Dedup.minhashRecall(docs).collect()(0)
+    // independent brute-force truth over the same shingle space
+    val sh = graft.ext.Dedup.minhashShingles(docs)
+    val brute = sh.select(col("doc_id").as("da"), col("sh").as("sa"))
+      .crossJoin(sh.select(col("doc_id").as("db"), col("sh").as("sb")))
+      .filter(col("da") < col("db"))
+      .filter(size(array_intersect(col("sa"), col("sb"))).cast("double") /
+        size(array_union(col("sa"), col("sb"))).cast("double") >= 0.5)
+      .count()
+    assert(brute === 45L, "10 identical docs = 45 true pairs, no others")
+    assert(r.getLong(0) === brute, "posting-join truth == brute-force truth")
+    assert(r.getLong(1) === 45L, "identical-signature pairs are never missed")
+    assert(r.getLong(2) === 100L)
+    graft.ext.CorpusCache.releaseAll()
+  }
+
   test("incremental minhash equals the cross-split subset of the closed-corpus run") {
     val docs = Tables.documents(spark, dir)
     val isNew = (id: Long) => id % 3 == 0
