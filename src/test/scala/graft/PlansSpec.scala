@@ -145,6 +145,24 @@ class PlansSpec extends AnyFunSuite {
       s"sub-block keys missing from the join:\n$plan")
   }
 
+  test("domain filter join-back is a merge join, never a broadcast of " +
+      "the corpus-derived verdict table") {
+    // the domain verdict table is millions of rows at web scale and
+    // its lineage defeats size estimation (quality projection) — the
+    // text_line_dedup hazard class PlanAudit caught in round 6. The
+    // merge hint is the pin; this test keeps it pinned.
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ext.Curation.domainFilter(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the merge-hinted source join-back:\n$plan")
+    // exactly one broadcast is allowed: the doc-keyed quality join's
+    // 2-column statistics-estimated build (degrades to SMJ at scale);
+    // the source-keyed join-back must not add another
+    assert(plan.split("BroadcastHashJoin").length - 1 <= 1,
+      s"unexpected extra broadcast in the domain filter plan:\n$plan")
+  }
+
   test("capped co-activity selection is a partial-aggregate, not a window sort") {
     val act = Tables.events(spark, dir)
       .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
