@@ -163,6 +163,16 @@ class PlansSpec extends AnyFunSuite {
       s"unexpected extra broadcast in the domain filter plan:\n$plan")
   }
 
+  test("minhash recall truth derivation is a posting equi-join, " +
+      "never an all-pairs join") {
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ext.Dedup.minhashRecall(docs)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"all-pairs join in the recall truth path:\n$plan")
+  }
+
   test("capped co-activity selection is a partial-aggregate, not a window sort") {
     val act = Tables.events(spark, dir)
       .select(date_trunc("minute", col("ts")).as("m"), col("user_id"))
