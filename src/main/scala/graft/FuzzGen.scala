@@ -134,7 +134,15 @@ object FuzzGen {
       }
       tsFixed
         .withColumn("event_id", rot("event_id", rEvt, nEvt))
-        .withColumn("user_id", rot("user_id", rUser, nUser))
+        // user_id joins customer.c_custkey (stream_enrich_segment and
+        // its batch twin), so it must rotate with the CUSTOMER key
+        // space's bijection — events' own (rUser, nUser) would
+        // scramble which events match customers and degenerate the
+        // enrich gates under some seeds. user_id ⊆ [0, nCust) in the
+        // driver fixture (10% prefix), so (rCust, nCust) stays a
+        // bijection and preserves every match exactly, like
+        // orders.o_custkey.
+        .withColumn("user_id", rot("user_id", rCust, nCust))
     }
     wr(ev.select(rd("events").columns.map(col).toIndexedSeq: _*), "events")
     // documents: rotate ids, salt a seed-hash-selected ~10% with one

@@ -195,11 +195,16 @@ object DataQuality {
 
   val oracles: Map[String, String] = Map(
     // same conditional-sum per bucket, totals as scalar subqueries,
-    // identical integer div — day-of-month cohort split
+    // identical integer div — day-of-month cohort split. n_a is
+    // spelled NOT (day(ts) > 15), not the ELSE branch of the n_b
+    // CASE: a NULL ts must land in NEITHER cohort (engine side:
+    // when(!is_b, 1).otherwise(0) with is_b NULL yields 0), whereas
+    // `CASE WHEN day(ts) > 15 THEN 0 ELSE 1` would fall through to
+    // cohort A on NULL and hash-mismatch.
     "dq_drift_value" ->
       """WITH b AS (
         |  SELECT CAST(floor(value / 50.0) AS BIGINT) AS bucket,
-        |         CAST(sum(CASE WHEN day(ts) > 15 THEN 0 ELSE 1 END) AS BIGINT) AS n_a,
+        |         CAST(sum(CASE WHEN NOT (day(ts) > 15) THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |         CAST(sum(CASE WHEN day(ts) > 15 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
         |  FROM events GROUP BY 1),
         |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS tot_a,

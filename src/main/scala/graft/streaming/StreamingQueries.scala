@@ -205,8 +205,26 @@ object StreamingQueries {
     * established `epoch_us` parity discipline, and the natural PK
     * (fixture µs timestamps are collision-free per user, so the
     * upsert key (user, purchase_us, click_us) is exact).
+    *
+    * That collision-freedom is a FIXTURE PROPERTY the upsert key
+    * depends on — two clicks by one user in the same microsecond
+    * would collapse two genuinely distinct join matches into one
+    * upserted row while the batch oracle emits both. So the gate
+    * ASSERTS it (one cheap count-vs-distinct aggregate over the two
+    * relevant event types) instead of trusting a Scaladoc comment:
+    * a future fixture regeneration that breaks the assumption fails
+    * loudly here, not as a silent row-count mismatch.
     */
-  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame =
+  def streamJoinAttrib(spark: SparkSession, dir: String): DataFrame = {
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("event_type").isin("click", "purchase"))
+    val u = ev.agg(count(lit(1)).as("n"),
+      countDistinct(col("user_id"), col("event_type"), col("ts")).as("d"))
+      .head()
+    require(u.getLong(0) == u.getLong(1),
+      s"stream_join_attrib upsert key assumes (user_id, event_type, ts) " +
+        s"unique in the fixture; got ${u.getLong(0)} rows vs " +
+        s"${u.getLong(1)} distinct — regenerated fixture broke the PK")
     replay(spark, dir,
       src => clickToPurchase(
           src.filter(col("event_type") === "click"),
@@ -219,6 +237,7 @@ object StreamingQueries {
       keys = Seq("user_id", "purchase_us", "click_us"),
       outputMode = "append")
       .orderBy(col("user_id"), col("purchase_us"), col("click_us"))
+  }
 
   /** Idempotent per-batch landing: the micro-batch lands under
     * `path/batch_id=<id>` via dynamic partition overwrite, so a
