@@ -38,7 +38,9 @@ object PlanAudit {
     "skew_join_segment", // replicated small dim — the operator's design
     "text_decontam",     // eval-set n-grams — bounded holdout
     "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)
-    "sim_ivf_recall")    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
+    "sim_ivf_recall",    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
+    "bpe_encode_ids",    // broadcast(wordIds): ≤ BpeVocabCap rows BY CONTRACT (capped trained vocabulary), explicit (reviewed round 8)
+    "pack_encoded_ids")  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
     * not the hazard this audit hunts: it multiplies nothing and

@@ -396,15 +396,92 @@ object CorpusPrep {
     * final dict is vocabulary-sized at any corpus scale.
     */
   def bpeEncodeStats(docs: DataFrame,
-      rounds: Int = BpeMergeRoundsN): DataFrame = {
+      rounds: Int = BpeMergeRoundsN): DataFrame =
+    bpeFinalDict(docs, rounds)
+      .select(col("word"), col("wc"),
+        length(col("word")).cast("long").as("n_chars"),
+        size(col("syms")).cast("long").as("n_syms"))
+      .orderBy(col("word"))
+
+  /** The word dictionary after `rounds` learned merges — the trained
+    * state both encode-side operators read. */
+  private def bpeFinalDict(docs: DataFrame, rounds: Int): DataFrame = {
     var dict = bpeWordDict(docs)
     (1 to rounds).foreach { _ =>
       dict = bpeApplyMerge(dict, bpeTopPair(dict))
     }
-    dict.select(col("word"), col("wc"),
-      length(col("word")).cast("long").as("n_chars"),
-      size(col("syms")).cast("long").as("n_syms"))
-      .orderBy(col("word"))
+    dict
+  }
+
+  /** Encode-side vocabulary cap: top-[[BpeVocabCap]] words by corpus
+    * frequency keep their merged symbol sequences; everything else
+    * encodes as [[BpeUnkId]]. Sized to BIND on the fixture (the
+    * synthetic docs draw from ~30 distinct eligible words) so the unk
+    * path is exercised by the gate, the way a production vocabulary
+    * cap binds on a real corpus.
+    */
+  val BpeVocabCap = 16
+
+  /** Reserved id for out-of-vocabulary words (ids start at 1). */
+  val BpeUnkId = 0L
+
+  /** Per-document token-id sequences through the TRAINED tokenizer —
+    * the missing link that makes train → encode → pack compose: the
+    * merge loop ([[bpeMergeRounds]]) produces the symbol dictionary,
+    * this operator assigns stable ids and emits, for every document,
+    * the id array a sequence packer ([[Packing.packSequences]] shape)
+    * consumes.
+    *
+    * Id assignment is a pure function of the trained state (symbols of
+    * the capped vocabulary, ranked lexically, unk = 0), so two runs —
+    * or two engines — agree without sharing anything but the corpus.
+    *
+    * Scale shape: the merge loop's only corpus-sized stage is the word
+    * count (see [[bpeMergeRounds]]); everything derived from it (capped
+    * vocab, symbol ids, per-word id arrays) is vocabulary-bounded by
+    * the cap, so `wordIds` broadcasts BY CONTRACT — ≤ [[BpeVocabCap]]
+    * rows — and the per-document encode is a map-side hash probe above
+    * the token explode: the corpus never shuffles to be encoded, and
+    * the per-doc reassembly groups on doc_id (the scan's natural key).
+    * Docs whose eligible tokens are all OOV still encode (to unk runs);
+    * docs with NO eligible tokens emit an empty array via the
+    * outer-explode path, never dropping rows.
+    */
+  def bpeEncodeIds(docs: DataFrame, rounds: Int = BpeMergeRoundsN,
+      cap: Int = BpeVocabCap): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocabWords = bpeFinalDict(docs, rounds)
+      .orderBy(col("wc").desc, col("word")).limit(cap)
+      .select(col("word"), col("syms"))
+    // symbol ids: lexical rank over the capped vocab's distinct
+    // symbols — cap-bounded rows, so the single-partition rank window
+    // is a blip (same discipline as vocabEncode's id window)
+    val symIds = vocabWords.select(explode(col("syms")).as("sym")).distinct()
+      .withColumn("id", row_number().over(Window.orderBy(col("sym"))).cast("long"))
+    val wordIds = vocabWords
+      .select(col("word"), posexplode(col("syms")).as(Seq("spos", "sym")))
+      .join(symIds, "sym")
+      .groupBy(col("word"))
+      .agg(transform(
+        sort_array(collect_list(struct(col("spos"), col("id")))),
+        p => p.getField("id")).as("word_ids"))
+    val toks = docs.select(col("doc_id"),
+      posexplode_outer(filter(TextAnalysis.tokens(col("text")),
+        w => w.rlike("^[a-z0-9]+$") && length(w) >= 2))
+        .as(Seq("wpos", "word")))
+    toks.join(broadcast(wordIds), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        flatten(transform(
+          sort_array(collect_list(struct(col("wpos"),
+            when(col("word").isNull, array().cast("array<bigint>"))
+              .when(col("word_ids").isNotNull, col("word_ids"))
+              .otherwise(array(lit(BpeUnkId))).as("wids")))),
+          p => p.getField("wids"))).as("ids"),
+        count(col("word")).as("n_tokens"),
+        count(when(col("word").isNotNull && col("word_ids").isNull, 1))
+          .as("n_unk"))
+      .select(col("doc_id"), col("ids"), col("n_tokens"), col("n_unk"))
   }
 
   // ------------------------------------------------------------ queries
@@ -417,7 +494,23 @@ object CorpusPrep {
     "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d))),
-    "bpe_encode_stats" -> ((s, d) => bpeEncodeStats(Tables.documents(s, d)))
+    "bpe_encode_stats" -> ((s, d) => bpeEncodeStats(Tables.documents(s, d))),
+    // id arrays cross the gate as a digest (count + md5 of the
+    // space-joined sequence) — the established array-column parity
+    // discipline (text_span_removal's kept_md5)
+    "bpe_encode_ids" -> ((s, d) =>
+      bpeEncodeIds(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))),
+    // train → encode → pack composed end-to-end: the packer consumes
+    // the ENCODED id counts, not whitespace counts
+    "pack_encoded_ids" -> ((s, d) =>
+      Packing.packSequencesOf(
+        bpeEncodeIds(Tables.documents(s, d))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n"))))
   )
 
   // ------------------------------------------------------- oracle twins
@@ -503,9 +596,86 @@ object CorpusPrep {
          |FROM d$rounds ORDER BY word""".stripMargin
   }
 
+  /** The unrolled merge chain extended with the ENCODE derivation —
+    * capped vocab, lexical symbol ids, per-word id arrays, and the
+    * per-document reassembly — as CTEs ending at `eagg(doc_id, ids,
+    * n_tokens, n_unk)`. The reassembly is deliberately a DIFFERENT
+    * formulation from the engine's struct-sort fold (lateral unnest +
+    * ordered `list()` aggregates), per the oracle-independence
+    * discipline.
+    */
+  private def bpeEncodeIdsCtesSql(rounds: Int): String = {
+    val base = bpeMergeOracleSql(rounds)
+    val cut = base.lastIndexOf(s"SELECT 1 AS round")
+    base.substring(0, cut).stripTrailing() + "," + "\n" +
+      s"""vw AS (SELECT word, syms FROM d$rounds
+         |       ORDER BY wc DESC, word LIMIT $BpeVocabCap),
+         |vs AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+         |       FROM (SELECT DISTINCT unnest(syms) AS sym FROM vw)),
+         |wi AS (SELECT word, list(id ORDER BY i) AS word_ids
+         |       FROM (SELECT w.word, t.i, w.syms[CAST(t.i AS INTEGER)] AS sym
+         |             FROM vw w, unnest(range(1, len(w.syms) + 1)) t(i)) sq
+         |       JOIN vs USING (sym)
+         |       GROUP BY word),
+         |dw AS (SELECT doc_id, list_filter($W, x ->
+         |         regexp_full_match(x, '[a-z0-9]+') AND len(x) >= 2) AS ws
+         |       FROM documents),
+         |tok AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
+         |               d.ws[CAST(t.i AS INTEGER)] AS word
+         |        FROM dw d, unnest(range(1, len(d.ws) + 1)) t(i)),
+         |enc AS (SELECT tok.doc_id, tok.wpos,
+         |               coalesce(wi.word_ids, [CAST($BpeUnkId AS BIGINT)]) AS wids,
+         |               CASE WHEN wi.word IS NULL THEN 1 ELSE 0 END AS unk
+         |        FROM tok LEFT JOIN wi ON wi.word = tok.word),
+         |eagg AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids,
+         |                count(*) AS n_tokens,
+         |                CAST(sum(unk) AS BIGINT) AS n_unk
+         |         FROM enc GROUP BY 1)""".stripMargin
+  }
+
+  /** Encode-ids gate: per-doc digest over the chain, zero-eligible
+    * docs re-attached from the base table (engine keeps them via the
+    * outer explode). */
+  private def bpeEncodeIdsOracleSql(rounds: Int): String =
+    bpeEncodeIdsCtesSql(rounds) +
+      s"""
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+         |       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_ids,
+         |       md5(coalesce(array_to_string(
+         |         [CAST(x AS VARCHAR) FOR x IN a.ids], ' '), '')) AS ids_md5
+         |FROM documents d LEFT JOIN eagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** Composed pack gate: the flat-window pack oracle (Packing's
+    * discipline) over the encoded id counts. */
+  private def packEncodedIdsOracleSql(rounds: Int): String = {
+    val B = Packing.SeqBudget
+    bpeEncodeIdsCtesSql(rounds) +
+      s""",
+         |o AS (SELECT doc_id, CAST(len(ids) AS BIGINT) AS n
+         |      FROM eagg WHERE len(ids) > 0),
+         |o2 AS (SELECT doc_id, n,
+         |              CAST(coalesce(sum(n) OVER (ORDER BY doc_id
+         |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |                AS BIGINT) AS off
+         |       FROM o)
+         |SELECT CAST(t.seq AS BIGINT) AS seq_id,
+         |       doc_id,
+         |       CAST(greatest(off, t.seq*$B) - t.seq*$B AS BIGINT) AS start_in_seq,
+         |       CAST(greatest(off, t.seq*$B) - off AS BIGINT) AS doc_off,
+         |       CAST(least(off + n, (t.seq+1)*$B)
+         |            - greatest(off, t.seq*$B) AS BIGINT) AS n_toks
+         |FROM o2, unnest(range(off // $B, (off + n - 1) // $B + 1)) AS t(seq)
+         |ORDER BY seq_id, doc_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
+    "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
+    "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

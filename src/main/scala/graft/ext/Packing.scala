@@ -67,10 +67,17 @@ object Packing {
     * (doc_id, n, off) with `off` = sum of token counts of all docs
     * with smaller doc_id. Two-level scan as per the class doc.
     */
-  def offsets(docs: DataFrame): DataFrame = {
-    val counted = docs
-      .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+  def offsets(docs: DataFrame): DataFrame =
+    offsetsOf(docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n")))
+
+  /** [[offsets]] over an arbitrary per-document length frame
+    * `(doc_id, n)` — the seam that lets packing compose with any
+    * tokenizer (whitespace counts for the classic gate, trained-BPE id
+    * counts for [[CorpusPrep.bpeEncodeIds]]). Same two-level scan.
+    */
+  def offsetsOf(counts: DataFrame): DataFrame = {
+    val counted = counts
       .withColumn("bucket", fdiv(col("doc_id"), BucketSize))
     val bucketPrefix = counted
       .groupBy(col("bucket")).agg(sum(col("n")).as("tot"))
@@ -100,8 +107,20 @@ object Packing {
     * final partial sequence), every document's spans cover it exactly
     * once — both invariants are property-tested in PackingSpec.
     */
-  def packSequences(docs: DataFrame): DataFrame = {
-    val o = offsets(docs)
+  def packSequences(docs: DataFrame): DataFrame =
+    packSpans(offsets(docs))
+
+  /** [[packSequences]] over a pre-tokenized length frame `(doc_id, n)`
+    * — documents with `n = 0` (a tokenizer CAN emit zero ids for a
+    * doc, unlike the whitespace count which is ≥ 1) contribute no
+    * tokens to the stream and are excluded BEFORE the span derivation:
+    * `sequence(firstSeq, lastSeq)` with n = 0 would DESCEND
+    * (lastSeq < firstSeq) and emit a phantom span.
+    */
+  def packSequencesOf(counts: DataFrame): DataFrame =
+    packSpans(offsetsOf(counts.filter(col("n") > 0)))
+
+  private def packSpans(o: DataFrame): DataFrame = {
     val firstSeq = fdiv(col("off"), SeqBudget)
     val lastSeq = fdiv(col("off") + col("n") - 1, SeqBudget)
     o.select(col("doc_id"), col("n"), col("off"),

@@ -196,4 +196,41 @@ class CorpusPrepSpec extends AnyFunSuite {
     // round 2: (aa,aa) cnt 2
     assert(quad.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
+
+  test("BPE encode ids: in-vocab words get merged-symbol ids, OOV gets unk, order kept") {
+    // corpus: "aaab" x3, "ab" x2, "zz" x1. 3 merge rounds learn
+    // (a,a), (a,b), (aa,ab) [see merge-rounds test]; final dict:
+    //   aaab -> [aaab], ab -> [ab], zz -> [zz]
+    // cap = 2 keeps the top-2 words by (wc desc, word): aaab, ab.
+    // Symbol ids lexical over {aaab, ab}: aaab=1, ab=2; zz is OOV -> 0.
+    val docs = docsOf(1L -> "aaab aaab aaab ab zz", 2L -> "ab zz aaab",
+      3L -> "!!! ??")  // no eligible tokens -> empty ids
+    val out = CorpusPrep.bpeEncodeIds(docs, rounds = 3, cap = 2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    assert(out(0).getSeq[Long](1) === Seq(1L, 1L, 1L, 2L, 0L))
+    assert(out(0).getLong(2) === 5L && out(0).getLong(3) === 1L)
+    assert(out(1).getSeq[Long](1) === Seq(2L, 0L, 1L))
+    assert(out(2).getSeq[Long](1) === Seq.empty)
+    assert(out(2).getLong(2) === 0L && out(2).getLong(3) === 0L)
+  }
+
+  test("BPE encode ids compose with packing: spans cover exactly the encoded stream") {
+    // multi-symbol encodings: round-1 pairs are (a,b) = 1 + 4 = 5 vs
+    // (a,a) = 2, so the round merges (a,b): "aaab" -> [a, a, ab]
+    // (3 symbols), "ab" -> [ab] (1 symbol)
+    val docs = docsOf(1L -> "aaab ab", 2L -> "ab ab ab", 3L -> "??")
+    val enc = CorpusPrep.bpeEncodeIds(docs, rounds = 1, cap = 10)
+    val rows = enc.orderBy("doc_id").collect()
+    assert(rows(0).getSeq[Long](1).length === 4)  // 3 + 1
+    assert(rows(1).getSeq[Long](1).length === 3)  // 1 x 3
+    assert(rows(2).getSeq[Long](1).isEmpty)
+    val packed = graft.ext.Packing.packSequencesOf(
+      enc.select(col("doc_id"), size(col("ids")).cast("long").as("n")))
+      .groupBy(col("doc_id")).agg(sum(col("n_toks")).as("covered"))
+      .orderBy("doc_id").collect()
+    // zero-id doc 3 contributes no spans; others are covered exactly
+    assert(packed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
+      Seq((1L, 4L), (2L, 3L)))
+  }
 }
