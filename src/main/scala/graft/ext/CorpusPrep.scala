@@ -344,22 +344,35 @@ object CorpusPrep {
       .orderBy(col("cnt").desc, col("p"), col("q"))
       .limit(1)
 
+  /** The current argmax pair, COLLECTED — one row by construction
+    * (`limit 1` over a deterministic total order), the same
+    * bounded-by-contract driver round-trip as a Lloyd centroid pull:
+    * folding it back in as a literal keeps each round's plan ONE
+    * `aggregate`-map layer deep. The previous shape — `crossJoin(
+    * broadcast(top))` with `top` derived from the same dict — embedded
+    * the prior round's plan TWICE per round, so plan size (and
+    * Catalyst analysis time) grew 2^rounds: invisible at the gate's 3
+    * rounds, a hang at exhaustion depth. `None` = no adjacent pairs
+    * remain (every word fully merged).
+    */
+  private def bpeTopPairRow(dict: DataFrame): Option[(String, String, Long)] =
+    bpeTopPair(dict).collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+
   /** Greedy-leftmost merge of the chosen pair inside every word's
     * symbol array — one `aggregate` fold per word, entirely inside
     * codegen: the accumulator ends with `p` and the next symbol is
     * `q` ⇒ the tail is replaced by the merged symbol (a fresh merge
     * result `p‖q` can never re-match `p`, so "a a a" greedily merges
     * positions (0,1) and keeps 2 — classic BPE semantics). */
-  private def bpeApplyMerge(dict: DataFrame, top: DataFrame): DataFrame =
-    dict.crossJoin(broadcast(top.select(col("p"), col("q"))))
-      .withColumn("syms", aggregate(col("syms"),
-        slice(col("syms"), 1, 0),
-        (acc, x) => when(size(acc) > 0 &&
-            element_at(acc, -1) === col("p") && x === col("q"),
-          concat(slice(acc, lit(1), size(acc) - 1),
-            array(concat(col("p"), col("q")))))
-          .otherwise(concat(acc, array(x)))))
-      .drop("p", "q")
+  private def bpeApplyMerge(dict: DataFrame, p: String, q: String): DataFrame =
+    dict.withColumn("syms", aggregate(col("syms"),
+      slice(col("syms"), 1, 0),
+      (acc, x) => when(size(acc) > 0 &&
+          element_at(acc, -1) === lit(p) && x === lit(q),
+        concat(slice(acc, lit(1), size(acc) - 1),
+          array(lit(p + q))))
+        .otherwise(concat(acc, array(x)))))
 
   /** Multi-round BPE tokenizer training — the iterative merge loop
     * [[bpePairCounts]] is round 1 of, distributed: each round counts
@@ -379,12 +392,22 @@ object CorpusPrep {
     */
   def bpeMergeRounds(docs: DataFrame,
       rounds: Int = BpeMergeRoundsN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     var dict = bpeWordDict(docs)
-    (1 to rounds).map { r =>
-      val top = bpeTopPair(dict)
-      dict = bpeApplyMerge(dict, top)
-      top.select(lit(r).as("round"), col("p"), col("q"), col("cnt"))
-    }.reduce(_ unionByName _).orderBy(col("round"))
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      bpeTopPairRow(dict) match {
+        case None => exhausted = true // every word fully merged
+        case Some((p, q, cnt)) =>
+          merges += ((r, p, q, cnt))
+          dict = bpeApplyMerge(dict, p, q)
+          r += 1
+      }
+    }
+    merges.toSeq.toDF("round", "p", "q", "cnt").orderBy(col("round"))
   }
 
   /** The ENCODE side of the trained tokenizer: the word dictionary
@@ -404,13 +427,137 @@ object CorpusPrep {
       .orderBy(col("word"))
 
   /** The word dictionary after `rounds` learned merges — the trained
-    * state both encode-side operators read. */
+    * state both encode-side operators read. Stops early at
+    * exhaustion, like [[bpeMergeRounds]]. */
   private def bpeFinalDict(docs: DataFrame, rounds: Int): DataFrame = {
     var dict = bpeWordDict(docs)
-    (1 to rounds).foreach { _ =>
-      dict = bpeApplyMerge(dict, bpeTopPair(dict))
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      bpeTopPairRow(dict) match {
+        case None => exhausted = true
+        case Some((p, q, _)) => dict = bpeApplyMerge(dict, p, q); r += 1
+      }
     }
     dict
+  }
+
+  /** Training-dictionary cap for the deep merge loop: the collected
+    * word dict is ≤ this many (word, wc) rows BY CONTRACT — the
+    * standard BPE-trainer bound (real trainers cap/min-frequency the
+    * word dict exactly so the merge loop's state is memory-resident).
+    */
+  val BpeDictCap = 1 << 20
+
+  /** PRODUCTION-DEPTH BPE training — the same merge semantics as
+    * [[bpeMergeRounds]] at vocabulary depth (10⁴–10⁵ merges), laid out
+    * the way a real trainer runs: the corpus-sized work (the word
+    * count) happens ONCE as a distributed map-side-combined shuffle,
+    * the dictionary — vocabulary-bounded state, ≤ [[BpeDictCap]] rows
+    * by contract — is collected, and the merge loop runs driver-side
+    * at memory speed. The per-round distributed loop of
+    * [[bpeMergeRounds]] pays a full Spark job per merge (~0.3 s of
+    * scheduling for microseconds of work once the dict is
+    * vocabulary-sized); 50k merges would be ~4 h of pure job overhead
+    * for state that fits in tens of MB. Collecting bounded state and
+    * iterating locally is the same judgment call as Lloyd's k-means
+    * centroid collect ([[Similarity]]) — the scale-honest shape, not a
+    * shortcut.
+    *
+    * The loop itself is the incremental algorithm production trainers
+    * use (HuggingFace tokenizers' shape): pair counts are maintained
+    * by DELTA updates — a merge touches only the words that contain
+    * the merged pair (tracked by a pair→words index) — and the argmax
+    * comes from a lazy-invalidation priority queue (stale entries
+    * discarded on pop against the live count), so a round costs
+    * O(affected words × their length + log #pairs), not O(dict).
+    * Tie-break matches the distributed loop and the SQL oracle
+    * exactly: count DESC, then lexically smallest (p, q).
+    *
+    * Stops early when no pairs remain (every word fully merged) —
+    * the returned table then has fewer than `rounds` rows.
+    */
+  def bpeTrainDeep(docs: DataFrame, rounds: Int,
+      dictCap: Int = BpeDictCap): DataFrame = {
+    val spark = docs.sparkSession
+    val dictRows = bpeWordDict(docs)
+      .orderBy(col("wc").desc, col("word")).limit(dictCap)
+      .select(col("word"), col("wc")).collect()
+    val words: Array[Array[String]] =
+      dictRows.map(_.getString(0).split("").filter(_.nonEmpty))
+    val wcs: Array[Long] = dictRows.map(_.getLong(1))
+
+    import scala.collection.mutable
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    // pop order: highest count first, then lexically smallest (p, q)
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.fromLessThan[(Long, String, String)] { (a, b) =>
+        if (a._1 != b._1) a._1 < b._1
+        else if (a._2 != b._2) a._2 > b._2
+        else a._3 > b._3
+      })
+    def bump(p: (String, String), d: Long, w: Int): Unit = {
+      val c = counts.getOrElse(p, 0L) + d
+      if (c <= 0L) { counts.remove(p); () } else counts(p) = c
+      if (d > 0) {
+        where.getOrElseUpdate(p, mutable.Set.empty) += w
+        pq.enqueue((c, p._1, p._2))
+      }
+      ()
+    }
+    for (w <- words.indices; i <- 0 until words(w).length - 1)
+      bump((words(w)(i), words(w)(i + 1)), wcs(w), w)
+
+    def mergeGreedy(syms: Array[String], p: String, q: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p && syms(i + 1) == q) {
+          out += p + q; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // lazy invalidation: discard queue entries whose count is stale
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && pq.nonEmpty) {
+        val (c, p, q) = pq.dequeue()
+        if (counts.get((p, q)).contains(c)) top = Some((c, p, q))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((cnt, p, q)) =>
+          merges += ((r, p, q, cnt))
+          val touched = where.getOrElse((p, q), mutable.Set.empty).toArray
+          for (w <- touched) {
+            val old = words(w)
+            // a word in the index may be stale (merged away earlier);
+            // only re-derive words that still contain the pair
+            val has = (0 until old.length - 1)
+              .exists(i => old(i) == p && old(i + 1) == q)
+            if (has) {
+              for (i <- 0 until old.length - 1)
+                bump((old(i), old(i + 1)), -wcs(w), w)
+              val nw = mergeGreedy(old, p, q)
+              words(w) = nw
+              for (i <- 0 until nw.length - 1)
+                bump((nw(i), nw(i + 1)), wcs(w), w)
+            }
+          }
+          where.remove((p, q))
+          counts.remove((p, q))
+          r += 1
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("round", "p", "q", "cnt")
+      .orderBy(col("round"))
   }
 
   /** Encode-side vocabulary cap: top-[[BpeVocabCap]] words by corpus
@@ -494,6 +641,11 @@ object CorpusPrep {
     "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d))),
+    // the deep (collected-dict) trainer gated at the oracle's unroll
+    // depth: driver-loop semantics vs the independent SQL merge chain;
+    // CorpusPrepSpec extends the equivalence to exhaustion depth
+    "bpe_merge_deep" -> ((s, d) =>
+      bpeTrainDeep(Tables.documents(s, d), rounds = BpeMergeRoundsN)),
     "bpe_encode_stats" -> ((s, d) => bpeEncodeStats(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
@@ -673,6 +825,7 @@ object CorpusPrep {
 
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
+    "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),

@@ -197,6 +197,29 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(quad.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("deep BPE trainer: merge-for-merge equal to the distributed loop, to exhaustion") {
+    // a corpus rich enough for ~a dozen merges with p=q overlaps,
+    // shared prefixes, and count ties resolved lexically
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val deep = CorpusPrep.bpeTrainDeep(docs, rounds = 100)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // exhaustion: fewer than 100 merges, every word fully merged
+    assert(deep.length < 100 && deep.nonEmpty)
+    val dist = CorpusPrep.bpeMergeRounds(docs, rounds = deep.length)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(deep.toSeq === dist.toSeq)
+  }
+
+  test("deep BPE trainer: dictionary cap binds on (wc desc, word)") {
+    // cap 1 keeps only the most frequent word; merges never see "zz"
+    val docs = docsOf(1L -> "abab abab zz")
+    val deep = CorpusPrep.bpeTrainDeep(docs, rounds = 10, dictCap = 1)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(deep.toSeq === Seq(("a", "b"), ("ab", "ab")))
+  }
+
   test("BPE encode ids: in-vocab words get merged-symbol ids, OOV gets unk, order kept") {
     // corpus: "aaab" x3, "ab" x2, "zz" x1. 3 merge rounds learn
     // (a,a), (a,b), (aa,ab) [see merge-rounds test]; final dict:
