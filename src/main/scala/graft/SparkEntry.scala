@@ -64,6 +64,8 @@ object SparkEntry {
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),
+      "mm_phash" -> ((s, d) =>
+        Multimodal.perceptualHash(Multimodal.nearDupFixture(s, d)).toDF()),
       "kmv_hashes" -> ((s, d) =>
         Tables.events(s, d).select(col("user_id")).distinct()
           .select(col("user_id"),

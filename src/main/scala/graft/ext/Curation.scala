@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.sources.Tables
@@ -197,13 +197,163 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------------- URL canonicalization
+
+  /** URL/source canonicalization AHEAD of [[domainFilter]]: a real
+    * crawl keys documents on raw URLs, where ONE site shows up as N
+    * "domains" — scheme-case variants, `www.` prefixes, default
+    * ports, tracking query params, fragments, trailing slashes — and
+    * every domain-level statistic (census floor, mean quality)
+    * silently fragments. The canonicalizer is a fixed rewrite chain
+    * of codegen string functions (no UDF), each step a standard
+    * member of the crawl-dedup canon:
+    *
+    *  1. lowercase the scheme+authority (path case is significant);
+    *  2. drop the `#fragment` (never sent to the server);
+    *  3. strip tracking params (`utm_*`, `gclid`, `fbclid`), healing
+    *     the `?`/`&` separators;
+    *  4. strip default ports `:80`/`:443`;
+    *  5. strip the `www.` host prefix;
+    *  6. strip a trailing slash.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    // lowercase scheme://host[:port] only — anchored, so the global
+    // replace touches exactly the authority prefix; a URL with no
+    // `//` falls through unchanged (extract yields "", replace is a
+    // no-op)
+    val lowered = concat(lower(regexp_extract(url, "^[^/]*//[^/]*", 0)),
+      regexp_replace(url, "^[^/]*//[^/]*", ""))
+    val noFrag = regexp_replace(lowered, "#.*$", "")
+    // tracking params: first every one followed by another param
+    // (keeps the separator for the successor), then a trailing one
+    // together with its own `?`/`&`
+    val noTrk = regexp_replace(
+      regexp_replace(noFrag, "(utm_[a-z]+|gclid|fbclid)=[^&#]*&", ""),
+      "[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$", "")
+    // default ports always precede a path slash here (the synthesis
+    // guarantees a path; RE2 has no lookahead, so the oracle twin
+    // could not express `:(80|443)(?=/|$)`)
+    val noPort = regexp_replace(noTrk, ":(80|443)/", "/")
+    val noWww = regexp_replace(noPort, "^([a-z]+://)www\\.", "$1")
+    regexp_replace(noWww, "/$", "")
+  }
+
+  /** The registrable domain of a canonical URL (host up to the first
+    * `/` or `:`). */
+  def urlDomain(canonUrl: Column): Column =
+    regexp_extract(canonUrl, "^[a-z]+://([^/:]+)", 1)
+
+  /** Deterministic raw-URL synthesis over the fixture (the
+    * `mm_exact_dedup`-placeholder pattern: the fixture's `source` is a
+    * label, not a URL, so the gate builds crawl-shaped URLs from it —
+    * every messiness the canonicalizer handles appears on a doc_id
+    * mod class, and one site fans out across scheme-case, `www.`,
+    * port, tracking, and slash variants). SQL-expressible by design;
+    * the oracle rebuilds the same strings.
+    */
+  def syntheticUrl: Column = {
+    val d = col("doc_id")
+    val scheme = when(d % 3 === 0, "https").when(d % 3 === 1, "http")
+      .otherwise("HTTPS")
+    val www = when(d % 2 === 0, "www.").otherwise("")
+    val host = concat(
+      when(d % 5 === 0, upper(col("source"))).otherwise(col("source")),
+      lit(".example.com"))
+    val port = when(d % 7 === 0, ":443").otherwise("")
+    val path = concat(lit("/p/"), (d % 100).cast("string"))
+    val slash = when(d % 4 === 0, "/").otherwise("")
+    val query = when(d % 3 === 0,
+        concat(lit("?utm_source=feed&ref="), (d % 10).cast("string")))
+      .when(d % 3 === 1,
+        concat(lit("?id="), (d % 10).cast("string"), lit("&utm_campaign=x")))
+      .otherwise("")
+    val frag = when(d % 6 === 0, "#sec2").otherwise("")
+    concat(scheme, lit("://"), www, host, port, path, slash, query, frag)
+  }
+
+  /** Per-document canonicalization table: raw URL, canonical URL,
+    * domain. Narrow single-scan projection — no shuffle at any scale.
+    */
+  def urlCanon(docs: DataFrame): DataFrame = {
+    val withUrl = docs.select(col("doc_id"), syntheticUrl.as("url"))
+    withUrl
+      .withColumn("canon_url", canonicalizeUrl(col("url")))
+      .withColumn("domain", urlDomain(col("canon_url")))
+      .orderBy(col("doc_id"))
+  }
+
+  /** [[domainFilter]] COMPOSED over the canonicalizer: documents are
+    * re-keyed on the canonical domain before the domain-level verdict,
+    * so one site's scheme/www/port/tracking variants aggregate as ONE
+    * domain (exactly the fragmentation bug the canonicalizer exists
+    * to prevent). Inherits domainFilter's scale shape; the canon step
+    * adds only narrow string functions to the scan.
+    */
+  def domainFilterCanon(docs: DataFrame,
+      meanMin: Long = DefaultDomainMeanMin,
+      minDocs: Long = DefaultDomainMinDocs): DataFrame =
+    domainFilter(
+      docs.withColumn("source",
+        urlDomain(canonicalizeUrl(syntheticUrl))),
+      meanMin, minDocs)
+      .withColumnRenamed("source", "domain")
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
     "curate_domain_filter" -> ((s, d) => domainFilter(Tables.documents(s, d))),
     "curate_corpus_minhash" -> ((s, d) => curateMinhash(Tables.documents(s, d))),
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
-    "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d)))
+    "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d))),
+    "curate_url_canon" -> ((s, d) => urlCanon(Tables.documents(s, d))),
+    "curate_domain_filter_canon" -> ((s, d) =>
+      domainFilterCanon(Tables.documents(s, d)))
   )
+
+  /** The URL synthesis + canonicalization chain in DuckDB SQL — ONE
+    * copy shared by the canon gate and the composed domain-filter
+    * oracle. Same rewrite steps as [[canonicalizeUrl]] in the same
+    * order; DuckDB `regexp_replace` needs the explicit `'g'` flag
+    * where Spark's is global by default (only the tracking-param step
+    * can match twice), and backrefs are `\\1`, not `$1`.
+    */
+  private lazy val urlCanonCte: String =
+    // `||` never starts a line: the embedding oracles run their OWN
+    // stripMargin over the interpolated text, and a leading `||`
+    // would lose its first pipe to margin stripping
+    """u AS (
+      |  SELECT doc_id,
+      |    (CASE doc_id % 3 WHEN 0 THEN 'https' WHEN 1 THEN 'http'
+      |          ELSE 'HTTPS' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END) ||
+      |    '.example.com' ||
+      |    (CASE WHEN doc_id % 7 = 0 THEN ':443' ELSE '' END) ||
+      |    '/p/' || CAST(doc_id % 100 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE doc_id % 3
+      |          WHEN 0 THEN '?utm_source=feed&ref=' || CAST(doc_id % 10 AS VARCHAR)
+      |          WHEN 1 THEN '?id=' || CAST(doc_id % 10 AS VARCHAR) || '&utm_campaign=x'
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec2' ELSE '' END) AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(
+      |            regexp_replace(
+      |              regexp_replace(
+      |                lower(regexp_extract(url, '^[^/]*//[^/]*')) ||
+      |                  regexp_replace(url, '^[^/]*//[^/]*', ''),
+      |                '#.*$', ''),
+      |              '(utm_[a-z]+|gclid|fbclid)=[^&#]*&', '', 'g'),
+      |            '[?&](utm_[a-z]+|gclid|fbclid)=[^&#]*$', ''),
+      |          ':(80|443)/', '/'),
+      |        '^([a-z]+://)www\.', '\1'),
+      |      '/$', '') AS canon_url
+      |  FROM u)""".stripMargin
 
   /** The staged CTE prefix (quality → exact dedup → pair join →
     * recursive closure → curated) — ONE copy shared by both oracles,
@@ -252,6 +402,29 @@ object Curation {
   val oracles: Map[String, String] = Map(
     // domain verdicts re-derived from the shared quality SQL: integer
     // mean per source, census floor, every doc inherits its domain
+    "curate_url_canon" ->
+      s"""WITH $urlCanonCte
+         |SELECT doc_id, url, canon_url,
+         |       regexp_extract(canon_url, '^[a-z]+://([^/:]+)', 1) AS domain
+         |FROM c ORDER BY doc_id""".stripMargin,
+    "curate_domain_filter_canon" -> {
+      val qualitySql = TextAnalysis.oracles("text_quality")
+        .replace(" ORDER BY doc_id", "")
+      s"""WITH q AS ($qualitySql),
+         |$urlCanonCte,
+         |d AS (SELECT doc_id,
+         |        regexp_extract(canon_url, '^[a-z]+://([^/:]+)', 1) AS domain
+         |      FROM c),
+         |dom AS (
+         |  SELECT domain, count(*) AS n_docs,
+         |         CAST(sum(quality_x10k) // count(*) AS BIGINT) AS mean_q_x10k
+         |  FROM d JOIN q USING (doc_id) GROUP BY domain)
+         |SELECT d.doc_id, d.domain, dom.n_docs, dom.mean_q_x10k
+         |FROM d JOIN dom ON d.domain = dom.domain
+         |WHERE dom.n_docs >= $DefaultDomainMinDocs
+         |  AND dom.mean_q_x10k >= $DefaultDomainMeanMin
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "curate_domain_filter" -> {
       val qualitySql = TextAnalysis.oracles("text_quality")
         .replace(" ORDER BY doc_id", "")

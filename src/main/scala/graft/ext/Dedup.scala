@@ -290,32 +290,43 @@ object Dedup {
     docs.select(col("doc_id"), explode(tokensNorm(col("text"))).as("tok"))
       .select(col("doc_id"), xxhash64(col("tok")).as("th"))
 
-  /** SimHash near-dup pairs: block on the 4 16-bit quarters of the
-    * signature (a pair within Hamming distance ≤ maxHamming must agree
-    * exactly on ≥1 quarter when maxHamming < 4 — pigeonhole), then
-    * verify true Hamming distance. Same LSH shape as MinHash: narrow
-    * map → small-key shuffle → in-bucket verify.
+  /** Quarter-blocked Hamming pair join over any (id, 64-bit signature)
+    * frame — the LSH core shared by [[simhashPairs]] (text) and
+    * [[Multimodal.mediaNearDupPairs]] (perceptual hashes): block on
+    * the 4 16-bit quarters of the signature (a pair within Hamming
+    * distance ≤ maxHamming must agree exactly on ≥1 quarter when
+    * maxHamming < 4 — pigeonhole), then verify true Hamming distance.
+    * Same LSH shape as MinHash: narrow map → small-key shuffle →
+    * in-bucket verify. Output columns: `<id>_a, <id>_b, hamming`.
     */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def hammingBlockedPairs(sigs: DataFrame, idCol: String, sigCol: String,
+      maxHamming: Int): DataFrame = {
     require(maxHamming < 4, "quarter-blocking is exact only for maxHamming < 4")
-    val sigs = simhash(docs)
-    val blocked = sigs.select(col("doc_id"), col("simhash"),
+    val blocked = sigs.select(col(idCol), col(sigCol),
       posexplode(array((0 until 4).map(q =>
-        col("simhash").bitwiseAND(lit(0xFFFFL << (q * 16)))): _*))
+        col(sigCol).bitwiseAND(lit(0xFFFFL << (q * 16)))): _*))
         .as(Seq("quarter", "qkey")))
     val a = blocked.select(col("quarter"), col("qkey"),
-      col("doc_id").as("doc_a"), col("simhash").as("sig_a"))
+      col(idCol).as(s"${idCol}_a"), col(sigCol).as("sig_a"))
     val b = blocked.select(col("quarter"), col("qkey"),
-      col("doc_id").as("doc_b"), col("simhash").as("sig_b"))
+      col(idCol).as(s"${idCol}_b"), col(sigCol).as("sig_b"))
     // merge hint: corpus×corpus with posexplode-garbled estimates —
     // see [[jaccardPairsBySource]]'s join note
     a.join(b.hint("merge"), Seq("quarter", "qkey"))
-      .filter(col("doc_a") < col("doc_b"))
-      .dropDuplicates("doc_a", "doc_b")
+      .filter(col(s"${idCol}_a") < col(s"${idCol}_b"))
+      .dropDuplicates(s"${idCol}_a", s"${idCol}_b")
       .withColumn("hamming", SimHash64.hamming64(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .select(col(s"${idCol}_a"), col(s"${idCol}_b"), col("hamming"))
   }
+
+  /** SimHash near-dup pairs: [[hammingBlockedPairs]] over the per-doc
+    * 64-bit signatures.
+    */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame =
+    hammingBlockedPairs(simhash(docs), "doc_id", "simhash", maxHamming)
+      .withColumnRenamed("doc_id_a", "doc_a")
+      .withColumnRenamed("doc_id_b", "doc_b")
 
   // --------------------------------------------------- exact jaccard
 

@@ -68,6 +68,58 @@ object Multimodal {
     }
   }
 
+  /** STUB perceptual hash — the dHash shape (gradient bits over a
+    * decoded luma grid) with the decode step faked, exactly like
+    * [[FakeCodec.decode]]: real dHash resamples the decoded image to a
+    * 9×8 grid and emits one bit per horizontal luma gradient; the stub
+    * derives 65 "luma" values with a BLOCK-LOCAL hash (each value
+    * depends only on its own contiguous byte range), so the defining
+    * perceptual-hash property — a localized content change flips only
+    * the adjacent gradient bits — holds by construction: editing bytes
+    * inside block j changes luma(j) only, hence at most bits j−1 and
+    * j. A real decoder swaps [[gridLuma]] for pixel resampling; the
+    * signature and every consumer stay unchanged.
+    */
+  object FakePHash {
+    val GridCells = 65
+
+    /** Block-local "luma": FNV-1a over each of the 65 contiguous byte
+      * ranges `[j·len/65, (j+1)·len/65)`. Empty ranges (payload
+      * shorter than 65 bytes) hash to the FNV offset constant.
+      */
+    def gridLuma(payload: Array[Byte]): Array[Long] = {
+      val luma = new Array[Long](GridCells)
+      val len = payload.length
+      var j = 0
+      while (j < GridCells) {
+        val from = (j.toLong * len / GridCells).toInt
+        val until = ((j + 1).toLong * len / GridCells).toInt
+        var h = 0xcbf29ce484222325L
+        var i = from
+        while (i < until) {
+          h = (h ^ (payload(i) & 0xff)) * 0x100000001b3L
+          i += 1
+        }
+        luma(j) = h
+        j += 1
+      }
+      luma
+    }
+
+    /** 64 gradient bits: bit b set iff luma(b) < luma(b+1) unsigned. */
+    def dhash64(payload: Array[Byte]): Long = {
+      val luma = gridLuma(payload)
+      var bits = 0L
+      var b = 0
+      while (b < 64) {
+        if (java.lang.Long.compareUnsigned(luma(b), luma(b + 1)) < 0)
+          bits |= 1L << b
+        b += 1
+      }
+      bits
+    }
+  }
+
   /** Multiplicative-hash stand-in metadata: `(id mod m)·p mod m` with
     * an odd constant `p` (a bijection on Z_m — hash-like variety,
     * overflow-safe, and expressible identically in ANSI SQL so the
@@ -147,6 +199,72 @@ object Multimodal {
         // fake per-frame byte range: a real demuxer seeks; we slice
         substring(base64(col("payload")), 1, 16).as("frame_token"))
 
+  final case class MediaHash(media_id: Long, phash: Long)
+
+  /** Per-asset perceptual hash through the stub codec path: typed
+    * mapPartitions like [[extractFeatures]] (whole-partition batches —
+    * where a real decoder amortizes codec-context setup). One narrow
+    * (media_id, phash) row per asset.
+    */
+  def perceptualHash(media: Dataset[MediaRow]): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec context would initialize here (once)
+      rows.map(r => MediaHash(r.media_id, FakePHash.dhash64(r.payload)))
+    }
+  }
+
+  /** Perceptual NEAR-dup pairs — the multimodal twin of
+    * [[Dedup.simhashPairs]], catching what [[mediaExactDedup]] cannot:
+    * re-encoded/resized assets whose BYTES differ but whose decoded
+    * content is near-identical. Per-asset [[FakePHash.dhash64]]
+    * through the codec path, then the shared quarter-blocked Hamming
+    * join ([[Dedup.hammingBlockedPairs]]): exact for maxHamming < 4 by
+    * pigeonhole, banded — never all-pairs, so the pair derivation is
+    * O(bucket²) on 16-bit-quarter buckets, not O(corpus²). At 100 TB
+    * the phash scan reads payloads once (codec-batch mapPartitions)
+    * and everything after is a 16-byte-row equi-join.
+    */
+  def mediaNearDupPairs(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    Dedup.hammingBlockedPairs(perceptualHash(media).toDF(),
+        "media_id", "phash", maxHamming)
+      .withColumnRenamed("media_id_a", "media_a")
+      .withColumnRenamed("media_id_b", "media_b")
+
+  /** The fixture's payloads are all-distinct bytes, so the near-dup
+    * gate synthesizes RE-ENCODED variants the way [[mm_exact_dedup]]
+    * synthesizes placeholder duplicates: every media_id ≡ 0 (mod 9)
+    * gains a twin asset (id + 1,000,000) whose payload differs by ONE
+    * byte (position and flip deterministic in media_id) — the
+    * re-encode/metadata-touch pattern a real crawl exhibits. A one-
+    * byte edit lands in one luma block, so the twin's dhash differs
+    * in ≤ 2 bits: inside the Hamming-3 radius while unrelated assets
+    * sit ~32 bits apart.
+    */
+  def withReencodedVariants(media: Dataset[MediaRow], every: Long = 9L,
+      idOffset: Long = 1000000L): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    val variants = media.filter(_.media_id % every == 0L).map { r =>
+      val p = r.payload.clone()
+      if (p.nonEmpty) {
+        val i = java.lang.Math.floorMod(r.media_id * 37L, p.length.toLong).toInt
+        p(i) = (p(i) ^ 0x5a).toByte
+      }
+      r.copy(media_id = r.media_id + idOffset, payload = p)
+    }
+    media.union(variants)
+  }
+
+  /** The near-dup gate's input: the media table plus re-encoded
+    * variants (shared by the gate query AND the `mm_phash` aux dump,
+    * so the oracle re-derives pairs from the query's own signatures).
+    */
+  def nearDupFixture(spark: SparkSession, dir: String): Dataset[MediaRow] = {
+    import spark.implicits._
+    withReencodedVariants(mediaTable(spark, dir).as[MediaRow])
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Exact media dedup by PAYLOAD BYTES — the multimodal twin of
@@ -208,7 +326,12 @@ object Multimodal {
         .select(col("media_id"), col("width").cast("long").as("width"),
           col("height").cast("long").as("height"))
         .orderBy(col("media_id"))
-    })
+    }),
+    "mm_near_dedup" -> ((s, d) =>
+      mediaNearDupPairs(nearDupFixture(s, d))
+        .select(col("media_a"), col("media_b"),
+          col("hamming").cast("int").as("hamming"))
+        .orderBy(col("media_a"), col("media_b")))
   )
 
   /** Oracles cover every metadata/plumbing query: byte lengths,
@@ -221,6 +344,22 @@ object Multimodal {
     * determinism and shape are asserted in ExtSpec.
     */
   val oracles: Map[String, String] = Map(
+    // Re-derives the near-dup pair set ALL-PAIRS from the Verify-
+    // materialized per-asset hashes (`.aux/mm_phash` — the same
+    // perceptualHash output the gate query consumes, the minhash/
+    // simhash aux split): an exhaustive bit_count(xor) join that also
+    // proves the engine's quarter-banding lost nothing (pigeonhole
+    // exactness checked, not assumed). The dhash computation itself
+    // is property-tested in ExtSpec (block-locality: a one-byte edit
+    // flips ≤ 2 bits).
+    "mm_near_dedup" ->
+      """WITH ph AS (
+        |  SELECT * FROM read_parquet('__OUTDIR__/.aux/mm_phash/*.parquet'))
+        |SELECT a.media_id AS media_a, b.media_id AS media_b,
+        |       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM ph a JOIN ph b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+        |ORDER BY media_a, media_b""".stripMargin,
     // groups by the payload BYTES themselves (DuckDB encode -> BLOB),
     // ignoring the md5 shuffle spreader entirely
     "mm_exact_dedup" ->

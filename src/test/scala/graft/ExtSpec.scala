@@ -206,6 +206,87 @@ class ExtSpec extends AnyFunSuite {
     assert(!plan.contains("payload") || plan.contains("ReadSchema"))
   }
 
+  test("perceptual dhash: block-locality — a one-byte edit flips at most 2 bits") {
+    val rnd = new scala.util.Random(7)
+    (0 until 20).foreach { _ =>
+      val payload = Array.fill(200 + rnd.nextInt(400))(rnd.nextInt(256).toByte)
+      val h0 = Multimodal.FakePHash.dhash64(payload)
+      val edited = payload.clone()
+      val pos = rnd.nextInt(edited.length)
+      edited(pos) = (edited(pos) ^ 0x5a).toByte
+      val h1 = Multimodal.FakePHash.dhash64(edited)
+      assert(java.lang.Long.bitCount(h0 ^ h1) <= 2,
+        s"edit at $pos/${payload.length} flipped >2 bits")
+    }
+    // and deterministic
+    val p = Array.fill(300)(rnd.nextInt(256).toByte)
+    assert(Multimodal.FakePHash.dhash64(p) === Multimodal.FakePHash.dhash64(p))
+  }
+
+  test("media near-dup: every re-encoded variant pairs with its original; banding = brute force") {
+    import spark.implicits._
+    val fixture = Multimodal.nearDupFixture(spark, dir)
+    val pairs = Multimodal.mediaNearDupPairs(fixture)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // each synthesized twin (id, id+1e6) must be found within Hamming 2
+    val variantIds = fixture.collect().map(_.media_id).filter(_ >= 1000000L)
+    assert(variantIds.nonEmpty)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    variantIds.foreach { v =>
+      assert(found.contains((v - 1000000L, v)), s"variant pair for ${v - 1000000L} missed")
+    }
+    pairs.filter(p => p._2 - p._1 == 1000000L).foreach(p =>
+      assert(p._3 <= 2, s"twin pair $p beyond the one-block radius"))
+    // quarter-banding is exhaustive: equals the all-pairs derivation
+    val sigs = Multimodal.perceptualHash(fixture).collect()
+    val brute = (for {
+      a <- sigs; b <- sigs if a.media_id < b.media_id
+      h = java.lang.Long.bitCount(a.phash ^ b.phash) if h <= 3
+    } yield (a.media_id, b.media_id, h)).toSet
+    assert(pairs.toSet === brute)
+  }
+
+  test("url canonicalization: every messiness variant of one page collapses to one canon") {
+    import spark.implicits._
+    import graft.ext.Curation
+    val variants = Seq(
+      "https://www.Example.com:443/p/7?utm_source=feed",
+      "HTTPS://example.com/p/7/?gclid=xyz#frag",
+      "https://EXAMPLE.com:443/p/7/",
+      "https://www.example.com/p/7?fbclid=a1&utm_campaign=x")
+      .toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("canon"))
+      .collect().map(_.getString(0)).toSet
+    assert(variants === Set("https://example.com/p/7"))
+    // mid-URL tracking param heals the separator for its successor
+    val kept = Seq("http://a.io/x?utm_source=s&id=3&utm_medium=m")
+      .toDF("url")
+      .select(Curation.canonicalizeUrl(col("url")).as("canon"))
+      .head().getString(0)
+    assert(kept === "http://a.io/x?id=3")
+    // domain extraction ignores path, port, and query
+    val dom = Seq("https://sub.site.org/deep/path?id=1").toDF("url")
+      .select(Curation.urlDomain(Curation.canonicalizeUrl(col("url"))).as("d"))
+      .head().getString(0)
+    assert(dom === "sub.site.org")
+  }
+
+  test("domain filter over canon domains: one site's URL variants aggregate as one domain") {
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, dir)
+    val rows = Curation.domainFilterCanon(docs).collect()
+    // every domain is a single canonical host: lowercase, no www, no port
+    val domains = rows.map(_.getString(1)).distinct
+    assert(domains.nonEmpty)
+    assert(domains.forall(d => d == d.toLowerCase && !d.startsWith("www.")
+      && !d.contains(":") && d.endsWith(".example.com")))
+    // same verdict structure as the raw-source filter: the canon
+    // re-keying maps source 'srcN' -> 'srcN.example.com' 1:1 on this
+    // fixture, so the kept doc set must match exactly
+    val raw = Curation.domainFilter(docs).collect()
+    assert(rows.map(_.getLong(0)).toSet === raw.map(_.getLong(0)).toSet)
+  }
+
   test("data quality: clean + quarantine partition the input; report is consistent") {
     import graft.ext.DataQuality
     val ev = Tables.events(spark, dir)
