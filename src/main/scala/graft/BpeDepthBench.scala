@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Production-depth measurement for the deep BPE trainer (builder-side
+  * measurement main, like [[ScalingLadder]] / [[StateRehearsal]]):
+  * real vocabularies need 10⁴–10⁵ merges, but the fixture's synthetic
+  * vocabulary (~60 distinct words) exhausts after a few dozen — so
+  * depth is measured on a vocabulary-rich synthetic corpus instead:
+  * `nWords` distinct seeded random words (length 6–14) under a
+  * Zipf-ish weight, spread over `nDocs` documents. The corpus-sized
+  * stage (the word-count shuffle) and the collect both run exactly as
+  * in the gated path; the number reported is the driver loop's merge
+  * throughput once the dictionary is memory-resident — the quantity
+  * that decides whether 50k merges is minutes or hours.
+  *
+  * Output: one JSON line {dict_words, target_rounds, merges_done,
+  * collect_sec, loop_sec, rounds_per_sec}.
+  *
+  * Knobs: SPARK_GRAFT_BPE_WORDS (default 50000),
+  * SPARK_GRAFT_BPE_ROUNDS (default 20000).
+  */
+object BpeDepthBench {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val nWords = sys.env.getOrElse("SPARK_GRAFT_BPE_WORDS", "50000").toInt
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BPE_ROUNDS", "20000").toInt
+
+    // nWords seeded words; word w repeats ~nWords/(w+1) times capped
+    // at 64 (Zipf-ish head) — weights matter to the argmax order, not
+    // to the loop's cost model
+    val docs = spark.range(nWords.toLong)
+      .select(col("id"),
+        concat_ws("", transform(sequence(lit(0),
+            (pmod(xxhash64(col("id")), lit(9L)) + lit(5L)).cast("int")),
+          i => element_at(
+            split(lit("abcdefghijklmnopqrstuvwxyz"), ""),
+            (pmod(xxhash64(col("id"), i), lit(26L)) + lit(1L)).cast("int"))))
+          .as("word"),
+        expr(s"least(64L, $nWords div (id + 1) + 1L)").as("reps"))
+      .select(col("id").as("doc_id"),
+        concat_ws(" ", transform(sequence(lit(1L), col("reps")),
+          _ => col("word"))).as("text"))
+
+    val t0 = System.nanoTime()
+    val merged = graft.ext.CorpusPrep.bpeTrainDeep(docs, rounds)
+    val n = merged.count() // the deep loop runs on this action
+    val totalSec = (System.nanoTime() - t0) / 1e9
+    // separate the distributed word-count+collect cost from the loop:
+    // re-run just the dictionary pull
+    val t1 = System.nanoTime()
+    val dictRows = graft.ext.CorpusPrep.bpeDictCollect(docs).length
+    val collectSec = (System.nanoTime() - t1) / 1e9
+    val loopSec = math.max(totalSec - collectSec, 0.001)
+    println(f"""{"dict_words":${dictRows},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
+    spark.stop()
+  }
+}

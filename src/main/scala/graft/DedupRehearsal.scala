@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** State rehearsal for the COMPOSED streaming incremental-dedup
+  * pipeline (builder-side measurement main — the [[StateRehearsal]]
+  * protocol applied to the one streaming gate whose state is NOT a
+  * state store: `stream_dedup_incremental`'s state is the append-only
+  * parquet fingerprint index each batch anti-joins against through
+  * the bloom path). The gate replays 500 docs over 3 batches; this
+  * main replays 10×-and-beyond volume (default 10 batches × 200k
+  * docs, ~10% cross-batch duplicates) through the EXACT gated
+  * dataflow ([[graft.streaming.StreamingQueries.runDedupStream]] —
+  * same foreachBatch, same bloom anti-join, same idempotent
+  * landings) and measures what the gate cannot: per-batch wall time
+  * as the fingerprint index ramps 0 → 2M rows.
+  *
+  * The claim under test: per-batch cost = (fixed micro-batch
+  * machinery) + (batch-proportional fingerprint+anti-join work) +
+  * (history-proportional BLOOM BUILD over a single narrow fp
+  * column). The third term is the one that grows — the rehearsal
+  * records its slope so the 100 TB story ("state is an append-only
+  * fp index, read as the anti-join build, never rewritten") carries
+  * a measured number, not a shape argument.
+  *
+  * One JSON line per batch: batch wall ms + cumulative history rows.
+  * Knobs: SPARK_GRAFT_DEDUP_ROWS_PER_BATCH (default 200000),
+  * SPARK_GRAFT_DEDUP_BATCHES (default 10).
+  */
+object DedupRehearsal {
+
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = GraftSession.configure(
+      SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS_PER_BATCH", "200000").toLong
+    val nBatches = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCHES", "10").toInt
+    // schema dir only (doc_id/source/text) — data is synthetic
+    val schemaDir = "/root/testdata/sf0.01"
+
+    val base = RunScratch.dir("dedup_rehearsal", s"$n-$nBatches")
+    val hPath = new org.apache.hadoop.fs.Path(base)
+    hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
+
+    // ~20-word docs; in batch b > 0, every 10th doc verbatim-repeats
+    // the same-position doc of batch b−1 (a true cross-batch dup the
+    // anti join must drop); everything else is unique
+    def textOf(id: org.apache.spark.sql.Column) =
+      concat_ws(" ", transform(sequence(lit(1), lit(20)),
+        i => concat(lit("w"), pmod(xxhash64(id, i), lit(5000L)))))
+    (0 until nBatches).foreach { b =>
+      val src = spark.range(b * n, (b + 1) * n)
+        .select(col("id").as("doc_id"), lit(s"src$b").as("source"),
+          when(lit(b) > 0 && pmod(col("id"), lit(10L)) === 0L,
+            textOf(col("id") - n)).otherwise(textOf(col("id"))).as("text"))
+      val p = s"$base/src/batch_$b"
+      src.coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => require(f.setLastModified(1000000000000L + b * 60000L)))
+    }
+
+    // per-batch wall time from the afterWrites hook (fires after both
+    // idempotent landings — the full batch cost, machinery included)
+    val t0 = System.nanoTime()
+    var last = t0
+    val marks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    graft.streaming.StreamingQueries.runDedupStream(spark, schemaDir, base,
+      afterWrites = { id =>
+        val now = System.nanoTime()
+        marks += ((id, (now - last) / 1000000L))
+        last = now
+      })
+    marks.foreach { case (id, ms) =>
+      println(s"""{"arm":"fpindex_dedup","batch":$id,"rows":$n,"batch_ms":$ms,"hist_fp_rows":${id * n}}""")
+    }
+    spark.stop()
+  }
+}

@@ -55,7 +55,7 @@ object FuzzGen {
     pmod(col(c) + lit(r), lit(n))
 
   def fuzzAll(spark: SparkSession, srcDir: String, outDir: String,
-      seed: Long): Unit = {
+      seed: Long, skew: Boolean = false): Unit = {
     def rd(t: String) = spark.read.parquet(s"$srcDir/$t.parquet")
     def wr(df0: DataFrame, t: String): Unit = {
       // tz-naive TIMESTAMP(MICROS) at rest, like the driver fixture:
@@ -144,7 +144,35 @@ object FuzzGen {
         // orders.o_custkey.
         .withColumn("user_id", rot("user_id", rCust, nCust))
     }
-    wr(ev.select(rd("events").columns.map(col).toIndexedSeq: _*), "events")
+    // SKEW arm (VERDICT r7 item 6): one HOT USER absorbs ~30% of
+    // events — the hot-key shape the enrich/co-activity operators
+    // document for AQE skew-join but no uniform fixture triggers.
+    // Only events whose (event_type, ts) is GLOBALLY UNIQUE are
+    // remapped: a remapped row can then never collide with ANY other
+    // row on (user_id, event_type, ts) — including the hot user's own
+    // pre-existing rows — so the stream_join_attrib fixture-PK
+    // assertion and the oracle's join cardinality are preserved by
+    // construction, not by luck. Values and row order stay intact.
+    // Row order constraint: the remap must stay a NARROW map over the
+    // source read (a shuffle before the coalesce(1) write would
+    // scramble the pinned arrival order) — so the non-unique
+    // (event_type, ts) keys are derived aside and BROADCAST back
+    // (exact-duplicate µs timestamps are a handful of rows by
+    // nature), leaving the probe side order-preserving.
+    val evSkewed = if (!skew) ev else {
+      val hotUser = java.lang.Math.floorMod(seed * 31L + 7L, nCust)
+      val dupKeys = ev.groupBy(col("event_type"), col("ts"))
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1L)
+        .select(col("event_type"), col("ts"), lit(1).as("__dup"))
+      ev.join(broadcast(dupKeys), Seq("event_type", "ts"), "left")
+        .withColumn("user_id",
+          when(col("__dup").isNull &&
+              pmod(xxhash64(col("event_id"), lit(seed + 13L)), lit(10L)) < 3L,
+            lit(hotUser))
+            .otherwise(col("user_id")))
+        .drop("__dup")
+    }
+    wr(evSkewed.select(rd("events").columns.map(col).toIndexedSeq: _*), "events")
     // documents: rotate ids, salt a seed-hash-selected ~10% with one
     // appended token, keep n_chars = length(text) invariant
     val salted = when(
@@ -152,9 +180,25 @@ object FuzzGen {
       concat(col("text"), lit(" fz"),
         pmod(xxhash64(col("doc_id"), lit(seed + 1)), lit(100L))))
       .otherwise(col("text"))
+    // SKEW arm: one HOT DOMAIN absorbs ~30% of documents (the
+    // one-site-dominates-the-crawl shape): seed-hash-selected docs
+    // move to the lexically-smallest existing source label. This
+    // drives the dominant-block path of the triangle-sub-blocked
+    // jaccard join, the domain filter's hot join-back, and the
+    // curation family's per-source aggregates.
+    val sourced =
+      if (!skew) col("source")
+      else {
+        val hotSource =
+          rd("documents").agg(min(col("source"))).head().getString(0)
+        when(
+          pmod(xxhash64(col("doc_id"), lit(seed + 17L)), lit(10L)) < 3L,
+          lit(hotSource)).otherwise(col("source"))
+      }
     wr(rd("documents")
       .withColumn("doc_id", rot("doc_id", rDoc, nDoc))
       .withColumn("text", salted)
+      .withColumn("source", sourced)
       .withColumn("n_chars", length(col("text")).cast("long"))
       .orderBy(col("doc_id")), "documents")
     // embeddings: vec_id shares the doc key space and rotation, so
@@ -168,11 +212,12 @@ object FuzzGen {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.01")
     val outDir = args.lift(1).getOrElse("target/fuzz/sf0.01")
     val seed = args.lift(2).map(_.toLong).getOrElse(1337L)
+    val skew = args.lift(3).contains("skew")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    fuzzAll(spark, srcDir, outDir, seed)
+    fuzzAll(spark, srcDir, outDir, seed, skew)
     spark.stop()
   }
 }

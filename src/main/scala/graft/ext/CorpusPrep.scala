@@ -477,15 +477,24 @@ object CorpusPrep {
     * Stops early when no pairs remain (every word fully merged) —
     * the returned table then has fewer than `rounds` rows.
     */
+  /** The deep trainer's capped dictionary pull — ONE distributed
+    * word-count + a ≤ dictCap-row collect (shared with
+    * [[graft.BpeDepthBench]] so the measured collect cost is the
+    * gated path's own). */
+  def bpeDictCollect(docs: DataFrame,
+      dictCap: Int = BpeDictCap): Array[(String, Long)] =
+    bpeWordDict(docs)
+      .orderBy(col("wc").desc, col("word")).limit(dictCap)
+      .select(col("word"), col("wc")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
   def bpeTrainDeep(docs: DataFrame, rounds: Int,
       dictCap: Int = BpeDictCap): DataFrame = {
     val spark = docs.sparkSession
-    val dictRows = bpeWordDict(docs)
-      .orderBy(col("wc").desc, col("word")).limit(dictCap)
-      .select(col("word"), col("wc")).collect()
+    val dictRows = bpeDictCollect(docs, dictCap)
     val words: Array[Array[String]] =
-      dictRows.map(_.getString(0).split("").filter(_.nonEmpty))
-    val wcs: Array[Long] = dictRows.map(_.getLong(1))
+      dictRows.map(_._1.split("").filter(_.nonEmpty))
+    val wcs: Array[Long] = dictRows.map(_._2)
 
     import scala.collection.mutable
     val counts = mutable.HashMap.empty[(String, String), Long]

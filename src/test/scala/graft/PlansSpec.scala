@@ -260,6 +260,8 @@ class PlansSpec extends AnyFunSuite {
         "cosineNearDupPairs" -> graft.ext.Similarity.cosineNearDupPairs(emb, 0.4),
         "coActivityEdges" -> graft.ext.GraphOps.coActivityEdges(spark, dir),
         "minhashPairs" -> graft.ext.Dedup.minhashPairs(docs),
+        "mediaNearDupPairs" -> graft.ext.Multimodal.mediaNearDupPairs(
+          graft.ext.Multimodal.nearDupFixture(spark, dir)),
         "topTerms" -> graft.ext.TextAnalysis.topTerms(docs),
         "rangeJoin" -> graft.queries.ExtraQueries.queries("range_join_spikes")(spark, dir))
       for ((name, df) <- cases) {
