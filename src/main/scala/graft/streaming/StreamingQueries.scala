@@ -606,8 +606,8 @@ object StreamingQueries {
     * StreamingSpec "crash-replay"). Returns the scratch base dir.
     */
   def prepareDedupStream(spark: SparkSession, dir: String,
-      nBatches: Int = 3): String = {
-    val base = graft.RunScratch.dir("stream_dedup", dir)
+      nBatches: Int = 3, scratch: String = "stream_dedup"): String = {
+    val base = graft.RunScratch.dir(scratch, dir)
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
     val docs = graft.sources.Tables.documents(spark, dir)
@@ -682,6 +682,109 @@ object StreamingQueries {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Streaming incremental NEAR-dup — the continuous-ingest form of
+    * [[graft.ext.Dedup.minhashPairsAgainst]], and the banded twin of
+    * [[streamDedupIncremental]] (which drops only EXACT bag-of-words
+    * duplicates): per micro-batch, the batch's minhash band keys
+    * equi-join the accumulated band-key index (merge-hinted — the
+    * index is corpus-derived state, never broadcast on an estimate),
+    * candidates verify by exact shingle Jaccard against the
+    * accumulated shingle index, and batch docs within `threshold` of
+    * ANY earlier doc are dropped. Survivors AND the batch's own
+    * bands/shingles land per-batch idempotently (three sinks, each
+    * healed on crash-replay by the `batch_id < id` read guard, the
+    * [[runDedupStream]] discipline).
+    *
+    * State semantics: the index holds EVERY earlier doc's keys —
+    * dropped docs included — so "near-dup of something already seen"
+    * is decided against the full ingest history, exactly like the
+    * batch operator's asymmetric new×history join (no dependence on
+    * which family member happened to survive). Band keys and shingles
+    * are pure per-document functions, which is what makes the state
+    * append-only AND the DuckDB oracle able to re-derive the whole
+    * first-batch-wins closure from the full-corpus aux features. At
+    * 100 TB both indexes are bucketed on their join keys
+    * ((band, band_key) / doc_id) and each ingest reads them as the
+    * probe build — written once, never rewritten.
+    */
+  def streamNearDupIncremental(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val base = prepareDedupStream(spark, dir, nBatches,
+      scratch = "stream_neardup")
+    runNearDupStream(spark, dir, base)
+    dedupStreamOutput(spark, base)
+  }
+
+  /** Start (or restart against the same checkpoint) the near-dup
+    * stream and drain every available batch — the [[runDedupStream]]
+    * seam split, so crash-replay specs can kill and resume it.
+    */
+  def runNearDupStream(spark: SparkSession, dir: String, base: String,
+      afterWrites: Long => Unit = _ => ()): Unit = {
+    import graft.ext.{Dedup, Layout}
+    import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
+      StructField, StructType}
+    val (srcDir, outDir) = (s"$base/src", s"$base/out")
+    val (bandsDir, shDir) = (s"$base/bands", s"$base/shingles")
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val bandSchema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("band", IntegerType),
+      StructField("band_key", LongType), StructField("batch_id", LongType)))
+    val shSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("sh", ArrayType(LongType)),
+      StructField("batch_id", LongType)))
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(srcDir)
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val s = batch.sparkSession
+        val cached = batch.persist()
+        try {
+          val bBands = Dedup.minhashBandKeys(cached.toDF())
+          val bSh = Dedup.minhashShingles(cached.toDF())
+          // STRICTLY EARLIER batches only — batch N's own partitions
+          // may be (partially) visible on crash-replay of N
+          val hBands = Layout.readBack(s, bandsDir, bandSchema)
+            .filter(col("batch_id") < id)
+          val hSh = Layout.readBack(s, shDir, shSchema)
+            .filter(col("batch_id") < id)
+          val cand = bBands
+            .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
+            .join(hBands.select(col("band"), col("band_key"),
+              col("doc_id").as("doc_hist")).hint("merge"),
+              Seq("band", "band_key"))
+            .select(col("doc_new"), col("doc_hist"))
+            .dropDuplicates("doc_new", "doc_hist")
+          val dropped = cand
+            .join(bSh.select(col("doc_id").as("doc_new"),
+              col("sh").as("sh_n")).hint("merge"), "doc_new")
+            .join(hSh.select(col("doc_id").as("doc_hist"),
+              col("sh").as("sh_h")).hint("merge"), "doc_hist")
+            .filter(
+              size(array_intersect(col("sh_n"), col("sh_h"))).cast("double") /
+                size(array_union(col("sh_n"), col("sh_h"))).cast("double")
+                >= Dedup.DefaultMinhashThreshold)
+            .select(col("doc_new").as("doc_id")).distinct()
+          val survivors = cached.toDF().select(col("doc_id"), col("source"))
+            .join(dropped, Seq("doc_id"), "left_anti")
+          writeBatchIdempotent(survivors, id, outDir)
+          writeBatchIdempotent(
+            bBands.select(col("doc_id"), col("band"), col("band_key")),
+            id, bandsDir)
+          writeBatchIdempotent(bSh.select(col("doc_id"), col("sh")), id, shDir)
+          afterWrites(id)
+        } finally { cached.unpersist(); () }
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** The landed survivor set under `base`, in gate output shape. */
   def dedupStreamOutput(spark: SparkSession, base: String): DataFrame =
     graft.ext.Layout.readBack(spark, s"$base/out",
@@ -701,6 +804,7 @@ object StreamingQueries {
     */
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_dedup_incremental" -> ((s, d) => streamDedupIncremental(s, d)),
+    "stream_neardup_incremental" -> ((s, d) => streamNearDupIncremental(s, d)),
     "stream_fanout_rollup" -> (fanoutRollup _),
     "stream_q1_daily_uv" -> ((s, d) =>
       replay(s, d, q1DailyUv, Seq("date_str")).orderBy(col("date_str"))),
@@ -741,6 +845,32 @@ object StreamingQueries {
         |WHERE NOT EXISTS (SELECT 1 FROM f h
         |                  WHERE h.fp = b.fp
         |                    AND h.doc_id % 3 < b.doc_id % 3)
+        |ORDER BY doc_id""".stripMargin,
+    // the NEAR-dup twin: band keys and shingles are pure per-document
+    // functions, so the full-corpus aux features re-derive the whole
+    // first-batch-wins closure — candidates from the asymmetric
+    // earlier-mod-class band join, dropped = candidates verified at
+    // the gate threshold, survivors = everything else (docs with no
+    // shingles never enter a candidate and always survive, exactly
+    // like the engine's size(sh) > 0 filter)
+    "stream_neardup_incremental" ->
+      s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+        |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_hist
+        |  FROM bk a JOIN bk b
+        |    ON a.band = b.band AND a.band_key = b.band_key
+        |   AND b.doc_id % 3 < a.doc_id % 3),
+        |dropped AS (
+        |  SELECT DISTINCT c.doc_new AS doc_id
+        |  FROM cand c
+        |  JOIN sh sa ON sa.doc_id = c.doc_new
+        |  JOIN sh sb ON sb.doc_id = c.doc_hist
+        |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+        |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+        |        >= ${graft.ext.Dedup.DefaultMinhashThreshold})
+        |SELECT d.doc_id, d.source FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
         |ORDER BY doc_id""".stripMargin,
     "stream_fanout_rollup" ->
       """SELECT event_type, count(*) AS n_events,

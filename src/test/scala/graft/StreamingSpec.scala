@@ -631,6 +631,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(run() === a)
   }
 
+  test("streaming near-dup equals the batch asymmetric-closure twin, and bites") {
+    import graft.ext.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val got = StreamingQueries.streamNearDupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // batch twin: per mod-3 class, a doc near-dup (banded candidates +
+    // exact Jaccard verify) of ANY earlier-class doc drops
+    val byBatch = (0 until 3).map(b =>
+      docs.filter(pmod(col("doc_id"), lit(3)) === b))
+    val dropped = (1 until 3).flatMap { b =>
+      val hist = byBatch.take(b).reduce(_ unionByName _)
+      Dedup.minhashPairsAgainst(byBatch(b), hist)
+        .select("doc_new").distinct().collect().map(_.getLong(0))
+    }.toSet
+    assert(dropped.nonEmpty, "fixture must exercise the near-dup drop path")
+    val expected = docs.select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .filter(p => !dropped(p._1)).sortBy(_._1).toSeq
+    assert(got === expected)
+  }
+
+  test("streaming near-dup crash-replay converges; guard holds on all three indexes") {
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = canon(StreamingQueries.streamNearDupIncremental(spark, dir))
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_neardup")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runNearDupStream(spark, dir, base, afterWrites = id =>
+        if (id == 1) {
+          crashed.set(true)
+          throw new RuntimeException("graft-test: injected crash after state write")
+        })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    // replay precondition: batch 1's own band AND shingle partitions
+    // are on disk before its epoch ever committed
+    assert(new java.io.File(s"$base/bands/batch_id=1").exists())
+    assert(new java.io.File(s"$base/shingles/batch_id=1").exists())
+    StreamingQueries.runNearDupStream(spark, dir, base)
+    assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+  }
+
   test("crash-replay after state write converges to the uninterrupted result") {
     import graft.streaming.StreamingQueries
     val dir = "/root/testdata/sf0.001"
