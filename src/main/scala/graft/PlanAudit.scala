@@ -40,6 +40,8 @@ object PlanAudit {
     "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)
     "sim_ivf_recall",    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
     "bpe_encode_ids",    // broadcast(wordIds): ≤ BpeVocabCap rows BY CONTRACT (capped trained vocabulary), explicit (reviewed round 8)
+    "bpe_encode_ids_deep", // same broadcast(wordIds) through the deep trainer's dict (reviewed round 8)
+    "text_classifier_score", // broadcast(weights): ≤ 4096 rows BY the 3-hex-char bucket space, explicit (reviewed round 8)
     "pack_encoded_ids")  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is

@@ -492,6 +492,33 @@ object CorpusPrep {
       dictCap: Int = BpeDictCap): DataFrame = {
     val spark = docs.sparkSession
     val dictRows = bpeDictCollect(docs, dictCap)
+    val (merges, _) = bpeDeepLoop(dictRows, rounds)
+    import spark.implicits._
+    merges.toDF("round", "p", "q", "cnt").orderBy(col("round"))
+  }
+
+  /** The deep trainer's FINAL symbol dictionary (word, wc, merged
+    * syms) — the encode-side trained state, equal to the distributed
+    * loop's final dict at the same depth (CorpusPrepSpec pins it):
+    * what [[bpeEncodeIdsDeep]] feeds the encoder so deep-train →
+    * encode → pack composes without a distributed merge loop.
+    */
+  def bpeTrainDeepDict(docs: DataFrame, rounds: Int,
+      dictCap: Int = BpeDictCap): DataFrame = {
+    val spark = docs.sparkSession
+    val dictRows = bpeDictCollect(docs, dictCap)
+    val (_, words) = bpeDeepLoop(dictRows, rounds)
+    import spark.implicits._
+    dictRows.zip(words).toIndexedSeq
+      .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
+      .toDF("word", "wc", "syms")
+  }
+
+  /** The driver-side merge loop shared by [[bpeTrainDeep]] (wants the
+    * merge table) and [[bpeTrainDeepDict]] (wants the final words
+    * state). */
+  private def bpeDeepLoop(dictRows: Array[(String, Long)], rounds: Int)
+      : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
     val words: Array[Array[String]] =
       dictRows.map(_._1.split("").filter(_.nonEmpty))
     val wcs: Array[Long] = dictRows.map(_._2)
@@ -564,9 +591,7 @@ object CorpusPrep {
           r += 1
       }
     }
-    import spark.implicits._
-    merges.toSeq.toDF("round", "p", "q", "cnt")
-      .orderBy(col("round"))
+    (merges.toSeq, words)
   }
 
   /** Encode-side vocabulary cap: top-[[BpeVocabCap]] words by corpus
@@ -604,9 +629,26 @@ object CorpusPrep {
     * outer-explode path, never dropping rows.
     */
   def bpeEncodeIds(docs: DataFrame, rounds: Int = BpeMergeRoundsN,
-      cap: Int = BpeVocabCap): DataFrame = {
+      cap: Int = BpeVocabCap): DataFrame =
+    bpeEncodeIdsFrom(docs, bpeFinalDict(docs, rounds), cap)
+
+  /** [[bpeEncodeIds]] with the TRAINED STATE coming from the deep
+    * trainer's collected-dict loop instead of the distributed
+    * per-round loop — the composition a production vocabulary
+    * actually uses (10⁴⁺ merges are only reachable deep). Encoding is
+    * identical at equal depth (the dicts are equal — spec-pinned);
+    * the gate shares bpe_encode_ids' oracle, so the equality is
+    * hash-checked end-to-end, not just asserted.
+    */
+  def bpeEncodeIdsDeep(docs: DataFrame, rounds: Int = BpeMergeRoundsN,
+      cap: Int = BpeVocabCap): DataFrame =
+    bpeEncodeIdsFrom(docs, bpeTrainDeepDict(docs, rounds), cap)
+
+  /** The encode core over any (word, wc, syms) trained dictionary. */
+  private def bpeEncodeIdsFrom(docs: DataFrame, finalDict: DataFrame,
+      cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val vocabWords = bpeFinalDict(docs, rounds)
+    val vocabWords = finalDict
       .orderBy(col("wc").desc, col("word")).limit(cap)
       .select(col("word"), col("syms"))
     // symbol ids: lexical rank over the capped vocab's distinct
@@ -661,6 +703,15 @@ object CorpusPrep {
     // discipline (text_span_removal's kept_md5)
     "bpe_encode_ids" -> ((s, d) =>
       bpeEncodeIds(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))),
+    // the same digest through the DEEP trainer's dict: deep-train →
+    // encode composed, hash-checked against the identical oracle
+    "bpe_encode_ids_deep" -> ((s, d) =>
+      bpeEncodeIdsDeep(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           size(col("ids")).cast("long").as("n_ids"),
           md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
@@ -837,6 +888,7 @@ object CorpusPrep {
     "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
+    "bpe_encode_ids_deep" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),

@@ -232,6 +232,23 @@ object Multimodal {
       .withColumnRenamed("media_id_a", "media_a")
       .withColumnRenamed("media_id_b", "media_b")
 
+  /** Canonical asset selection over the perceptual near-dup graph —
+    * the multimodal twin of entity canonicalization
+    * ([[graft.queries.ExtraQueries]]'s ER gate): near-dup pairs
+    * cluster via the gated [[Dedup.connectedComponents]] (transitive:
+    * A≈B≈C is one family even when A and C sit beyond the radius),
+    * and every family member maps to its min-id canonical — the
+    * dedup verdict a training pipeline applies to re-encoded asset
+    * families. Inherits the components machinery's scale shape
+    * (16-byte edges, adaptive pointer-jumping).
+    */
+  def mediaCanonicalAssets(media: Dataset[MediaRow],
+      maxHamming: Int = 3): DataFrame =
+    Dedup.connectedComponents(
+        mediaNearDupPairs(media, maxHamming), "media_a", "media_b")
+      .select(col("node").as("media_id"), col("component").as("canonical_id"))
+      .orderBy(col("media_id"))
+
   /** The fixture's payloads are all-distinct bytes, so the near-dup
     * gate synthesizes RE-ENCODED variants the way [[mm_exact_dedup]]
     * synthesizes placeholder duplicates: every media_id ≡ 0 (mod 9)
@@ -331,7 +348,9 @@ object Multimodal {
       mediaNearDupPairs(nearDupFixture(s, d))
         .select(col("media_a"), col("media_b"),
           col("hamming").cast("int").as("hamming"))
-        .orderBy(col("media_a"), col("media_b")))
+        .orderBy(col("media_a"), col("media_b"))),
+    "mm_canonical_assets" -> ((s, d) =>
+      mediaCanonicalAssets(nearDupFixture(s, d)))
   )
 
   /** Oracles cover every metadata/plumbing query: byte lengths,
@@ -373,6 +392,23 @@ object Multimodal {
         |       count(*) AS dup_count,
         |       CAST(octet_length(payload) AS BIGINT) AS n_bytes
         |FROM m GROUP BY payload ORDER BY keep_media_id""".stripMargin,
+    // the same aux hashes closed transitively: recursive min-label
+    // closure over the all-pairs edge set (the dedup_components
+    // oracle discipline)
+    "mm_canonical_assets" ->
+      """WITH RECURSIVE ph AS (
+        |  SELECT * FROM read_parquet('__OUTDIR__/.aux/mm_phash/*.parquet')),
+        |pairs AS (
+        |  SELECT a.media_id AS u, b.media_id AS v
+        |  FROM ph a JOIN ph b ON a.media_id < b.media_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a)
+        |SELECT a AS media_id, least(a, min(b)) AS canonical_id
+        |FROM reach GROUP BY a ORDER BY media_id""".stripMargin,
     "mm_media_meta" ->
       """SELECT doc_id AS media_id,
         |       CASE doc_id % 3 WHEN 0 THEN 'image/png'

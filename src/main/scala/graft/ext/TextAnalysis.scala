@@ -339,7 +339,65 @@ object TextAnalysis {
         sum(col("xent_x1e9")).as("xent_sum_x1e9"))
       .withColumn("xent_mean_x1e9", expr("xent_sum_x1e9 div n_bigrams"))
 
+  /** (doc_id, b): the classifier's hashed feature stream — unigrams
+    * plus adjacent bigrams, each hashed to one of 4096 md5-prefix
+    * STRING buckets (the [[Sampling.dsirLogRatio]] bucket idiom: a
+    * key both engines derive identically). Bigrams ride the pinned
+    * [[docBigrams]] lineage; the feature space is the fastText
+    * word+bigram recipe. */
+  def classifierFeatures(docs: DataFrame): DataFrame = {
+    val uni = docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("feat"))
+    val bi = docBigrams(docs).select(col("doc_id"),
+      concat(col("w1"), lit(" "), col("w2")).as("feat"))
+    uni.unionByName(bi)
+      .select(col("doc_id"), substring(md5(col("feat")), 1, 3).as("b"))
+  }
+
+  /** Linear quality-classifier APPLICATION — the fastText-shaped
+    * scoring stage a DCLM/FineWeb-style pipeline runs over every
+    * document: hashed word+bigram features ([[classifierFeatures]]),
+    * a ≤ 4096-row weight vector joined broadcast (bounded BY the
+    * 3-hex-char bucket space — the classifier-application shape: the
+    * model is tiny, the corpus is not), and an exact INTEGER logit
+    * (milli-units) with a threshold verdict — no float accumulation
+    * to drift across engines.
+    *
+    * The WEIGHTS are a deterministic STUB (a bijective scramble of
+    * the bucket index into [−1000, 1000] milli-units) standing in for
+    * a trained table — swapping in real trained weights changes one
+    * frame, exactly like [[Multimodal.FakeCodec]]'s decode seam. The
+    * plumbing — feature hashing, broadcast model join, integer
+    * accumulation, verdict — is the production dataflow. Scale: token
+    * explode → broadcast join → doc-keyed sum; the token-counting
+    * class, no corpus shuffle.
+    */
+  def classifierScore(docs: DataFrame, thresholdMilli: Long = 0L): DataFrame = {
+    val feats = classifierFeatures(docs)
+    val weights = feats.select(col("b")).distinct()
+      .withColumn("v",
+        (expr("instr('0123456789abcdef', substring(b, 1, 1))") - 1) * 256 +
+          (expr("instr('0123456789abcdef', substring(b, 2, 1))") - 1) * 16 +
+          (expr("instr('0123456789abcdef', substring(b, 3, 1))") - 1))
+      .withColumn("w_milli",
+        pmod(col("v").cast("long") * lit(2654435761L), lit(2001L)) - 1000L)
+      .select(col("b"), col("w_milli"))
+    val scored = feats.join(broadcast(weights), "b")
+      .groupBy(col("doc_id"))
+      .agg(sum(col("w_milli")).as("logit_milli"),
+        count(lit(1)).as("n_feats"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("logit_milli"), lit(0L)).as("logit_milli"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+      .withColumn("quality_pass",
+        (col("logit_milli") >= thresholdMilli).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_classifier_score" -> ((s, d) =>
+      classifierScore(Tables.documents(s, d))),
     "text_lm_score" -> ((s, d) =>
       lmScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_stats_by_lang" -> ((s, d) =>
@@ -390,6 +448,37 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // same feature hashing (md5-prefix buckets), same positional
+    // hex→index weight scramble (strpos ≡ Spark's instr, 1-based),
+    // exact integer logits end-to-end
+    "text_classifier_score" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(w) AS feat FROM tk),
+        |bi AS (SELECT doc_id,
+        |         w[CAST(t.i AS INTEGER)] || ' ' ||
+        |         w[CAST(t.i AS INTEGER) + 1] AS feat
+        |       FROM tk, unnest(range(1, len(w))) t(i)),
+        |f AS (SELECT doc_id, substr(md5(feat), 1, 3) AS b
+        |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |wt AS (SELECT b,
+        |         ((strpos('0123456789abcdef', substr(b, 1, 1)) - 1) * 256 +
+        |          (strpos('0123456789abcdef', substr(b, 2, 1)) - 1) * 16 +
+        |          (strpos('0123456789abcdef', substr(b, 3, 1)) - 1))
+        |         * 2654435761 % 2001 - 1000 AS w_milli
+        |       FROM (SELECT DISTINCT b FROM f)),
+        |sc AS (SELECT f.doc_id,
+        |         CAST(sum(w_milli) AS BIGINT) AS logit_milli,
+        |         count(*) AS n_feats
+        |       FROM f JOIN wt USING (b) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sc.logit_milli, 0) AS BIGINT) AS logit_milli,
+        |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |       CAST(CASE WHEN coalesce(sc.logit_milli, 0) >= 0
+        |            THEN 1 ELSE 0 END AS INT) AS quality_pass
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // the integer-snapped cross-entropy table is the aux (ln runs
     // once, engine-side); the oracle re-derives each doc's bigrams
     // and sums exact integers against it

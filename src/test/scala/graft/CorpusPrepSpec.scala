@@ -212,6 +212,28 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(deep.toSeq === dist.toSeq)
   }
 
+  test("deep final dict equals the distributed loop's encode-side state; deep encode ids match") {
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    // per-word merged symbol sequences agree at the oracle depth...
+    val deepDict = CorpusPrep.bpeTrainDeepDict(docs, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getSeq[String](2).toList)).toMap
+    val distStats = CorpusPrep.bpeEncodeStats(docs, rounds = 3)
+      .collect().map(r => (r.getString(0), r.getLong(3))).toMap
+    assert(deepDict.keySet === distStats.keySet)
+    deepDict.foreach { case (w, syms) =>
+      assert(syms.length.toLong === distStats(w), s"word $w: $syms")
+      assert(syms.mkString("") === w)
+    }
+    // ...and the composed deep encode emits identical id arrays
+    val a = CorpusPrep.bpeEncodeIds(docs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val b = CorpusPrep.bpeEncodeIdsDeep(docs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(a === b)
+  }
+
   test("deep BPE trainer: dictionary cap binds on (wc desc, word)") {
     // cap 1 keeps only the most frequent word; merges never see "zz"
     val docs = docsOf(1L -> "abab abab zz")

@@ -246,6 +246,44 @@ class ExtSpec extends AnyFunSuite {
     assert(pairs.toSet === brute)
   }
 
+  test("classifier score: exact integer logits, verdict bites both ways, empty doc scores 0") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon"), (3L, ""))
+      .toDF("doc_id", "text")
+    val rows = TextAnalysis.classifierScore(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // hand-derivable: features = unigrams + bigrams, w(b) from the
+    // hex-positional scramble — recompute locally and compare
+    def bucket(f: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(f.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      d.substring(0, 3)
+    }
+    def w(b: String): Long = {
+      val hex = "0123456789abcdef"
+      val v = (hex.indexOf(b(0)) * 256 + hex.indexOf(b(1)) * 16 +
+        hex.indexOf(b(2))).toLong
+      java.lang.Math.floorMod(v * 2654435761L, 2001L) - 1000L
+    }
+    def score(toks: Seq[String]): (Long, Long) = {
+      val feats = toks ++ toks.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      (feats.map(f => w(bucket(f))).sum, feats.size.toLong)
+    }
+    val (l1, n1) = score(Seq("alpha", "beta", "gamma"))
+    val (l2, n2) = score(Seq("delta", "epsilon"))
+    assert(rows(1L) === ((l1, n1, if (l1 >= 0) 1 else 0)))
+    assert(rows(2L) === ((l2, n2, if (l2 >= 0) 1 else 0)))
+    // empty text tokenizes to [""] in both engines (the shared
+    // tokens() semantic): one unigram feature, no bigrams
+    val (l3, n3) = score(Seq(""))
+    assert(rows(3L) === ((l3, n3, if (l3 >= 0) 1 else 0)))
+    // the stub weights must produce BOTH verdicts on the fixture
+    val fx = TextAnalysis.classifierScore(Tables.documents(spark, dir))
+      .select("quality_pass").distinct().collect().map(_.getInt(0)).toSet
+    assert(fx === Set(0, 1), "threshold must bite both ways on the fixture")
+  }
+
   test("url canonicalization: every messiness variant of one page collapses to one canon") {
     import spark.implicits._
     import graft.ext.Curation
