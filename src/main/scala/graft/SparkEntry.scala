@@ -61,6 +61,9 @@ object SparkEntry {
         Sampling.dsirLogRatio(Tables.documents(s, d), col("lang") === "en")),
       "lm_bigram_xent" -> ((s, d) =>
         TextAnalysis.lmBigramXent(Tables.documents(s, d))),
+      "clf_weights" -> ((s, d) =>
+        TextAnalysis.classifierTrain(Tables.documents(s, d),
+          col("lang") === "en")),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),

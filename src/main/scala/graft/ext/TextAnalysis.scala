@@ -395,9 +395,66 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Classifier TRAINING — the Naive-Bayes log-odds table over the
+    * same hashed feature space [[classifierScore]] applies: per
+    * bucket, Laplace-smoothed `ln P(b|target) − ln P(b|rest)`,
+    * snapped to integer nano-units (the [[Sampling.dsirLogRatio]]
+    * discipline: `ln` — the one non-correctly-rounded op — runs
+    * exactly ONCE, Spark-side; every downstream comparison is exact
+    * integer arithmetic, and the oracle consumes this table as aux
+    * state rather than re-deriving `ln` cross-engine). The fastText
+    * supervised recipe's counts-based sibling: same features, same
+    * tiny-model-broadcast application, trainable in one aggregation
+    * pass over the corpus — no gradient loop, no float accumulation.
+    */
+  def classifierTrain(docs: DataFrame, isTarget: Column): DataFrame = {
+    val nBuckets = 4096
+    val feats = classifierFeatures(docs)
+      .join(docs.select(col("doc_id"), isTarget.as("is_t")), "doc_id")
+    val counts = feats.groupBy(col("b")).agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("c_t"))
+    val totals = feats.agg(count(lit(1)).as("n_all"),
+      sum(when(col("is_t"), 1L).otherwise(0L)).as("n_t"))
+    counts.crossJoin(broadcast(totals))
+      .select(col("b"), round(
+        (log(col("c_t") + lit(1)) - log(col("n_t") + lit(nBuckets)) -
+          log(col("c_all") - col("c_t") + lit(1)) +
+          log(col("n_all") - col("n_t") + lit(nBuckets)))
+          * lit(1e9), 0).cast("long").as("w_nano"))
+  }
+
+  /** [[classifierScore]] with a TRAINED weight table instead of the
+    * stub scramble — the composed train → apply path. Buckets absent
+    * from the table score 0 (left join), so a model trained on one
+    * corpus applies cleanly to another.
+    */
+  def classifierScoreWith(docs: DataFrame, weights: DataFrame,
+      thresholdNano: Long = 0L): DataFrame = {
+    val scored = classifierFeatures(docs)
+      .join(broadcast(weights), Seq("b"), "left")
+      .groupBy(col("doc_id"))
+      .agg(sum(coalesce(col("w_nano"), lit(0L))).as("logit_nano"),
+        count(lit(1)).as("n_feats"))
+    docs.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("logit_nano"), lit(0L)).as("logit_nano"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"))
+      .withColumn("quality_pass",
+        (col("logit_nano") >= thresholdNano).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "text_classifier_score" -> ((s, d) =>
       classifierScore(Tables.documents(s, d))),
+    // train -> apply composed: NB weights trained on the en cohort,
+    // applied to the whole corpus ("does this look like the target
+    // distribution" — the DCLM/FineWeb quality-model loop end-to-end)
+    "text_classifier_trained" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      classifierScoreWith(docs, classifierTrain(docs, col("lang") === "en"))
+    }),
     "text_lm_score" -> ((s, d) =>
       lmScore(Tables.documents(s, d)).orderBy(col("doc_id"))),
     "text_stats_by_lang" -> ((s, d) =>
@@ -476,6 +533,32 @@ object TextAnalysis {
         |       CAST(coalesce(sc.logit_milli, 0) AS BIGINT) AS logit_milli,
         |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
         |       CAST(CASE WHEN coalesce(sc.logit_milli, 0) >= 0
+        |            THEN 1 ELSE 0 END AS INT) AS quality_pass
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
+    // the trained twin consumes the Verify-materialized NB weight
+    // table (ln snapped once, Spark-side — the dsir_logratio aux
+    // discipline) and re-derives features + integer sums in SQL
+    "text_classifier_trained" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split_regex(lower(trim(text)), '\s+') AS w
+        |  FROM documents),
+        |uni AS (SELECT doc_id, unnest(w) AS feat FROM tk),
+        |bi AS (SELECT doc_id,
+        |         w[CAST(t.i AS INTEGER)] || ' ' ||
+        |         w[CAST(t.i AS INTEGER) + 1] AS feat
+        |       FROM tk, unnest(range(1, len(w))) t(i)),
+        |f AS (SELECT doc_id, substr(md5(feat), 1, 3) AS b
+        |      FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi)),
+        |wt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/clf_weights/*.parquet')),
+        |sc AS (SELECT f.doc_id,
+        |         CAST(sum(coalesce(wt.w_nano, 0)) AS BIGINT) AS logit_nano,
+        |         count(*) AS n_feats
+        |       FROM f LEFT JOIN wt USING (b) GROUP BY 1)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(sc.logit_nano, 0) AS BIGINT) AS logit_nano,
+        |       CAST(coalesce(sc.n_feats, 0) AS BIGINT) AS n_feats,
+        |       CAST(CASE WHEN coalesce(sc.logit_nano, 0) >= 0
         |            THEN 1 ELSE 0 END AS INT) AS quality_pass
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin,

@@ -284,6 +284,27 @@ class ExtSpec extends AnyFunSuite {
     assert(fx === Set(0, 1), "threshold must bite both ways on the fixture")
   }
 
+  test("trained NB classifier separates its target cohort; OOV features score zero") {
+    import spark.implicits._
+    import graft.ext.TextAnalysis
+    val docs = Tables.documents(spark, dir)
+    val scored = TextAnalysis.classifierScoreWith(docs,
+        TextAnalysis.classifierTrain(docs, col("lang") === "en"))
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .select(col("lang") === "en", col("logit_nano"))
+      .collect().map(r => (r.getBoolean(0), r.getLong(1)))
+    val enMean = scored.filter(_._1).map(_._2).sum / scored.count(_._1)
+    val otherMean = scored.filterNot(_._1).map(_._2).sum / scored.count(!_._1)
+    assert(enMean > otherMean,
+      s"model trained on en must rank en higher: $enMean vs $otherMean")
+    // a model applied to fully-unseen vocabulary scores 0 everywhere
+    val tiny = Seq((1L, "alpha beta")).toDF("doc_id", "text")
+    val unseen = Seq((9L, "zq xv wk")).toDF("doc_id", "text")
+    val w = TextAnalysis.classifierTrain(tiny, lit(true))
+    val r = TextAnalysis.classifierScoreWith(unseen, w).head()
+    assert(r.getLong(1) === 0L && r.getLong(2) === 5L && r.getInt(3) === 1)
+  }
+
   test("url canonicalization: every messiness variant of one page collapses to one canon") {
     import spark.implicits._
     import graft.ext.Curation
