@@ -42,7 +42,9 @@ object PlanAudit {
     "bpe_encode_ids",    // broadcast(wordIds): ≤ BpeVocabCap rows BY CONTRACT (capped trained vocabulary), explicit (reviewed round 8)
     "bpe_encode_ids_deep", // same broadcast(wordIds) through the deep trainer's dict (reviewed round 8)
     "text_classifier_score", // broadcast(weights): ≤ 4096 rows BY the 3-hex-char bucket space, explicit (reviewed round 8)
-    "pack_encoded_ids")  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
+    "text_classifier_trained", // broadcast(trained weights): same ≤ 4096-row bound BY the bucket groupBy — the sample_importance class; the build lineage contains the training explode but the aggregate bounds the broadcast VALUE (reviewed round 8)
+    "pack_encoded_ids",  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
+    "bpe_fertility_by_lang") // same broadcast(wordIds), inherited through the encode→fertility composition (reviewed round 8)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
     * not the hazard this audit hunts: it multiplies nothing and

@@ -722,8 +722,38 @@ object CorpusPrep {
     "pack_encoded_ids" -> ((s, d) =>
       Packing.packSequencesOf(
         bpeEncodeIds(Tables.documents(s, d))
-          .select(col("doc_id"), size(col("ids")).cast("long").as("n"))))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n")))),
+    // tokenizer EVALUATION: per-language fertility of the trained
+    // encoder (ids emitted per eligible word, ×100 integer) — the
+    // acceptance metric a multilingual tokenizer is judged by; unk
+    // share rides along. Composes the gated encode over the lang
+    // column; ANSI-safe NULL ratios on a language with zero eligible
+    // tokens.
+    "bpe_fertility_by_lang" -> ((s, d) =>
+      bpeFertilityByLang(Tables.documents(s, d)))
   )
+
+  /** Per-language fertility (ids per encoded word ×100) + unk share
+    * (×10⁴) of the trained tokenizer — exact integer ratios over the
+    * [[bpeEncodeIds]] outputs joined back to the corpus `lang`
+    * column. Scale: the encode path's token-counting shape, then ONE
+    * |languages|-row aggregate.
+    */
+  def bpeFertilityByLang(docs: DataFrame): DataFrame =
+    bpeEncodeIds(docs)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(size(col("ids")).cast("long")).as("n_ids"),
+        sum(col("n_unk")).as("n_unk"))
+      .withColumn("fertility_x100",
+        expr("CASE WHEN n_tokens = 0 THEN NULL" +
+          " ELSE n_ids * 100 div n_tokens END"))
+      .withColumn("unk_x10k",
+        expr("CASE WHEN n_tokens = 0 THEN NULL" +
+          " ELSE n_unk * 10000 div n_tokens END"))
+      .orderBy(col("lang"))
 
   // ------------------------------------------------------- oracle twins
 
@@ -860,6 +890,29 @@ object CorpusPrep {
          |FROM documents d LEFT JOIN eagg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
 
+  /** Per-language fertility over the same encode chain: LEFT JOIN
+    * keeps zero-eligible-token docs (the engine's outer explode keeps
+    * them as empty-array rows), integer ratios guarded NULL on a
+    * zero-token language. */
+  private def bpeFertilityOracleSql(rounds: Int): String =
+    bpeEncodeIdsCtesSql(rounds) +
+      s"""
+         |SELECT d.lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(coalesce(a.n_tokens, 0)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(coalesce(len(a.ids), 0)) AS BIGINT) AS n_ids,
+         |       CAST(sum(coalesce(a.n_unk, 0)) AS BIGINT) AS n_unk,
+         |       CASE WHEN sum(coalesce(a.n_tokens, 0)) = 0 THEN NULL
+         |            ELSE CAST(sum(coalesce(len(a.ids), 0)) * 100
+         |                      // sum(coalesce(a.n_tokens, 0)) AS BIGINT)
+         |       END AS fertility_x100,
+         |       CASE WHEN sum(coalesce(a.n_tokens, 0)) = 0 THEN NULL
+         |            ELSE CAST(sum(coalesce(a.n_unk, 0)) * 10000
+         |                      // sum(coalesce(a.n_tokens, 0)) AS BIGINT)
+         |       END AS unk_x10k
+         |FROM documents d LEFT JOIN eagg a USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+
   /** Composed pack gate: the flat-window pack oracle (Packing's
     * discipline) over the encoded id counts. */
   private def packEncodedIdsOracleSql(rounds: Int): String = {
@@ -890,6 +943,7 @@ object CorpusPrep {
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids_deep" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),
+    "bpe_fertility_by_lang" -> bpeFertilityOracleSql(BpeMergeRoundsN),
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

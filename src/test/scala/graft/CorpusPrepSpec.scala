@@ -234,6 +234,26 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("fertility by lang: exact integer ratios, zero-token language gets NULL ratios") {
+    import spark.implicits._
+    // merge-rounds known corpus (aaab x3, ab x2, zz x1): default cap
+    // keeps all three words, so aaab/ab encode to 1 id and zz to its
+    // unmerged [z, z] = 2 ids; "!!" has no eligible token
+    val docs = Seq(
+      (1L, "aaab aaab aaab ab", "en"),
+      (2L, "ab zz", "de"),
+      (3L, "!!", "xx"))
+      .toDF("doc_id", "text", "lang")
+    val rows = CorpusPrep.bpeFertilityByLang(docs).collect().map(r =>
+      (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5),
+        if (r.isNullAt(6)) -1L else r.getLong(6)))).toMap
+    // en: 4 tokens -> 4 ids; de: 2 tokens -> 3 ids (zz = 2 symbols)
+    assert(rows("en") === ((1L, 4L, 4L, 0L, 100L, 0L)))
+    assert(rows("de") === ((1L, 2L, 3L, 0L, 150L, 0L)))
+    assert(rows("xx") === ((1L, 0L, 0L, 0L, -1L, -1L)))
+  }
+
   test("deep BPE trainer: dictionary cap binds on (wc desc, word)") {
     // cap 1 keeps only the most frequent word; merges never see "zz"
     val docs = docsOf(1L -> "abab abab zz")
