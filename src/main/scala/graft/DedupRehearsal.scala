@@ -26,7 +26,14 @@ import org.apache.spark.sql.functions._
   *
   * One JSON line per batch: batch wall ms + cumulative history rows.
   * Knobs: SPARK_GRAFT_DEDUP_ROWS_PER_BATCH (default 200000),
-  * SPARK_GRAFT_DEDUP_BATCHES (default 10).
+  * SPARK_GRAFT_DEDUP_BATCHES (default 10),
+  * SPARK_GRAFT_DEDUP_MODE=exact|neardup (default exact — neardup
+  * replays the SAME synthetic corpus through
+  * [[graft.streaming.StreamingQueries.runNearDupStream]], whose
+  * state is TWO indexes: band keys (16 rows/doc) and shingle arrays;
+  * per-batch cost carries the history band join + Jaccard verify, so
+  * the slope being measured is the banded path's, not a bloom
+  * build's).
   */
 object DedupRehearsal {
 
@@ -37,10 +44,11 @@ object DedupRehearsal {
     spark.sparkContext.setLogLevel("WARN")
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS_PER_BATCH", "200000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCHES", "10").toInt
+    val mode = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MODE", "exact")
     // schema dir only (doc_id/source/text) — data is synthetic
     val schemaDir = "/root/testdata/sf0.01"
 
-    val base = RunScratch.dir("dedup_rehearsal", s"$n-$nBatches")
+    val base = RunScratch.dir("dedup_rehearsal", s"$n-$nBatches-$mode")
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
 
@@ -66,14 +74,23 @@ object DedupRehearsal {
     val t0 = System.nanoTime()
     var last = t0
     val marks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    graft.streaming.StreamingQueries.runDedupStream(spark, schemaDir, base,
-      afterWrites = { id =>
-        val now = System.nanoTime()
-        marks += ((id, (now - last) / 1000000L))
-        last = now
-      })
+    val hook: Long => Unit = { id =>
+      val now = System.nanoTime()
+      marks += ((id, (now - last) / 1000000L))
+      last = now
+    }
+    val arm =
+      if (mode == "neardup") {
+        graft.streaming.StreamingQueries.runNearDupStream(
+          spark, schemaDir, base, afterWrites = hook)
+        "bandindex_neardup"
+      } else {
+        graft.streaming.StreamingQueries.runDedupStream(
+          spark, schemaDir, base, afterWrites = hook)
+        "fpindex_dedup"
+      }
     marks.foreach { case (id, ms) =>
-      println(s"""{"arm":"fpindex_dedup","batch":$id,"rows":$n,"batch_ms":$ms,"hist_fp_rows":${id * n}}""")
+      println(s"""{"arm":"$arm","batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
     }
     spark.stop()
   }
