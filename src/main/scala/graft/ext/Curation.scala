@@ -282,6 +282,81 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** Eval-registry modulus for the URL decontam fixture blocklist
+    * (the decontam family's holdout convention — cf.
+    * [[CorpusPrep.decontaminate]]'s `EvalMod`). */
+  val EvalUrlMod = 23L
+
+  /** URL-level decontamination — the third decontam modality next to
+    * n-gram overlap ([[CorpusPrep.decontaminate]]) and embedding
+    * cosine ([[Similarity.evalDecontam]]): a benchmark's provenance
+    * is published as URLs, and a corpus page whose CANONICAL URL
+    * matches the registry is contamination no matter how its text was
+    * re-rendered in flight. Both sides run through
+    * [[canonicalizeUrl]], so scheme-case / `www.` / default-port /
+    * tracking-param variants of one page cannot dodge the match.
+    * Output: flagged corpus docs with the matched canonical URL and
+    * how many registry entries collide with it.
+    *
+    * Scale shape: an eval registry is benchmark-sized (10³–10⁵ URLs) —
+    * broadcast-by-contract exactly like the n-gram arm's eval-gram
+    * holdout; the corpus side is ONE narrow scan + codegen canon
+    * chain + broadcast hash join. The corpus is never shuffled.
+    */
+  def urlDecontam(docs: DataFrame): DataFrame = {
+    val canon = docs.select(col("doc_id"),
+      canonicalizeUrl(syntheticUrl).as("canon_url"))
+    val evalUrls = canon.filter(col("doc_id") % EvalUrlMod === 0)
+      .groupBy(col("canon_url")).agg(count(lit(1)).as("n_eval_hits"))
+    canon.filter(col("doc_id") % EvalUrlMod =!= 0)
+      .join(broadcast(evalUrls), "canon_url")
+      .select(col("doc_id"), col("canon_url"), col("n_eval_hits"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The composed per-document CONTAMINATION REPORT — all three
+    * decontam modalities, one row per corpus doc: verbatim n-gram
+    * overlap ([[CorpusPrep.decontaminate]]), paraphrase-level
+    * embedding cosine ([[Similarity.evalDecontam]], `vec_id` is the
+    * fixture's doc key), and provenance-level canonical-URL collision
+    * ([[urlDecontam]]). Each modality has its own eval holdout
+    * (mod 97 / 20 / 23), so a column is NULL when the doc IS that
+    * modality's holdout (not screened), 0 when screened clean —
+    * the audit distinction a removal pipeline needs. `contaminated`
+    * is the any-modality verdict.
+    *
+    * Scale shape: the three arms keep their audited shapes (each a
+    * broadcast-by-contract registry against one corpus scan); the
+    * report is three equi left-joins back to the doc-id spine —
+    * co-partitionable on the one key, the [[curationAudit]] pattern.
+    */
+  def decontamReport(docs: DataFrame, emb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce => cl}
+    val nh = CorpusPrep.decontaminate(docs)
+    val eh = Similarity.evalDecontam(
+        emb.filter(pmod(col("vec_id"), lit(Similarity.DecontamEvalMod)) =!= 0),
+        emb.filter(pmod(col("vec_id"), lit(Similarity.DecontamEvalMod)) === 0),
+        threshold = Similarity.DecontamThreshold)
+      .select(col("vec_id").as("doc_id"), col("removed"))
+    val uh = urlDecontam(docs).select(col("doc_id"), col("n_eval_hits"))
+    docs.select(col("doc_id"))
+      .join(nh, Seq("doc_id"), "left")
+      .join(eh, Seq("doc_id"), "left")
+      .join(uh, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("doc_id") % CorpusPrep.EvalMod === 0, lit(null).cast("long"))
+          .otherwise(cl(col("n_shared"), lit(0L))).as("ngram_hits"),
+        when(col("doc_id") % Similarity.DecontamEvalMod === 0,
+            lit(null).cast("int"))
+          .otherwise(cl(col("removed"), lit(0))).as("emb_removed"),
+        when(col("doc_id") % EvalUrlMod === 0, lit(null).cast("long"))
+          .otherwise(cl(col("n_eval_hits"), lit(0L))).as("url_hits"),
+        (cl(col("n_shared"), lit(0L)) > 0 ||
+          cl(col("removed"), lit(0)) === 1 ||
+          cl(col("n_eval_hits"), lit(0L)) > 0).cast("int").as("contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   /** [[domainFilter]] COMPOSED over the canonicalizer: documents are
     * re-keyed on the canonical domain before the domain-level verdict,
     * so one site's scheme/www/port/tracking variants aggregate as ONE
@@ -305,6 +380,9 @@ object Curation {
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d))),
     "curate_url_canon" -> ((s, d) => urlCanon(Tables.documents(s, d))),
+    "curate_url_decontam" -> ((s, d) => urlDecontam(Tables.documents(s, d))),
+    "curate_decontam_report" -> ((s, d) =>
+      decontamReport(Tables.documents(s, d), Tables.embeddings(s, d))),
     "curate_domain_filter_canon" -> ((s, d) =>
       domainFilterCanon(Tables.documents(s, d)))
   )
@@ -407,6 +485,47 @@ object Curation {
          |SELECT doc_id, url, canon_url,
          |       regexp_extract(canon_url, '^[a-z]+://([^/:]+)', 1) AS domain
          |FROM c ORDER BY doc_id""".stripMargin,
+    "curate_url_decontam" ->
+      s"""WITH $urlCanonCte,
+         |e AS (SELECT canon_url, count(*) AS n_eval_hits FROM c
+         |      WHERE doc_id % $EvalUrlMod = 0 GROUP BY canon_url)
+         |SELECT c.doc_id, c.canon_url, e.n_eval_hits
+         |FROM c JOIN e USING (canon_url)
+         |WHERE c.doc_id % $EvalUrlMod <> 0
+         |ORDER BY c.doc_id""".stripMargin,
+    // the three modality oracles composed VERBATIM (the n-gram and
+    // embedding texts spliced as WITH-subqueries, the URL arm from the
+    // shared canon CTE) — the report can never drift from its arms
+    "curate_decontam_report" -> {
+      val ng = CorpusPrep.oracles("text_decontam")
+        .replace(" ORDER BY 1", "")
+      val em = Similarity.oracles("decontam_embedding")
+        .replace(" ORDER BY vec_id", "")
+      s"""WITH $urlCanonCte,
+         |ue AS (SELECT canon_url, count(*) AS n_eval_hits FROM c
+         |       WHERE doc_id % $EvalUrlMod = 0 GROUP BY canon_url),
+         |uh AS (SELECT c.doc_id, ue.n_eval_hits
+         |       FROM c JOIN ue USING (canon_url)
+         |       WHERE c.doc_id % $EvalUrlMod <> 0),
+         |nh AS (SELECT doc_id, n_shared FROM ($ng)),
+         |eh AS (SELECT vec_id AS doc_id, removed FROM ($em))
+         |SELECT d.doc_id,
+         |  CASE WHEN d.doc_id % ${CorpusPrep.EvalMod} = 0 THEN NULL
+         |       ELSE coalesce(nh.n_shared, 0) END AS ngram_hits,
+         |  CAST(CASE WHEN d.doc_id % ${Similarity.DecontamEvalMod} = 0 THEN NULL
+         |       ELSE coalesce(eh.removed, 0) END AS INTEGER) AS emb_removed,
+         |  CASE WHEN d.doc_id % $EvalUrlMod = 0 THEN NULL
+         |       ELSE coalesce(uh.n_eval_hits, 0) END AS url_hits,
+         |  CAST(CASE WHEN coalesce(nh.n_shared, 0) > 0
+         |            OR coalesce(eh.removed, 0) = 1
+         |            OR coalesce(uh.n_eval_hits, 0) > 0
+         |       THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+         |FROM documents d
+         |LEFT JOIN nh USING (doc_id)
+         |LEFT JOIN eh USING (doc_id)
+         |LEFT JOIN uh USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
     "curate_domain_filter_canon" -> {
       val qualitySql = TextAnalysis.oracles("text_quality")
         .replace(" ORDER BY doc_id", "")

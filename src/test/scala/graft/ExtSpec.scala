@@ -330,6 +330,56 @@ class ExtSpec extends AnyFunSuite {
     assert(dom === "sub.site.org")
   }
 
+  test("url decontam: flags exactly the non-eval docs sharing an eval canon URL") {
+    import graft.ext.Curation
+    val docs = Tables.documents(spark, dir)
+    val flagged = Curation.urlDecontam(docs).collect()
+    assert(flagged.nonEmpty)
+    // no eval-registry doc is ever its own contamination hit
+    assert(flagged.forall(_.getLong(0) % Curation.EvalUrlMod != 0))
+    // recompute the truth from the canon table directly
+    val canon = docs.select(col("doc_id"),
+        Curation.canonicalizeUrl(Curation.syntheticUrl).as("cu"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    val evalHits = canon.filter(_._1 % Curation.EvalUrlMod == 0)
+      .groupBy(_._2).map { case (u, xs) => u -> xs.length.toLong }
+    val expect = canon.filter(_._1 % Curation.EvalUrlMod != 0)
+      .collect { case (id, u) if evalHits.contains(u) => (id, u, evalHits(u)) }
+      .sortBy(_._1)
+    assert(flagged.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .toSeq === expect.toSeq)
+  }
+
+  test("decontam report: one row per doc, holdout NULLs per modality, verdict consistent") {
+    import graft.ext.{CorpusPrep, Curation, Similarity}
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val rep = Curation.decontamReport(docs, emb).collect()
+    assert(rep.length === docs.count())
+    rep.foreach { r =>
+      val id = r.getLong(0)
+      // a modality's own holdout is never screened → NULL, else ≥ 0
+      assert(r.isNullAt(1) === (id % CorpusPrep.EvalMod == 0))
+      assert(r.isNullAt(2) === (id % Similarity.DecontamEvalMod == 0))
+      assert(r.isNullAt(3) === (id % Curation.EvalUrlMod == 0))
+      val any = (!r.isNullAt(1) && r.getLong(1) > 0) ||
+        (!r.isNullAt(2) && r.getInt(2) == 1) ||
+        (!r.isNullAt(3) && r.getLong(3) > 0)
+      assert(r.getInt(4) === (if (any) 1 else 0))
+    }
+    // the URL column is exactly the urlDecontam flag set
+    val urlTruth = Curation.urlDecontam(docs).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    rep.filter(r => !r.isNullAt(3)).foreach { r =>
+      assert(r.getLong(3) === urlTruth.getOrElse(r.getLong(0), 0L))
+    }
+    // all three modalities flag something on the fixture (report is
+    // non-degenerate in every column)
+    assert(rep.exists(r => !r.isNullAt(1) && r.getLong(1) > 0))
+    assert(rep.exists(r => !r.isNullAt(2) && r.getInt(2) == 1))
+    assert(rep.exists(r => !r.isNullAt(3) && r.getLong(3) > 0))
+  }
+
   test("domain filter over canon domains: one site's URL variants aggregate as one domain") {
     import graft.ext.Curation
     val docs = Tables.documents(spark, dir)
