@@ -61,6 +61,8 @@ object SparkEntry {
         Sampling.dsirLogRatio(Tables.documents(s, d), col("lang") === "en")),
       "lm_bigram_xent" -> ((s, d) =>
         TextAnalysis.lmBigramXent(Tables.documents(s, d))),
+      "unigram_vocab" -> ((s, d) =>
+        CorpusPrep.unigramVocabCosts(Tables.documents(s, d))),
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),

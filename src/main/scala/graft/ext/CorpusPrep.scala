@@ -682,6 +682,129 @@ object CorpusPrep {
       .select(col("doc_id"), col("ids"), col("n_tokens"), col("n_unk"))
   }
 
+  // ------------------------------------------- unigram-LM tokenizer
+
+  /** Unigram-LM vocabulary knobs — interpolated into the oracle SQL
+    * so the two engines can never desync on them. */
+  val UnigramMaxPieceLen = 4
+  val UnigramMinFreq = 3L
+  val UnigramVocabCap = 512
+
+  /** Substring-candidate vocabulary for the unigram-LM
+    * (SentencePiece-style) tokenizer — the OTHER major subword family
+    * next to BPE: where BPE grows pieces bottom-up by merge, unigram
+    * starts from a substring candidate set and segments by Viterbi
+    * under per-piece costs. Candidates are every substring occurrence
+    * (length ≤ [[UnigramMaxPieceLen]]) of the [[bpeWordDict]] words,
+    * weighted by corpus word frequency. ALL single characters are
+    * kept (segmentation stays feasible for every dict word by
+    * construction); multi-char pieces pass the frequency floor and a
+    * deterministic (freq DESC, piece) cap.
+    *
+    * Scale shape: the word dict is vocabulary-bounded state; the
+    * substring explode is ≤ len·4 rows per DICT WORD (not per corpus
+    * token), and the aggregate is map-side combined. The corpus is
+    * touched once, by the word count underneath [[bpeWordDict]].
+    */
+  def unigramVocab(docs: DataFrame): DataFrame = {
+    val occ = bpeWordDict(docs)
+      .select(col("wc"), explode(flatten(transform(
+          sequence(lit(1), length(col("word"))),
+          i => transform(
+            sequence(lit(1), least(lit(UnigramMaxPieceLen),
+              length(col("word")) - i + 1)),
+            k => col("word").substr(i, k))))).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("freq"))
+    occ.filter(length(col("piece")) === 1)
+      .unionByName(
+        occ.filter(length(col("piece")) >= 2 &&
+            col("freq") >= UnigramMinFreq)
+          .orderBy(col("freq").desc, col("piece"))
+          .limit(UnigramVocabCap))
+  }
+
+  /** The vocabulary with integer nano-nat costs,
+    * cost = −ln(freq / Σfreq)·10⁹ — the [[TextAnalysis.lmBigramXent]]
+    * snap-once discipline: `ln` happens exactly here, the segmenter
+    * AND the DuckDB oracle both consume this table (as the
+    * `.aux/unigram_vocab` frame), so float parity can't bite. */
+  def unigramVocabCosts(docs: DataFrame): DataFrame = {
+    val v = unigramVocab(docs)
+    v.crossJoin(broadcast(v.agg(sum(col("freq")).as("tot"))))
+      .select(col("piece"), col("freq"),
+        round((log(col("tot")) - log(col("freq"))) * lit(1e9), 0)
+          .cast("long").as("cost"))
+  }
+
+  /** Viterbi segmentation of every dict word under the unigram
+    * vocabulary: minimal total cost, ties to FEWER pieces, plus the
+    * count of distinct optimal segmentations (`n_best` — a whole
+    * path-space invariant, which is what the oracle independently
+    * re-derives by exhaustive path enumeration; the engine computes
+    * it in-scan by DP).
+    *
+    * The DP is one codegen `aggregate` fold per word over an
+    * (start·8+len → cost) map built by joining the word's substring
+    * probes against the BROADCAST vocabulary (≤ [[UnigramVocabCap]] +
+    * alphabet rows BY CONTRACT — the classifier-weights class).
+    * dp[j] minimizes (cost, n_pieces) over k ∈ 1..4 predecessors and
+    * sums optimal-path counts across ties; every single char is in
+    * the vocabulary, so dp is reachable at every position and the
+    * Long.MaxValue sentinel never flows into an addition.
+    */
+  def unigramSegment(docs: DataFrame): DataFrame = {
+    val words = bpeWordDict(docs).select(col("word"), col("wc"))
+    val vocab = unigramVocabCosts(docs)
+    val probes = words
+      .select(col("word"), explode(flatten(transform(
+          sequence(lit(1), length(col("word"))),
+          i => transform(
+            sequence(lit(1), least(lit(UnigramMaxPieceLen),
+              length(col("word")) - i + 1)),
+            k => struct((i * 8 + k).as("key"),
+              col("word").substr(i, k).as("piece")))))).as("s"))
+      .select(col("word"), col("s.key").as("key"), col("s.piece").as("piece"))
+      .join(broadcast(vocab.select(col("piece"), col("cost"))), "piece")
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
+        .as("m"))
+    val sentinel = struct(lit(Long.MaxValue).as("cost"),
+      lit(Int.MaxValue).as("np"), lit(0L).as("cnt"))
+    words.join(probes, Seq("word"))
+      .withColumn("dp", aggregate(
+        sequence(lit(1), length(col("word"))),
+        array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"))),
+        (acc, j) => concat(acc, array(aggregate(
+          filter(
+            transform(sequence(lit(1), least(lit(UnigramMaxPieceLen), j)),
+              k => struct(
+                (element_at(acc, j - k + 1).getField("cost") +
+                  element_at(col("m"), (j - k + 1) * 8 + k)).as("cost"),
+                (element_at(acc, j - k + 1).getField("np") + 1).as("np"),
+                element_at(acc, j - k + 1).getField("cnt").as("cnt"))),
+            c => c.getField("cost").isNotNull),
+          sentinel,
+          (b, c) => when(
+              c.getField("cost") < b.getField("cost") ||
+                (c.getField("cost") === b.getField("cost") &&
+                  c.getField("np") < b.getField("np")), c)
+            .when(
+              c.getField("cost") === b.getField("cost") &&
+                c.getField("np") === b.getField("np"),
+              struct(b.getField("cost").as("cost"),
+                b.getField("np").as("np"),
+                (b.getField("cnt") + c.getField("cnt")).as("cnt")))
+            .otherwise(b))))))
+      .select(col("word"), col("wc"),
+        element_at(col("dp"), length(col("word")) + 1).getField("cost")
+          .as("total_cost"),
+        element_at(col("dp"), length(col("word")) + 1).getField("np")
+          .as("n_pieces"),
+        element_at(col("dp"), length(col("word")) + 1).getField("cnt")
+          .as("n_best"))
+      .orderBy(col("word"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -698,6 +821,12 @@ object CorpusPrep {
     "bpe_merge_deep" -> ((s, d) =>
       bpeTrainDeep(Tables.documents(s, d), rounds = BpeMergeRoundsN)),
     "bpe_encode_stats" -> ((s, d) => bpeEncodeStats(Tables.documents(s, d))),
+    "unigram_vocab" -> ((s, d) =>
+      unigramVocab(Tables.documents(s, d))
+        .select(col("piece"), col("freq"),
+          length(col("piece")).as("piece_len"))
+        .orderBy(col("piece"))),
+    "unigram_segment" -> ((s, d) => unigramSegment(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -944,6 +1073,64 @@ object CorpusPrep {
     "bpe_encode_ids_deep" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),
     "bpe_fertility_by_lang" -> bpeFertilityOracleSql(BpeMergeRoundsN),
+    "unigram_vocab" ->
+      s"""WITH wdict AS (
+         |  SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+         |  GROUP BY 1),
+         |occ AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), CAST(k AS INTEGER)) AS piece,
+         |         CAST(sum(wc) AS BIGINT) AS freq
+         |  FROM wdict,
+         |       unnest(range(1, len(word) + 1)) t(i),
+         |       unnest(range(1, ${UnigramMaxPieceLen + 1})) u(k)
+         |  WHERE CAST(i AS BIGINT) + CAST(k AS BIGINT) - 1 <= len(word)
+         |  GROUP BY 1)
+         |SELECT piece, freq, CAST(len(piece) AS INTEGER) AS piece_len
+         |FROM (SELECT piece, freq FROM occ WHERE len(piece) = 1
+         |      UNION ALL
+         |      SELECT piece, freq FROM (
+         |        SELECT piece, freq FROM occ
+         |        WHERE len(piece) >= 2 AND freq >= $UnigramMinFreq
+         |        ORDER BY freq DESC, piece LIMIT $UnigramVocabCap))
+         |ORDER BY piece""".stripMargin,
+    // the segmenter's oracle is a deliberately DIFFERENT formulation:
+    // exhaustive path enumeration (recursive CTE over every vocab
+    // piece matching at every position) aggregated to the optimum —
+    // agreement proves the DP minimizes over the same path space,
+    // n_best included; costs come from the Spark-side aux table (the
+    // lm_bigram_xent snap-once ln discipline)
+    "unigram_segment" ->
+      s"""WITH RECURSIVE wdict AS (
+         |  SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+         |  GROUP BY 1),
+         |v AS (SELECT piece, cost
+         |      FROM read_parquet('__OUTDIR__/.aux/unigram_vocab/*.parquet')),
+         |p(word, pos, cost, np) AS (
+         |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM wdict
+         |  UNION ALL
+         |  SELECT p.word, CAST(p.pos + len(v.piece) AS INTEGER),
+         |         p.cost + v.cost, p.np + 1
+         |  FROM p JOIN v
+         |    ON substr(p.word, p.pos + 1, CAST(len(v.piece) AS INTEGER))
+         |       = v.piece),
+         |done AS (SELECT p.word, p.cost, p.np
+         |         FROM p JOIN wdict w ON w.word = p.word
+         |         WHERE p.pos = len(w.word)),
+         |m1 AS (SELECT word, min(cost) AS cost FROM done GROUP BY word),
+         |m2 AS (SELECT d.word, d.cost, min(d.np) AS np
+         |       FROM done d JOIN m1 ON d.word = m1.word AND d.cost = m1.cost
+         |       GROUP BY d.word, d.cost)
+         |SELECT w.word, w.wc, m2.cost AS total_cost,
+         |       CAST(m2.np AS INTEGER) AS n_pieces, count(*) AS n_best
+         |FROM done d
+         |JOIN m2 ON d.word = m2.word AND d.cost = m2.cost AND d.np = m2.np
+         |JOIN wdict w ON w.word = d.word
+         |GROUP BY w.word, w.wc, m2.cost, m2.np
+         |ORDER BY w.word""".stripMargin,
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

@@ -197,6 +197,50 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(quad.toSeq === Seq((1, "a", "a", 6L), (2, "aa", "aa", 2L)))
   }
 
+  test("unigram vocab + Viterbi segment: known costs, optimal paths, tie counting") {
+    // corpus: "ab" x2, "abab" x1
+    //   substring freqs: a=4, b=4, ab=4; aba/abab/ba/bab=1 (< floor 3)
+    //   vocab = {a, b, ab} each freq 4, tot 12 -> every cost ln(3)e9
+    val docs = docsOf(1L -> "ab ab abab")
+    val vocab = CorpusPrep.unigramVocabCosts(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val c = math.round(math.log(3.0) * 1e9)
+    assert(vocab === Map("a" -> (4L, c), "b" -> (4L, c), "ab" -> (4L, c)))
+    val seg = CorpusPrep.unigramSegment(docs).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getInt(3), r.getLong(4))).toMap
+    // "ab": [ab] beats [a,b] on cost; "abab": [ab,ab] unique optimum
+    assert(seg("ab") === ((c, 1, 1L)))
+    assert(seg("abab") === ((2 * c, 2, 1L)))
+    // equal-cost tie counting: all-distinct chars, no multi-char piece
+    // frequent enough -> only the all-singles path exists
+    val noMulti = CorpusPrep.unigramSegment(docsOf(2L -> "xyz qrs"))
+      .collect().map(r => (r.getString(0), r.getInt(3), r.getLong(4)))
+    noMulti.foreach { case (w, np, nb) =>
+      assert(np === w.length); assert(nb === 1L)
+    }
+  }
+
+  test("unigram segment on the fixture: DP optimum bounded by the all-singles path") {
+    val docs = graft.sources.Tables.documents(spark,
+      "/root/testdata/sf0.001")
+    val costs = CorpusPrep.unigramVocabCosts(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val rows = CorpusPrep.unigramSegment(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, cost, np, nb) =
+        (r.getString(0), r.getLong(2), r.getInt(3), r.getLong(4))
+      val singles = w.map(ch => costs(ch.toString)).sum
+      assert(cost <= singles)
+      assert(np >= (w.length + CorpusPrep.UnigramMaxPieceLen - 1)
+        / CorpusPrep.UnigramMaxPieceLen && np <= w.length)
+      assert(nb >= 1L)
+    }
+    // the vocabulary actually compresses something on the fixture
+    assert(rows.exists(r => r.getInt(3) < r.getString(0).length))
+  }
+
   test("deep BPE trainer: merge-for-merge equal to the distributed loop, to exhaustion") {
     // a corpus rich enough for ~a dozen merges with p=q overlaps,
     // shared prefixes, and count ties resolved lexically
