@@ -805,6 +805,62 @@ object CorpusPrep {
       .orderBy(col("word"))
   }
 
+  /** Per-document token statistics under the unigram tokenizer — the
+    * encode-side composition (train → segment → encode, the
+    * [[bpeEncodeStats]] analog): every eligible document token joins
+    * its word's Viterbi optimum, summed per doc. The per-word table
+    * is vocabulary-sized but DATA-DERIVED (the word dict has no cap
+    * contract), so the join-back is merge-hinted like
+    * [[TextAnalysis.lmScore]]'s dictionary join — at web scale an
+    * estimate-blind broadcast of it is the round-4 failure signature.
+    */
+  def unigramEncodeStats(docs: DataFrame): DataFrame = {
+    val seg = unigramSegment(docs)
+      .select(col("word"), col("n_pieces"), col("total_cost"))
+    docs.select(col("doc_id"),
+        explode(filter(TextAnalysis.tokens(col("text")),
+          w => w.rlike("^[a-z0-9]+$") && length(w) >= 2)).as("word"))
+      .join(seg.hint("merge"), Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("total_cost")).as("cost_x1e9"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** The segment oracle as one reusable statement (shared by the
+    * segment gate and the encode-stats composition). */
+  private lazy val unigramSegmentOracleSql: String =
+    s"""WITH RECURSIVE wdict AS (
+       |  SELECT word, count(*) AS wc
+       |  FROM (SELECT unnest($W) AS word FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+       |  GROUP BY 1),
+       |v AS (SELECT piece, cost
+       |      FROM read_parquet('__OUTDIR__/.aux/unigram_vocab/*.parquet')),
+       |p(word, pos, cost, np) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM wdict
+       |  UNION ALL
+       |  SELECT p.word, CAST(p.pos + len(v.piece) AS INTEGER),
+       |         p.cost + v.cost, p.np + 1
+       |  FROM p JOIN v
+       |    ON substr(p.word, p.pos + 1, CAST(len(v.piece) AS INTEGER))
+       |       = v.piece),
+       |done AS (SELECT p.word, p.cost, p.np
+       |         FROM p JOIN wdict w ON w.word = p.word
+       |         WHERE p.pos = len(w.word)),
+       |m1 AS (SELECT word, min(cost) AS cost FROM done GROUP BY word),
+       |m2 AS (SELECT d.word, d.cost, min(d.np) AS np
+       |       FROM done d JOIN m1 ON d.word = m1.word AND d.cost = m1.cost
+       |       GROUP BY d.word, d.cost)
+       |SELECT w.word, w.wc, m2.cost AS total_cost,
+       |       CAST(m2.np AS INTEGER) AS n_pieces, count(*) AS n_best
+       |FROM done d
+       |JOIN m2 ON d.word = m2.word AND d.cost = m2.cost AND d.np = m2.np
+       |JOIN wdict w ON w.word = d.word
+       |GROUP BY w.word, w.wc, m2.cost, m2.np
+       |ORDER BY w.word""".stripMargin
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -827,6 +883,8 @@ object CorpusPrep {
           length(col("piece")).as("piece_len"))
         .orderBy(col("piece"))),
     "unigram_segment" -> ((s, d) => unigramSegment(Tables.documents(s, d))),
+    "unigram_encode_stats" -> ((s, d) =>
+      unigramEncodeStats(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -1101,36 +1159,22 @@ object CorpusPrep {
     // agreement proves the DP minimizes over the same path space,
     // n_best included; costs come from the Spark-side aux table (the
     // lm_bigram_xent snap-once ln discipline)
-    "unigram_segment" ->
-      s"""WITH RECURSIVE wdict AS (
-         |  SELECT word, count(*) AS wc
-         |  FROM (SELECT unnest($W) AS word FROM documents)
-         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
-         |  GROUP BY 1),
-         |v AS (SELECT piece, cost
-         |      FROM read_parquet('__OUTDIR__/.aux/unigram_vocab/*.parquet')),
-         |p(word, pos, cost, np) AS (
-         |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM wdict
-         |  UNION ALL
-         |  SELECT p.word, CAST(p.pos + len(v.piece) AS INTEGER),
-         |         p.cost + v.cost, p.np + 1
-         |  FROM p JOIN v
-         |    ON substr(p.word, p.pos + 1, CAST(len(v.piece) AS INTEGER))
-         |       = v.piece),
-         |done AS (SELECT p.word, p.cost, p.np
-         |         FROM p JOIN wdict w ON w.word = p.word
-         |         WHERE p.pos = len(w.word)),
-         |m1 AS (SELECT word, min(cost) AS cost FROM done GROUP BY word),
-         |m2 AS (SELECT d.word, d.cost, min(d.np) AS np
-         |       FROM done d JOIN m1 ON d.word = m1.word AND d.cost = m1.cost
-         |       GROUP BY d.word, d.cost)
-         |SELECT w.word, w.wc, m2.cost AS total_cost,
-         |       CAST(m2.np AS INTEGER) AS n_pieces, count(*) AS n_best
-         |FROM done d
-         |JOIN m2 ON d.word = m2.word AND d.cost = m2.cost AND d.np = m2.np
-         |JOIN wdict w ON w.word = d.word
-         |GROUP BY w.word, w.wc, m2.cost, m2.np
-         |ORDER BY w.word""".stripMargin,
+    "unigram_segment" -> unigramSegmentOracleSql,
+    // encode side: the per-word optima joined back to the document
+    // token stream — whole-statement reuse of the segment oracle, so
+    // the composition cannot drift from the gated segmenter
+    "unigram_encode_stats" ->
+      s"""WITH f AS (
+         |  SELECT doc_id, word
+         |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2),
+         |s AS (SELECT word, n_pieces, total_cost
+         |      FROM ($unigramSegmentOracleSql))
+         |SELECT f.doc_id, count(*) AS n_words,
+         |       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+         |       CAST(sum(s.total_cost) AS BIGINT) AS cost_x1e9
+         |FROM f JOIN s USING (word)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

@@ -219,6 +219,12 @@ class CorpusPrepSpec extends AnyFunSuite {
     noMulti.foreach { case (w, np, nb) =>
       assert(np === w.length); assert(nb === 1L)
     }
+    // encode composition: doc 1 = [ab, ab, abab] -> 3 words,
+    // 1+1+2 pieces, c+c+2c total cost
+    val enc = CorpusPrep.unigramEncodeStats(docs).collect()
+    assert(enc.length === 1)
+    assert((enc(0).getLong(1), enc(0).getLong(2), enc(0).getLong(3))
+      === ((3L, 4L, 4 * c)))
   }
 
   test("unigram segment on the fixture: DP optimum bounded by the all-singles path") {
