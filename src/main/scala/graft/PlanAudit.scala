@@ -40,6 +40,10 @@ object PlanAudit {
     "curate_url_decontam", // broadcast(eval canon URLs): benchmark-sized registry holdout, the text_decontam class (reviewed round 8)
     "curate_decontam_report", // the three decontam arms composed — inherits exactly their sanctioned registry broadcasts (eval grams + eval vectors + eval canon URLs), each bounded holdout-by-contract (reviewed round 8)
     "unigram_segment", // broadcast(unigram vocab): ≤ UnigramVocabCap + alphabet rows BY CONTRACT (capped candidate vocabulary), the vocab_oov_rate class (reviewed round 8)
+    "unigram_viterbi_counts", // same broadcast(vocab) through the E-step path explode (reviewed round 8)
+    "unigram_encode_stats", // same broadcast(vocab) inherited through the segmenter lineage; the token-stream join-back itself is merge-hinted, never broadcast (reviewed round 8)
+    "unigram_vocab_pruned", // same broadcast(vocab) underneath the usage join; the pruned set is a subset of the capped vocab (reviewed round 8)
+    "unigram_segment_pruned", // broadcast(pruned vocab): subset of the capped round-1 vocabulary, same bound (reviewed round 8)
     "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)
     "sim_ivf_recall",    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
     "bpe_encode_ids",    // broadcast(wordIds): ≤ BpeVocabCap rows BY CONTRACT (capped trained vocabulary), explicit (reviewed round 8)

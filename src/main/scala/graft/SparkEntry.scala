@@ -63,6 +63,8 @@ object SparkEntry {
         TextAnalysis.lmBigramXent(Tables.documents(s, d))),
       "unigram_vocab" -> ((s, d) =>
         CorpusPrep.unigramVocabCosts(Tables.documents(s, d))),
+      "unigram_vocab2" -> ((s, d) =>
+        CorpusPrep.unigramVocabPrunedCosts(Tables.documents(s, d))),
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),

@@ -752,9 +752,33 @@ object CorpusPrep {
     * the vocabulary, so dp is reachable at every position and the
     * Long.MaxValue sentinel never flows into an addition.
     */
-  def unigramSegment(docs: DataFrame): DataFrame = {
-    val words = bpeWordDict(docs).select(col("word"), col("wc"))
-    val vocab = unigramVocabCosts(docs)
+  def unigramSegment(docs: DataFrame): DataFrame =
+    viterbiDp(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word"))
+
+  /** Path separator for the argmin segmentation string — \u0001 sorts
+    * BELOW every `[a-z0-9]` content char, which is exactly what makes
+    * lexicographic order on joined sequences extension-stable (A < B
+    * ⟹ A⧺sep⧺x < B⧺sep⧺x even when A is a proper prefix of B), so
+    * the per-position DP tie-break composes into the global one. */
+  val UnigramPathSep = "\u0001"
+
+  /** The Viterbi DP over one vocabulary: per dict word, the optimal
+    * (total_cost, n_pieces), the optimal-path count `n_best`, and THE
+    * argmin path itself (`path` — pieces joined by
+    * [[UnigramPathSep]]; ties broken to the lexicographically
+    * smallest sequence, a total order both engines can re-derive).
+    * One codegen aggregate fold per word over an (start·8+len → cost)
+    * map from joining the word's substring probes against the
+    * BROADCAST vocabulary (≤ cap + alphabet rows BY CONTRACT).
+    * Every single char is in the vocabulary, so dp is reachable at
+    * every position and the Long.MaxValue sentinel never flows into
+    * an addition.
+    */
+  private def viterbiDp(words: DataFrame, vocab: DataFrame): DataFrame = {
     val probes = words
       .select(col("word"), explode(flatten(transform(
           sequence(lit(1), length(col("word"))),
@@ -769,11 +793,12 @@ object CorpusPrep {
       .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
         .as("m"))
     val sentinel = struct(lit(Long.MaxValue).as("cost"),
-      lit(Int.MaxValue).as("np"), lit(0L).as("cnt"))
+      lit(Int.MaxValue).as("np"), lit(0L).as("cnt"), lit("").as("path"))
     words.join(probes, Seq("word"))
       .withColumn("dp", aggregate(
         sequence(lit(1), length(col("word"))),
-        array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"))),
+        array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"),
+          lit("").as("path"))),
         (acc, j) => concat(acc, array(aggregate(
           filter(
             transform(sequence(lit(1), least(lit(UnigramMaxPieceLen), j)),
@@ -781,7 +806,10 @@ object CorpusPrep {
                 (element_at(acc, j - k + 1).getField("cost") +
                   element_at(col("m"), (j - k + 1) * 8 + k)).as("cost"),
                 (element_at(acc, j - k + 1).getField("np") + 1).as("np"),
-                element_at(acc, j - k + 1).getField("cnt").as("cnt"))),
+                element_at(acc, j - k + 1).getField("cnt").as("cnt"),
+                concat(element_at(acc, j - k + 1).getField("path"),
+                  lit(UnigramPathSep),
+                  col("word").substr(j - k + 1, k)).as("path"))),
             c => c.getField("cost").isNotNull),
           sentinel,
           (b, c) => when(
@@ -793,7 +821,8 @@ object CorpusPrep {
                 c.getField("np") === b.getField("np"),
               struct(b.getField("cost").as("cost"),
                 b.getField("np").as("np"),
-                (b.getField("cnt") + c.getField("cnt")).as("cnt")))
+                (b.getField("cnt") + c.getField("cnt")).as("cnt"),
+                least(b.getField("path"), c.getField("path")).as("path")))
             .otherwise(b))))))
       .select(col("word"), col("wc"),
         element_at(col("dp"), length(col("word")) + 1).getField("cost")
@@ -801,9 +830,63 @@ object CorpusPrep {
         element_at(col("dp"), length(col("word")) + 1).getField("np")
           .as("n_pieces"),
         element_at(col("dp"), length(col("word")) + 1).getField("cnt")
-          .as("n_best"))
-      .orderBy(col("word"))
+          .as("n_best"),
+        element_at(col("dp"), length(col("word")) + 1).getField("path")
+          .as("path"))
   }
+
+  /** Usage floor a multi-char piece must reach on the corpus's
+    * optimal segmentations to survive the prune round. */
+  val UnigramPruneMin = 3L
+
+  /** E-step piece usage — the first half of the unigram trainer's
+    * prune iteration (hard-EM/Viterbi flavor, deterministic by the
+    * argmin-path tie-break): each dict word contributes the pieces of
+    * ITS optimal path (with multiplicity), weighted by corpus word
+    * frequency. */
+  def unigramViterbiCounts(docs: DataFrame): DataFrame =
+    viterbiDp(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs))
+      .select(col("word"), col("wc"),
+        explode(split(col("path"), UnigramPathSep)).as("piece"))
+      .filter(length(col("piece")) > 0)
+      .groupBy(col("piece"))
+      .agg(sum(col("wc")).as("usage"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("piece"))
+
+  /** M-step + prune: survivors are every single char (feasibility is
+    * never pruned away — the SentencePiece rule) plus multi-char
+    * pieces whose optimal-path usage meets [[UnigramPruneMin]];
+    * re-estimated frequency is usage with add-one smoothing, so
+    * zero-usage singles keep a finite cost. */
+  def unigramVocabPruned(docs: DataFrame): DataFrame =
+    unigramVocab(docs).select(col("piece"))
+      .join(unigramViterbiCounts(docs).select(col("piece"), col("usage")),
+        Seq("piece"), "left")
+      .withColumn("usage", coalesce(col("usage"), lit(0L)))
+      .filter(length(col("piece")) === 1 || col("usage") >= UnigramPruneMin)
+      .withColumn("freq2", col("usage") + 1)
+
+  /** The pruned vocabulary with re-estimated nano-nat costs (the same
+    * snap-once `ln` discipline; consumed as `.aux/unigram_vocab2`). */
+  def unigramVocabPrunedCosts(docs: DataFrame): DataFrame = {
+    val v = unigramVocabPruned(docs)
+    v.crossJoin(broadcast(v.agg(sum(col("freq2")).as("tot"))))
+      .select(col("piece"), col("freq2"),
+        round((log(col("tot")) - log(col("freq2"))) * lit(1e9), 0)
+          .cast("long").as("cost"))
+  }
+
+  /** Round-2 segmentation under the pruned, re-estimated vocabulary —
+    * the trainer loop closed: vocab → segment → usage → prune →
+    * re-cost → segment. */
+  def unigramSegmentPruned(docs: DataFrame): DataFrame =
+    viterbiDp(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabPrunedCosts(docs))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word"))
 
   /** Per-document token statistics under the unigram tokenizer — the
     * encode-side composition (train → segment → encode, the
@@ -828,16 +911,18 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
-  /** The segment oracle as one reusable statement (shared by the
-    * segment gate and the encode-stats composition). */
-  private lazy val unigramSegmentOracleSql: String =
+  /** The segment oracle as one reusable statement, parametrized by
+    * which vocabulary aux table it costs against (shared by the
+    * segment gate, the encode-stats composition, and the
+    * pruned-round-2 gate). */
+  private def unigramSegmentOracleSqlFor(auxName: String): String =
     s"""WITH RECURSIVE wdict AS (
        |  SELECT word, count(*) AS wc
        |  FROM (SELECT unnest($W) AS word FROM documents)
        |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
        |  GROUP BY 1),
        |v AS (SELECT piece, cost
-       |      FROM read_parquet('__OUTDIR__/.aux/unigram_vocab/*.parquet')),
+       |      FROM read_parquet('__OUTDIR__/.aux/$auxName/*.parquet')),
        |p(word, pos, cost, np) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM wdict
        |  UNION ALL
@@ -860,6 +945,47 @@ object CorpusPrep {
        |JOIN wdict w ON w.word = d.word
        |GROUP BY w.word, w.wc, m2.cost, m2.np
        |ORDER BY w.word""".stripMargin
+
+  private lazy val unigramSegmentOracleSql: String =
+    unigramSegmentOracleSqlFor("unigram_vocab")
+
+  /** Exhaustive path enumeration CARRYING the piece sequence (chr(1)
+    * separated, matching [[UnigramPathSep]]) + the argmin pick — the
+    * independent re-derivation of [[viterbiDp]]'s `path`; shared by
+    * the usage-counts and pruned-vocab oracles. Yields `best(word,
+    * seq)` over `wdict` and the round-1 aux costs. */
+  private lazy val unigramBestPathCtes: String =
+    s"""wdict AS (
+       |  SELECT word, count(*) AS wc
+       |  FROM (SELECT unnest($W) AS word FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
+       |  GROUP BY 1),
+       |v AS (SELECT piece, cost
+       |      FROM read_parquet('__OUTDIR__/.aux/unigram_vocab/*.parquet')),
+       |p(word, pos, cost, np, seq) AS (
+       |  SELECT word, 0, CAST(0 AS BIGINT), 0, CAST('' AS VARCHAR)
+       |  FROM wdict
+       |  UNION ALL
+       |  SELECT p.word, CAST(p.pos + len(v.piece) AS INTEGER),
+       |         p.cost + v.cost, p.np + 1, p.seq || chr(1) || v.piece
+       |  FROM p JOIN v
+       |    ON substr(p.word, p.pos + 1, CAST(len(v.piece) AS INTEGER))
+       |       = v.piece),
+       |best AS (
+       |  SELECT word, seq FROM (
+       |    SELECT p.word, p.seq,
+       |           row_number() OVER (PARTITION BY p.word
+       |             ORDER BY p.cost, p.np, p.seq) AS rn
+       |    FROM p JOIN wdict w ON w.word = p.word
+       |    WHERE p.pos = len(w.word))
+       |  WHERE rn = 1),
+       |pc AS (SELECT b.word, unnest(string_split(b.seq, chr(1))) AS piece
+       |       FROM best b),
+       |u AS (SELECT piece, CAST(sum(w.wc) AS BIGINT) AS usage,
+       |             count(DISTINCT pc.word) AS n_words
+       |      FROM pc JOIN wdict w ON w.word = pc.word
+       |      WHERE piece <> ''
+       |      GROUP BY piece)""".stripMargin
 
   // ------------------------------------------------------------ queries
 
@@ -885,6 +1011,15 @@ object CorpusPrep {
     "unigram_segment" -> ((s, d) => unigramSegment(Tables.documents(s, d))),
     "unigram_encode_stats" -> ((s, d) =>
       unigramEncodeStats(Tables.documents(s, d))),
+    "unigram_viterbi_counts" -> ((s, d) =>
+      unigramViterbiCounts(Tables.documents(s, d))),
+    "unigram_vocab_pruned" -> ((s, d) =>
+      unigramVocabPruned(Tables.documents(s, d))
+        .select(col("piece"), col("usage"), col("freq2"),
+          length(col("piece")).as("piece_len"))
+        .orderBy(col("piece"))),
+    "unigram_segment_pruned" -> ((s, d) =>
+      unigramSegmentPruned(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -1160,6 +1295,35 @@ object CorpusPrep {
     // n_best included; costs come from the Spark-side aux table (the
     // lm_bigram_xent snap-once ln discipline)
     "unigram_segment" -> unigramSegmentOracleSql,
+    // the E-step usage counts and the pruned vocabulary, both over
+    // the independently-enumerated argmin paths
+    "unigram_viterbi_counts" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes
+         |SELECT piece, usage, n_words FROM u ORDER BY piece""".stripMargin,
+    "unigram_vocab_pruned" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |occ AS (
+         |  SELECT substr(word, CAST(i AS INTEGER), CAST(k AS INTEGER)) AS piece,
+         |         CAST(sum(wc) AS BIGINT) AS freq
+         |  FROM wdict,
+         |       unnest(range(1, len(word) + 1)) t(i),
+         |       unnest(range(1, ${UnigramMaxPieceLen + 1})) u2(k)
+         |  WHERE CAST(i AS BIGINT) + CAST(k AS BIGINT) - 1 <= len(word)
+         |  GROUP BY 1),
+         |vz AS (SELECT piece FROM occ WHERE len(piece) = 1
+         |       UNION ALL
+         |       SELECT piece FROM (
+         |         SELECT piece, freq FROM occ
+         |         WHERE len(piece) >= 2 AND freq >= $UnigramMinFreq
+         |         ORDER BY freq DESC, piece LIMIT $UnigramVocabCap))
+         |SELECT vz.piece, coalesce(u.usage, 0) AS usage,
+         |       coalesce(u.usage, 0) + 1 AS freq2,
+         |       CAST(len(vz.piece) AS INTEGER) AS piece_len
+         |FROM vz LEFT JOIN u ON u.piece = vz.piece
+         |WHERE len(vz.piece) = 1 OR coalesce(u.usage, 0) >= $UnigramPruneMin
+         |ORDER BY vz.piece""".stripMargin,
+    // round 2 re-uses the segment statement against the PRUNED aux
+    "unigram_segment_pruned" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
     // encode side: the per-word optima joined back to the document
     // token stream — whole-statement reuse of the segment oracle, so
     // the composition cannot drift from the gated segmenter

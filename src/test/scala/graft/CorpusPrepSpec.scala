@@ -227,6 +227,36 @@ class CorpusPrepSpec extends AnyFunSuite {
       === ((3L, 4L, 4 * c)))
   }
 
+  test("unigram prune round: argmin-path tie-break, usage counts, re-costed round 2") {
+    // tie-break pin: "abc" has two (cost, np)-optimal paths, [ab,c]
+    // and [a,bc] (freqs: a=3, c=3, ab=3, bc=3 — b=4 only hurts the
+    // all-singles path); the \u0001-separated lexicographic order
+    // picks [a,bc], so usage must credit a and bc, never ab, from abc
+    val tie = docsOf(1L -> "abc abc abx bcy")
+    val counts = CorpusPrep.unigramViterbiCounts(tie).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(counts("a") === ((2L, 1L)))   // only from abc x2
+    assert(counts("bc") === ((3L, 2L)))  // abc x2 + bcy x1
+    assert(counts("ab") === ((1L, 1L)))  // only from abx
+    assert(!counts.contains("b"))        // never on an optimal path
+    // and the DP reports exactly 2 optimal paths for abc
+    val nb = CorpusPrep.unigramSegment(tie).collect()
+      .map(r => r.getString(0) -> r.getLong(4)).toMap
+    assert(nb("abc") === 2L)
+    // prune round on the ab/abab corpus: ab survives (usage 4 >= 3),
+    // zero-usage singles stay with add-one freq 1; tot2 = 1+1+5
+    val docs = docsOf(2L -> "ab ab abab")
+    val pruned = CorpusPrep.unigramVocabPruned(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(pruned === Map("a" -> (0L, 1L), "b" -> (0L, 1L),
+      "ab" -> (4L, 5L)))
+    val cAb = math.round(math.log(7.0 / 5.0) * 1e9)
+    val seg2 = CorpusPrep.unigramSegmentPruned(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getInt(3))).toMap
+    assert(seg2("ab") === ((cAb, 1)))
+    assert(seg2("abab") === ((2 * cAb, 2)))
+  }
+
   test("unigram segment on the fixture: DP optimum bounded by the all-singles path") {
     val docs = graft.sources.Tables.documents(spark,
       "/root/testdata/sf0.001")
