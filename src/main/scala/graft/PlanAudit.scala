@@ -42,6 +42,7 @@ object PlanAudit {
     "unigram_segment", // broadcast(unigram vocab): ≤ UnigramVocabCap + alphabet rows BY CONTRACT (capped candidate vocabulary), the vocab_oov_rate class (reviewed round 8)
     "unigram_viterbi_counts", // same broadcast(vocab) through the E-step path explode (reviewed round 8)
     "unigram_encode_stats", // same broadcast(vocab) inherited through the segmenter lineage; the token-stream join-back itself is merge-hinted, never broadcast (reviewed round 8)
+    "tokenizer_compare", // inherits bpe_encode_ids' broadcast(wordIds ≤ BpeVocabCap) and unigram_encode_stats' broadcast(vocab ≤ cap) — both capped-by-contract; the doc-id comparison join is shuffle (reviewed round 8)
     "unigram_vocab_pruned", // same broadcast(vocab) underneath the usage join; the pruned set is a subset of the capped vocab (reviewed round 8)
     "unigram_segment_pruned", // broadcast(pruned vocab): subset of the capped round-1 vocabulary, same bound (reviewed round 8)
     "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)

@@ -911,6 +911,29 @@ object CorpusPrep {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE-vs-unigram comparison — the evaluation a tokenizer choice is
+    * actually made on: per document, the id/piece counts both trained
+    * tokenizers produce over the SAME eligible-word stream, with
+    * integer fertility ×10⁴ (pieces per word). The two encode frames
+    * are the gated operators unchanged; the comparison is one doc-id
+    * equi join. `n_words` ≡ BPE's `n_tokens` by construction (both
+    * filter the identical `[a-z0-9]{2,}` stream and every eligible
+    * token's word is in the corpus-derived dict), which the gate hash
+    * implicitly re-proves every run.
+    */
+  def tokenizerCompare(docs: DataFrame): DataFrame =
+    bpeEncodeIds(docs)
+      .select(col("doc_id"), size(col("ids")).cast("long").as("bpe_ids"),
+        col("n_unk").as("bpe_unk"))
+      .join(unigramEncodeStats(docs)
+        .select(col("doc_id"), col("n_words"),
+          col("n_pieces").as("uni_pieces")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("bpe_ids"), col("bpe_unk"),
+        col("uni_pieces"),
+        expr("(bpe_ids * 10000) div n_words").as("bpe_fert_x10k"),
+        expr("(uni_pieces * 10000) div n_words").as("uni_fert_x10k"))
+      .orderBy(col("doc_id"))
+
   /** The segment oracle as one reusable statement, parametrized by
     * which vocabulary aux table it costs against (shared by the
     * segment gate, the encode-stats composition, and the
@@ -948,6 +971,21 @@ object CorpusPrep {
 
   private lazy val unigramSegmentOracleSql: String =
     unigramSegmentOracleSqlFor("unigram_vocab")
+
+  /** Encode-stats oracle as one reusable statement (the encode gate
+    * and the tokenizer comparison both splice it). */
+  private lazy val oraclesUnigramEncodeStatsSql: String =
+    s"""WITH f AS (
+       |  SELECT doc_id, word
+       |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+       |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2),
+       |s AS (SELECT word, n_pieces, total_cost
+       |      FROM ($unigramSegmentOracleSql))
+       |SELECT f.doc_id, count(*) AS n_words,
+       |       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
+       |       CAST(sum(s.total_cost) AS BIGINT) AS cost_x1e9
+       |FROM f JOIN s USING (word)
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** Exhaustive path enumeration CARRYING the piece sequence (chr(1)
     * separated, matching [[UnigramPathSep]]) + the argmin pick — the
@@ -1020,6 +1058,8 @@ object CorpusPrep {
         .orderBy(col("piece"))),
     "unigram_segment_pruned" -> ((s, d) =>
       unigramSegmentPruned(Tables.documents(s, d))),
+    "tokenizer_compare" -> ((s, d) =>
+      tokenizerCompare(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -1324,21 +1364,24 @@ object CorpusPrep {
          |ORDER BY vz.piece""".stripMargin,
     // round 2 re-uses the segment statement against the PRUNED aux
     "unigram_segment_pruned" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
+    // both encode oracles spliced verbatim, joined on doc_id — the
+    // comparison cannot drift from either gated tokenizer
+    "tokenizer_compare" -> {
+      val bpe = bpeEncodeIdsOracleSql(BpeMergeRoundsN)
+      val uni = oraclesUnigramEncodeStatsSql
+      s"""WITH b AS (SELECT doc_id, n_tokens, n_unk, n_ids FROM ($bpe)),
+         |u AS (SELECT doc_id, n_words, n_pieces FROM ($uni))
+         |SELECT u.doc_id, u.n_words, b.n_ids AS bpe_ids,
+         |       b.n_unk AS bpe_unk, u.n_pieces AS uni_pieces,
+         |       (b.n_ids * 10000) // u.n_words AS bpe_fert_x10k,
+         |       (u.n_pieces * 10000) // u.n_words AS uni_fert_x10k
+         |FROM u JOIN b ON b.doc_id = u.doc_id
+         |ORDER BY u.doc_id""".stripMargin
+    },
     // encode side: the per-word optima joined back to the document
     // token stream — whole-statement reuse of the segment oracle, so
     // the composition cannot drift from the gated segmenter
-    "unigram_encode_stats" ->
-      s"""WITH f AS (
-         |  SELECT doc_id, word
-         |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
-         |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2),
-         |s AS (SELECT word, n_pieces, total_cost
-         |      FROM ($unigramSegmentOracleSql))
-         |SELECT f.doc_id, count(*) AS n_words,
-         |       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
-         |       CAST(sum(s.total_cost) AS BIGINT) AS cost_x1e9
-         |FROM f JOIN s USING (word)
-         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "unigram_encode_stats" -> oraclesUnigramEncodeStatsSql,
     "text_decontam" ->
       s"""WITH w AS (SELECT doc_id, $W AS w FROM documents),
          |g AS (SELECT doc_id, unnest(${sqlGrams(DecontamN)}) AS gram FROM w),

@@ -257,6 +257,24 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(seg2("abab") === ((2 * cAb, 2)))
   }
 
+  test("tokenizer comparison: fertility floors, identical word stream on both sides") {
+    // tiny corpus: BPE (3 merges) collapses ab and abab to one id
+    // each; unigram has no abab piece (freq 1 < floor) -> 1 + 1 + 2
+    val docs = docsOf(1L -> "ab ab abab")
+    val r = CorpusPrep.tokenizerCompare(docs).collect()
+    assert(r.length === 1)
+    assert((r(0).getLong(1), r(0).getLong(2), r(0).getLong(3),
+      r(0).getLong(4)) === ((3L, 3L, 0L, 4L)))
+    assert((r(0).getLong(5), r(0).getLong(6)) === ((10000L, 13333L)))
+    // fixture: every doc has >= 1 piece per word under both tokenizers
+    val fx = CorpusPrep.tokenizerCompare(graft.sources.Tables.documents(
+      spark, "/root/testdata/sf0.001")).collect()
+    assert(fx.nonEmpty)
+    fx.foreach { row =>
+      assert(row.getLong(5) >= 10000L && row.getLong(6) >= 10000L)
+    }
+  }
+
   test("unigram segment on the fixture: DP optimum bounded by the all-singles path") {
     val docs = graft.sources.Tables.documents(spark,
       "/root/testdata/sf0.001")
