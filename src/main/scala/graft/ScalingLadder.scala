@@ -179,6 +179,16 @@ object ScalingLadder {
       graft.ext.CorpusPrep.decontaminate(docs(spark, n))
         .queryExecution.toRdd.count()
     }
+    ladder("unigram_train_round", base * 4) { n =>
+      // the full prune iteration (vocab → Viterbi usage → prune →
+      // re-cost → round-2 segment) on a growing corpus whose WORD
+      // DICT grows with n (fixture vocab scales as n/5, so the rung
+      // measures dict-proportional DP work, not a saturated cache);
+      // ratio ≈ 2 pins the trainer linear in corpus + dict
+      graft.ext.CorpusPrep.unigramSegmentPruned(
+          docs(spark, n, vocab = math.max(2000, (n / 5).toInt)))
+        .queryExecution.toRdd.count()
+    }
     ladder("text_gopher_filter", base * 20) { n =>
       // pure narrow map (pinned token array, zero shuffles): the rung
       // pins that no rule re-expansion sneaks in a super-linear term
