@@ -163,6 +163,22 @@ class PlansSpec extends AnyFunSuite {
       s"unexpected extra broadcast in the domain filter plan:\n$plan")
   }
 
+  test("unigram encode join-back is a merge join; the vocab probe is the " +
+      "only broadcast class") {
+    // the per-word optimum table is vocabulary-sized but DATA-DERIVED
+    // (no cap contract) and its lineage crosses an explode + DP fold —
+    // size estimates are garbage, so without the hint Spark would
+    // happily broadcast a web-scale dictionary. The vocab probe joins
+    // (≤ cap + alphabet BY CONTRACT) are the only broadcasts allowed.
+    val docs = Tables.documents(spark, dir)
+    val plan = graft.ext.CorpusPrep.unigramEncodeStats(docs)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"),
+      s"expected the merge-hinted token-stream join-back:\n$plan")
+    assert(plan.split("BroadcastHashJoin").length - 1 <= 2,
+      s"unexpected extra broadcast in the encode plan:\n$plan")
+  }
+
   test("minhash recall truth derivation is a posting equi-join, " +
       "never an all-pairs join") {
     val docs = Tables.documents(spark, dir)
