@@ -47,4 +47,36 @@ object RangeJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")
   }
+
+  /** Interval×interval OVERLAP join — the family's second member:
+    * BOTH sides spread onto every fixed-size bucket they span, meet
+    * by hash equi-join on the bucket id, and the exact overlap
+    * predicate (`aStart ≤ bEnd ∧ bStart ≤ aEnd`, inclusive)
+    * post-filters. A pair overlapping k shared buckets would surface
+    * k times, so the CANONICAL-BUCKET filter keeps only the copy in
+    * the bucket containing the LATER of the two starts — a bucket
+    * both intervals necessarily cover whenever they overlap — which
+    * emits each pair EXACTLY once with NO distinct pass (a dedup
+    * over pair output is the hidden corpus-sized shuffle this trick
+    * removes). Replication economics and the merge-hint rationale
+    * are [[byTime]]'s; `bucketSize` is in the UNIT of the bound
+    * columns (epoch seconds for timestamps — cast-to-double of a
+    * timestamp is epoch seconds — or the integer unit of numeric
+    * bounds, e.g. 600·10⁶ for µs longs).
+    */
+  def overlapByTime(left: DataFrame, lStart: String, lEnd: String,
+      right: DataFrame, rStart: String, rEnd: String,
+      bucketSize: Long = 600L): DataFrame = {
+    def spread(df: DataFrame, s: String, e: String) =
+      df.withColumn("__b", explode(sequence(
+        floor(col(s).cast("double") / bucketSize).cast("long"),
+        floor(col(e).cast("double") / bucketSize).cast("long"))))
+    spread(left, lStart, lEnd)
+      .join(spread(right, rStart, rEnd).hint("merge"), Seq("__b"))
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") === floor(
+        greatest(col(lStart), col(rStart)).cast("double") / bucketSize)
+        .cast("long"))
+      .drop("__b")
+  }
 }

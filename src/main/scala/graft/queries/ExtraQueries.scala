@@ -69,6 +69,37 @@ object ExtraQueries {
       .orderBy(col("spike_id"))
   }
 
+  /** Interval-overlap join over per-user hourly activity sessions:
+    * which OTHER users' sessions overlap each monitored user's
+    * session in wall time (co-presence — the abuse/correlation
+    * primitive). Sessions are (user, hour)-grouped [min ts, max ts]
+    * spans in epoch-µs BIGINTs (`unix_micros` ↔ DuckDB `epoch_us`,
+    * the established ns-truncation parity); the interval×interval
+    * join runs through [[graft.ops.RangeJoin.overlapByTime]]'s
+    * bucketed canonical-copy form — a hash equi-join on 10-minute
+    * buckets, each overlapping pair met exactly once, never the
+    * BroadcastNestedLoopJoin a bare double-inequality would plan.
+    */
+  def overlapSessions(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"),
+        floor(col("us") / lit(3600000000L)).as("hr"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+    val m = s.filter(col("user_id") % 13 === 0)
+      .select(col("user_id").as("m_user"), col("s_start").as("m_start"),
+        col("s_end").as("m_end"))
+    val o = s.select(col("user_id").as("o_user"),
+      col("s_start").as("o_start"), col("s_end").as("o_end"))
+    graft.ops.RangeJoin.overlapByTime(m, "m_start", "m_end",
+        o, "o_start", "o_end", bucketSize = 600L * 1000000L)
+      .filter(col("o_user") =!= col("m_user"))
+      .groupBy(col("m_user"), col("m_start"), col("m_end"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("o_user")).as("n_users"))
+      .orderBy(col("m_user"), col("m_start"))
+  }
+
   /** Revenue of line items belonging to top-price orders (>450k, the
     * ~p95 tail) — a semi join whose large side goes through
     * [[graft.ops.BloomJoin.semiJoin]]: the hot-order keys build a
@@ -424,6 +455,7 @@ object ExtraQueries {
     "cube_type_dow" -> (cubeTypeDow _),
     "props_extract" -> (propsExtract _),
     "range_join_spikes" -> (spikeWindowStats _),
+    "overlap_sessions" -> (overlapSessions _),
     "bloom_semi_join" -> (bloomSemiRevenue _),
     "pivot_type_daily" -> (pivotTypeDaily _),
     "unpivot_type_daily" -> (unpivotTypeDaily _),
@@ -595,6 +627,23 @@ object ExtraQueries {
         |FROM spikes s JOIN events e
         |  ON e.ts >= s.w_start AND e.ts <= s.w_end
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "overlap_sessions" ->
+      """WITH s AS (
+        |  SELECT user_id,
+        |         CAST(min(epoch_us(ts)) AS BIGINT) AS s_start,
+        |         CAST(max(epoch_us(ts)) AS BIGINT) AS s_end
+        |  FROM events
+        |  GROUP BY user_id, floor(epoch_us(ts) / 3600000000)),
+        |m AS (SELECT user_id AS m_user, s_start AS m_start,
+        |             s_end AS m_end
+        |      FROM s WHERE user_id % 13 = 0)
+        |SELECT m.m_user, m.m_start, m.m_end,
+        |       count(*) AS n_sessions,
+        |       count(DISTINCT s.user_id) AS n_users
+        |FROM m JOIN s
+        |  ON s.user_id != m.m_user
+        | AND m.m_start <= s.s_end AND s.s_start <= m.m_end
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin,
     "bloom_semi_join" ->
       """SELECT l_returnflag, count(*) AS n_items,
         |       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue

@@ -312,6 +312,46 @@ class PlansSpec extends AnyFunSuite {
     assert(plan.contains("__b"), s"bucket key missing from the join:\n$plan")
   }
 
+  test("overlap join: bucketed equi-join, exactly-once pairs vs brute-force truth") {
+    import spark.implicits._
+    // intervals engineered to span MULTIPLE 10-unit buckets so the
+    // canonical-bucket filter is load-bearing: without it, (1,10)
+    // would surface 3 times
+    val a = Seq((1L, 0L, 25L), (2L, 40L, 45L), (3L, 90L, 130L))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 50L), (20L, 47L, 49L), (30L, 200L, 210L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = graft.ops.RangeJoin.overlapByTime(a, "a_s", "a_e",
+        b, "b_s", "b_e", bucketSize = 10L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    // brute truth: 1x10 (0-25 vs 5-50), 2x10 (40-45 vs 5-50) — NOT
+    // 2x20 (40-45 vs 47-49), NOT 3x anything
+    assert(got.toSeq === Seq((1L, 10L), (2L, 10L)))
+    // plan: equi-join on the bucket key, no nested loop
+    val plan = graft.ops.RangeJoin.overlapByTime(a, "a_s", "a_e",
+        b, "b_s", "b_e", bucketSize = 10L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"overlap join planned as a nested loop:\n$plan")
+    // fixture-scale exactly-once property: the gate derivation equals
+    // a brute inequality join recomputed driver-side
+    val s = Tables.events(spark, dir)
+      .select(col("user_id"), unix_micros(col("ts")).as("us"))
+      .groupBy(col("user_id"), floor(col("us") / lit(3600000000L)).as("hr"))
+      .agg(min(col("us")).as("s_start"), max(col("us")).as("s_end"))
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    val mon = s.filter(_._1 % 13 == 0)
+    val brute = (for {
+      (mu, ms, me) <- mon; (ou, os, oe) <- s
+      if ou != mu && ms <= oe && os <= me
+    } yield ((mu, ms), 1)).groupBy(_._1).view.mapValues(_.size).toMap
+    val gate = graft.queries.ExtraQueries.overlapSessions(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    assert(gate === brute.map { case (k, v) => k -> v.toLong })
+  }
+
   test("bloom semi join: probe is a literal filter below the join; prefilter is selective") {
     val plan = graft.queries.ExtraQueries.bloomSemiRevenue(spark, dir)
       .queryExecution.executedPlan.toString
