@@ -47,6 +47,20 @@ object BpeDepthBench {
         concat_ws(" ", transform(sequence(lit(1L), col("reps")),
           _ => col("word"))).as("text"))
 
+    // SPARK_GRAFT_DEPTH_MODE=unigram measures the OTHER trainer on
+    // the same vocabulary-rich corpus: multi-round prune training,
+    // one distributed DP job per round over the collected model —
+    // reported as wall seconds per round (the quantity that decides
+    // whether a 20-round production prune schedule is minutes)
+    if (sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("unigram")) {
+      val r = sys.env.getOrElse("SPARK_GRAFT_UNIGRAM_ROUNDS", "8").toInt
+      val t0 = System.nanoTime()
+      val n = graft.ext.CorpusPrep.unigramTrainRounds(docs, r).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mode":"unigram","dict_words":$n,"rounds":$r,"total_sec":$sec%.2f,"sec_per_round":${sec / r}%.2f}""")
+      spark.stop(); return
+    }
+
     val t0 = System.nanoTime()
     val merged = graft.ext.CorpusPrep.bpeTrainDeep(docs, rounds)
     val n = merged.count() // the deep loop runs on this action

@@ -45,6 +45,7 @@ object PlanAudit {
     "tokenizer_compare", // inherits bpe_encode_ids' broadcast(wordIds ≤ BpeVocabCap) and unigram_encode_stats' broadcast(vocab ≤ cap) — both capped-by-contract; the doc-id comparison join is shuffle (reviewed round 8)
     "unigram_vocab_pruned", // same broadcast(vocab) underneath the usage join; the pruned set is a subset of the capped vocab (reviewed round 8)
     "unigram_segment_pruned", // broadcast(pruned vocab): subset of the capped round-1 vocabulary, same bound (reviewed round 8)
+    "unigram_segment_multi", // broadcast(collected literal model): the same ≤ cap + alphabet rows, now a driver-collected literal frame (reviewed round 8)
     "sample_importance", // broadcast(dsirLogRatio): ≤ DsirBuckets (4096) rows BY groupBy construction, explicit (reviewed round 7)
     "sim_ivf_recall",    // broadcast(qProbes) via the reused ivfTopK — the same bounded probe set sanctioned for sim_ann_ivf (reviewed round 7)
     "bpe_encode_ids",    // broadcast(wordIds): ≤ BpeVocabCap rows BY CONTRACT (capped trained vocabulary), explicit (reviewed round 8)

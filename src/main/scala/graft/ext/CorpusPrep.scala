@@ -888,6 +888,61 @@ object CorpusPrep {
         col("n_best"))
       .orderBy(col("word"))
 
+  /** Multi-round prune training — the production unigram loop: each
+    * round segments the dict under the current model, re-estimates
+    * usage from the argmin paths, prunes multi-char pieces under the
+    * floor (against the PREVIOUS round's survivors, so the vocabulary
+    * only shrinks), applies add-one smoothing, and re-costs. The
+    * model is ≤ cap + alphabet rows BY CONTRACT, so each round
+    * COLLECTS it and re-broadcasts a literal frame (the
+    * [[bpeTrainDeep]] discipline): plans stay ONE DP layer deep per
+    * round instead of nesting — the Catalyst 2^rounds analysis trap —
+    * and every round costs exactly one distributed job over the
+    * UNCHANGED word dict. Cost arithmetic is the same
+    * `round((ln tot − ln freq)·10⁹)` on the same JVM `Math.log`, so
+    * round 2 is BIT-EQUAL to the gated [[unigramSegmentPruned]]
+    * (spec-pinned AND hash-checked by the `unigram_segment_multi`
+    * gate against the same aux-2 oracle). Returns the final round's
+    * segmentation frame.
+    */
+  def unigramTrainRounds(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least the initial model")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeWordDict(docs).select(col("word"), col("wc"))
+    def recost(fr: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val tot = fr.map(_._2).sum
+      fr.map { case (p, f) =>
+        (p, f, math.round((math.log(tot.toDouble) -
+          math.log(f.toDouble)) * 1e9))
+      }
+    }
+    // round-1 model: the gated vocab, collected (bounded by contract)
+    var model: Seq[(String, Long, Long)] = unigramVocabCosts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    for (_ <- 2 to rounds) {
+      val vdf = model.toDF("piece", "freq", "cost")
+      val usage = viterbiDp(words, vdf)
+        .select(col("wc"),
+          explode(split(col("path"), UnigramPathSep)).as("piece"))
+        .filter(length(col("piece")) > 0)
+        .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val survivors = model.collect {
+        case (p, _, _) if p.length == 1 =>
+          (p, usage.getOrElse(p, 0L) + 1L)
+        case (p, _, _) if usage.getOrElse(p, 0L) >= UnigramPruneMin =>
+          (p, usage(p) + 1L)
+      }
+      model = recost(survivors)
+    }
+    viterbiDp(words, model.toDF("piece", "freq", "cost"))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word"))
+  }
+
   /** Per-document token statistics under the unigram tokenizer — the
     * encode-side composition (train → segment → encode, the
     * [[bpeEncodeStats]] analog): every eligible document token joins
@@ -1060,6 +1115,11 @@ object CorpusPrep {
       unigramSegmentPruned(Tables.documents(s, d))),
     "tokenizer_compare" -> ((s, d) =>
       tokenizerCompare(Tables.documents(s, d))),
+    // the multi-round trainer at depth 2 ≡ the single-prune path —
+    // hash-checked against the SAME aux-2 oracle, so the collected-
+    // model loop can never drift from the gated distributed stages
+    "unigram_segment_multi" -> ((s, d) =>
+      unigramTrainRounds(Tables.documents(s, d), rounds = 2)),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -1364,6 +1424,7 @@ object CorpusPrep {
          |ORDER BY vz.piece""".stripMargin,
     // round 2 re-uses the segment statement against the PRUNED aux
     "unigram_segment_pruned" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
+    "unigram_segment_multi" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
     // both encode oracles spliced verbatim, joined on doc_id — the
     // comparison cannot drift from either gated tokenizer
     "tokenizer_compare" -> {

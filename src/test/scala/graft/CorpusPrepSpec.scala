@@ -257,6 +257,22 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(seg2("abab") === ((2 * cAb, 2)))
   }
 
+  test("multi-round unigram trainer: depth 2 equals the gated prune path, deeper rounds reach a fixed point") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val one = CorpusPrep.unigramSegmentPruned(docs).collect().toSeq
+    val multi = CorpusPrep.unigramTrainRounds(docs, rounds = 2).collect().toSeq
+    assert(multi === one)
+    // convergence: once no multi-char piece falls under the floor,
+    // further rounds only re-derive the same model (usage of the
+    // surviving pieces is stable) — depth 4 ≡ depth 5
+    val d4 = CorpusPrep.unigramTrainRounds(docs, rounds = 4).collect().toSeq
+    val d5 = CorpusPrep.unigramTrainRounds(docs, rounds = 5).collect().toSeq
+    assert(d4 === d5)
+    // rounds=1 is the unpruned model
+    assert(CorpusPrep.unigramTrainRounds(docs, rounds = 1).collect().toSeq
+      === CorpusPrep.unigramSegment(docs).collect().toSeq)
+  }
+
   test("tokenizer comparison: fertility floors, identical word stream on both sides") {
     // tiny corpus: BPE (3 merges) collapses ab and abab to one id
     // each; unigram has no abab piece (freq 1 < floor) -> 1 + 1 + 2
