@@ -174,7 +174,26 @@ object DataQuality {
       .orderBy(col("bucket"))
   }
 
+  /** k-anonymity risk audit over a quasi-identifier tuple: every QI
+    * equivalence class smaller than k, with its size — the groups
+    * whose members a release would re-identify. One hash aggregate on
+    * the QI columns and a count filter: the privacy screen that runs
+    * at scan-shuffle cost next to the other profile passes. (The
+    * k-threshold is reported per class so downstream can suppress or
+    * generalize; classes ≥ k never leave the aggregate.)
+    */
+  def kAnonymityRisk(df: DataFrame, qi: Seq[String], k: Long): DataFrame =
+    df.groupBy(qi.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+      .orderBy(qi.map(col): _*)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // QI = (nation, market segment) on customers; k = 25 so the
+    // fixture yields a non-degenerate at-risk set
+    "dq_k_anonymity" -> ((s, d) =>
+      kAnonymityRisk(Tables.customer(s, d),
+        Seq("c_nationkey", "c_mktsegment"), k = 25L)),
     // cohort A = first half of the fixture month, B = the rest; same
     // 50-wide value buckets as hist_value_buckets
     "dq_drift_value" -> ((s, d) =>
@@ -194,6 +213,11 @@ object DataQuality {
   )
 
   val oracles: Map[String, String] = Map(
+    "dq_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS class_size
+        |FROM customer
+        |GROUP BY 1, 2 HAVING count(*) < 25
+        |ORDER BY 1, 2""".stripMargin,
     // same conditional-sum per bucket, totals as scalar subqueries,
     // identical integer div — day-of-month cohort split. n_a is
     // spelled NOT (day(ts) > 15), not the ELSE branch of the n_b

@@ -396,6 +396,28 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet === raw.map(_.getLong(0)).toSet)
   }
 
+  test("k-anonymity: exactly the sub-k QI classes, sizes exact") {
+    import spark.implicits._
+    import graft.ext.DataQuality
+    val t = Seq((1, "a"), (1, "a"), (1, "a"), (1, "b"), (2, "a"), (2, "a"))
+      .toDF("q1", "q2")
+    val risk = DataQuality.kAnonymityRisk(t, Seq("q1", "q2"), k = 3L)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    // (1,a) has 3 members (>= k, safe); (1,b)=1 and (2,a)=2 are at risk
+    assert(risk.toSeq === Seq((1, "b", 1L), (2, "a", 2L)))
+    // fixture: every reported class is genuinely below k, and the
+    // safe+risk class partition covers all rows
+    val cust = Tables.customer(spark, dir)
+    val rows = DataQuality.kAnonymityRisk(cust,
+      Seq("c_nationkey", "c_mktsegment"), k = 25L).collect()
+    assert(rows.forall(_.getLong(2) < 25L))
+    val atRisk = rows.map(_.getLong(2)).sum
+    val safe = cust.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .count().filter(col("count") >= 25L)
+      .agg(coalesce(sum(col("count")), lit(0L))).collect()(0).getLong(0)
+    assert(atRisk + safe === cust.count())
+  }
+
   test("data quality: clean + quarantine partition the input; report is consistent") {
     import graft.ext.DataQuality
     val ev = Tables.events(spark, dir)
