@@ -88,6 +88,27 @@ object StateRehearsal {
       .select(col("k"), col("b_ts"))
   }
 
+  /** Session-window shape (the `stream_sessions_user` dataflow): the
+    * MERGING-window state family, distinct from keyed aggs (fixed key
+    * → one row) and join buffers (row retention) — session state rows
+    * split/merge as events arrive and EVICT once the watermark passes
+    * session end + gap. Keys are `value div 50` (each "user" lives
+    * inside one micro-batch; rate-micro-batch advances event time
+    * 1 s/batch), gap 3 s, watermark 5 s — so open-session state must
+    * PLATEAU at ~(gap + lateness) batches' worth of users (~8 × 20k
+    * rows) while input ramps forever. Linear growth here would mean
+    * session analytics is unusable on an unbounded stream.
+    */
+  def sessionShape(stream: DataFrame): DataFrame =
+    stream
+      .withWatermark("timestamp", "5 seconds")
+      .select(expr("value div 50").as("user_id"), col("timestamp"))
+      .groupBy(col("user_id"),
+        session_window(col("timestamp"), "3 seconds"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("s_start"),
+        col("n_events"))
+
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = GraftSession.configure(
@@ -167,6 +188,8 @@ object StateRehearsal {
     run("rocksdb_changelog_snap3_q1_dedup", RocksDbProvider, q1Shape,
       changelog = true, minDeltasForSnapshot = Some(3))
     run("rocksdb_ssjoin", RocksDbProvider, joinShape, outputMode = "append")
+    run("rocksdb_sessions", RocksDbProvider, sessionShape,
+      outputMode = "append")
     run("hdfs_q3",
       "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
       q3Shape)
