@@ -445,7 +445,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Unicode NFC normalization stats per document — the curation
+    * stage that must run BEFORE any hash-based dedup: the same
+    * rendered string arrives precomposed and decomposed from real
+    * crawls, and exact/line/span dedup treats them as different
+    * documents otherwise. Runs through the native codegen
+    * [[graft.functions.NfcNormalize]] expression (no UDF; fast path
+    * returns the untouched UTF8String when already NFC). The md5
+    * digest crosses the gate so DuckDB's ICU `nfc_normalize`
+    * re-derives byte equality independently.
+    */
+  def nfcNormalizeStats(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"),
+        graft.functions.NfcNormalize.nfc_normalize(col("text")).as("norm"))
+      .select(col("doc_id"), md5(col("norm")).as("norm_md5"),
+        length(col("norm")).cast("long").as("n_chars"),
+        (col("norm") =!= col("text")).cast("int").as("changed"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "text_nfc_normalize" -> ((s, d) =>
+      nfcNormalizeStats(Tables.documents(s, d))),
     "text_classifier_score" -> ((s, d) =>
       classifierScore(Tables.documents(s, d))),
     // train -> apply composed: NB weights trained on the en cohort,
@@ -505,6 +525,14 @@ object TextAnalysis {
   }
 
   val oracles: Map[String, String] = Map(
+    // the ICU twin of the JDK Normalizer — NFC is UAX#15, both
+    // engines must produce byte-identical output or the digest splits
+    "text_nfc_normalize" ->
+      """SELECT doc_id, md5(nfc_normalize(text)) AS norm_md5,
+        |       CAST(len(nfc_normalize(text)) AS BIGINT) AS n_chars,
+        |       CAST(CASE WHEN nfc_normalize(text) != text THEN 1 ELSE 0 END
+        |            AS INTEGER) AS changed
+        |FROM documents ORDER BY doc_id""".stripMargin,
     // same feature hashing (md5-prefix buckets), same positional
     // hex→index weight scramble (strpos ≡ Spark's instr, 1-based),
     // exact integer logits end-to-end

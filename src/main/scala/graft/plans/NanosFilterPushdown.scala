@@ -177,6 +177,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"ngram_hash64: n must be an integer literal, got $other")
       }))
+    register(e, "nfc_normalize", 1,
+      "nfc_normalize(s) - Unicode NFC canonical composition")(
+      a => NfcNormalize(a.head))
     register(e, "word_ngrams", 2,
       "word_ngrams(tokens, n) - generator: one row per n-token window")(
       a => WordNgrams(a(0), a(1) match {

@@ -292,6 +292,29 @@ class PlansSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("nfc_normalize: decomposed input composes, NFC input returned untouched") {
+    import spark.implicits._
+    import graft.functions.NfcNormalize.nfc_normalize
+    // e + COMBINING ACUTE (decomposed) -> precomposed U+00E9;
+    // s + dot-below + dot-above -> U+1E69 (multi-mark composition)
+    val rows = Seq("éclair", "café", "ṩ", "中文 abc")
+      .toDF("s")
+      .select(col("s"), nfc_normalize(col("s")).as("n"),
+        (nfc_normalize(col("s")) =!= col("s")).cast("int").as("chg"))
+      .collect()
+    assert(rows(0).getString(1) === "éclair" && rows(0).getInt(2) === 1)
+    assert(rows(1).getString(1) === "café" && rows(1).getInt(2) === 0)
+    assert(rows(2).getString(1) === "ṩ" && rows(2).getInt(2) === 1)
+    assert(rows(3).getString(1) === "中文 abc" && rows(3).getInt(2) === 0)
+    // SQL-text entry point through the extension registration
+    val viaSql = spark.sql("SELECT nfc_normalize('é') AS n")
+      .head().getString(0)
+    assert(viaSql === "é")
+    // null propagates
+    assert(Seq(Option.empty[String]).toDF("s")
+      .select(nfc_normalize(col("s"))).head().isNullAt(0))
+  }
+
   test("injected SQL functions carry proper identity and usage in the catalog") {
     val desc = spark.sql("DESCRIBE FUNCTION EXTENDED simhash64")
       .collect().map(_.getString(0)).mkString("\n")
