@@ -872,7 +872,39 @@ object Similarity {
       pqModel(emb, querySet(emb))
     })
 
+  /** Truncation widths the Matryoshka evaluation measures. */
+  val MatryoshkaDims: Seq[Int] = Seq(4, 8, 16, 32)
+
+  /** Matryoshka-truncation retrieval evaluation: recall@k of brute
+    * cosine top-k computed on the FIRST d dimensions against the
+    * full-dimension truth, per truncation width — the storage/quality
+    * trade a vector store actually tunes (prefix slicing is the
+    * Matryoshka deployment pattern; for embeddings not trained that
+    * way the gate MEASURES what truncation loses rather than assuming
+    * it). One broadcast-NL scoring pass per width over the bounded
+    * query set (the sim_brute_topk shape ×|dims|); the recall join is
+    * (query, neighbor)-keyed over k·|queries| rows — trivial.
+    */
+  def matryoshkaRecall(emb: DataFrame,
+      dims: Seq[Int] = MatryoshkaDims, k: Int = GateK): DataFrame = {
+    val full = bruteTopK(emb, querySet(emb), k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("__t"))
+    val perDim = dims.map { d =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, d).as("embedding"))
+      bruteTopK(sliced, sliced.filter(col("vec_id") < GateQueryCut), k)
+        .select(lit(d).as("dim"), col("query_id"), col("neighbor_id"))
+    }.reduce(_ unionByName _)
+    perDim.join(full, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("dim"), col("query_id"))
+      .agg(sum(coalesce(col("__t"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall_x100", expr(s"(n_hit * 100) div $k"))
+      .orderBy(col("dim"), col("query_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sim_matryoshka_recall" -> ((s, d) =>
+      matryoshkaRecall(Tables.embeddings(s, d))),
     "sim_threshold_join" -> ((s, d) =>
       thresholdJoin(Tables.embeddings(s, d), threshold = 0.3)
         .orderBy(col("id_a"), col("id_b"))),
@@ -1076,6 +1108,38 @@ object Similarity {
         |SELECT vec_id, label, eval_id AS closest_eval, round(sim, 6) AS sim,
         |       CAST(CASE WHEN sim >= $DecontamThreshold THEN 1 ELSE 0 END AS INTEGER) AS removed
         |FROM s WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    // per-width truncated top-k re-derived by list slicing, recall
+    // against the full-width truth — code-built SQL (one CTE per
+    // width), no margins
+    "sim_matryoshka_recall" -> {
+      def topk(name: String, proj: String) =
+        s"""$name AS (SELECT query_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |         row_number() OVER (PARTITION BY q.vec_id
+           |           ORDER BY list_cosine_similarity($proj) DESC, c.vec_id) AS rank
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+           |  WHERE q.vec_id < $GateQueryCut)
+           |  WHERE rank <= $GateK)""".stripMargin
+      val dimCtes = MatryoshkaDims.map(d => topk(s"d$d",
+        s"(q.embedding[1:$d])::DOUBLE[], (c.embedding[1:$d])::DOUBLE[]"))
+      val unions = MatryoshkaDims.map(d =>
+        s"SELECT $d AS dim, query_id, neighbor_id FROM d$d")
+        .mkString("\nUNION ALL\n")
+      s"""WITH ${topk("fullk",
+          "q.embedding::DOUBLE[], c.embedding::DOUBLE[]")},
+${dimCtes.mkString(",\n")},
+allk AS (
+$unions
+),
+h AS (SELECT a.dim, a.query_id,
+             CAST(sum(CASE WHEN f.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_hit
+      FROM allk a LEFT JOIN fullk f
+        ON f.query_id = a.query_id AND f.neighbor_id = a.neighbor_id
+      GROUP BY 1, 2)
+SELECT dim, query_id, n_hit, (n_hit * 100) // $GateK AS recall_x100
+FROM h ORDER BY dim, query_id"""
+    },
     "sim_brute_topk" ->
       """SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (

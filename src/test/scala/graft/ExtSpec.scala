@@ -396,6 +396,26 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet === raw.map(_.getLong(0)).toSet)
   }
 
+  test("matryoshka recall: one row per (dim, query), hits bounded, wider is better on average") {
+    import graft.ext.Similarity
+    val emb = Tables.embeddings(spark, dir)
+    val rows = Similarity.matryoshkaRecall(emb).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length ===
+      Similarity.MatryoshkaDims.length * Similarity.GateQueryCut)
+    rows.foreach { case (_, _, nHit, rec) =>
+      assert(nHit >= 0L && nHit <= Similarity.GateK)
+      assert(rec === nHit * 100 / Similarity.GateK)
+    }
+    val mean = rows.groupBy(_._1).view
+      .mapValues(rs => rs.map(_._3).sum.toDouble / rs.length).toMap
+    assert(mean(32) >= mean(4))
+    // full-width truncation is the identity: a 64-dim slice of a
+    // 64-dim vector reproduces the truth exactly
+    val full = Similarity.matryoshkaRecall(emb, dims = Seq(64)).collect()
+    assert(full.forall(_.getLong(2) === Similarity.GateK.toLong))
+  }
+
   test("k-anonymity: exactly the sub-k QI classes, sizes exact") {
     import spark.implicits._
     import graft.ext.DataQuality
