@@ -809,6 +809,16 @@ object Dedup {
       exact(Tables.documents(s, d))
         .select(col("keep_doc_id"), col("dup_count"))
         .orderBy(col("keep_doc_id"))),
+    // exact dedup COMPOSED over NFC normalization — the order a real
+    // pipeline must run them in: precomposed vs decomposed renderings
+    // of one string hash apart without the canonicalization step
+    // (the normalize gate's rationale, exercised through the dedup
+    // grouping; oracle independently normalizes via ICU)
+    "dedup_exact_nfc" -> ((s, d) =>
+      exact(Tables.documents(s, d).withColumn("text",
+          graft.functions.NfcNormalize.nfc_normalize(col("text"))))
+        .select(col("keep_doc_id"), col("dup_count"))
+        .orderBy(col("keep_doc_id"))),
     "dedup_exact_by_key" -> ((s, d) =>
       exactByKey(Tables.documents(s, d)).orderBy(col("lang"), col("source"))),
     "dedup_minhash_pairs" -> ((s, d) =>
@@ -1072,6 +1082,10 @@ object Dedup {
     "dedup_exact" ->
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY text ORDER BY keep_doc_id""".stripMargin,
+    "dedup_exact_nfc" ->
+      """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM documents GROUP BY nfc_normalize(text)
+        |ORDER BY keep_doc_id""".stripMargin,
     "dedup_exact_by_key" ->
       """SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,

@@ -396,6 +396,20 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet === raw.map(_.getLong(0)).toSet)
   }
 
+  test("exact dedup over NFC: decomposed rendering collapses with its precomposed twin") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    import graft.functions.NfcNormalize.nfc_normalize
+    val docs = Seq((1L, "café au lait"), (2L, "cafe\u0301 au lait"))
+      .toDF("doc_id", "text")
+    // byte-different renderings: plain exact sees two distinct texts
+    assert(Dedup.exact(docs).count() === 2L)
+    val viaNfc = Dedup.exact(docs.withColumn("text",
+        nfc_normalize(col("text")))).collect()
+    assert(viaNfc.length === 1)
+    assert(viaNfc(0).getLong(1) === 1L && viaNfc(0).getLong(2) === 2L)
+  }
+
   test("matryoshka recall: one row per (dim, query), hits bounded, wider is better on average") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, dir)
