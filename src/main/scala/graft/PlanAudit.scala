@@ -43,6 +43,7 @@ object PlanAudit {
     "unigram_viterbi_counts", // same broadcast(vocab) through the E-step path explode (reviewed round 8)
     "unigram_encode_stats", // same broadcast(vocab) inherited through the segmenter lineage; the token-stream join-back itself is merge-hinted, never broadcast (reviewed round 8)
     "tokenizer_compare", // inherits bpe_encode_ids' broadcast(wordIds ≤ BpeVocabCap) and unigram_encode_stats' broadcast(vocab ≤ cap) — both capped-by-contract; the doc-id comparison join is shuffle (reviewed round 8)
+    "unigram_fertility_by_lang", // same broadcast(vocab ≤ cap) inherited through unigram_encode_stats; the lang join-back is doc-keyed shuffle (reviewed round 8)
     "unigram_vocab_pruned", // same broadcast(vocab) underneath the usage join; the pruned set is a subset of the capped vocab (reviewed round 8)
     "unigram_segment_pruned", // broadcast(pruned vocab): subset of the capped round-1 vocabulary, same bound (reviewed round 8)
     "unigram_segment_multi", // broadcast(collected literal model): the same ≤ cap + alphabet rows, now a driver-collected literal frame (reviewed round 8)

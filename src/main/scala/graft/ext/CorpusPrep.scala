@@ -989,6 +989,24 @@ object CorpusPrep {
         expr("(uni_pieces * 10000) div n_words").as("uni_fert_x10k"))
       .orderBy(col("doc_id"))
 
+  /** Per-language fertility under the UNIGRAM tokenizer — the
+    * [[bpeFertilityByLang]] mirror, so the per-doc
+    * [[tokenizerCompare]] view has a per-language aggregate twin on
+    * the unigram side too. Docs with zero eligible words count with
+    * 0 (the LEFT join), matching the BPE gate's convention.
+    */
+  def unigramFertilityByLang(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"))
+      .join(unigramEncodeStats(docs), Seq("doc_id"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_words"), lit(0L))).as("n_words"),
+        sum(coalesce(col("n_pieces"), lit(0L))).as("n_pieces"))
+      .withColumn("fertility_x100",
+        expr("CASE WHEN n_words = 0 THEN NULL" +
+          " ELSE n_pieces * 100 div n_words END"))
+      .orderBy(col("lang"))
+
   /** The segment oracle as one reusable statement, parametrized by
     * which vocabulary aux table it costs against (shared by the
     * segment gate, the encode-stats composition, and the
@@ -1120,6 +1138,8 @@ object CorpusPrep {
     // model loop can never drift from the gated distributed stages
     "unigram_segment_multi" -> ((s, d) =>
       unigramTrainRounds(Tables.documents(s, d), rounds = 2)),
+    "unigram_fertility_by_lang" -> ((s, d) =>
+      unigramFertilityByLang(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
     // space-joined sequence) — the established array-column parity
     // discipline (text_span_removal's kept_md5)
@@ -1425,6 +1445,21 @@ object CorpusPrep {
     // round 2 re-uses the segment statement against the PRUNED aux
     "unigram_segment_pruned" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
     "unigram_segment_multi" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
+    // the encode oracle spliced + language left-join aggregate (the
+    // bpe_fertility_by_lang convention: zero-eligible docs count 0)
+    "unigram_fertility_by_lang" -> {
+      val uni = oraclesUnigramEncodeStatsSql
+      s"""WITH u AS (SELECT doc_id, n_words, n_pieces FROM ($uni))
+         |SELECT d.lang, count(*) AS n_docs,
+         |       CAST(sum(coalesce(u.n_words, 0)) AS BIGINT) AS n_words,
+         |       CAST(sum(coalesce(u.n_pieces, 0)) AS BIGINT) AS n_pieces,
+         |       CASE WHEN sum(coalesce(u.n_words, 0)) = 0 THEN NULL
+         |            ELSE CAST(sum(coalesce(u.n_pieces, 0)) * 100
+         |                      // sum(coalesce(u.n_words, 0)) AS BIGINT)
+         |       END AS fertility_x100
+         |FROM documents d LEFT JOIN u USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    },
     // both encode oracles spliced verbatim, joined on doc_id — the
     // comparison cannot drift from either gated tokenizer
     "tokenizer_compare" -> {
