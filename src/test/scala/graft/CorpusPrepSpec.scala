@@ -291,6 +291,25 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
   }
 
+  test("unigram fertility by lang: aggregates the per-doc encode view exactly") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val perDoc = CorpusPrep.unigramEncodeStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val langOf = docs.select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val byLang = CorpusPrep.unigramFertilityByLang(docs).collect()
+    assert(byLang.nonEmpty)
+    byLang.foreach { r =>
+      val lang = r.getString(0)
+      val ids = langOf.collect { case (id, l) if l == lang => id }.toSeq
+      val w = ids.map(id => perDoc.get(id).map(_._1).getOrElse(0L)).sum
+      val p = ids.map(id => perDoc.get(id).map(_._2).getOrElse(0L)).sum
+      assert(r.getLong(1) === ids.size.toLong)
+      assert(r.getLong(2) === w && r.getLong(3) === p)
+      if (w > 0) assert(r.getLong(4) === p * 100 / w) else assert(r.isNullAt(4))
+    }
+  }
+
   test("unigram segment on the fixture: DP optimum bounded by the all-singles path") {
     val docs = graft.sources.Tables.documents(spark,
       "/root/testdata/sf0.001")
