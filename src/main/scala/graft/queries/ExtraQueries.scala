@@ -197,6 +197,36 @@ object ExtraQueries {
       .orderBy(col("event_type"))
   }
 
+  /** Robust (median/MAD) outlier detection per event type — the
+    * [[anomalyIqr]] family's resistant member (the Hampel X84 rule:
+    * flag `|x − med| > 3·1.4826·MAD`), immune to the very outliers
+    * that inflate a z-score's σ and tighter-tailed than the Tukey
+    * fence. Same distributed shape at one more pass: per-type median
+    * broadcast back over the scan, per-type MAD of the deviations
+    * broadcast back, then the flag count — the big side shuffles only
+    * on `event_type`, never sorts globally. The flag comparison uses
+    * the UNROUNDED statistics (both engines interpolate identically:
+    * Spark `percentile` ≡ DuckDB `quantile_cont`, the anomaly_iqr
+    * precedent); the reported med/mad columns are 2dp-rounded.
+    */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val med = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.5)").as("med"))
+    val stats = ev.join(broadcast(med), "event_type")
+      .groupBy(col("event_type"))
+      .agg(min(col("med")).as("med"),
+        expr("percentile(abs(value - med), 0.5)").as("mad"))
+    ev.join(broadcast(stats), "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("med")), 2).as("med"),
+        round(min(col("mad")), 2).as("mad"),
+        count(when(abs(col("value") - col("med")) >
+          lit(4.4478) * col("mad"), 1)).as("n_outliers"))
+      .orderBy(col("event_type"))
+  }
+
   /** MapType surface: parse `props` as `map<string,long>`, explode to
     * (key, value) rows, histogram per key. Schema-on-read of
     * semi-structured columns into typed maps (`from_json` +
@@ -452,6 +482,7 @@ object ExtraQueries {
     "full_outer_activity" -> (fullOuterActivity _),
     "asof_last_error" -> (lastErrorAsOf _),
     "anomaly_iqr" -> (anomalyIqr _),
+    "anomaly_mad" -> (anomalyMad _),
     "cube_type_dow" -> (cubeTypeDow _),
     "props_extract" -> (propsExtract _),
     "range_join_spikes" -> (spikeWindowStats _),
@@ -598,6 +629,20 @@ object ExtraQueries {
         |       count(*) FILTER (e.value > b.hi) AS n_outliers,
         |       round(max(e.value) FILTER (e.value > b.hi), 2) AS max_outlier
         |FROM events e JOIN b USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "anomaly_mad" ->
+      """WITH m AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM events GROUP BY 1),
+        |s AS (
+        |  SELECT e.event_type, min(m.med) AS med,
+        |         quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM events e JOIN m USING (event_type) GROUP BY 1)
+        |SELECT e.event_type, count(*) AS n_events,
+        |       round(min(s.med), 2) AS med, round(min(s.mad), 2) AS mad,
+        |       count(*) FILTER (abs(e.value - s.med) > 4.4478 * s.mad)
+        |         AS n_outliers
+        |FROM events e JOIN s USING (event_type)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "asof_last_error" ->
       """SELECT e.event_id,

@@ -396,6 +396,29 @@ class ExtSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(0)).toSet === raw.map(_.getLong(0)).toSet)
   }
 
+  test("MAD outliers: per-type stats equal a driver-side recompute") {
+    val ev = Tables.events(spark, dir).select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    def medianOf(xs: Seq[Double]): Double = {
+      val s = xs.sorted; val n = s.length
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    def r2(x: Double): Double =
+      BigDecimal(x).setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = graft.queries.ExtraQueries.anomalyMad(spark, dir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val xs = ev.collect { case (t, v) if t == r.getString(0) => v }.toSeq
+      val med = medianOf(xs)
+      val mad = medianOf(xs.map(x => math.abs(x - med)))
+      assert(r.getLong(1) === xs.length.toLong)
+      assert(r.getDouble(2) === r2(med))
+      assert(r.getDouble(3) === r2(mad))
+      assert(r.getLong(4) ===
+        xs.count(x => math.abs(x - med) > 4.4478 * mad).toLong)
+    }
+  }
+
   test("exact dedup over NFC: decomposed rendering collapses with its precomposed twin") {
     import spark.implicits._
     import graft.ext.Dedup
