@@ -61,17 +61,17 @@ object BpeDepthBench {
       spark.stop(); return
     }
 
+    // stage the two costs inside ONE run: the distributed
+    // word-count + capped collect, then the memory-resident driver
+    // loop, each timed directly (a differenced second collect run
+    // benefits from warmed caches/JIT and skews rounds_per_sec)
     val t0 = System.nanoTime()
-    val merged = graft.ext.CorpusPrep.bpeTrainDeep(docs, rounds)
-    val n = merged.count() // the deep loop runs on this action
-    val totalSec = (System.nanoTime() - t0) / 1e9
-    // separate the distributed word-count+collect cost from the loop:
-    // re-run just the dictionary pull
+    val dictRows = graft.ext.CorpusPrep.bpeDictCollect(docs)
+    val collectSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val dictRows = graft.ext.CorpusPrep.bpeDictCollect(docs).length
-    val collectSec = (System.nanoTime() - t1) / 1e9
-    val loopSec = math.max(totalSec - collectSec, 0.001)
-    println(f"""{"dict_words":${dictRows},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
+    val n = graft.ext.CorpusPrep.bpeDeepMerges(dictRows, rounds).length
+    val loopSec = math.max((System.nanoTime() - t1) / 1e9, 0.001)
+    println(f"""{"dict_words":${dictRows.length},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
     spark.stop()
   }
 }

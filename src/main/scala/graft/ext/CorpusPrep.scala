@@ -514,6 +514,15 @@ object CorpusPrep {
       .toDF("word", "wc", "syms")
   }
 
+  /** The deep merge loop on an ALREADY-COLLECTED dictionary — exposed
+    * so [[graft.BpeDepthBench]] can time the driver loop directly
+    * inside one run (differencing two runs understates the re-run's
+    * warmed collect and skews rounds_per_sec, the one number the
+    * bench exists to report). */
+  def bpeDeepMerges(dictRows: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long)] =
+    bpeDeepLoop(dictRows, rounds)._1
+
   /** The driver-side merge loop shared by [[bpeTrainDeep]] (wants the
     * merge table) and [[bpeTrainDeepDict]] (wants the final words
     * state). */
@@ -535,11 +544,23 @@ object CorpusPrep {
       })
     def bump(p: (String, String), d: Long, w: Int): Unit = {
       val c = counts.getOrElse(p, 0L) + d
-      if (c <= 0L) { counts.remove(p); () } else counts(p) = c
-      if (d > 0) {
-        where.getOrElseUpdate(p, mutable.Set.empty) += w
+      if (c <= 0L) {
+        counts.remove(p)
+        // a zero GLOBAL count means the pair occurs in no word —
+        // its (possibly stale) index entry can go too
+        where.remove(p)
+      } else {
+        counts(p) = c
+        // lazy-invalidation invariant: the LIVE count value must
+        // always be present in the queue, or the exact-match pop
+        // check discards every stale entry and the pair becomes
+        // permanently unselectable (the decremented-argmax path:
+        // a merge destroys some occurrences of a pair that survives
+        // elsewhere) — so enqueue on every live update, not only on
+        // positive deltas
         pq.enqueue((c, p._1, p._2))
       }
+      if (d > 0) where.getOrElseUpdate(p, mutable.Set.empty) += w
       ()
     }
     for (w <- words.indices; i <- 0 until words(w).length - 1)
@@ -582,6 +603,17 @@ object CorpusPrep {
                 bump((old(i), old(i + 1)), -wcs(w), w)
               val nw = mergeGreedy(old, p, q)
               words(w) = nw
+              // compact the pair→words index as we go: pairs the
+              // merge destroyed in THIS word must forget it, or the
+              // index only ever grows and every later merge rescans
+              // long-stale words (memory + wasted rescans at 10⁴⁺
+              // merge depth over a ~10⁶-word dict)
+              val kept = (0 until nw.length - 1)
+                .map(i => (nw(i), nw(i + 1))).toSet
+              for (i <- 0 until old.length - 1) {
+                val op = (old(i), old(i + 1))
+                if (!kept.contains(op)) where.get(op).foreach(_ -= w)
+              }
               for (i <- 0 until nw.length - 1)
                 bump((nw(i), nw(i + 1)), wcs(w), w)
             }

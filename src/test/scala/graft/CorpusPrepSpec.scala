@@ -345,6 +345,26 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(deep.toSeq === dist.toSeq)
   }
 
+  test("deep BPE trainer: decremented-argmax pair stays selectable (lazy-PQ regression)") {
+    // dict {xab:10, ab:9, xa:6, cd:5}: merging (a,b) DECREMENTS
+    // (x,a) 16→6 without destroying it everywhere ("xa" survives).
+    // A lazy-invalidation queue that only enqueues on positive
+    // deltas never holds the value 6, so the exact-match pop check
+    // discards every (x,a) entry and the trainer wrongly reports
+    // exhaustion after (c,d) — the ADVICE-r8 counterexample.
+    val docs = docsOf(
+      1L -> (("xab " * 10) + ("ab " * 9) + ("xa " * 6) + ("cd " * 5)).trim)
+    val deep = CorpusPrep.bpeTrainDeep(docs, rounds = 100)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(deep.toSeq === Seq(
+      (1, "a", "b", 19L), (2, "x", "ab", 10L),
+      (3, "x", "a", 6L), (4, "c", "d", 5L)))
+    // and the distributed loop agrees merge-for-merge
+    val dist = CorpusPrep.bpeMergeRounds(docs, rounds = deep.length)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(deep.toSeq === dist.toSeq)
+  }
+
   test("deep final dict equals the distributed loop's encode-side state; deep encode ids match") {
     val docs = docsOf(
       1L -> "banana bandana banana abba abba cabbage",
