@@ -116,7 +116,8 @@ object SparkEntry {
       CorpusPrep.queries ++ Embeddings.queries ++ Packing.queries ++
       ZOrder.queries ++ graft.sources.FileFormats.queries ++
       graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries ++
-      Sketches.queries ++ graft.ext.GraphOps.queries +
+      Sketches.queries ++ graft.ext.GraphOps.queries ++
+      graft.ext.TokenizerArtifact.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -131,7 +132,8 @@ object SparkEntry {
       CorpusPrep.oracles ++ Embeddings.oracles ++ Packing.oracles ++
       ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
       graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles ++
-      Sketches.oracles ++ graft.ext.GraphOps.oracles +
+      Sketches.oracles ++ graft.ext.GraphOps.oracles ++
+      graft.ext.TokenizerArtifact.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

@@ -526,7 +526,7 @@ object CorpusPrep {
   /** The driver-side merge loop shared by [[bpeTrainDeep]] (wants the
     * merge table) and [[bpeTrainDeepDict]] (wants the final words
     * state). */
-  private def bpeDeepLoop(dictRows: Array[(String, Long)], rounds: Int)
+  private[ext] def bpeDeepLoop(dictRows: Array[(String, Long)], rounds: Int)
       : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
     val words: Array[Array[String]] =
       dictRows.map(_._1.split("").filter(_.nonEmpty))
@@ -677,7 +677,7 @@ object CorpusPrep {
     bpeEncodeIdsFrom(docs, bpeTrainDeepDict(docs, rounds), cap)
 
   /** The encode core over any (word, wc, syms) trained dictionary. */
-  private def bpeEncodeIdsFrom(docs: DataFrame, finalDict: DataFrame,
+  private[ext] def bpeEncodeIdsFrom(docs: DataFrame, finalDict: DataFrame,
       cap: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vocabWords = finalDict
@@ -810,7 +810,7 @@ object CorpusPrep {
     * every position and the Long.MaxValue sentinel never flows into
     * an addition.
     */
-  private def viterbiDp(words: DataFrame, vocab: DataFrame): DataFrame = {
+  private[ext] def viterbiDp(words: DataFrame, vocab: DataFrame): DataFrame = {
     val probes = words
       .select(col("word"), explode(flatten(transform(
           sequence(lit(1), length(col("word"))),
@@ -984,9 +984,17 @@ object CorpusPrep {
     * [[TextAnalysis.lmScore]]'s dictionary join — at web scale an
     * estimate-blind broadcast of it is the round-4 failure signature.
     */
-  def unigramEncodeStats(docs: DataFrame): DataFrame = {
-    val seg = unigramSegment(docs)
-      .select(col("word"), col("n_pieces"), col("total_cost"))
+  def unigramEncodeStats(docs: DataFrame): DataFrame =
+    unigramEncodeStatsFrom(docs,
+      unigramSegment(docs)
+        .select(col("word"), col("n_pieces"), col("total_cost")))
+
+  /** The encode-stats aggregation over ANY per-word segmentation
+    * frame — shared by the in-lineage path above and the
+    * artifact-loaded path ([[TokenizerArtifact.unigramEncodeStats]]),
+    * so the two can only differ in where the model came from. */
+  private[ext] def unigramEncodeStatsFrom(docs: DataFrame,
+      seg: DataFrame): DataFrame = {
     docs.select(col("doc_id"),
         explode(filter(TextAnalysis.tokens(col("text")),
           w => w.rlike("^[a-z0-9]+$") && length(w) >= 2)).as("word"))

@@ -1,0 +1,128 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.RunScratch
+import graft.sources.Tables
+
+/** Tokenizer ARTIFACT persistence — the production
+  * train-once / encode-many lifecycle the in-lineage operators of
+  * [[CorpusPrep]] deliberately fuse: a real pipeline trains a
+  * tokenizer ONCE (an expensive corpus-wide job), persists the
+  * trained state as a table artifact, and then any number of encode
+  * jobs — other clusters, other days, other corpora — load the
+  * artifact and encode without ever re-deriving training.
+  *
+  * The artifact layout is plain parquet under a directory, so the
+  * "format" is the engine's own table format — no bespoke
+  * serialization, readable by any engine (the DuckDB oracle could
+  * read it directly):
+  *
+  *   <dir>/bpe_merges     (round, p, q, cnt)   — the learned merge
+  *                        table, the canonical BPE artifact
+  *   <dir>/bpe_vocab      (word, wc, syms)     — the merged
+  *                        word→symbols dictionary the encoder probes
+  *   <dir>/unigram_model  (piece, freq, cost)  — the unigram-LM
+  *                        vocabulary with snap-once integer
+  *                        nano-nat costs
+  *
+  * Scale shape: everything persisted is VOCABULARY-BOUNDED state
+  * (the capped word dict / the capped piece vocabulary — the same
+  * ≤2²⁰-row contract the deep trainer collects under), so the
+  * artifact is megabytes at 100 TB corpus scale, and the encode-side
+  * load is a broadcast-by-contract probe table exactly like the
+  * in-lineage path. The corpus-sized cost (one word-count shuffle)
+  * is paid once at write time, never by readers.
+  *
+  * Equality is PROVEN, not asserted: the roundtrip gates
+  * (`bpe_artifact_roundtrip`, `unigram_artifact_roundtrip`) write
+  * the artifact, reload it in a fresh lineage, encode, and
+  * hash-match the SAME DuckDB oracles as the in-lineage
+  * `bpe_encode_ids` / `unigram_encode_stats` gates — artifact ≡
+  * in-lineage, bit for bit, checked every round.
+  */
+object TokenizerArtifact {
+
+  /** Train (deep loop — the production-depth trainer) and persist
+    * both BPE artifacts. ONE distributed word count + capped
+    * collect, one driver loop, two vocabulary-bounded writes. */
+  def bpeWrite(docs: DataFrame, dir: String,
+      rounds: Int = CorpusPrep.BpeMergeRoundsN): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictRows = CorpusPrep.bpeDictCollect(docs)
+    val (merges, words) = CorpusPrep.bpeDeepLoop(dictRows, rounds)
+    merges.toDF("round", "p", "q", "cnt")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bpe_merges")
+    dictRows.zip(words).toIndexedSeq
+      .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
+      .toDF("word", "wc", "syms")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bpe_vocab")
+  }
+
+  /** Encode documents through a PERSISTED BPE artifact: load the
+    * vocab table (vocabulary-bounded by the write-side contract) and
+    * run the identical encode core as [[CorpusPrep.bpeEncodeIds]] —
+    * no training stage anywhere in this lineage. */
+  def bpeEncodeIds(docs: DataFrame, dir: String,
+      cap: Int = CorpusPrep.BpeVocabCap): DataFrame =
+    CorpusPrep.bpeEncodeIdsFrom(docs,
+      docs.sparkSession.read.parquet(s"$dir/bpe_vocab"), cap)
+
+  /** Train and persist the unigram-LM model (piece, freq, cost).
+    * Costs are snapped to integer nano-nats at TRAIN time — the
+    * artifact carries them, so encode-side float parity is moot by
+    * construction (readers never re-run `ln`). */
+  def unigramWrite(docs: DataFrame, dir: String): Unit =
+    CorpusPrep.unigramVocabCosts(docs)
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/unigram_model")
+
+  /** Per-document encode stats through a PERSISTED unigram model:
+    * load, Viterbi-segment the corpus word dict under the loaded
+    * costs, aggregate per document — the identical core as
+    * [[CorpusPrep.unigramEncodeStats]] minus the training stage. */
+  def unigramEncodeStats(docs: DataFrame, dir: String): DataFrame = {
+    val model = docs.sparkSession.read.parquet(s"$dir/unigram_model")
+    CorpusPrep.unigramEncodeStatsFrom(docs,
+      CorpusPrep.viterbiDp(
+          CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc")),
+          model)
+        .select(col("word"), col("n_pieces"), col("total_cost")))
+  }
+
+  /** The id-array digest projection shared with the in-lineage
+    * encode gates (arrays cross the gate as count + md5). */
+  private def idsDigest(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        size(col("ids")).cast("long").as("n_ids"),
+        md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // write → reload in a fresh lineage → encode; hash-matched
+    // against bpe_encode_ids' UNCHANGED oracle, so artifact ≡
+    // in-lineage is proven end-to-end every round
+    "bpe_artifact_roundtrip" -> ((s, d) => {
+      val dir = RunScratch.dir("bpe_artifact", d)
+      val docs = Tables.documents(s, d)
+      bpeWrite(docs, dir)
+      idsDigest(bpeEncodeIds(docs, dir))
+    }),
+    // same proof for the unigram model, against
+    // unigram_encode_stats' unchanged oracle
+    "unigram_artifact_roundtrip" -> ((s, d) => {
+      val dir = RunScratch.dir("unigram_artifact", d)
+      val docs = Tables.documents(s, d)
+      unigramWrite(docs, dir)
+      unigramEncodeStats(docs, dir)
+    }))
+
+  /** Both roundtrip gates share the in-lineage gates' oracles
+    * VERBATIM — the whole point: the artifact path must be
+    * indistinguishable from the fused path. */
+  val oracles: Map[String, String] = Map(
+    "bpe_artifact_roundtrip" -> CorpusPrep.oracles("bpe_encode_ids"),
+    "unigram_artifact_roundtrip" -> CorpusPrep.oracles("unigram_encode_stats"))
+}

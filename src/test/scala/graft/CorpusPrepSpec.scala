@@ -387,6 +387,39 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("tokenizer artifacts: persisted state reloads to bit-identical encodes; artifact tables are sane") {
+    import graft.ext.TokenizerArtifact
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tok_artifact_spec").toString
+    // BPE: write, reload in a fresh lineage, encode — id arrays equal
+    TokenizerArtifact.bpeWrite(docs, dir)
+    val inline = CorpusPrep.bpeEncodeIds(docs).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    val loaded = TokenizerArtifact.bpeEncodeIds(docs, dir).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toList)).toMap
+    assert(inline === loaded)
+    // the merge-table artifact is the distributed loop's merge table
+    val merges = spark.read.parquet(s"$dir/bpe_merges")
+      .orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2)))
+    val dist = CorpusPrep.bpeMergeRounds(docs, CorpusPrep.BpeMergeRoundsN)
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    assert(merges.toSeq === dist.toSeq)
+    // unigram: persisted model carries the snapped integer costs;
+    // encode-from-artifact equals the in-lineage encode stats
+    TokenizerArtifact.unigramWrite(docs, dir)
+    val m = spark.read.parquet(s"$dir/unigram_model")
+    assert(m.schema("cost").dataType.typeName === "long")
+    val a = CorpusPrep.unigramEncodeStats(docs).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    val b = TokenizerArtifact.unigramEncodeStats(docs, dir).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+    assert(a.toSeq === b.toSeq)
+  }
+
   test("fertility by lang: exact integer ratios, zero-token language gets NULL ratios") {
     import spark.implicits._
     // merge-rounds known corpus (aaab x3, ab x2, zz x1): default cap
