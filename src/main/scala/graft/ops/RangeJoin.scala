@@ -25,6 +25,32 @@ import org.apache.spark.sql.functions._
   */
 object RangeJoin {
 
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.types.{ByteType, DataType, IntegerType, LongType, ShortType, TimestampType}
+
+  /** Exact `floor(c / size)` bucket id, integral end-to-end: the
+    * previous cast-to-double form was exact only below 2⁵³ — fine
+    * for epoch-µs, but nothing guarantees a caller's numeric bounds
+    * stay under the ceiling (advisory r8 latent #5). Timestamps cast
+    * to long as floor-epoch-seconds (Spark's cast is `floorDiv(µs,
+    * 10⁶)`), integrals pass through, fractional numerics floor first
+    * (`⌊x/b⌋ = ⌊⌊x⌋/b⌋` for integer b > 0, so nothing shifts). The
+    * positive `pmod` is subtracted BEFORE the division so the decimal
+    * divide is of an exact multiple — the quotient is an exact
+    * integer at any Long magnitude and no rounding mode can engage;
+    * decimal(38,0) arithmetic can't overflow on the subtraction
+    * either (c = Long.MinValue would underflow a long subtract).
+    */
+  private def bucketOf(dt: DataType, c: Column, size: Long): Column = {
+    val base = dt match {
+      case TimestampType => c.cast("long")
+      case LongType | IntegerType | ShortType | ByteType => c
+      case _ => floor(c).cast("long")
+    }
+    val d = base.cast("decimal(38,0)")
+    ((d - pmod(d, lit(size))) / lit(size)).cast("long")
+  }
+
   /** Join `left` rows (timestamp `tsCol`) to `right` intervals
     * (`startCol`..`endCol`, inclusive both ends). Caller supplies
     * frames with disjoint column names.
@@ -33,10 +59,10 @@ object RangeJoin {
       right: DataFrame, startCol: String, endCol: String,
       bucketSeconds: Long = 600L): DataFrame = {
     val r = right.withColumn("__b", explode(sequence(
-      floor(col(startCol).cast("double") / bucketSeconds).cast("long"),
-      floor(col(endCol).cast("double") / bucketSeconds).cast("long"))))
+      bucketOf(right.schema(startCol).dataType, col(startCol), bucketSeconds),
+      bucketOf(right.schema(endCol).dataType, col(endCol), bucketSeconds))))
     val l = left.withColumn("__b",
-      floor(col(tsCol).cast("double") / bucketSeconds).cast("long"))
+      bucketOf(left.schema(tsCol).dataType, col(tsCol), bucketSeconds))
     // merge hint: the exploded interval side has Generate-garbled
     // size estimates, and the unhinted planner BROADCAST it (round-4
     // plan audit) — silently reintroducing the broadcast dependence
@@ -60,23 +86,22 @@ object RangeJoin {
     * over pair output is the hidden corpus-sized shuffle this trick
     * removes). Replication economics and the merge-hint rationale
     * are [[byTime]]'s; `bucketSize` is in the UNIT of the bound
-    * columns (epoch seconds for timestamps — cast-to-double of a
-    * timestamp is epoch seconds — or the integer unit of numeric
-    * bounds, e.g. 600·10⁶ for µs longs).
+    * columns (epoch seconds for timestamps, or the integer unit of
+    * numeric bounds, e.g. 600·10⁶ for µs longs — exact at any Long
+    * magnitude via [[bucketOf]]'s integral floor division).
     */
   def overlapByTime(left: DataFrame, lStart: String, lEnd: String,
       right: DataFrame, rStart: String, rEnd: String,
       bucketSize: Long = 600L): DataFrame = {
     def spread(df: DataFrame, s: String, e: String) =
       df.withColumn("__b", explode(sequence(
-        floor(col(s).cast("double") / bucketSize).cast("long"),
-        floor(col(e).cast("double") / bucketSize).cast("long"))))
+        bucketOf(df.schema(s).dataType, col(s), bucketSize),
+        bucketOf(df.schema(e).dataType, col(e), bucketSize))))
     spread(left, lStart, lEnd)
       .join(spread(right, rStart, rEnd).hint("merge"), Seq("__b"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .filter(col("__b") === floor(
-        greatest(col(lStart), col(rStart)).cast("double") / bucketSize)
-        .cast("long"))
+      .filter(col("__b") === bucketOf(left.schema(lStart).dataType,
+        greatest(col(lStart), col(rStart)), bucketSize))
       .drop("__b")
   }
 }

@@ -375,6 +375,39 @@ class PlansSpec extends AnyFunSuite {
     assert(gate === brute.map { case (k, v) => k -> v.toLong })
   }
 
+  test("range/overlap join buckets exactly above 2^53 (floorDiv, not double division)") {
+    import spark.implicits._
+    // Adversarial bounds: M is a bucket boundary (multiple of 600)
+    // near 2^60 that is ALSO a multiple of 128 — the double-mantissa
+    // granularity at that magnitude — so M-1 rounds UP to M as a
+    // double and the old cast-to-double path mis-buckets it into the
+    // next bucket (losing the match below). floorDiv bucketing is
+    // exact at any Long magnitude.
+    val M = (1L << 60) / 9600L * 9600L // multiple of lcm(600,128)
+    assert((M - 1).toDouble === M.toDouble) // the trap is live
+    val rows = Seq((1L, M - 1L), (2L, M), (3L, M - 600L))
+      .toDF("row_id", "ts")
+    val iv = Seq((10L, M - 600L, M - 1L), (20L, M, M + 599L))
+      .toDF("iv_id", "iv_s", "iv_e")
+    val got = graft.ops.RangeJoin.byTime(rows, "ts", iv, "iv_s", "iv_e",
+        bucketSeconds = 600L)
+      .select(col("row_id"), col("iv_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    // brute truth: ts M-1 and M-600 fall in [M-600, M-1]; ts M in [M, M+599]
+    assert(got === Seq((1L, 10L), (2L, 20L), (3L, 10L)))
+    // overlap form at the same magnitude: [M-600, M-1] overlaps
+    // [M-1, M+10] only at the boundary point M-1 — the canonical
+    // bucket is bucket(M-1), which the double path would misplace
+    val a = Seq((1L, M - 600L, M - 1L)).toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, M - 1L, M + 10L), (20L, M, M + 10L))
+      .toDF("b_id", "b_s", "b_e")
+    val ov = graft.ops.RangeJoin.overlapByTime(a, "a_s", "a_e",
+        b, "b_s", "b_e", bucketSize = 600L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(ov === Seq((1L, 10L)))
+  }
+
   test("bloom semi join: probe is a literal filter below the join; prefilter is selective") {
     val plan = graft.queries.ExtraQueries.bloomSemiRevenue(spark, dir)
       .queryExecution.executedPlan.toString
