@@ -52,12 +52,20 @@ object BpeDepthBench {
     // one distributed DP job per round over the collected model —
     // reported as wall seconds per round (the quantity that decides
     // whether a 20-round production prune schedule is minutes)
-    if (sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("unigram")) {
+    if (sys.env.get("SPARK_GRAFT_DEPTH_MODE")
+        .exists(_.startsWith("unigram"))) {
+      // "unigram" = usage-floor prune loop; "unigram_em" = the
+      // SentencePiece loss-criterion loop (one extra distributed
+      // exclusion-DP job per round — the price of the real criterion)
+      val em = sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("unigram_em")
       val r = sys.env.getOrElse("SPARK_GRAFT_UNIGRAM_ROUNDS", "8").toInt
       val t0 = System.nanoTime()
-      val n = graft.ext.CorpusPrep.unigramTrainRounds(docs, r).count()
+      val n =
+        if (em) graft.ext.CorpusPrep.unigramTrainEmRounds(docs, r).count()
+        else graft.ext.CorpusPrep.unigramTrainRounds(docs, r).count()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"""{"mode":"unigram","dict_words":$n,"rounds":$r,"total_sec":$sec%.2f,"sec_per_round":${sec / r}%.2f}""")
+      val mode = if (em) "unigram_em" else "unigram"
+      println(f"""{"mode":"$mode%s","dict_words":$n,"rounds":$r,"total_sec":$sec%.2f,"sec_per_round":${sec / r}%.2f}""")
       spark.stop(); return
     }
 

@@ -65,6 +65,8 @@ object SparkEntry {
         CorpusPrep.unigramVocabCosts(Tables.documents(s, d))),
       "unigram_vocab2" -> ((s, d) =>
         CorpusPrep.unigramVocabPrunedCosts(Tables.documents(s, d))),
+      "unigram_vocab_em" -> ((s, d) =>
+        CorpusPrep.unigramVocabEmCosts(Tables.documents(s, d))),
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),

@@ -810,8 +810,24 @@ object CorpusPrep {
     * every position and the Long.MaxValue sentinel never flows into
     * an addition.
     */
-  private[ext] def viterbiDp(words: DataFrame, vocab: DataFrame): DataFrame = {
-    val probes = words
+  private[graft] def viterbiDp(words: DataFrame, vocab: DataFrame): DataFrame = {
+    val probes = viterbiProbeEntries(words, vocab)
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
+        .as("m"))
+    viterbiFold(words.join(probes, Seq("word")))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"), col("path"))
+  }
+
+  /** Per-word substring probe entries (start·8+len key, piece, cost)
+    * after the broadcast vocabulary join — the pre-aggregation half
+    * of [[viterbiDp]], shared with the EM-loss exclusion DP
+    * ([[unigramEmLossFrom]]) which re-groups them per (word,
+    * excluded-piece) instead of per word. */
+  private def viterbiProbeEntries(words: DataFrame, vocab: DataFrame)
+      : DataFrame =
+    words
       .select(col("word"), explode(flatten(transform(
           sequence(lit(1), length(col("word"))),
           i => transform(
@@ -821,12 +837,17 @@ object CorpusPrep {
               col("word").substr(i, k).as("piece")))))).as("s"))
       .select(col("word"), col("s.key").as("key"), col("s.piece").as("piece"))
       .join(broadcast(vocab.select(col("piece"), col("cost"))), "piece")
-      .groupBy(col("word"))
-      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
-        .as("m"))
+
+  /** The DP fold itself, over ANY frame carrying (`word`, `m`) plus
+    * carry-through columns: appends `total_cost` / `n_pieces` /
+    * `n_best` / `path` and drops the working columns. Extracted so
+    * the per-word path ([[viterbiDp]]) and the per-(word, excluded
+    * piece) EM-loss path run the IDENTICAL codegen expression — the
+    * two can only differ in what `m` was built from. */
+  private def viterbiFold(rows: DataFrame): DataFrame = {
     val sentinel = struct(lit(Long.MaxValue).as("cost"),
       lit(Int.MaxValue).as("np"), lit(0L).as("cnt"), lit("").as("path"))
-    words.join(probes, Seq("word"))
+    rows
       .withColumn("dp", aggregate(
         sequence(lit(1), length(col("word"))),
         array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"),
@@ -856,15 +877,15 @@ object CorpusPrep {
                 (b.getField("cnt") + c.getField("cnt")).as("cnt"),
                 least(b.getField("path"), c.getField("path")).as("path")))
             .otherwise(b))))))
-      .select(col("word"), col("wc"),
-        element_at(col("dp"), length(col("word")) + 1).getField("cost")
-          .as("total_cost"),
-        element_at(col("dp"), length(col("word")) + 1).getField("np")
-          .as("n_pieces"),
-        element_at(col("dp"), length(col("word")) + 1).getField("cnt")
-          .as("n_best"),
-        element_at(col("dp"), length(col("word")) + 1).getField("path")
-          .as("path"))
+      .withColumn("total_cost",
+        element_at(col("dp"), length(col("word")) + 1).getField("cost"))
+      .withColumn("n_pieces",
+        element_at(col("dp"), length(col("word")) + 1).getField("np"))
+      .withColumn("n_best",
+        element_at(col("dp"), length(col("word")) + 1).getField("cnt"))
+      .withColumn("path",
+        element_at(col("dp"), length(col("word")) + 1).getField("path"))
+      .drop("dp", "m")
   }
 
   /** Usage floor a multi-char piece must reach on the corpus's
@@ -966,6 +987,161 @@ object CorpusPrep {
           (p, usage.getOrElse(p, 0L) + 1L)
         case (p, _, _) if usage.getOrElse(p, 0L) >= UnigramPruneMin =>
           (p, usage(p) + 1L)
+      }
+      model = recost(survivors)
+    }
+    viterbiDp(words, model.toDF("piece", "freq", "cost"))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word"))
+  }
+
+  // ------------------------------------ unigram EM loss-based pruning
+
+  /** Each EM round drops the `⌊n_multi / UnigramEmPruneDiv⌋`
+    * LOWEST-loss multi-char pieces (SentencePiece's shrinking
+    * schedule; 5 ⟹ 20% per round). Interpolated into the oracle SQL
+    * so the engines can't desync on it. */
+  val UnigramEmPruneDiv = 5
+
+  /** Per-piece likelihood-loss deltas — the SentencePiece prune
+    * criterion the usage-floor rule ([[unigramVocabPruned]])
+    * approximates: for each multi-char piece `p`, how much total
+    * corpus cost RISES if `p` is removed and every word whose optimal
+    * segmentation used it must re-segment without it:
+    *
+    *   loss(p) = Σ_{w : p ∈ argminpath(w)} wc(w)·(cost_{V∖p}(w) − cost_V(w))
+    *
+    * (hard-EM/Viterbi flavor, matching [[unigramViterbiCounts]]'
+    * E-step: only argmin-path members are charged — a piece no
+    * optimal path uses has loss 0 by definition and is simply absent
+    * from this frame). Removal can never break feasibility: single
+    * chars are never candidates, so the exclusion DP always
+    * terminates with a finite cost and the delta is ≥ 0.
+    *
+    * Scale shape: the base DP is [[viterbiDp]]; the exclusion side
+    * re-runs the SAME fold once per (word, distinct multi-char
+    * argmin-path piece) — ≤ len/2 extra DP rows per DICT WORD, each
+    * over a map missing one piece. Everything is
+    * vocabulary/dict-bounded; the corpus is touched only by the word
+    * count underneath the dict.
+    */
+  def unigramEmLoss(docs: DataFrame): DataFrame =
+    unigramEmLossFrom(bpeWordDict(docs).select(col("word"), col("wc")),
+      unigramVocabCosts(docs))
+
+  private[ext] def unigramEmLossFrom(words: DataFrame, vocab: DataFrame)
+      : DataFrame = {
+    val base = viterbiDp(words, vocab)
+      .select(col("word"), col("wc"), col("total_cost").as("base_cost"),
+        col("path"))
+    val excl = base.select(col("word"), col("wc"), col("base_cost"),
+      explode(array_distinct(filter(split(col("path"), UnigramPathSep),
+        p => length(p) >= 2))).as("exc"))
+    val maps = excl.select(col("word"), col("exc"))
+      .join(viterbiProbeEntries(words, vocab), Seq("word"))
+      .filter(col("piece") =!= col("exc"))
+      .groupBy(col("word"), col("exc"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
+        .as("m"))
+    viterbiFold(excl.join(maps, Seq("word", "exc")))
+      .groupBy(col("exc").as("piece"))
+      .agg(sum(col("wc") * (col("total_cost") - col("base_cost")))
+          .as("loss_x1e9"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("piece"))
+  }
+
+  /** EM prune + M-step, the DECISION half kept ln-free so the oracle
+    * re-derives it end-to-end in exact integers: survivors are every
+    * single char plus the multi-char pieces NOT in the bottom
+    * `⌊n/UnigramEmPruneDiv⌋` by (loss ASC, piece ASC) — zero-loss
+    * pieces (unused, or removable at no cost) go first — with
+    * add-one-smoothed usage as the re-estimated frequency. The
+    * ranking window runs over the ≤cap-row multi-char vocabulary (the
+    * bounded-frame total-order discipline of `vocab_encode`). */
+  def unigramVocabEmPruned(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vocab = unigramVocab(docs)
+    val multi = vocab.filter(length(col("piece")) >= 2).select(col("piece"))
+      .join(unigramEmLoss(docs).select(col("piece"), col("loss_x1e9")),
+        Seq("piece"), "left")
+      .withColumn("loss0", coalesce(col("loss_x1e9"), lit(0L)))
+    val survMulti = multi
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("loss0"), col("piece"))))
+      .crossJoin(broadcast(multi.agg(
+        expr(s"count(1) div $UnigramEmPruneDiv").as("n_prune"))))
+      .filter(col("rn") > col("n_prune"))
+      .select(col("piece"))
+    survMulti
+      .unionByName(vocab.filter(length(col("piece")) === 1)
+        .select(col("piece")))
+      .join(unigramViterbiCounts(docs).select(col("piece"), col("usage")),
+        Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("usage"), lit(0L)) + lit(1L)).as("freq2"))
+  }
+
+  /** The EM-pruned vocabulary with re-estimated snap-once nano-nat
+    * costs (consumed as `.aux/unigram_vocab_em` by the round-2
+    * segment oracle — `ln` runs exactly here). */
+  def unigramVocabEmCosts(docs: DataFrame): DataFrame = {
+    val v = unigramVocabEmPruned(docs)
+    v.crossJoin(broadcast(v.agg(sum(col("freq2")).as("tot"))))
+      .select(col("piece"), col("freq2"),
+        round((log(col("tot")) - log(col("freq2"))) * lit(1e9), 0)
+          .cast("long").as("cost"))
+  }
+
+  /** Multi-round EM trainer — [[unigramTrainRounds]] with the
+    * SentencePiece loss criterion in place of the usage floor: each
+    * round segments under the current model, charges every argmin
+    * piece its exclusion-DP loss, drops the bottom 1/[[
+    * UnigramEmPruneDiv]] of multi-char pieces by (loss, piece), and
+    * re-costs survivors from add-one-smoothed usage. Same
+    * collected-model discipline (the model is ≤ cap + alphabet rows
+    * BY CONTRACT; one literal frame per round keeps plans one DP
+    * layer deep — the Catalyst 2^rounds trap); each round costs two
+    * distributed jobs over the unchanged word dict (base DP inside
+    * the loss lineage + usage). Round 2 is BIT-EQUAL to the gated
+    * single-prune path (spec-pinned, and the `unigram_train_em` gate
+    * hash-checks it against the `unigram_vocab_em` aux oracle).
+    */
+  def unigramTrainEmRounds(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least the initial model")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeWordDict(docs).select(col("word"), col("wc"))
+    def recost(fr: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val tot = fr.map(_._2).sum
+      fr.map { case (p, f) =>
+        (p, f, math.round((math.log(tot.toDouble) -
+          math.log(f.toDouble)) * 1e9))
+      }
+    }
+    var model: Seq[(String, Long, Long)] = unigramVocabCosts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    for (_ <- 2 to rounds) {
+      val vdf = model.toDF("piece", "freq", "cost")
+      val usage = viterbiDp(words, vdf)
+        .select(col("wc"),
+          explode(split(col("path"), UnigramPathSep)).as("piece"))
+        .filter(length(col("piece")) > 0)
+        .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val loss = unigramEmLossFrom(words, vdf)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val multi = model.collect {
+        case (p, _, _) if p.length >= 2 => (p, loss.getOrElse(p, 0L)) }
+      val prunedSet = multi.sortBy { case (p, l) => (l, p) }
+        .take(multi.size / UnigramEmPruneDiv).map(_._1).toSet
+      val survivors = model.collect {
+        case (p, _, _) if p.length == 1 =>
+          (p, usage.getOrElse(p, 0L) + 1L)
+        case (p, _, _) if !prunedSet.contains(p) =>
+          (p, usage.getOrElse(p, 0L) + 1L)
       }
       model = recost(survivors)
     }
@@ -1138,6 +1314,35 @@ object CorpusPrep {
        |      WHERE piece <> ''
        |      GROUP BY piece)""".stripMargin
 
+  /** Exclusion-DP loss re-derivation, appended to
+    * [[unigramBestPathCtes]]: every full path per word is already
+    * enumerated in `p`, so the min cost WITHOUT a piece is a filter
+    * over the enumerated paths — charging each argmin multi-char
+    * piece (alt − base)·wc, the independent twin of
+    * [[unigramEmLossFrom]]'s exclusion fold. */
+  private lazy val unigramEmLossCtes: String =
+    s"""done2 AS (SELECT p.word, p.cost, p.seq
+       |          FROM p JOIN wdict w ON w.word = p.word
+       |          WHERE p.pos = len(w.word)),
+       |basec AS (SELECT word, min(cost) AS cost FROM done2 GROUP BY 1),
+       |exc AS (SELECT DISTINCT word, piece
+       |        FROM (SELECT word, unnest(string_split(seq, chr(1))) AS piece
+       |              FROM best)
+       |        WHERE len(piece) >= 2),
+       |alt AS (SELECT e.word, e.piece, min(d.cost) AS alt_cost
+       |        FROM exc e JOIN done2 d ON d.word = e.word
+       |        WHERE NOT list_contains(string_split(d.seq, chr(1)), e.piece)
+       |        GROUP BY 1, 2),
+       |loss AS (SELECT e.piece,
+       |                CAST(sum(w.wc * (a.alt_cost - b.cost)) AS BIGINT)
+       |                  AS loss_x1e9,
+       |                count(*) AS n_words
+       |         FROM exc e
+       |         JOIN alt a ON a.word = e.word AND a.piece = e.piece
+       |         JOIN basec b ON b.word = e.word
+       |         JOIN wdict w ON w.word = e.word
+       |         GROUP BY 1)""".stripMargin
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1178,6 +1383,16 @@ object CorpusPrep {
     // model loop can never drift from the gated distributed stages
     "unigram_segment_multi" -> ((s, d) =>
       unigramTrainRounds(Tables.documents(s, d), rounds = 2)),
+    // the SentencePiece prune criterion: per-piece exclusion-DP loss
+    // deltas, the ln-free prune DECISION, and the round-2 segment
+    // under the EM-pruned model (the collected loop at depth 2 ≡ the
+    // distributed aux model, the unigram_segment_multi discipline)
+    "unigram_em_loss" -> ((s, d) =>
+      unigramEmLoss(Tables.documents(s, d))),
+    "unigram_vocab_em_pruned" -> ((s, d) =>
+      unigramVocabEmPruned(Tables.documents(s, d)).orderBy(col("piece"))),
+    "unigram_train_em" -> ((s, d) =>
+      unigramTrainEmRounds(Tables.documents(s, d), rounds = 2)),
     "unigram_fertility_by_lang" -> ((s, d) =>
       unigramFertilityByLang(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
@@ -1485,6 +1700,36 @@ object CorpusPrep {
     // round 2 re-uses the segment statement against the PRUNED aux
     "unigram_segment_pruned" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
     "unigram_segment_multi" -> unigramSegmentOracleSqlFor("unigram_vocab2"),
+    // the EM loss ranking fully re-derived: all paths per word are
+    // enumerated, so cost-without-a-piece is a filter over them
+    "unigram_em_loss" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |$unigramEmLossCtes
+         |SELECT piece, loss_x1e9, n_words FROM loss
+         |ORDER BY piece""".stripMargin,
+    // the prune DECISION in exact integers (no ln anywhere): bottom
+    // 1/UnigramEmPruneDiv of multi-char pieces by (loss, piece) go,
+    // singles stay, survivors get add-one-smoothed usage
+    "unigram_vocab_em_pruned" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |$unigramEmLossCtes,
+         |multi AS (SELECT v.piece, coalesce(l.loss_x1e9, 0) AS ls
+         |          FROM v LEFT JOIN loss l ON l.piece = v.piece
+         |          WHERE len(v.piece) >= 2),
+         |ranked AS (SELECT piece,
+         |                  row_number() OVER (ORDER BY ls, piece) AS rn,
+         |                  count(*) OVER () AS n
+         |           FROM multi),
+         |surv AS (SELECT piece FROM ranked
+         |         WHERE rn > n // $UnigramEmPruneDiv
+         |         UNION ALL
+         |         SELECT piece FROM v WHERE len(piece) = 1)
+         |SELECT s.piece, CAST(coalesce(u.usage, 0) + 1 AS BIGINT) AS freq2
+         |FROM surv s LEFT JOIN u ON u.piece = s.piece
+         |ORDER BY s.piece""".stripMargin,
+    // round-2 segment under the EM-pruned model: the collected loop
+    // must land bit-equal on the distributed aux model's costs
+    "unigram_train_em" -> unigramSegmentOracleSqlFor("unigram_vocab_em"),
     // the encode oracle spliced + language left-join aggregate (the
     // bpe_fertility_by_lang convention: zero-eligible docs count 0)
     "unigram_fertility_by_lang" -> {

@@ -420,6 +420,74 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("EM loss: per-piece delta equals an independent vocab-minus-piece re-segmentation") {
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val words = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
+    val vocab = CorpusPrep.unigramVocabCosts(docs)
+    val loss = CorpusPrep.unigramEmLoss(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(loss.nonEmpty)
+    assert(loss.values.forall(_._1 >= 0L), "exclusion can only raise cost")
+    // independent cross-check on EVERY charged piece: drop it from the
+    // vocab frame wholesale, re-run the (word-keyed) DP, and sum
+    // wc·Δcost over exactly the words whose argmin path used the piece
+    val base = CorpusPrep.unigramSegment(docs).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val paths = viterbiPaths(words, vocab)
+    for ((p, (lossV, nWords)) <- loss) {
+      val users = paths.filter(_._2.contains(p)).keySet
+      assert(users.size.toLong === nWords)
+      val without = CorpusPrep.viterbiDp(words,
+        vocab.filter(col("piece") =!= p))
+      val alt = without.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+      val wcs = words.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expected = users.toSeq.map(w => wcs(w) * (alt(w) - base(w))).sum
+      assert(lossV === expected, s"piece $p")
+    }
+  }
+
+  private def viterbiPaths(words: org.apache.spark.sql.DataFrame,
+      vocab: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+    CorpusPrep.viterbiDp(words, vocab).select(col("word"), col("path"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getString(1).split(CorpusPrep.UnigramPathSep)
+          .filter(p => p.length >= 2).toSet)
+      .toMap
+
+  test("EM prune: singles always survive, exactly n_multi div 5 pruned, round-2 loop bit-equals the distributed model") {
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val vocab = CorpusPrep.unigramVocab(docs).collect()
+      .map(_.getString(0))
+    val singles = vocab.filter(_.length == 1).toSet
+    val nMulti = vocab.count(_.length >= 2)
+    val surv = CorpusPrep.unigramVocabEmPruned(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    assert(singles.subsetOf(surv.map(_._1).toSet))
+    assert(surv.count(_._1.length >= 2) ===
+      nMulti - nMulti / CorpusPrep.UnigramEmPruneDiv)
+    assert(surv.forall(_._2 >= 1L), "add-one smoothing floors freq2 at 1")
+    // the collected 2-round EM loop's final segmentation must equal
+    // the distributed single-prune path's bit-for-bit (shared ln
+    // discipline) — the unigram_train_em gate's aux bet, pinned here
+    val fromLoop = CorpusPrep.unigramTrainEmRounds(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    val fromAux = CorpusPrep.viterbiDp(
+        CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc")),
+        CorpusPrep.unigramVocabEmCosts(docs))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(fromLoop === fromAux)
+  }
+
   test("fertility by lang: exact integer ratios, zero-token language gets NULL ratios") {
     import spark.implicits._
     // merge-rounds known corpus (aaab x3, ab x2, zz x1): default cap
