@@ -373,7 +373,53 @@ object Curation {
       meanMin, minDocs)
       .withColumnRenamed("source", "domain")
 
+  /** Token budget per source for the composed funnel gate — sized so
+    * the budget BINDS on the fixture (some docs sampled out) while
+    * the surviving sample still spans multiple pack sequences. */
+  val PipelineBudget = 600L
+
+  /** The END-TO-END curation funnel composed into ONE gated lineage
+    * (VERDICT r8 item 6): every stage below is individually gated,
+    * but composition risk — stage order, frame handoffs, holdout
+    * interactions — was what remained. Chain:
+    *
+    *   url canon → canonical-domain filter → quality floor → exact
+    *   dedup → banded near-dup components (the PRODUCTION minhash
+    *   arm, not the all-pairs contrast arm) → 3-modality decontam
+    *   (any-modality verdict) → per-source token budget → sequence
+    *   packing
+    *
+    * Output is the packed span table over the surviving sample — the
+    * artifact a trainer actually reads. The DuckDB oracle re-derives
+    * the WHOLE funnel by splicing the gated stage oracles in
+    * sequence over the same restricted frames, so no handoff can
+    * drift silently.
+    *
+    * Scale shape: every stage keeps its audited shape (narrow canon
+    * scan, |domains|-row aggregate, one quality scan, text-keyed
+    * dedup shuffle, banded candidates, three broadcast-registry
+    * decontam arms, per-source budget windows, the two-level pack
+    * scan); composition itself adds only doc-id equi-joins between
+    * stages — co-partitionable on the one key end-to-end.
+    */
+  def pipelinePack(docs: DataFrame, emb: DataFrame,
+      qualityMin: Long = DefaultQualityMin,
+      budget: Long = PipelineBudget): DataFrame = {
+    val d1 = docs.join(domainFilterCanon(docs).select(col("doc_id")),
+      "doc_id")
+    val (_, _, curated) = stagesWith(d1, qualityMin,
+      kd => Dedup.minhashPairs(kd))
+    val contaminated = decontamReport(docs, emb)
+      .filter(col("contaminated") === 1).select(col("doc_id"))
+    val clean = curated.join(contaminated, Seq("doc_id"), "left_anti")
+    val sampled = Sampling.tokenBudgetPerSource(clean, budget)
+    Packing.packSequencesOf(
+      sampled.select(col("doc_id"), col("n_tok").as("n")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "curate_pipeline_pack" -> ((s, d) =>
+      pipelinePack(Tables.documents(s, d), Tables.embeddings(s, d))),
     "curate_corpus" -> ((s, d) => curate(Tables.documents(s, d))),
     "curate_domain_filter" -> ((s, d) => domainFilter(Tables.documents(s, d))),
     "curate_corpus_minhash" -> ((s, d) => curateMinhash(Tables.documents(s, d))),
@@ -478,6 +524,114 @@ object Curation {
   }
 
   val oracles: Map[String, String] = Map(
+    // the WHOLE funnel re-derived stage by stage: canon/domain filter
+    // over the shared canon CTE, quality floor + exact dedup on the
+    // RESTRICTED frame, banded near-dup from the aux band keys
+    // limited to survivors (the curate_corpus_minhash discipline),
+    // the three decontam arms spliced verbatim, the token-budget
+    // window over the clean frame, and the pack span derivation
+    "curate_pipeline_pack" -> {
+      val qualitySql = TextAnalysis.oracles("text_quality")
+        .replace(" ORDER BY doc_id", "")
+      val ng = CorpusPrep.oracles("text_decontam")
+        .replace(" ORDER BY 1", "")
+      val em = Similarity.oracles("decontam_embedding")
+        .replace(" ORDER BY vec_id", "")
+      val B = Packing.SeqBudget
+      s"""WITH RECURSIVE $urlCanonCte,
+         |q AS ($qualitySql),
+         |dmn AS (SELECT doc_id,
+         |          regexp_extract(canon_url, '^[a-z]+://([^/:]+)', 1) AS domain
+         |        FROM c),
+         |dom AS (
+         |  SELECT domain, count(*) AS n_docs,
+         |         CAST(sum(quality_x10k) // count(*) AS BIGINT) AS mean_q
+         |  FROM dmn JOIN q USING (doc_id) GROUP BY domain),
+         |d1 AS (
+         |  SELECT d.doc_id, d.source, d.text FROM documents d
+         |  JOIN dmn ON dmn.doc_id = d.doc_id
+         |  JOIN dom ON dom.domain = dmn.domain
+         |  WHERE dom.n_docs >= $DefaultDomainMinDocs
+         |    AND dom.mean_q >= $DefaultDomainMeanMin),
+         |pass AS (
+         |  SELECT d1.* FROM d1 JOIN q ON q.doc_id = d1.doc_id
+         |  WHERE q.quality_x10k >= $DefaultQualityMin),
+         |kept AS (SELECT min(doc_id) AS doc_id FROM pass GROUP BY text),
+         |kd AS (SELECT p.* FROM pass p JOIN kept k ON k.doc_id = p.doc_id),
+         |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS pu, b.doc_id AS pv
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id
+         |  JOIN kd ka ON ka.doc_id = a.doc_id
+         |  JOIN kd kb ON kb.doc_id = b.doc_id),
+         |vp AS (
+         |  SELECT c2.pu, c2.pv FROM cand c2
+         |  JOIN sh sa ON sa.doc_id = c2.pu
+         |  JOIN sh sb ON sb.doc_id = c2.pv
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |        >= ${Dedup.DefaultMinhashThreshold}),
+         |edges AS (SELECT pu AS u, pv AS v FROM vp
+         |          UNION ALL SELECT pv, pu FROM vp),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS node, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |curated AS (
+         |  SELECT kd.* FROM kd
+         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+         |    ON kd.doc_id = dl.node
+         |  WHERE dl.node IS NULL),
+         |ue AS (SELECT canon_url, count(*) AS n_eval_hits FROM c
+         |       WHERE doc_id % $EvalUrlMod = 0 GROUP BY canon_url),
+         |uh AS (SELECT c.doc_id, ue.n_eval_hits
+         |       FROM c JOIN ue USING (canon_url)
+         |       WHERE c.doc_id % $EvalUrlMod <> 0),
+         |nh AS (SELECT doc_id, n_shared FROM ($ng)),
+         |eh AS (SELECT vec_id AS doc_id, removed FROM ($em)),
+         |cont AS (
+         |  SELECT d.doc_id FROM documents d
+         |  LEFT JOIN nh ON nh.doc_id = d.doc_id
+         |  LEFT JOIN eh ON eh.doc_id = d.doc_id
+         |  LEFT JOIN uh ON uh.doc_id = d.doc_id
+         |  WHERE coalesce(nh.n_shared, 0) > 0
+         |     OR coalesce(eh.removed, 0) = 1
+         |     OR coalesce(uh.n_eval_hits, 0) > 0),
+         |clean AS (
+         |  SELECT cu.* FROM curated cu
+         |  LEFT JOIN cont ON cont.doc_id = cu.doc_id
+         |  WHERE cont.doc_id IS NULL),
+         |tb AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split_regex(lower(trim(text)), '\\s+')) AS BIGINT) AS n_tok,
+         |         substr(md5(CAST(doc_id AS VARCHAR)), 1, 13) AS hk
+         |  FROM clean),
+         |sampled AS (
+         |  SELECT doc_id, n_tok FROM (
+         |    SELECT doc_id, n_tok,
+         |           sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |                            ROWS BETWEEN UNBOUNDED PRECEDING
+         |                            AND CURRENT ROW) - n_tok AS cum_before
+         |    FROM tb)
+         |  WHERE cum_before < $PipelineBudget),
+         |o AS (
+         |  SELECT doc_id, n_tok AS n,
+         |         CAST(coalesce(sum(n_tok) OVER (ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+         |  FROM sampled WHERE n_tok > 0)
+         |SELECT CAST(t.seq AS BIGINT) AS seq_id, doc_id,
+         |       CAST(greatest(off, t.seq*$B) - t.seq*$B AS BIGINT) AS start_in_seq,
+         |       CAST(greatest(off, t.seq*$B) - off AS BIGINT) AS doc_off,
+         |       CAST(least(off + n, (t.seq+1)*$B)
+         |            - greatest(off, t.seq*$B) AS BIGINT) AS n_toks
+         |FROM o, unnest(range(off // $B, (off + n - 1) // $B + 1)) AS t(seq)
+         |ORDER BY seq_id, doc_id""".stripMargin
+    },
     // domain verdicts re-derived from the shared quality SQL: integer
     // mean per source, census floor, every doc inherits its domain
     "curate_url_canon" ->

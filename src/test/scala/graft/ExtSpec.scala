@@ -837,6 +837,50 @@ class ExtSpec extends AnyFunSuite {
     assert(curated <= distinctTexts, "exact dedup bound")
   }
 
+  test("pipeline pack: every stage's filter provably applied; pack invariants hold") {
+    import graft.ext.{Curation, Dedup, Packing, Sampling, TextAnalysis}
+    val docs = Tables.documents(spark, dir)
+    val emb = Tables.embeddings(spark, dir)
+    val spans = Curation.pipelinePack(docs, emb).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(spans.nonEmpty, "the composed funnel must keep a corpus")
+    // pack invariants: full sequences sum to the budget; every doc's
+    // spans cover exactly [0, n) once
+    val bySeq = spans.groupBy(_._1)
+    val lastSeq = bySeq.keys.max
+    bySeq.foreach { case (sid, ss) =>
+      val tot = ss.map(_._5).sum
+      if (sid != lastSeq) assert(tot === Packing.SeqBudget, s"seq $sid")
+      else assert(tot <= Packing.SeqBudget)
+    }
+    spans.groupBy(_._2).foreach { case (docId, ss) =>
+      val sorted = ss.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"doc $docId must start at offset 0")
+      sorted.sliding(2).filter(_.length == 2).foreach { w =>
+        assert(w(0)._4 + w(0)._5 === w(1)._4,
+          s"doc $docId spans must be contiguous")
+      }
+    }
+    // stage membership: every packed doc survived EVERY stage
+    val packedIds = spans.map(_._2).toSet
+    val domOk = Curation.domainFilterCanon(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val qualOk = TextAnalysis.qualityScore(docs)
+      .filter(col("quality_x10k") >= Curation.DefaultQualityMin)
+      .collect().map(_.getLong(0)).toSet
+    val contaminated = Curation.decontamReport(docs, emb)
+      .filter(col("contaminated") === 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(packedIds.subsetOf(domOk), "domain filter not applied")
+    assert(packedIds.subsetOf(qualOk), "quality floor not applied")
+    assert(packedIds.intersect(contaminated).isEmpty,
+      "decontam not applied")
+    // the funnel binds: each stage (incl. the budget) drops someone
+    assert(packedIds.size < (domOk.intersect(qualOk) -- contaminated).size,
+      "the dedup/budget stages dropped nobody - fixture degenerate")
+  }
+
   test("layout upsert overwrites only the touched partition, byte-identical elsewhere") {
     import graft.ext.Layout
     val docs = Tables.documents(spark, dir)
