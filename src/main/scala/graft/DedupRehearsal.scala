@@ -45,10 +45,13 @@ object DedupRehearsal {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS_PER_BATCH", "200000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCHES", "10").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MODE", "exact")
+    // state-compaction cadence (round 9): 0 = the pre-compaction
+    // flat-delta layout (control arm for the listing-cost claim)
+    val cadence = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CADENCE", "2").toInt
     // schema dir only (doc_id/source/text) — data is synthetic
     val schemaDir = "/root/testdata/sf0.01"
 
-    val base = RunScratch.dir("dedup_rehearsal", s"$n-$nBatches-$mode")
+    val base = RunScratch.dir("dedup_rehearsal", s"$n-$nBatches-$mode-c$cadence")
     val hPath = new org.apache.hadoop.fs.Path(base)
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
 
@@ -82,15 +85,17 @@ object DedupRehearsal {
     val arm =
       if (mode == "neardup") {
         graft.streaming.StreamingQueries.runNearDupStream(
-          spark, schemaDir, base, afterWrites = hook)
+          spark, schemaDir, base, afterWrites = hook,
+          compactCadence = cadence)
         "bandindex_neardup"
       } else {
         graft.streaming.StreamingQueries.runDedupStream(
-          spark, schemaDir, base, afterWrites = hook)
+          spark, schemaDir, base, afterWrites = hook,
+          compactCadence = cadence)
         "fpindex_dedup"
       }
     marks.foreach { case (id, ms) =>
-      println(s"""{"arm":"$arm","batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
+      println(s"""{"arm":"$arm","cadence":$cadence,"batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
     }
     spark.stop()
   }

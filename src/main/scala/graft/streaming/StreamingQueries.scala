@@ -251,6 +251,110 @@ object StreamingQueries {
       df.withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId)),
       path, partitionCols = Seq("batch_id"), sortCols = Seq.empty)
 
+  /** Compacted append-only streaming state index — closing the one
+    * scale term the incremental dedup streams left unbounded (VERDICT
+    * r8 item 3): each batch appends one `batch_id=N` partition per
+    * index and the next batch re-lists/reads ALL of them, so at 10⁴
+    * batches the file LISTING and small-file opens dominate the join
+    * that consumes the state. The index root now holds
+    *
+    *   `<root>/delta/batch_id=N` — per-batch appends (the unchanged
+    *                               idempotent write path)
+    *   `<root>/compact/gen=G`    — all batches < G folded into one
+    *                               generation, written DURING batch G
+    *
+    * [[read]] for batch `id` resolves G = max gen < id and returns
+    * compact(G) ∪ deltas[G, id): per-batch read cost is ONE
+    * generation + ≤cadence delta partitions — flat in batch count.
+    * The strict `< id` guard does double duty exactly as on deltas:
+    * batch id's own (possibly partial, mid-crash) gen=id partition is
+    * invisible to its replay, and any gen < id crossed its epoch
+    * commit before batch id ever started, so every generation
+    * [[read]] can select is complete by construction.
+    *
+    * [[maybeCompact]] (every `cadence` batches, inside foreachBatch
+    * after the delta landing) folds read(id) — a pure function of
+    * committed history, so a replayed fold overwrites gen=id
+    * byte-equal — then garbage-collects deltas and generations
+    * BELOW G (not below id: deltas [G, id) must survive for batch
+    * id's own replay, which still resolves G; the next compaction
+    * collects them). Deletion is crash-safe at any cut point because
+    * no read ever touches deltas below its resolved G.
+    *
+    * At 100 TB the generation write is where the index acquires its
+    * join-key layout (`sortCols` on the fold — band/band_key for the
+    * band index, doc_id for shingles), so each ingest's probe build
+    * reads one layout-friendly table instead of 10⁴ appendlets.
+    */
+  object CompactedState {
+
+    private def withBatch(content: StructType): StructType =
+      StructType(content.fields :+ StructField("batch_id", LongType))
+
+    /** Generation list from dir names; complete-by-construction for
+      * every entry a `read(id)` can select (see class doc). */
+    private def gens(base: String): Seq[Long] =
+      Option(new java.io.File(s"$base/compact").listFiles()).toSeq.flatten
+        .map(_.getName).filter(_.startsWith("gen="))
+        .map(_.stripPrefix("gen=").toLong)
+
+    /** All state rows from batches strictly before `id`, via the
+      * newest safe generation. Returns exactly the `content`
+      * columns. */
+    def read(spark: SparkSession, base: String,
+        content: StructType, id: Long): DataFrame = {
+      val g = gens(base).filter(_ < id).maxOption
+      val deltas = graft.ext.Layout
+        .readBack(spark, s"$base/delta", withBatch(content))
+        .filter(col("batch_id") < id &&
+          col("batch_id") >= g.getOrElse(-1L))
+        .select(content.fieldNames.map(col).toIndexedSeq: _*)
+      g match {
+        case None => deltas
+        case Some(gg) =>
+          spark.read
+            .schema(StructType(content.fields :+
+              StructField("gen", LongType)))
+            .parquet(s"$base/compact")
+            .filter(col("gen") === gg)
+            .select(content.fieldNames.map(col).toIndexedSeq: _*)
+            .unionByName(deltas)
+      }
+    }
+
+    /** Per-batch delta landing — [[writeBatchIdempotent]] under the
+      * index root, unchanged semantics. */
+    def append(df: DataFrame, id: Long, base: String): Unit =
+      writeBatchIdempotent(df, id, s"$base/delta")
+
+    /** Fold + garbage-collect on the cadence (0 disables — the
+      * pre-compaction layout, kept for the rehearsal's control
+      * arm). */
+    def maybeCompact(spark: SparkSession, base: String,
+        content: StructType, id: Long, cadence: Int,
+        sortCols: Seq[String] = Seq.empty): Unit =
+      if (cadence > 0 && id > 0 && id % cadence == 0) {
+        val g = gens(base).filter(_ < id).maxOption
+        graft.ext.Layout.upsertPartitions(
+          read(spark, base, content, id).withColumn("gen", lit(id)),
+          s"$base/compact", partitionCols = Seq("gen"),
+          sortCols = sortCols)
+        val fs = new org.apache.hadoop.fs.Path(base)
+          .getFileSystem(spark.sessionState.newHadoopConf())
+        g.foreach { gg =>
+          val stale =
+            gens(base).filter(_ < gg).map(n => s"$base/compact/gen=$n") ++
+            Option(new java.io.File(s"$base/delta").listFiles())
+              .toSeq.flatten.map(_.getName)
+              .filter(_.startsWith("batch_id="))
+              .filter(_.stripPrefix("batch_id=").toLong < gg)
+              .map(n => s"$base/delta/$n")
+          stale.foreach(p =>
+            fs.delete(new org.apache.hadoop.fs.Path(p), true))
+        }
+      }
+  }
+
   /** foreachBatch fan-out to TWO sinks: the batch is persisted once
     * (one upstream computation, two writes — without the persist each
     * sink would recompute the whole micro-batch plan), and each write
@@ -634,17 +738,16 @@ object StreamingQueries {
     * the `batch_id < id` guard exists for. Production path: no-op.
     */
   def runDedupStream(spark: SparkSession, dir: String, base: String,
-      afterWrites: Long => Unit = _ => ()): Unit = {
-    import graft.ext.{Dedup, Layout}
+      afterWrites: Long => Unit = _ => (),
+      compactCadence: Int = 2): Unit = {
+    import graft.ext.Dedup
     val (srcDir, outDir, stateDir) =
       (s"$base/src", s"$base/out", s"$base/state")
     val docsSchema = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")).schema
-    val fpSchema = org.apache.spark.sql.types.StructType(Seq(
+    val fpContent = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("fp",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("batch_id",
-        org.apache.spark.sql.types.LongType)))
+        org.apache.spark.sql.types.StringType)))
     val stream = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
       .option("recursiveFileLookup", "true").parquet(srcDir)
@@ -663,18 +766,20 @@ object StreamingQueries {
           // silently dropping correct survivors on the re-run
           // (executed, not just reasoned: StreamingSpec
           // "crash-replay after state write converges to the
-          // uninterrupted result")
-          val hist = Layout.readBack(s, stateDir, fpSchema)
-            .filter(col("batch_id") < id).select(col("fp"))
+          // uninterrupted result"). The guard lives inside
+          // CompactedState.read, applied to generations AND deltas.
+          val hist = CompactedState.read(s, stateDir, fpContent, id)
           val survivors = graft.ops.BloomJoin.antiJoin(
             cached.toDF().withColumn("__fp",
               Dedup.bagFingerprint(col("text"))),
             col("__fp"), hist, col("fp"))
           writeBatchIdempotent(
             survivors.select(col("doc_id"), col("source")), id, outDir)
-          writeBatchIdempotent(
+          CompactedState.append(
             cached.toDF().select(
               Dedup.bagFingerprint(col("text")).as("fp")), id, stateDir)
+          CompactedState.maybeCompact(s, stateDir, fpContent, id,
+            compactCadence, sortCols = Seq("fp"))
           afterWrites(id)
         } finally { cached.unpersist(); () }
       }
@@ -720,21 +825,21 @@ object StreamingQueries {
     * seam split, so crash-replay specs can kill and resume it.
     */
   def runNearDupStream(spark: SparkSession, dir: String, base: String,
-      afterWrites: Long => Unit = _ => ()): Unit = {
-    import graft.ext.{Dedup, Layout}
+      afterWrites: Long => Unit = _ => (),
+      compactCadence: Int = 2): Unit = {
+    import graft.ext.Dedup
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
       StructField, StructType}
     val (srcDir, outDir) = (s"$base/src", s"$base/out")
     val (bandsDir, shDir) = (s"$base/bands", s"$base/shingles")
     val docsSchema = graft.sources.Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("text")).schema
-    val bandSchema = StructType(Seq(
+    val bandContent = StructType(Seq(
       StructField("doc_id", LongType), StructField("band", IntegerType),
-      StructField("band_key", LongType), StructField("batch_id", LongType)))
-    val shSchema = StructType(Seq(
+      StructField("band_key", LongType)))
+    val shContent = StructType(Seq(
       StructField("doc_id", LongType),
-      StructField("sh", ArrayType(LongType)),
-      StructField("batch_id", LongType)))
+      StructField("sh", ArrayType(LongType))))
     val stream = spark.readStream.schema(docsSchema)
       .option("maxFilesPerTrigger", 1)
       .option("recursiveFileLookup", "true").parquet(srcDir)
@@ -749,11 +854,10 @@ object StreamingQueries {
           val bBands = Dedup.minhashBandKeys(cached.toDF())
           val bSh = Dedup.minhashShingles(cached.toDF())
           // STRICTLY EARLIER batches only — batch N's own partitions
-          // may be (partially) visible on crash-replay of N
-          val hBands = Layout.readBack(s, bandsDir, bandSchema)
-            .filter(col("batch_id") < id)
-          val hSh = Layout.readBack(s, shDir, shSchema)
-            .filter(col("batch_id") < id)
+          // may be (partially) visible on crash-replay of N; the
+          // guard lives inside CompactedState.read (gens AND deltas)
+          val hBands = CompactedState.read(s, bandsDir, bandContent, id)
+          val hSh = CompactedState.read(s, shDir, shContent, id)
           val cand = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
             .join(hBands.select(col("band"), col("band_key"),
@@ -774,10 +878,14 @@ object StreamingQueries {
           val survivors = cached.toDF().select(col("doc_id"), col("source"))
             .join(dropped, Seq("doc_id"), "left_anti")
           writeBatchIdempotent(survivors, id, outDir)
-          writeBatchIdempotent(
+          CompactedState.append(
             bBands.select(col("doc_id"), col("band"), col("band_key")),
             id, bandsDir)
-          writeBatchIdempotent(bSh.select(col("doc_id"), col("sh")), id, shDir)
+          CompactedState.append(bSh.select(col("doc_id"), col("sh")), id, shDir)
+          CompactedState.maybeCompact(s, bandsDir, bandContent, id,
+            compactCadence, sortCols = Seq("band", "band_key"))
+          CompactedState.maybeCompact(s, shDir, shContent, id,
+            compactCadence, sortCols = Seq("doc_id"))
           afterWrites(id)
         } finally { cached.unpersist(); () }
       }

@@ -672,8 +672,8 @@ class StreamingSpec extends AnyFunSuite {
     assert(thrown.getMessage.contains("injected crash"))
     // replay precondition: batch 1's own band AND shingle partitions
     // are on disk before its epoch ever committed
-    assert(new java.io.File(s"$base/bands/batch_id=1").exists())
-    assert(new java.io.File(s"$base/shingles/batch_id=1").exists())
+    assert(new java.io.File(s"$base/bands/delta/batch_id=1").exists())
+    assert(new java.io.File(s"$base/shingles/delta/batch_id=1").exists())
     StreamingQueries.runNearDupStream(spark, dir, base)
     assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
   }
@@ -702,12 +702,67 @@ class StreamingSpec extends AnyFunSuite {
     assert(thrown.getMessage.contains("injected crash"))
     // replay precondition on disk: batch 1's own fingerprint partition
     // is visible before its epoch ever committed
-    assert(new java.io.File(s"$base/state/batch_id=1").exists(),
+    assert(new java.io.File(s"$base/state/delta/batch_id=1").exists(),
       "crash point must leave batch 1's state partition on disk")
     // restart from the SAME checkpoint: batch 1 replays (guard active),
     // batch 2 follows; the landed output must be indistinguishable
     // from the run that never crashed
     StreamingQueries.runDedupStream(spark, dir, base)
     assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+  }
+
+  test("crash DURING the compacting batch replays to the uninterrupted result") {
+    import graft.streaming.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val expected = canon(StreamingQueries.streamDedupIncremental(spark, dir))
+    // kill AFTER batch 2's delta landing AND its gen=2 compaction
+    // fold, but before the epoch commits — replay of batch 2 must
+    // resolve G strictly below 2 (its own, possibly partial, gen=2
+    // is invisible) and the re-fold must overwrite gen=2 byte-equal
+    val base = StreamingQueries.prepareDedupStream(spark, dir)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runDedupStream(spark, dir, base, afterWrites = id =>
+        if (id == 2) {
+          crashed.set(true)
+          throw new RuntimeException("graft-test: injected crash after compaction")
+        })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    // crash point on disk: the compaction generation is (at least
+    // partially) written, its epoch never committed
+    assert(new java.io.File(s"$base/state/compact/gen=2").exists(),
+      "crash point must leave the gen=2 fold on disk")
+    StreamingQueries.runDedupStream(spark, dir, base)
+    assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+  }
+
+  test("state compaction: 6-batch run equals the compaction-free run; stale deltas GC'd") {
+    import graft.streaming.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // control arm: cadence 0 — the pre-compaction flat-delta layout
+    val ctrlBase = StreamingQueries.prepareDedupStream(spark, dir,
+      nBatches = 6, scratch = "stream_dedup_ctrl")
+    StreamingQueries.runDedupStream(spark, dir, ctrlBase, compactCadence = 0)
+    val expected = canon(StreamingQueries.dedupStreamOutput(spark, ctrlBase))
+    // compacting arm: cadence 2 over the same 6 batches
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      nBatches = 6, scratch = "stream_dedup_compact6")
+    StreamingQueries.runDedupStream(spark, dir, base, compactCadence = 2)
+    assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+    // layout after the run: generations 2 and 4 live; the last
+    // compaction (id=4, G=2) garbage-collected deltas 0 and 1,
+    // while deltas >= 2 survive for batch 4's own replay window
+    assert(new java.io.File(s"$base/state/compact/gen=4").exists())
+    assert(!new java.io.File(s"$base/state/delta/batch_id=0").exists(),
+      "delta 0 should be folded into gen=2 and GC'd at the gen=4 compaction")
+    assert(!new java.io.File(s"$base/state/delta/batch_id=1").exists())
+    assert(new java.io.File(s"$base/state/delta/batch_id=2").exists())
+    assert(new java.io.File(s"$base/state/delta/batch_id=5").exists())
   }
 }
