@@ -122,6 +122,19 @@ object ScalingLadder {
       graft.ext.Dedup.ngramJaccardPairs(docs(spark, n), threshold = 0.6)
         .queryExecution.toRdd.count()
     }
+    ladder("encode_pack", base) { n =>
+      // train → encode → pack at ladder scale (the pack_encoded_ids
+      // lineage, VERDICT r8 item 8): the trainer collects a CAPPED
+      // dict (vocabulary-bounded by contract), the encode is a
+      // broadcast probe above the token explode, the pack is the
+      // two-level offset scan — the corpus crosses one word-count
+      // shuffle and is never shuffled to encode; ratio ≈ 2 pins that
+      // claim with a number
+      graft.ext.Packing.packSequencesOf(
+        graft.ext.CorpusPrep.bpeEncodeIds(docs(spark, n))
+          .select(col("doc_id"), size(col("ids")).cast("long").as("n")))
+        .queryExecution.toRdd.count()
+    }
     ladder("cosine_ivf", base) { n =>
       // the design guidance the Scaladoc states: k ≈ √n keeps
       // per-cluster work flat — the ladder scales k the same way
