@@ -54,7 +54,13 @@ object PlanAudit {
     "text_classifier_score", // broadcast(weights): ≤ 4096 rows BY the 3-hex-char bucket space, explicit (reviewed round 8)
     "text_classifier_trained", // broadcast(trained weights): same ≤ 4096-row bound BY the bucket groupBy — the sample_importance class; the build lineage contains the training explode but the aggregate bounds the broadcast VALUE (reviewed round 8)
     "pack_encoded_ids",  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
-    "bpe_fertility_by_lang") // same broadcast(wordIds), inherited through the encode→fertility composition (reviewed round 8)
+    "bpe_fertility_by_lang", // same broadcast(wordIds), inherited through the encode→fertility composition (reviewed round 8)
+    "bpe_artifact_roundtrip", // the bpe_encode_ids broadcast(wordIds ≤ BpeVocabCap) with the vocab LOADED from the artifact — the artifact is written under the same capped-dict collect contract, so the bound survives persistence (reviewed round 9)
+    "unigram_artifact_roundtrip", // broadcast(persisted unigram model): ≤ cap + alphabet rows BY the write-side contract, the unigram_segment class through the shared viterbiDp (reviewed round 9)
+    "unigram_em_loss", // broadcast(vocab ≤ cap + alphabet) in BOTH the base DP and the per-(word, excluded-piece) probe entries — the same capped vocabulary twice; the (word, exc)-keyed map join is a shuffle (reviewed round 9)
+    "unigram_vocab_em_pruned", // inherits unigram_em_loss' capped-vocab broadcasts + the usage path's + a 1-row count crossJoin for the prune threshold — all bounded (reviewed round 9)
+    "unigram_train_em", // broadcast(collected literal model ≤ cap + alphabet): the unigram_segment_multi class with the EM criterion (reviewed round 9)
+    "curate_pipeline_pack") // the composed funnel inherits EXACTLY its stages' sanctioned broadcasts: the three decontam registry holdouts (curate_decontam_report class), the |domains|-row filter aggregate, and Packing's bucket-count-bounded offset prefix — nothing new broadcasts (reviewed round 9)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
     * not the hazard this audit hunts: it multiplies nothing and
