@@ -291,19 +291,33 @@ object StreamingQueries {
     private def withBatch(content: StructType): StructType =
       StructType(content.fields :+ StructField("batch_id", LongType))
 
+    /** Partition-dir names under `path` with the given `key=` prefix,
+      * via the Hadoop FS API — a `java.io.File` listing would be
+      * local-FS only and silently return empty on a cluster
+      * filesystem (reads would fall back to the uncompacted delta
+      * scan and GC would never fire: correct, but the compaction
+      * would be a no-op exactly where it matters). */
+    private def partitionIds(spark: SparkSession, path: String,
+        key: String): Seq[Long] = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.filter(_.isDirectory)
+        .map(_.getPath.getName).filter(_.startsWith(key))
+        .map(_.stripPrefix(key).toLong)
+    }
+
     /** Generation list from dir names; complete-by-construction for
       * every entry a `read(id)` can select (see class doc). */
-    private def gens(base: String): Seq[Long] =
-      Option(new java.io.File(s"$base/compact").listFiles()).toSeq.flatten
-        .map(_.getName).filter(_.startsWith("gen="))
-        .map(_.stripPrefix("gen=").toLong)
+    private def gens(spark: SparkSession, base: String): Seq[Long] =
+      partitionIds(spark, s"$base/compact", "gen=")
 
     /** All state rows from batches strictly before `id`, via the
       * newest safe generation. Returns exactly the `content`
       * columns. */
     def read(spark: SparkSession, base: String,
         content: StructType, id: Long): DataFrame = {
-      val g = gens(base).filter(_ < id).maxOption
+      val g = gens(spark, base).filter(_ < id).maxOption
       val deltas = graft.ext.Layout
         .readBack(spark, s"$base/delta", withBatch(content))
         .filter(col("batch_id") < id &&
@@ -334,7 +348,7 @@ object StreamingQueries {
         content: StructType, id: Long, cadence: Int,
         sortCols: Seq[String] = Seq.empty): Unit =
       if (cadence > 0 && id > 0 && id % cadence == 0) {
-        val g = gens(base).filter(_ < id).maxOption
+        val g = gens(spark, base).filter(_ < id).maxOption
         graft.ext.Layout.upsertPartitions(
           read(spark, base, content, id).withColumn("gen", lit(id)),
           s"$base/compact", partitionCols = Seq("gen"),
@@ -343,12 +357,10 @@ object StreamingQueries {
           .getFileSystem(spark.sessionState.newHadoopConf())
         g.foreach { gg =>
           val stale =
-            gens(base).filter(_ < gg).map(n => s"$base/compact/gen=$n") ++
-            Option(new java.io.File(s"$base/delta").listFiles())
-              .toSeq.flatten.map(_.getName)
-              .filter(_.startsWith("batch_id="))
-              .filter(_.stripPrefix("batch_id=").toLong < gg)
-              .map(n => s"$base/delta/$n")
+            gens(spark, base).filter(_ < gg)
+              .map(n => s"$base/compact/gen=$n") ++
+            partitionIds(spark, s"$base/delta", "batch_id=")
+              .filter(_ < gg).map(n => s"$base/delta/batch_id=$n")
           stale.foreach(p =>
             fs.delete(new org.apache.hadoop.fs.Path(p), true))
         }
