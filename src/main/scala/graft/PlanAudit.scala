@@ -56,6 +56,7 @@ object PlanAudit {
     "pack_encoded_ids",  // same broadcast(wordIds), inherited through the encode→pack composition (reviewed round 8)
     "bpe_fertility_by_lang", // same broadcast(wordIds), inherited through the encode→fertility composition (reviewed round 8)
     "bpe_artifact_roundtrip", // the bpe_encode_ids broadcast(wordIds ≤ BpeVocabCap) with the vocab LOADED from the artifact — the artifact is written under the same capped-dict collect contract, so the bound survives persistence (reviewed round 9)
+    "bpe_artifact_cross_encode", // the same loaded-artifact broadcast(wordIds ≤ cap); the encode corpus differs from the training corpus but the broadcast side is still the capped trained vocab (reviewed round 9)
     "unigram_artifact_roundtrip", // broadcast(persisted unigram model): ≤ cap + alphabet rows BY the write-side contract, the unigram_segment class through the shared viterbiDp (reviewed round 9)
     "unigram_em_loss", // broadcast(vocab ≤ cap + alphabet) in BOTH the base DP and the per-(word, excluded-piece) probe entries — the same capped vocabulary twice; the (word, exc)-keyed map join is a shuffle (reviewed round 9)
     "unigram_vocab_em_pruned", // inherits unigram_em_loss' capped-vocab broadcasts + the usage path's + a 1-row count crossJoin for the prune threshold — all bounded (reviewed round 9)

@@ -1474,11 +1474,12 @@ object CorpusPrep {
     * the merge semantics match, not that one implementation was
     * transcribed.
     */
-  private def bpeMergeOracleSql(rounds: Int): String = {
+  private def bpeMergeOracleSql(rounds: Int,
+      trainWhere: String = ""): String = {
     val init =
       s"""wdict AS (
          |  SELECT word, count(*) AS wc
-         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  FROM (SELECT unnest($W) AS word FROM documents$trainWhere)
          |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
          |  GROUP BY 1),
          |d0 AS (SELECT word, wc,
@@ -1543,8 +1544,9 @@ object CorpusPrep {
     * ordered `list()` aggregates), per the oracle-independence
     * discipline.
     */
-  private def bpeEncodeIdsCtesSql(rounds: Int): String = {
-    val base = bpeMergeOracleSql(rounds)
+  private def bpeEncodeIdsCtesSql(rounds: Int, trainWhere: String = "",
+      encodeWhere: String = ""): String = {
+    val base = bpeMergeOracleSql(rounds, trainWhere)
     val cut = base.lastIndexOf(s"SELECT 1 AS round")
     base.substring(0, cut).stripTrailing() + "," + "\n" +
       s"""vw AS (SELECT word, syms FROM d$rounds
@@ -1558,7 +1560,7 @@ object CorpusPrep {
          |       GROUP BY word),
          |dw AS (SELECT doc_id, list_filter($W, x ->
          |         regexp_full_match(x, '[a-z0-9]+') AND len(x) >= 2) AS ws
-         |       FROM documents),
+         |       FROM documents$encodeWhere),
          |tok AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
          |               d.ws[CAST(t.i AS INTEGER)] AS word
          |        FROM dw d, unnest(range(1, len(d.ws) + 1)) t(i)),
@@ -1585,6 +1587,26 @@ object CorpusPrep {
          |       md5(coalesce(array_to_string(
          |         [CAST(x AS VARCHAR) FOR x IN a.ids], ' '), '')) AS ids_md5
          |FROM documents d LEFT JOIN eagg a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+
+  /** Cross-corpus encode oracle ([[TokenizerArtifact]]'s
+    * `bpe_artifact_cross_encode` gate): the merge chain AND the
+    * capped vocabulary derive from the TRAIN predicate's documents
+    * only; the encode stream and the digest spine from the ENCODE
+    * predicate's — the train-on-A/encode-on-B shape, where every
+    * B-word absent from the A-trained vocab must land on unk. */
+  private[ext] def bpeCrossEncodeOracleSql(rounds: Int,
+      trainWhere: String, encodeWhere: String): String =
+    bpeEncodeIdsCtesSql(rounds, trainWhere, encodeWhere) +
+      s"""
+         |SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+         |       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_ids,
+         |       md5(coalesce(array_to_string(
+         |         [CAST(x AS VARCHAR) FOR x IN a.ids], ' '), '')) AS ids_md5
+         |FROM (SELECT * FROM documents$encodeWhere) d
+         |LEFT JOIN eagg a USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
 
   /** Per-language fertility over the same encode chain: LEFT JOIN

@@ -100,7 +100,26 @@ object TokenizerArtifact {
           .as("ids_md5"))
       .orderBy(col("doc_id"))
 
+  /** Train/encode split predicate for the cross-corpus gate: train on
+    * even doc ids, encode the odd half. The halves share the fixture
+    * vocabulary's character set but NOT its word set, so the
+    * OOV→unk path carries real traffic (words the trained vocab
+    * never saw). */
+  private val TrainHalf = "doc_id % 2 = 0"
+  private val EncodeHalf = "doc_id % 2 = 1"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // train-on-A / encode-on-B — the shape the artifact EXISTS for
+    // (the roundtrip gates prove artifact ≡ in-lineage on one corpus;
+    // this one proves the artifact decouples from its training
+    // corpus: a different doc set encodes through the loaded vocab,
+    // unseen words land on unk)
+    "bpe_artifact_cross_encode" -> ((s, d) => {
+      val dir = RunScratch.dir("bpe_artifact_x", d)
+      val docs = Tables.documents(s, d)
+      bpeWrite(docs.filter(expr(TrainHalf)), dir)
+      idsDigest(bpeEncodeIds(docs.filter(expr(EncodeHalf)), dir))
+    }),
     // write → reload in a fresh lineage → encode; hash-matched
     // against bpe_encode_ids' UNCHANGED oracle, so artifact ≡
     // in-lineage is proven end-to-end every round
@@ -124,5 +143,10 @@ object TokenizerArtifact {
     * indistinguishable from the fused path. */
   val oracles: Map[String, String] = Map(
     "bpe_artifact_roundtrip" -> CorpusPrep.oracles("bpe_encode_ids"),
-    "unigram_artifact_roundtrip" -> CorpusPrep.oracles("unigram_encode_stats"))
+    "unigram_artifact_roundtrip" -> CorpusPrep.oracles("unigram_encode_stats"),
+    // merge chain + capped vocab from the train half ONLY; encode
+    // stream + digest spine from the other half
+    "bpe_artifact_cross_encode" -> CorpusPrep.bpeCrossEncodeOracleSql(
+      CorpusPrep.BpeMergeRoundsN,
+      trainWhere = s" WHERE $TrainHalf", encodeWhere = s" WHERE $EncodeHalf"))
 }

@@ -420,6 +420,30 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("cross-corpus artifact encode: unseen words land on unk, seen words on trained ids") {
+    import graft.ext.TokenizerArtifact
+    // train corpus knows {banana, cabbage}; encode corpus repeats
+    // banana (seen) and introduces zzz (unseen → unk)
+    val train = docsOf(1L -> "banana banana cabbage banana cabbage")
+    val enc = docsOf(2L -> "banana zzz banana", 3L -> "zzz zzz")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tok_cross_spec").toString
+    TokenizerArtifact.bpeWrite(train, dir)
+    val out = TokenizerArtifact.bpeEncodeIds(enc, dir).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getSeq[Long](1).toList, r.getLong(2), r.getLong(3)))).toMap
+    // doc 2: banana encodes via the trained vocab (same ids both
+    // occurrences, none unk), zzz is one unk id
+    val (ids2, nTok2, nUnk2) = out(2L)
+    assert(nTok2 === 3L && nUnk2 === 1L)
+    assert(ids2.count(_ == graft.ext.CorpusPrep.BpeUnkId) === 1)
+    val bananaIds = ids2.takeWhile(_ != graft.ext.CorpusPrep.BpeUnkId)
+    assert(ids2.endsWith(bananaIds), "same word must encode identically")
+    // doc 3: all unseen → every token one unk id
+    assert(out(3L) === ((List(graft.ext.CorpusPrep.BpeUnkId,
+      graft.ext.CorpusPrep.BpeUnkId), 2L, 2L)))
+  }
+
   test("EM loss: per-piece delta equals an independent vocab-minus-piece re-segmentation") {
     val docs = docsOf(
       1L -> "banana bandana banana abba abba cabbage",
