@@ -1031,10 +1031,19 @@ object CorpusPrep {
       unigramVocabCosts(docs))
 
   private[ext] def unigramEmLossFrom(words: DataFrame, vocab: DataFrame)
-      : DataFrame = {
-    val base = viterbiDp(words, vocab)
-      .select(col("word"), col("wc"), col("total_cost").as("base_cost"),
-        col("path"))
+      : DataFrame =
+    unigramEmLossFromBase(words, vocab,
+      viterbiDp(words, vocab)
+        .select(col("word"), col("wc"), col("total_cost").as("base_cost"),
+          col("path")))
+
+  /** The exclusion-loss tail over a PRE-COMPUTED base frame
+    * (word, wc, base_cost, path) — the seam that lets the multi-round
+    * trainer pay the base DP once per round and feed both the usage
+    * aggregate and this loss derivation from the same materialized
+    * frame. */
+  private def unigramEmLossFromBase(words: DataFrame, vocab: DataFrame,
+      base: DataFrame): DataFrame = {
     val excl = base.select(col("word"), col("wc"), col("base_cost"),
       explode(array_distinct(filter(split(col("path"), UnigramPathSep),
         p => length(p) >= 2))).as("exc"))
@@ -1125,13 +1134,20 @@ object CorpusPrep {
       .toSeq
     for (_ <- 2 to rounds) {
       val vdf = model.toDF("piece", "freq", "cost")
-      val usage = viterbiDp(words, vdf)
+      // ONE base DP job per round, materialized, feeding both the
+      // usage aggregate and the exclusion-loss derivation (the loss
+      // lineage would otherwise re-run the identical DP)
+      val base = viterbiDp(words, vdf)
+        .select(col("word"), col("wc"),
+          col("total_cost").as("base_cost"), col("path"))
+        .localCheckpoint()
+      val usage = base
         .select(col("wc"),
           explode(split(col("path"), UnigramPathSep)).as("piece"))
         .filter(length(col("piece")) > 0)
         .groupBy(col("piece")).agg(sum(col("wc")).as("usage"))
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      val loss = unigramEmLossFrom(words, vdf)
+      val loss = unigramEmLossFromBase(words, vdf, base)
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val multi = model.collect {
         case (p, _, _) if p.length >= 2 => (p, loss.getOrElse(p, 0L)) }
