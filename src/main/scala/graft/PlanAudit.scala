@@ -58,6 +58,7 @@ object PlanAudit {
     "bpe_artifact_roundtrip", // the bpe_encode_ids broadcast(wordIds ≤ BpeVocabCap) with the vocab LOADED from the artifact — the artifact is written under the same capped-dict collect contract, so the bound survives persistence (reviewed round 9)
     "bpe_artifact_cross_encode", // the same loaded-artifact broadcast(wordIds ≤ cap); the encode corpus differs from the training corpus but the broadcast side is still the capped trained vocab (reviewed round 9)
     "unigram_artifact_roundtrip", // broadcast(persisted unigram model): ≤ cap + alphabet rows BY the write-side contract, the unigram_segment class through the shared viterbiDp (reviewed round 9)
+    "unigram_artifact_cross_encode", // the same loaded-model broadcast, unk-covered: the augmentation adds at most |encode alphabet| rows, so the cap + alphabet bound holds (reviewed round 9)
     "unigram_em_loss", // broadcast(vocab ≤ cap + alphabet) in BOTH the base DP and the per-(word, excluded-piece) probe entries — the same capped vocabulary twice; the (word, exc)-keyed map join is a shuffle (reviewed round 9)
     "unigram_vocab_em_pruned", // inherits unigram_em_loss' capped-vocab broadcasts + the usage path's + a 1-row count crossJoin for the prune threshold — all bounded (reviewed round 9)
     "unigram_train_em", // broadcast(collected literal model ≤ cap + alphabet): the unigram_segment_multi class with the EM criterion (reviewed round 9)

@@ -67,6 +67,11 @@ object SparkEntry {
         CorpusPrep.unigramVocabPrunedCosts(Tables.documents(s, d))),
       "unigram_vocab_em" -> ((s, d) =>
         CorpusPrep.unigramVocabEmCosts(Tables.documents(s, d))),
+      // the cross-corpus artifact gate's model: trained on the even
+      // doc-id half only (TokenizerArtifact.TrainHalf)
+      "unigram_vocab_x" -> ((s, d) =>
+        CorpusPrep.unigramVocabCosts(
+          Tables.documents(s, d).filter(col("doc_id") % 2 === 0))),
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),

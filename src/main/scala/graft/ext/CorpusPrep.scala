@@ -888,6 +888,18 @@ object CorpusPrep {
       .drop("dp", "m")
   }
 
+  /** Cost charged per UNSEEN character — SentencePiece's unk piece
+    * realized as MODEL AUGMENTATION: before a cross-corpus encode,
+    * every encode-dict character absent from the trained single-char
+    * set joins the model at this fixed nano-nat cost, restoring the
+    * every-position-coverable invariant the Viterbi fold's
+    * no-overflow argument rests on. Inert on a covered corpus (the
+    * augmentation set is empty), and never competitive where a
+    * trained piece exists (only UNSEEN chars are added, so the unk
+    * entry is the position's only candidate when it fires).
+    * Interpolated into the cross-encode oracle. */
+  val UnigramUnkCharCost = 25000000000L
+
   /** Usage floor a multi-char piece must reach on the corpus's
     * optimal segmentations to survive the prune round. */
   val UnigramPruneMin = 3L
@@ -1243,14 +1255,30 @@ object CorpusPrep {
     * which vocabulary aux table it costs against (shared by the
     * segment gate, the encode-stats composition, and the
     * pruned-round-2 gate). */
-  private def unigramSegmentOracleSqlFor(auxName: String): String =
+  private def unigramSegmentOracleSqlFor(auxName: String,
+      docWhere: String = "", unkCover: Boolean = false): String = {
+    val vCte =
+      if (!unkCover)
+        s"""v AS (SELECT piece, cost
+           |      FROM read_parquet('__OUTDIR__/.aux/$auxName/*.parquet'))""".stripMargin
+      else
+        // the engine's coverModel twin: unseen encode-dict chars join
+        // the trained model at the fixed unk cost
+        s"""v0 AS (SELECT piece, cost
+           |       FROM read_parquet('__OUTDIR__/.aux/$auxName/*.parquet')),
+           |uc AS (SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS piece
+           |       FROM wdict, unnest(range(1, len(word) + 1)) t(i)
+           |       WHERE substr(word, CAST(i AS INTEGER), 1) NOT IN
+           |             (SELECT piece FROM v0 WHERE len(piece) = 1)),
+           |v AS (SELECT piece, cost FROM v0
+           |      UNION ALL
+           |      SELECT piece, CAST($UnigramUnkCharCost AS BIGINT) FROM uc)""".stripMargin
     s"""WITH RECURSIVE wdict AS (
        |  SELECT word, count(*) AS wc
-       |  FROM (SELECT unnest($W) AS word FROM documents)
+       |  FROM (SELECT unnest($W) AS word FROM documents$docWhere)
        |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2
        |  GROUP BY 1),
-       |v AS (SELECT piece, cost
-       |      FROM read_parquet('__OUTDIR__/.aux/$auxName/*.parquet')),
+       |$vCte,
        |p(word, pos, cost, np) AS (
        |  SELECT word, 0, CAST(0 AS BIGINT), 0 FROM wdict
        |  UNION ALL
@@ -1273,24 +1301,31 @@ object CorpusPrep {
        |JOIN wdict w ON w.word = d.word
        |GROUP BY w.word, w.wc, m2.cost, m2.np
        |ORDER BY w.word""".stripMargin
+  }
 
   private lazy val unigramSegmentOracleSql: String =
     unigramSegmentOracleSqlFor("unigram_vocab")
 
   /** Encode-stats oracle as one reusable statement (the encode gate
-    * and the tokenizer comparison both splice it). */
-  private lazy val oraclesUnigramEncodeStatsSql: String =
+    * and the tokenizer comparison both splice it); parameterized for
+    * the cross-corpus artifact gate (restricted doc spine + the
+    * unk-covered model). */
+  private[ext] def unigramEncodeStatsOracleSqlFor(auxName: String,
+      docWhere: String = "", unkCover: Boolean = false): String =
     s"""WITH f AS (
        |  SELECT doc_id, word
-       |  FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+       |  FROM (SELECT doc_id, unnest($W) AS word FROM documents$docWhere)
        |  WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2),
        |s AS (SELECT word, n_pieces, total_cost
-       |      FROM ($unigramSegmentOracleSql))
+       |      FROM (${unigramSegmentOracleSqlFor(auxName, docWhere, unkCover)}))
        |SELECT f.doc_id, count(*) AS n_words,
        |       CAST(sum(s.n_pieces) AS BIGINT) AS n_pieces,
        |       CAST(sum(s.total_cost) AS BIGINT) AS cost_x1e9
        |FROM f JOIN s USING (word)
        |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  private lazy val oraclesUnigramEncodeStatsSql: String =
+    unigramEncodeStatsOracleSqlFor("unigram_vocab")
 
   /** Exhaustive path enumeration CARRYING the piece sequence (chr(1)
     * separated, matching [[UnigramPathSep]]) + the argmin pick — the

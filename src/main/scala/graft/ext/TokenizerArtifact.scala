@@ -79,16 +79,35 @@ object TokenizerArtifact {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/unigram_model")
 
   /** Per-document encode stats through a PERSISTED unigram model:
-    * load, Viterbi-segment the corpus word dict under the loaded
-    * costs, aggregate per document — the identical core as
+    * load, UNK-COVER (SentencePiece's unk piece as model
+    * augmentation — every encode-dict char absent from the trained
+    * single-char set joins at [[CorpusPrep.UnigramUnkCharCost]], so a
+    * corpus the model never saw still segments at every position;
+    * inert when the corpora share a character set), Viterbi-segment
+    * the corpus word dict under the covered costs, aggregate per
+    * document — the identical core as
     * [[CorpusPrep.unigramEncodeStats]] minus the training stage. */
   def unigramEncodeStats(docs: DataFrame, dir: String): DataFrame = {
     val model = docs.sparkSession.read.parquet(s"$dir/unigram_model")
+    val dict = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
     CorpusPrep.unigramEncodeStatsFrom(docs,
-      CorpusPrep.viterbiDp(
-          CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc")),
-          model)
+      CorpusPrep.viterbiDp(dict, coverModel(dict, model))
         .select(col("word"), col("n_pieces"), col("total_cost")))
+  }
+
+  /** The unk augmentation: unseen encode-dict single chars at the
+    * fixed cost. Only UNSEEN chars are added, so an unk entry is its
+    * position's only candidate whenever it fires — it can never
+    * outbid a trained piece. */
+  private def coverModel(dict: DataFrame, model: DataFrame): DataFrame = {
+    val unseen = dict
+      .select(explode(split(col("word"), "")).as("piece"))
+      .filter(length(col("piece")) === 1).distinct()
+      .join(model.filter(length(col("piece")) === 1).select("piece"),
+        Seq("piece"), "left_anti")
+      .select(col("piece"), lit(0L).as("freq"),
+        lit(CorpusPrep.UnigramUnkCharCost).as("cost"))
+    model.select(col("piece"), col("freq"), col("cost")).unionByName(unseen)
   }
 
   /** The id-array digest projection shared with the in-lineage
@@ -136,6 +155,16 @@ object TokenizerArtifact {
       val docs = Tables.documents(s, d)
       unigramWrite(docs, dir)
       unigramEncodeStats(docs, dir)
+    }),
+    // the unigram cross-corpus leg: model trained on the even half,
+    // encode stats over the odd half under the unk-covered model —
+    // chars the training half never saw segment as unk pieces at the
+    // fixed cost instead of making the DP infeasible
+    "unigram_artifact_cross_encode" -> ((s, d) => {
+      val dir = RunScratch.dir("unigram_artifact_x", d)
+      val docs = Tables.documents(s, d)
+      unigramWrite(docs.filter(expr(TrainHalf)), dir)
+      unigramEncodeStats(docs.filter(expr(EncodeHalf)), dir)
     }))
 
   /** Both roundtrip gates share the in-lineage gates' oracles
@@ -148,5 +177,10 @@ object TokenizerArtifact {
     // stream + digest spine from the other half
     "bpe_artifact_cross_encode" -> CorpusPrep.bpeCrossEncodeOracleSql(
       CorpusPrep.BpeMergeRoundsN,
-      trainWhere = s" WHERE $TrainHalf", encodeWhere = s" WHERE $EncodeHalf"))
+      trainWhere = s" WHERE $TrainHalf", encodeWhere = s" WHERE $EncodeHalf"),
+    // encode-stats statement over the odd half, v = the even-half aux
+    // model UNION the unseen-char unk entries (the coverModel twin)
+    "unigram_artifact_cross_encode" ->
+      CorpusPrep.unigramEncodeStatsOracleSqlFor("unigram_vocab_x",
+        docWhere = s" WHERE $EncodeHalf", unkCover = true))
 }

@@ -444,6 +444,29 @@ class CorpusPrepSpec extends AnyFunSuite {
       graft.ext.CorpusPrep.BpeUnkId), 2L, 2L)))
   }
 
+  test("cross-corpus unigram encode: unseen chars segment as unk pieces at the fixed cost") {
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    val train = docsOf(1L -> "banana banana cabbage banana cabbage")
+    // zz is entirely unseen chars; banana is fully trained
+    val enc = docsOf(2L -> "banana zz")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_unigram_cross_spec").toString
+    TokenizerArtifact.unigramWrite(train, dir)
+    val out = TokenizerArtifact.unigramEncodeStats(enc, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val (nWords, nPieces, cost) = out(2L)
+    assert(nWords === 2L)
+    // banana's optimum under the train-only model is corpus-dependent;
+    // pin the DELTA contributed by zz instead: 2 unk chars at exactly
+    // 2x the fixed unk cost, 2 pieces
+    val bananaOnly = TokenizerArtifact.unigramEncodeStats(
+        docsOf(3L -> "banana"), dir).collect()
+      .map(r => (r.getLong(2), r.getLong(3))).head
+    assert(nPieces === bananaOnly._1 + 2L)
+    assert(cost === bananaOnly._2 + 2L * CorpusPrep.UnigramUnkCharCost)
+  }
+
   test("EM loss: per-piece delta equals an independent vocab-minus-piece re-segmentation") {
     val docs = docsOf(
       1L -> "banana bandana banana abba abba cabbage",
