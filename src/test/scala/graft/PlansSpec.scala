@@ -375,6 +375,21 @@ class PlansSpec extends AnyFunSuite {
     assert(gate === brute.map { case (k, v) => k -> v.toLong })
   }
 
+  test("EM exclusion DP: the (word, exc) map join shuffles, nothing goes cartesian") {
+    val plan = graft.ext.CorpusPrep.unigramEmLoss(
+        Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    // the per-(word, excluded-piece) probe map is dict-derived on
+    // BOTH sides — it must meet by shuffle (SMJ/shuffled-hash), never
+    // by an estimate-blind broadcast of exploded lineage, and no
+    // stage may degenerate to a cartesian product
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"the exclusion map join lost its shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the EM loss plan:\n$plan")
+  }
+
   test("range/overlap join buckets exactly above 2^53 (floorDiv, not double division)") {
     import spark.implicits._
     // Adversarial bounds: M is a bucket boundary (multiple of 600)
