@@ -317,6 +317,23 @@ object StreamingQueries {
       * columns. */
     def read(spark: SparkSession, base: String,
         content: StructType, id: Long): DataFrame = {
+      // lifecycle guard: batch ids restart at 0 if the CHECKPOINT is
+      // deleted while the state root survives — the stale state would
+      // then silently read as empty history (every G resolves below
+      // the restarted ids) and the stream would re-admit every
+      // historical duplicate. In one checkpoint lineage no on-disk
+      // generation or delta can sit ABOVE the current batch id
+      // (reads run at batch start; a crash replay leaves at most
+      // id's own == id partitions), so anything > id can only mean
+      // the mismatch: fail fast instead of deduping against nothing.
+      val futureGens = gens(spark, base).filter(_ > id)
+      val futureDeltas =
+        partitionIds(spark, s"$base/delta", "batch_id=").filter(_ > id)
+      require(futureGens.isEmpty && futureDeltas.isEmpty,
+        s"state root $base holds partitions beyond batch $id " +
+          s"(generations ${futureGens.sorted.mkString(",")}; deltas " +
+          s"${futureDeltas.sorted.mkString(",")}) — the checkpoint and " +
+          "the state index must live and die together")
       val g = gens(spark, base).filter(_ < id).maxOption
       val deltas = graft.ext.Layout
         .readBack(spark, s"$base/delta", withBatch(content))

@@ -740,6 +740,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
   }
 
+  test("CompactedState refuses a state root from a different checkpoint lifecycle") {
+    import graft.streaming.StreamingQueries.CompactedState
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_lifecycle").toString
+    val content = StructType(Seq(StructField("fp", LongType)))
+    // state from a 'previous life': batch 7's delta is on disk, but
+    // the (deleted-and-recreated) checkpoint restarts ids at 0 — an
+    // unguarded read would resolve empty history and silently
+    // re-admit every historical duplicate
+    CompactedState.append(Seq(Tuple1(42L)).toDF("fp"), 7L, base)
+    val e = intercept[IllegalArgumentException] {
+      CompactedState.read(spark, base, content, 0L).count()
+    }
+    assert(e.getMessage.contains("live and die together"))
+    // the same state is fine from batch 8 onward (one lineage)
+    assert(CompactedState.read(spark, base, content, 8L).count() === 1L)
+  }
+
   test("state compaction: 6-batch run equals the compaction-free run; stale deltas GC'd") {
     import graft.streaming.StreamingQueries
     val dir = "/root/testdata/sf0.001"
