@@ -86,7 +86,23 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Persist the full per-gate map as a FILE too (VERDICT r9 item 8):
+    // the driver's BENCH_r{N}.json tail capture truncates the ~6 KB
+    // line alphabetically (only 56/203 gates were diffable r8→r9), so
+    // the committed copy of this file is what a round-over-round
+    // per-gate diff actually reads. tools/make_bands.py accepts it as
+    // either the fresh or the historical input.
+    try {
+      val out = java.nio.file.Paths.get("target/bench_per_gate.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out,
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception =>
+      System.err.println(s"[bench] per-gate file write failed: $e")
+    }
     // The full line above is ~6 KB and the driver's tail-capture can
     // truncate its head (BENCH_r03 lost the "value" field that way).
     // Repeat the headline numbers as a final COMPACT line so the total

@@ -1129,6 +1129,40 @@ object CorpusPrep {
     * single-prune path (spec-pinned, and the `unigram_train_em` gate
     * hash-checks it against the `unigram_vocab_em` aux oracle).
     */
+  /** UTF-8 BYTE-sequence string ordering — the order UTF8String's
+    * binary comparator and DuckDB's VARCHAR collation both implement.
+    * Scala's default `String` ordering compares UTF-16 code UNITS,
+    * which diverges from UTF-8 byte order exactly on
+    * supplementary-plane code points (their surrogates, 0xD800–0xDFFF,
+    * sort BELOW later BMP chars in UTF-16 while their UTF-8 bytes
+    * (0xF0–0xF4 lead) sort ABOVE every BMP encoding) — identical on
+    * the current `[a-z0-9]` dict alphabet, divergent the day the dict
+    * filter widens (advisory r9 latent #1). Every driver-side sort
+    * that must agree with a distributed/oracle tie-break goes through
+    * this. */
+  private[graft] val Utf8Ordering: Ordering[String] =
+    (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val n = math.min(x.length, y.length)
+      var i = 0
+      while (i < n && x(i) == y(i)) i += 1
+      if (i < n) (x(i) & 0xff) - (y(i) & 0xff) else x.length - y.length
+    }
+
+  /** The EM prune DECISION: the bottom `⌊n/UnigramEmPruneDiv⌋`
+    * multi-char pieces by (loss ASC, piece ASC in UTF-8 BYTE order) —
+    * the driver-loop twin of [[unigramVocabEmPruned]]'s
+    * `row_number() OVER (ORDER BY loss0, piece)` window, whose `piece`
+    * leg compares UTF8String bytes. Extracted as a seam so the
+    * three-ordering agreement (Scala driver / UTF8String / DuckDB
+    * VARCHAR) is spec-testable on supplementary-plane pieces the
+    * `[a-z0-9]` fixture corpus can't produce. */
+  private[graft] def emPruneBottom(multi: Seq[(String, Long)]): Set[String] =
+    multi.sortBy { case (p, l) => (l, p) }(
+        Ordering.Tuple2(Ordering.Long, Utf8Ordering))
+      .take(multi.size / UnigramEmPruneDiv).map(_._1).toSet
+
   def unigramTrainEmRounds(docs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1, "at least the initial model")
     val spark = docs.sparkSession
@@ -1163,8 +1197,7 @@ object CorpusPrep {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       val multi = model.collect {
         case (p, _, _) if p.length >= 2 => (p, loss.getOrElse(p, 0L)) }
-      val prunedSet = multi.sortBy { case (p, l) => (l, p) }
-        .take(multi.size / UnigramEmPruneDiv).map(_._1).toSet
+      val prunedSet = emPruneBottom(multi)
       val survivors = model.collect {
         case (p, _, _) if p.length == 1 =>
           (p, usage.getOrElse(p, 0L) + 1L)

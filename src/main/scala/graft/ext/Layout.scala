@@ -44,13 +44,24 @@ object Layout {
     * write→read round-trip as an empty frame, not an
     * UNABLE_TO_INFER_SCHEMA crash (EmptyFixtureSpec pins this for
     * every registry operator).
+    *
+    * The existence probe goes through the Hadoop FS API resolved from
+    * the path itself — a `java.io.File` probe is local-FS only and on
+    * a cluster filesystem (hdfs://, s3a://) would report EVERY path
+    * absent, silently turning each read-back into an empty frame
+    * (advisory r9: for CompactedState that meant dedup history
+    * vanishing and duplicates re-admitted, exactly where the
+    * 100 TB/cluster claim lives).
     */
   def readBack(spark: SparkSession, path: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    if (!new java.io.File(path).exists())
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(path)
+  }
 
   def writePartitioned(df: DataFrame, path: String,
       partitionCols: Seq[String], sortCols: Seq[String],

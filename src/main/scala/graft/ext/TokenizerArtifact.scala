@@ -44,9 +44,33 @@ import graft.sources.Tables
   */
 object TokenizerArtifact {
 
+  /** Target rows per artifact parquet file. Write parallelism is
+    * DERIVED from the same constants the collect contracts bound the
+    * row counts with — `⌈cap / ArtifactRowsPerFile⌉` writer tasks —
+    * instead of a literal `coalesce(1)` (advisory r9 latent #2: a
+    * single-file write is correct under today's ≤2²⁰-row contract,
+    * but a raised cap must widen the write fan-out in the SAME
+    * motion, or the raise silently produces a one-task
+    * multi-gigabyte file). At the current caps: bpe_vocab = 2²⁰/2¹⁷
+    * = 8 files, unigram model and a default-depth merge table = 1 —
+    * the sizes stay artifact-like either way. */
+  val ArtifactRowsPerFile: Long = 1L << 17
+
+  /** Alphabet bound for the unigram model's row-count contract
+    * (model rows ≤ [[CorpusPrep.UnigramVocabCap]] + alphabet): 2¹⁶
+    * covers the whole BMP — no natural-language tokenizer alphabet
+    * approaches it, and the bound only sizes the write fan-out. */
+  val UnigramAlphabetBound: Long = 1L << 16
+
+  private[graft] def artifactParts(cap: Long): Int =
+    math.max(1L, (cap + ArtifactRowsPerFile - 1) / ArtifactRowsPerFile)
+      .toInt
+
   /** Train (deep loop — the production-depth trainer) and persist
     * both BPE artifacts. ONE distributed word count + capped
-    * collect, one driver loop, two vocabulary-bounded writes. */
+    * collect, one driver loop, two vocabulary-bounded writes (fan-out
+    * tied to each table's row-count contract via
+    * [[artifactParts]]). */
   def bpeWrite(docs: DataFrame, dir: String,
       rounds: Int = CorpusPrep.BpeMergeRoundsN): Unit = {
     val spark = docs.sparkSession
@@ -54,11 +78,13 @@ object TokenizerArtifact {
     val dictRows = CorpusPrep.bpeDictCollect(docs)
     val (merges, words) = CorpusPrep.bpeDeepLoop(dictRows, rounds)
     merges.toDF("round", "p", "q", "cnt")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bpe_merges")
+      .repartition(artifactParts(rounds.toLong))
+      .write.mode("overwrite").parquet(s"$dir/bpe_merges")
     dictRows.zip(words).toIndexedSeq
       .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
       .toDF("word", "wc", "syms")
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/bpe_vocab")
+      .repartition(artifactParts(CorpusPrep.BpeDictCap.toLong))
+      .write.mode("overwrite").parquet(s"$dir/bpe_vocab")
   }
 
   /** Encode documents through a PERSISTED BPE artifact: load the
@@ -76,7 +102,9 @@ object TokenizerArtifact {
     * construction (readers never re-run `ln`). */
   def unigramWrite(docs: DataFrame, dir: String): Unit =
     CorpusPrep.unigramVocabCosts(docs)
-      .coalesce(1).write.mode("overwrite").parquet(s"$dir/unigram_model")
+      .repartition(artifactParts(
+        CorpusPrep.UnigramVocabCap.toLong + UnigramAlphabetBound))
+      .write.mode("overwrite").parquet(s"$dir/unigram_model")
 
   /** Per-document encode stats through a PERSISTED unigram model:
     * load, UNK-COVER (SentencePiece's unk piece as model

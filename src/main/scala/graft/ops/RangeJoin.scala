@@ -100,8 +100,17 @@ object RangeJoin {
     spread(left, lStart, lEnd)
       .join(spread(right, rStart, rEnd).hint("merge"), Seq("__b"))
       .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
-      .filter(col("__b") === bucketOf(left.schema(lStart).dataType,
-        greatest(col(lStart), col(rStart)), bucketSize))
+      // canonical bucket = the LATER start's bucket, computed as the
+      // max of the two PER-SIDE bucket ids (bucketOf is monotone, so
+      // max∘bucket ≡ bucket∘max) — each side's bucket derives from its
+      // OWN column dtype, exactly matching the spread-side buckets.
+      // Bucketing greatest(lStart, rStart) directly would derive the
+      // dtype from one side while Spark coerces the comparison to a
+      // common type (advisory r9: int-vs-long or fractional mixes
+      // could floor/cast inconsistently with the spread buckets).
+      .filter(col("__b") === greatest(
+        bucketOf(left.schema(lStart).dataType, col(lStart), bucketSize),
+        bucketOf(right.schema(rStart).dataType, col(rStart), bucketSize)))
       .drop("__b")
   }
 }

@@ -599,4 +599,78 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(packed.map(r => (r.getLong(0), r.getLong(1))).toSeq ===
       Seq((1L, 4L), (2L, 3L)))
   }
+
+  test("EM prune driver sort: Scala/UTF8String/window orderings agree in UTF-8 byte order on supplementary-plane pieces") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // adversarial alphabet spanning every UTF-8 width: 'z' (1 byte),
+    // 'e-acute' (2), the euro sign (3), U+FFFD (3, ABOVE the surrogate
+    // range), and U+1D54F (4 bytes, supplementary plane — its UTF-16
+    // surrogates sort BELOW U+FFFD while its UTF-8 bytes sort ABOVE):
+    // exactly the divergence the r9 advisory flagged in the driver
+    // prune sort.
+    val X = "\uD835\uDD4F" // U+1D54F, supplementary plane
+    val pieces = Seq("zz", "z\u00E9", s"z$X", "\u00E9z", "\u20ACz",
+      "\uFFFDz", s"${X}z", "\u00E9\u00E9", "\u20AC\u20AC", s"$X$X")
+    // 1. the latent is real: Scala's default (UTF-16 code unit) order
+    //    disagrees with UTF-8 byte order on this alphabet
+    assert(pieces.sorted !== pieces.sorted(CorpusPrep.Utf8Ordering))
+    // 2. Utf8Ordering ≡ UTF8String's binary comparator (the order the
+    //    distributed window's string tie-break runs in, and DuckDB's
+    //    VARCHAR memcmp collation) on every pair
+    for (a <- pieces; b <- pieces) {
+      val want = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(Integer.signum(CorpusPrep.Utf8Ordering.compare(a, b)) === want,
+        s"Utf8Ordering diverges from UTF8String on ($a, $b)")
+    }
+    // 3. the prune DECISION matches the distributed row_number twin
+    //    (unigramVocabEmPruned's window shape) — equal losses so the
+    //    cut falls entirely on the string tie-break, where the orders
+    //    diverge: bottom-2 under UTF-16 order would be {zz, zX}
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val multi = pieces.map(p => (p, 5L))
+    val fromDriver = CorpusPrep.emPruneBottom(multi)
+    val dist = multi.toDF("piece", "loss0")
+      .withColumn("rn",
+        row_number().over(Window.orderBy(col("loss0"), col("piece"))))
+      .filter(col("rn") <= multi.size / CorpusPrep.UnigramEmPruneDiv)
+      .collect().map(_.getString(0)).toSet
+    assert(fromDriver === dist)
+    assert(fromDriver === Set("zz", "z\u00E9")) // NOT the UTF-16 pick {zz, zX}
+  }
+
+  test("artifact write fan-out derives from the collect-contract caps, never a bare coalesce(1)") {
+    import graft.ext.TokenizerArtifact
+    import TokenizerArtifact.{artifactParts, ArtifactRowsPerFile, UnigramAlphabetBound}
+    // the relation: ⌈cap / rowsPerFile⌉, floored at 1
+    assert(artifactParts(1L) === 1)
+    assert(artifactParts(ArtifactRowsPerFile) === 1)
+    assert(artifactParts(ArtifactRowsPerFile + 1) === 2)
+    assert(artifactParts(CorpusPrep.BpeDictCap.toLong) ===
+      ((CorpusPrep.BpeDictCap + ArtifactRowsPerFile - 1) /
+        ArtifactRowsPerFile).toInt)
+    // a cap raise widens the fan-out in the SAME motion — the failure
+    // mode the r9 advisory named (cap raised, one-task gigabyte write)
+    assert(artifactParts(CorpusPrep.BpeDictCap.toLong * 8L) ===
+      8 * artifactParts(CorpusPrep.BpeDictCap.toLong))
+    assert(artifactParts(
+      CorpusPrep.UnigramVocabCap.toLong + UnigramAlphabetBound) === 1)
+    // written artifacts carry at most the derived file count (empty
+    // writer partitions may emit no file) and at least one
+    val docs = docsOf(1L -> "banana bandana banana abba abba cabbage")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_artifact_parts_spec").toString
+    TokenizerArtifact.bpeWrite(docs, dir)
+    TokenizerArtifact.unigramWrite(docs, dir)
+    def partFiles(sub: String): Int =
+      new java.io.File(s"$dir/$sub").listFiles()
+        .count(f => f.getName.startsWith("part-") &&
+          f.getName.endsWith(".parquet"))
+    val vocabFiles = partFiles("bpe_vocab")
+    assert(vocabFiles >= 1 &&
+      vocabFiles <= artifactParts(CorpusPrep.BpeDictCap.toLong))
+    val modelFiles = partFiles("unigram_model")
+    assert(modelFiles === 1) // cap + alphabet bound fits one file
+  }
 }

@@ -423,6 +423,34 @@ class PlansSpec extends AnyFunSuite {
     assert(ov === Seq((1L, 10L)))
   }
 
+  test("overlap join: mixed int/long/double bound dtypes bucket per-side, pairs exactly once") {
+    import spark.implicits._
+    // left bounds INT, right bounds LONG — the r9 advisory mix: the
+    // canonical-bucket filter must derive each side's bucket from its
+    // OWN dtype (max of the per-side bucket ids; bucketOf is monotone
+    // so max∘bucket ≡ bucket∘max), never from one side's dtype applied
+    // to the type-coerced greatest()
+    val a = Seq((1, 0, 25), (2, 40, 45), (3, 90, 130))
+      .toDF("a_id", "a_s", "a_e")
+    val b = Seq((10L, 5L, 50L), (20L, 47L, 49L), (30L, 200L, 210L))
+      .toDF("b_id", "b_s", "b_e")
+    val got = graft.ops.RangeJoin.overlapByTime(a, "a_s", "a_e",
+        b, "b_s", "b_e", bucketSize = 10L)
+      .select(col("a_id"), col("b_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got === Seq((1, 10L), (2, 10L)))
+    // fractional left vs long right: doubles floor BEFORE bucketing,
+    // so 49.9 buckets with 49 — overlap [45.5, 49.9]×[49, 60] meets in
+    // bucket(49) on both sides and surfaces exactly once
+    val af = Seq((1, 45.5, 49.9), (2, 0.1, 3.9)).toDF("f_id", "f_s", "f_e")
+    val bl = Seq((10L, 49L, 60L)).toDF("g_id", "g_s", "g_e")
+    val got2 = graft.ops.RangeJoin.overlapByTime(af, "f_s", "f_e",
+        bl, "g_s", "g_e", bucketSize = 10L)
+      .select(col("f_id"), col("g_id")).collect()
+      .map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(got2 === Seq((1, 10L)))
+  }
+
   test("bloom semi join: probe is a literal filter below the join; prefilter is selective") {
     val plan = graft.queries.ExtraQueries.bloomSemiRevenue(spark, dir)
       .queryExecution.executedPlan.toString

@@ -27,11 +27,18 @@ def from_bench_stdout(path):
     raise SystemExit(f"no queries line in {path}")
 
 def from_driver_artifact(path, gate_names):
-    # tail captures truncate the head; scavenge "name":value pairs,
-    # keeping ONLY keys that are gates in the fresh run — a non-gate
-    # numeric field in the artifact (total/elapsed/...) must never be
-    # banded as a query
-    txt = json.load(open(path)).get("tail", "")
+    # Three accepted shapes: (a) Bench's own bench_per_gate.json (or a
+    # committed BENCH_PER_GATE_r*.json copy) with a full "queries" map
+    # — the complete per-gate record, preferred; (b) a driver
+    # BENCH_r*.json whose "tail" capture truncates the head — scavenge
+    # "name":value pairs; either way keep ONLY keys that are gates in
+    # the fresh run — a non-gate numeric field (total/elapsed/...)
+    # must never be banded as a query.
+    doc = json.load(open(path))
+    if "queries" in doc:
+        return {k: float(v) for k, v in doc["queries"].items()
+                if k in gate_names and float(v) >= 0}
+    txt = doc.get("tail", "")
     out = {}
     for m in re.finditer(r'"([a-z0-9_]+)":([0-9]+\.[0-9]+)', txt):
         k, v = m.group(1), float(m.group(2))
