@@ -48,6 +48,12 @@ object DedupRehearsal {
     // state-compaction cadence (round 9): 0 = the pre-compaction
     // flat-delta layout (control arm for the listing-cost claim)
     val cadence = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CADENCE", "2").toInt
+    // minor runs per async major fold (round 10 tiered compaction);
+    // the per-batch sync cost is the MINOR fold only — this knob sets
+    // how often the state-proportional work happens off-thread
+    val majorRuns = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MAJOR",
+      graft.streaming.StreamingQueries.CompactedState.DefaultMajorRuns
+        .toString).toInt
     // schema dir only (doc_id/source/text) — data is synthetic
     val schemaDir = "/root/testdata/sf0.01"
 
@@ -86,16 +92,16 @@ object DedupRehearsal {
       if (mode == "neardup") {
         graft.streaming.StreamingQueries.runNearDupStream(
           spark, schemaDir, base, afterWrites = hook,
-          compactCadence = cadence)
+          compactCadence = cadence, majorRuns = majorRuns)
         "bandindex_neardup"
       } else {
         graft.streaming.StreamingQueries.runDedupStream(
           spark, schemaDir, base, afterWrites = hook,
-          compactCadence = cadence)
+          compactCadence = cadence, majorRuns = majorRuns)
         "fpindex_dedup"
       }
     marks.foreach { case (id, ms) =>
-      println(s"""{"arm":"$arm","cadence":$cadence,"batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
+      println(s"""{"arm":"$arm","cadence":$cadence,"major":$majorRuns,"batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
     }
     spark.stop()
   }

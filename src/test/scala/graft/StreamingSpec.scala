@@ -717,10 +717,11 @@ class StreamingSpec extends AnyFunSuite {
     def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
       df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     val expected = canon(StreamingQueries.streamDedupIncremental(spark, dir))
-    // kill AFTER batch 2's delta landing AND its gen=2 compaction
-    // fold, but before the epoch commits — replay of batch 2 must
-    // resolve G strictly below 2 (its own, possibly partial, gen=2
-    // is invisible) and the re-fold must overwrite gen=2 byte-equal
+    // kill AFTER batch 2's delta landing AND its run=2 minor fold,
+    // but before the epoch commits — replay of batch 2 must resolve
+    // its history WITHOUT run=2 (strict < id) and the re-triggered
+    // minor fold must skip (the rename commit already published a
+    // complete run=2)
     val base = StreamingQueries.prepareDedupStream(spark, dir)
     val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
     val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
@@ -732,12 +733,51 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(crashed.get(), "the injected crash never fired - nothing was tested")
     assert(thrown.getMessage.contains("injected crash"))
-    // crash point on disk: the compaction generation is (at least
-    // partially) written, its epoch never committed
-    assert(new java.io.File(s"$base/state/compact/gen=2").exists(),
-      "crash point must leave the gen=2 fold on disk")
+    // crash point on disk: the minor run is committed, its epoch never
+    assert(new java.io.File(s"$base/state/runs/run=2").exists(),
+      "crash point must leave the run=2 fold on disk")
     StreamingQueries.runDedupStream(spark, dir, base)
     assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+  }
+
+  test("crash during the MAJOR-fold batch replays to the uninterrupted result") {
+    import graft.streaming.StreamingQueries
+    import graft.streaming.StreamingQueries.CompactedState
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val ctrl = StreamingQueries.prepareDedupStream(spark, dir,
+      nBatches = 6, scratch = "stream_dedup_major_ctrl")
+    StreamingQueries.runDedupStream(spark, dir, ctrl, compactCadence = 0)
+    val expected = canon(StreamingQueries.dedupStreamOutput(spark, ctrl))
+    // cadence 1 + majorRuns 2: minors at 1 and 2, the async major
+    // gen=2 triggers during batch 2 — and the query is killed in the
+    // same foreachBatch, so the fold races query teardown exactly the
+    // way a real crash would. Whatever it managed (nothing, staging
+    // garbage, or a committed gen=2), the restart must converge.
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      nBatches = 6, scratch = "stream_dedup_major_crash")
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runDedupStream(spark, dir, base,
+        afterWrites = id =>
+          if (id == 2) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after compaction")
+          },
+        compactCadence = 1, majorRuns = 2)
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    CompactedState.awaitCompactions(base) // settle the orphaned fold
+    StreamingQueries.runDedupStream(spark, dir, base,
+      compactCadence = 1, majorRuns = 2)
+    assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
+    // majors DID run (the layout is generational, not delta-flat)
+    assert(new java.io.File(s"$base/state/compact").exists() &&
+      new java.io.File(s"$base/state/compact").listFiles()
+        .exists(_.getName.startsWith("gen=")),
+      "major fold never committed a generation in 6 cadence-1 batches")
   }
 
   test("CompactedState refuses a state root from a different checkpoint lifecycle") {
@@ -770,19 +810,31 @@ class StreamingSpec extends AnyFunSuite {
       nBatches = 6, scratch = "stream_dedup_ctrl")
     StreamingQueries.runDedupStream(spark, dir, ctrlBase, compactCadence = 0)
     val expected = canon(StreamingQueries.dedupStreamOutput(spark, ctrlBase))
-    // compacting arm: cadence 2 over the same 6 batches
+    // compacting arm: cadence 2 + majorRuns 2 over the same 6 batches
+    // — minors at 2 (deltas 0–1) and 4 (deltas 2–3); the second minor
+    // reaches the majorRuns threshold, so the async major folds
+    // everything < 4 into gen=4 during/after batch 4 (runDedupStream
+    // joins it before returning)
     val base = StreamingQueries.prepareDedupStream(spark, dir,
       nBatches = 6, scratch = "stream_dedup_compact6")
-    StreamingQueries.runDedupStream(spark, dir, base, compactCadence = 2)
+    StreamingQueries.runDedupStream(spark, dir, base, compactCadence = 2,
+      majorRuns = 2)
     assert(canon(StreamingQueries.dedupStreamOutput(spark, base)) === expected)
-    // layout after the run: generations 2 and 4 live; the last
-    // compaction (id=4, G=2) garbage-collected deltas 0 and 1,
-    // while deltas >= 2 survive for batch 4's own replay window
+    // layout after the run: gen=4 committed; the major's GC removed
+    // deltas strictly below its pre-fold boundary (the last minor run
+    // BEFORE 4, i.e. 2) — deltas 0 and 1 — while deltas >= 2 survive
+    // for batch 4's own replay window; both minor runs survive until
+    // the NEXT major's GC (none here)
     assert(new java.io.File(s"$base/state/compact/gen=4").exists())
+    assert(new java.io.File(s"$base/state/runs/run=2").exists())
+    assert(new java.io.File(s"$base/state/runs/run=4").exists())
     assert(!new java.io.File(s"$base/state/delta/batch_id=0").exists(),
-      "delta 0 should be folded into gen=2 and GC'd at the gen=4 compaction")
+      "delta 0 should be folded into run=2 and GC'd at the gen=4 major fold")
     assert(!new java.io.File(s"$base/state/delta/batch_id=1").exists())
     assert(new java.io.File(s"$base/state/delta/batch_id=2").exists())
     assert(new java.io.File(s"$base/state/delta/batch_id=5").exists())
+    // no staging garbage left behind
+    assert(!new java.io.File(s"$base/state/compact").listFiles()
+      .exists(_.getName.startsWith(".staging_")))
   }
 }
