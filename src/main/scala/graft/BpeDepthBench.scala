@@ -56,15 +56,22 @@ object BpeDepthBench {
         .exists(_.startsWith("unigram"))) {
       // "unigram" = usage-floor prune loop; "unigram_em" = the
       // SentencePiece loss-criterion loop (one extra distributed
-      // exclusion-DP job per round — the price of the real criterion)
-      val em = sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("unigram_em")
+      // exclusion-DP job per round — the price of the real
+      // criterion); "unigram_em_soft" = loss criterion + lattice
+      // forward–backward expected counts (one more fold pass per
+      // round — the full SentencePiece estimator)
+      val mode = sys.env("SPARK_GRAFT_DEPTH_MODE")
       val r = sys.env.getOrElse("SPARK_GRAFT_UNIGRAM_ROUNDS", "8").toInt
       val t0 = System.nanoTime()
-      val n =
-        if (em) graft.ext.CorpusPrep.unigramTrainEmRounds(docs, r).count()
-        else graft.ext.CorpusPrep.unigramTrainRounds(docs, r).count()
+      val n = mode match {
+        case "unigram_em_soft" =>
+          graft.ext.CorpusPrep.unigramTrainEmSoftRounds(docs, r).count()
+        case "unigram_em" =>
+          graft.ext.CorpusPrep.unigramTrainEmRounds(docs, r).count()
+        case _ =>
+          graft.ext.CorpusPrep.unigramTrainRounds(docs, r).count()
+      }
       val sec = (System.nanoTime() - t0) / 1e9
-      val mode = if (em) "unigram_em" else "unigram"
       println(f"""{"mode":"$mode%s","dict_words":$n,"rounds":$r,"total_sec":$sec%.2f,"sec_per_round":${sec / r}%.2f}""")
       spark.stop(); return
     }

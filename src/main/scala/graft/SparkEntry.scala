@@ -67,6 +67,8 @@ object SparkEntry {
         CorpusPrep.unigramVocabPrunedCosts(Tables.documents(s, d))),
       "unigram_vocab_em" -> ((s, d) =>
         CorpusPrep.unigramVocabEmCosts(Tables.documents(s, d))),
+      "unigram_vocab_em_soft" -> ((s, d) =>
+        CorpusPrep.unigramVocabEmSoftCosts(Tables.documents(s, d))),
       // the cross-corpus artifact gate's model: trained on the even
       // doc-id half only (TokenizerArtifact.TrainHalf)
       "unigram_vocab_x" -> ((s, d) =>

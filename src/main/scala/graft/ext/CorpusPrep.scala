@@ -1081,27 +1081,35 @@ object CorpusPrep {
     * add-one-smoothed usage as the re-estimated frequency. The
     * ranking window runs over the ≤cap-row multi-char vocabulary (the
     * bounded-frame total-order discipline of `vocab_encode`). */
-  def unigramVocabEmPruned(docs: DataFrame): DataFrame = {
+  def unigramVocabEmPruned(docs: DataFrame): DataFrame =
+    emSurvivorPieces(docs)
+      .join(unigramViterbiCounts(docs).select(col("piece"), col("usage")),
+        Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("usage"), lit(0L)) + lit(1L)).as("freq2"))
+
+  /** The exclusion-loss survivor DECISION (all single chars + the
+    * multi-char pieces above the bottom 1/[[UnigramEmPruneDiv]] by
+    * (loss, piece)) — extracted so the hard ([[unigramVocabEmPruned]])
+    * and soft ([[unigramVocabEmSoft]]) M-steps share it verbatim: the
+    * two paths differ ONLY in the count estimator, exactly the r9→r10
+    * delta. */
+  private def emSurvivorPieces(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val vocab = unigramVocab(docs)
     val multi = vocab.filter(length(col("piece")) >= 2).select(col("piece"))
       .join(unigramEmLoss(docs).select(col("piece"), col("loss_x1e9")),
         Seq("piece"), "left")
       .withColumn("loss0", coalesce(col("loss_x1e9"), lit(0L)))
-    val survMulti = multi
+    multi
       .withColumn("rn",
         row_number().over(Window.orderBy(col("loss0"), col("piece"))))
       .crossJoin(broadcast(multi.agg(
         expr(s"count(1) div $UnigramEmPruneDiv").as("n_prune"))))
       .filter(col("rn") > col("n_prune"))
       .select(col("piece"))
-    survMulti
       .unionByName(vocab.filter(length(col("piece")) === 1)
         .select(col("piece")))
-      .join(unigramViterbiCounts(docs).select(col("piece"), col("usage")),
-        Seq("piece"), "left")
-      .select(col("piece"),
-        (coalesce(col("usage"), lit(0L)) + lit(1L)).as("freq2"))
   }
 
   /** The EM-pruned vocabulary with re-estimated snap-once nano-nat
@@ -1203,6 +1211,193 @@ object CorpusPrep {
           (p, usage.getOrElse(p, 0L) + 1L)
         case (p, _, _) if !prunedSet.contains(p) =>
           (p, usage.getOrElse(p, 0L) + 1L)
+      }
+      model = recost(survivors)
+    }
+    viterbiDp(words, model.toDF("piece", "freq", "cost"))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word"))
+  }
+
+  // ---------------------------------------- unigram SOFT-EM (lattice)
+
+  /** Lattice forward–backward piece marginals — the SOFT-EM E-step
+    * (SentencePiece's actual estimator, VERDICT r9 item 2): per
+    * (word, piece), the posterior EXPECTED occurrence count under the
+    * unigram model,
+    *
+    *   E[#p | w] = Σ_{occ (i,k) of p} fw[i−1]·P(p)·bw[i−1+k] / Z_w
+    *
+    * where fw/bw are the forward/backward lattice sums over ALL
+    * segmentations (the hard-EM [[unigramViterbiCounts]] charges only
+    * the single argmin path — the mode, not the expectation). Both
+    * passes run in a VITERBI-SCALED probability domain: every piece
+    * weight is exp(θ·len − cost/10⁹) with θ = the word's argmin cost
+    * per char, so each path's weight telescopes to
+    * exp((bestCost − pathCost)/10⁹) ∈ (0, 1] — the best path carries
+    * exactly 1, no fw/bw product can underflow at any realistic word
+    * length, and the marginal is invariant to the scaling (numerator
+    * and Z scale by the same e^{θL}). Expected counts are SNAPPED
+    * ONCE per (word, piece) to integer 1e-4 units — the nano-nat
+    * discipline's soft-count analog — so every downstream aggregate
+    * (corpus usage, the M-step frequencies) is exact integer
+    * arithmetic in both engines; the DuckDB oracle re-derives the
+    * same marginals by exhaustive path enumeration (scaled by the
+    * enumerated min cost — the same invariance) and must land on the
+    * same integers.
+    *
+    * Scale shape: two codegen `aggregate` folds per DICT word over
+    * the same broadcast-vocabulary probe map as [[viterbiDp]], plus
+    * one probe-row join-back — everything vocabulary/dict-bounded,
+    * the corpus appears only under the word count.
+    */
+  private[graft] def unigramSoftMarginals(words: DataFrame,
+      vocab: DataFrame): DataFrame =
+    unigramSoftMarginalsFrom(words, vocab,
+      viterbiDp(words, vocab).select(col("word"), col("total_cost")))
+
+  /** The marginal computation over a PRE-COMPUTED (word, total_cost)
+    * Viterbi frame — the [[unigramEmLossFromBase]] seam twin, so the
+    * multi-round soft trainer pays the base DP once per round. */
+  private def unigramSoftMarginalsFrom(words: DataFrame, vocab: DataFrame,
+      base: DataFrame): DataFrame = {
+    val probes = viterbiProbeEntries(words, vocab)
+    val maps = probes.groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
+        .as("m"))
+    def pieceW(startKey: org.apache.spark.sql.Column,
+        k: org.apache.spark.sql.Column) =
+      exp(col("theta") * k - element_at(col("m"), startKey) / lit(1e9))
+    val fb = words.join(maps, Seq("word"))
+      .join(base.select(col("word"), col("total_cost")), Seq("word"))
+      .withColumn("theta",
+        col("total_cost") / lit(1e9) / length(col("word")))
+      // fw[j] (scaled): Σ over segmentations of chars 1..j; array slot
+      // j+1 holds fw[j], fw[0] = 1
+      .withColumn("fw", aggregate(
+        sequence(lit(1), length(col("word"))),
+        array(lit(1.0)),
+        (acc, j) => concat(acc, array(aggregate(
+          filter(
+            transform(sequence(lit(1), least(lit(UnigramMaxPieceLen), j)),
+              k => element_at(acc, j - k + 1) * pieceW((j - k + 1) * 8 + k, k)),
+            t => t.isNotNull),
+          lit(0.0), (b, t) => b + t)))))
+      // bw[j] (scaled): Σ over segmentations of the suffix after
+      // position j, built back-to-front by PREPENDING — during step
+      // jj (computing bw[L−jj]) the accumulator holds
+      // [bw[L−jj+1] … bw[L]], so bw[(L−jj)+k] is element k
+      .withColumn("bw", aggregate(
+        sequence(lit(1), length(col("word"))),
+        array(lit(1.0)),
+        (acc, jj) => concat(array(aggregate(
+          filter(
+            transform(sequence(lit(1), least(lit(UnigramMaxPieceLen), jj)),
+              k => element_at(acc, k) *
+                pieceW((length(col("word")) - jj + 1) * 8 + k, k)),
+            t => t.isNotNull),
+          lit(0.0), (b, t) => b + t)), acc)))
+      .select(col("word"), col("wc"), col("theta"), col("fw"), col("bw"))
+    probes.join(fb, Seq("word"))
+      .withColumn("k", pmod(col("key"), lit(8)).cast("int"))
+      .withColumn("i", expr("(key - k) div 8").cast("int"))
+      .withColumn("e",
+        element_at(col("fw"), col("i")) *
+          exp(col("theta") * col("k") - col("cost") / lit(1e9)) *
+          element_at(col("bw"), col("i") + col("k")) /
+          element_at(col("fw"), length(col("word")) + 1))
+      .groupBy(col("word"), col("wc"), col("piece"))
+      .agg(round(sum(col("e")) * lit(1e4), 0).cast("long").as("e_x1e4"))
+  }
+
+  /** Corpus-level soft usage: Σ_w wc(w)·E[#p | w] in exact 1e-4
+    * integer units (the per-word snap makes this sum integer in both
+    * engines), plus the word support count — the soft twin of
+    * [[unigramViterbiCounts]], gated with a full path-enumeration
+    * re-derivation oracle. */
+  def unigramSoftCounts(docs: DataFrame): DataFrame =
+    unigramSoftMarginals(
+        bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs))
+      .groupBy(col("piece"))
+      .agg(sum(col("wc") * col("e_x1e4")).as("expected_x1e4"),
+        countDistinct(col("word")).as("n_words"))
+      .orderBy(col("piece"))
+
+  /** Soft M-step + prune: the SAME exclusion-loss survivor decision as
+    * [[unigramVocabEmPruned]] (the criterion was already the
+    * SentencePiece one), with the re-estimated frequency swapped from
+    * Viterbi argmin usage (the mode) to the lattice EXPECTED usage
+    * (the soft-EM estimator), in exact 1e-4 units with add-one
+    * smoothing in the same units. */
+  def unigramVocabEmSoft(docs: DataFrame): DataFrame =
+    emSurvivorPieces(docs)
+      .join(unigramSoftCounts(docs)
+        .select(col("piece"), col("expected_x1e4")), Seq("piece"), "left")
+      .select(col("piece"),
+        (coalesce(col("expected_x1e4"), lit(0L)) + lit(10000L))
+          .as("freq2_x1e4"))
+
+  /** The soft-pruned vocabulary with snap-once nano-nat costs
+    * (consumed as `.aux/unigram_vocab_em_soft` by the soft trainer's
+    * round-2 segment oracle — the 1e-4 scaling cancels in the
+    * ln-ratio). */
+  def unigramVocabEmSoftCosts(docs: DataFrame): DataFrame = {
+    val v = unigramVocabEmSoft(docs)
+    v.crossJoin(broadcast(v.agg(sum(col("freq2_x1e4")).as("tot"))))
+      .select(col("piece"), col("freq2_x1e4"),
+        round((log(col("tot")) - log(col("freq2_x1e4"))) * lit(1e9), 0)
+          .cast("long").as("cost"))
+  }
+
+  /** Multi-round SOFT-EM trainer — [[unigramTrainEmRounds]] with the
+    * E-step count estimator swapped to lattice expected counts: each
+    * round segments under the current model (ONE materialized base DP
+    * feeding the loss derivation AND the Viterbi scaling of the
+    * marginal pass), charges argmin pieces their exclusion loss,
+    * drops the bottom 1/[[UnigramEmPruneDiv]] by (loss, piece in
+    * UTF-8 byte order), and re-costs survivors from add-one-smoothed
+    * EXPECTED usage in 1e-4 units. Same collected-model discipline.
+    * Round 2 is BIT-EQUAL to the gated single-prune soft path (the
+    * `unigram_train_em_soft` gate hash-checks it against the
+    * `unigram_vocab_em_soft` aux oracle). */
+  def unigramTrainEmSoftRounds(docs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, "at least the initial model")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = bpeWordDict(docs).select(col("word"), col("wc"))
+    def recost(fr: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val tot = fr.map(_._2).sum
+      fr.map { case (p, f) =>
+        (p, f, math.round((math.log(tot.toDouble) -
+          math.log(f.toDouble)) * 1e9))
+      }
+    }
+    var model: Seq[(String, Long, Long)] = unigramVocabCosts(docs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    for (_ <- 2 to rounds) {
+      val vdf = model.toDF("piece", "freq", "cost")
+      val base = viterbiDp(words, vdf)
+        .select(col("word"), col("wc"),
+          col("total_cost").as("base_cost"), col("path"))
+        .localCheckpoint()
+      val usage = unigramSoftMarginalsFrom(words, vdf,
+          base.select(col("word"), col("base_cost").as("total_cost")))
+        .groupBy(col("piece"))
+        .agg(sum(col("wc") * col("e_x1e4")).as("expected_x1e4"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val loss = unigramEmLossFromBase(words, vdf, base)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val multi = model.collect {
+        case (p, _, _) if p.length >= 2 => (p, loss.getOrElse(p, 0L)) }
+      val prunedSet = emPruneBottom(multi)
+      val survivors = model.collect {
+        case (p, _, _) if p.length == 1 =>
+          (p, usage.getOrElse(p, 0L) + 10000L)
+        case (p, _, _) if !prunedSet.contains(p) =>
+          (p, usage.getOrElse(p, 0L) + 10000L)
       }
       model = recost(survivors)
     }
@@ -1427,6 +1622,35 @@ object CorpusPrep {
        |         JOIN wdict w ON w.word = e.word
        |         GROUP BY 1)""".stripMargin
 
+  /** Soft-marginal re-derivation, appended to [[unigramEmLossCtes]]
+    * (it reuses `done2` — every full path with cost and piece
+    * sequence — and `basec`): each path gets the Viterbi-scaled
+    * weight exp(−(cost − base)/10⁹) (the engine scales by the same
+    * argmin cost, and the marginal is invariant to it), per-word
+    * partition functions, per-(word, piece) expected counts snapped
+    * to 1e-4 integers — the INDEPENDENT twin of
+    * [[unigramSoftMarginals]]'s forward–backward (enumeration
+    * vs lattice DP), agreeing only if the marginals truly are the
+    * whole-path-space expectations. Ends at `softu(piece,
+    * expected_x1e4, n_words)`. */
+  private lazy val unigramSoftCtes: String =
+    s"""pw AS (SELECT d.word, d.seq, exp(-(d.cost - b.cost) / 1e9) AS w
+       |       FROM done2 d JOIN basec b USING (word)),
+       |pz AS (SELECT word, sum(w) AS z FROM pw GROUP BY 1),
+       |soc AS (SELECT word, w, unnest(string_split(seq, chr(1))) AS piece
+       |        FROM pw),
+       |marg AS (SELECT s.word, s.piece,
+       |                CAST(round(sum(s.w / z.z) * 10000) AS BIGINT)
+       |                  AS e_x1e4
+       |         FROM soc s JOIN pz z USING (word)
+       |         WHERE s.piece <> '' GROUP BY 1, 2),
+       |softu AS (SELECT m.piece,
+       |                 CAST(sum(w.wc * m.e_x1e4) AS BIGINT)
+       |                   AS expected_x1e4,
+       |                 count(DISTINCT m.word) AS n_words
+       |          FROM marg m JOIN wdict w ON w.word = m.word
+       |          GROUP BY 1)""".stripMargin
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1477,6 +1701,15 @@ object CorpusPrep {
       unigramVocabEmPruned(Tables.documents(s, d)).orderBy(col("piece"))),
     "unigram_train_em" -> ((s, d) =>
       unigramTrainEmRounds(Tables.documents(s, d), rounds = 2)),
+    // SOFT-EM (round 10): lattice forward–backward expected counts —
+    // the actual SentencePiece E-step — as corpus usage, the soft
+    // M-step decision, and the round-2 segment under the soft model
+    "unigram_soft_counts" -> ((s, d) =>
+      unigramSoftCounts(Tables.documents(s, d))),
+    "unigram_vocab_em_soft" -> ((s, d) =>
+      unigramVocabEmSoft(Tables.documents(s, d)).orderBy(col("piece"))),
+    "unigram_train_em_soft" -> ((s, d) =>
+      unigramTrainEmSoftRounds(Tables.documents(s, d), rounds = 2)),
     "unigram_fertility_by_lang" -> ((s, d) =>
       unigramFertilityByLang(Tables.documents(s, d))),
     // id arrays cross the gate as a digest (count + md5 of the
@@ -1836,6 +2069,43 @@ object CorpusPrep {
     // round-2 segment under the EM-pruned model: the collected loop
     // must land bit-equal on the distributed aux model's costs
     "unigram_train_em" -> unigramSegmentOracleSqlFor("unigram_vocab_em"),
+    // SOFT-EM corpus usage, fully re-derived: every path enumerated
+    // with its scaled probability, per-word marginals snapped to 1e-4
+    // integers, exact-integer corpus sum — enumeration vs the
+    // engine's forward–backward lattice
+    "unigram_soft_counts" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |$unigramEmLossCtes,
+         |$unigramSoftCtes
+         |SELECT piece, expected_x1e4, n_words FROM softu
+         |ORDER BY piece""".stripMargin,
+    // the soft M-step decision: the SAME loss-ranked survivor rule as
+    // unigram_vocab_em_pruned, frequencies re-estimated from the
+    // enumerated soft counts (exact 1e-4 integers, add-one in-unit)
+    "unigram_vocab_em_soft" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |$unigramEmLossCtes,
+         |$unigramSoftCtes,
+         |multi AS (SELECT v.piece, coalesce(l.loss_x1e9, 0) AS ls
+         |          FROM v LEFT JOIN loss l ON l.piece = v.piece
+         |          WHERE len(v.piece) >= 2),
+         |ranked AS (SELECT piece,
+         |                  row_number() OVER (ORDER BY ls, piece) AS rn,
+         |                  count(*) OVER () AS n
+         |           FROM multi),
+         |surv AS (SELECT piece FROM ranked
+         |         WHERE rn > n // $UnigramEmPruneDiv
+         |         UNION ALL
+         |         SELECT piece FROM v WHERE len(piece) = 1)
+         |SELECT s.piece,
+         |       CAST(coalesce(su.expected_x1e4, 0) + 10000 AS BIGINT)
+         |         AS freq2_x1e4
+         |FROM surv s LEFT JOIN softu su ON su.piece = s.piece
+         |ORDER BY s.piece""".stripMargin,
+    // round-2 segment under the SOFT model: the collected soft loop
+    // must land bit-equal on the distributed aux model's costs
+    "unigram_train_em_soft" ->
+      unigramSegmentOracleSqlFor("unigram_vocab_em_soft"),
     // the encode oracle spliced + language left-join aggregate (the
     // bpe_fertility_by_lang convention: zero-eligible docs count 0)
     "unigram_fertility_by_lang" -> {

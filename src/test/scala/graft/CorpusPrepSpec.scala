@@ -673,4 +673,57 @@ class CorpusPrepSpec extends AnyFunSuite {
     val modelFiles = partFiles("unigram_model")
     assert(modelFiles === 1) // cap + alphabet bound fits one file
   }
+
+  test("soft-EM marginals equal exhaustive path-space expectations; trainer round 2 = single soft prune") {
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val words = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
+    val vocab = CorpusPrep.unigramVocabCosts(docs)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    // driver-side BRUTE enumeration of every segmentation (the third
+    // independent formulation next to the engine's lattice DP and the
+    // oracle's recursive CTE): per word, per piece, the expected
+    // occurrence count under scaled path weights
+    def paths(w: String): Seq[(Seq[String], Long)] =
+      if (w.isEmpty) Seq((Nil, 0L))
+      else (1 to math.min(CorpusPrep.UnigramMaxPieceLen, w.length))
+        .flatMap { k =>
+          val p = w.take(k)
+          costs.get(p).toSeq.flatMap(c =>
+            paths(w.drop(k)).map { case (ps, pc) => (p +: ps, c + pc) })
+        }
+    val got = CorpusPrep.unigramSoftMarginals(words, vocab).collect()
+      .map(r => (r.getString(0), r.getString(2)) -> r.getLong(3)).toMap
+    var multiPathWords = 0
+    for (w <- words.collect().map(_.getString(0))) {
+      val ps = paths(w)
+      assert(ps.nonEmpty, s"no segmentation for $w")
+      if (ps.size > 1) multiPathWords += 1
+      val best = ps.map(_._2).min
+      val weighted = ps.map { case (pieces, c) =>
+        (pieces, math.exp(-(c - best).toDouble / 1e9)) }
+      val z = weighted.map(_._2).sum
+      val expect = weighted.flatMap { case (pieces, wt) => pieces.map(_ -> wt) }
+        .groupBy(_._1).view
+        .mapValues(v => math.round(v.map(_._2).sum / z * 1e4)).toMap
+      for ((p, e) <- expect)
+        assert(got((w, p)) === e, s"marginal mismatch at ($w, $p)")
+      assert(got.keys.filter(_._1 == w).map(_._2).toSet === expect.keySet,
+        s"piece support mismatch for $w")
+    }
+    assert(multiPathWords > 0,
+      "fixture must exercise true multi-path lattices or soft == hard trivially")
+    // the trainer's collected round-2 loop lands bit-equal on the
+    // distributed soft model's segmentation (the unigram_train_em
+    // discipline, soft flavor)
+    val fromTrainer = CorpusPrep.unigramTrainEmSoftRounds(docs, 2)
+      .collect().map(_.toSeq.toList).toList
+    val fromModel = CorpusPrep.viterbiDp(words,
+        CorpusPrep.unigramVocabEmSoftCosts(docs))
+      .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
+        col("n_best"))
+      .orderBy(col("word")).collect().map(_.toSeq.toList).toList
+    assert(fromTrainer === fromModel)
+  }
 }
