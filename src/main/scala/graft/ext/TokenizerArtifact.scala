@@ -96,6 +96,21 @@ object TokenizerArtifact {
     CorpusPrep.bpeEncodeIdsFrom(docs,
       docs.sparkSession.read.parquet(s"$dir/bpe_vocab"), cap)
 
+  /** Load the BPE vocab artifact ONCE, materialized
+    * (`localCheckpoint`), for encode-many consumers — the streaming
+    * composition's seam: a continuous tokenization job loads the
+    * artifact at stream start and every micro-batch encodes against
+    * the SAME frame (vocabulary-bounded, so pinning it is megabytes). */
+  def bpeLoadVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/bpe_vocab").localCheckpoint()
+
+  /** Encode through an ALREADY-LOADED vocab frame ([[bpeLoadVocab]]) —
+    * the same core as [[bpeEncodeIds]] minus the per-call artifact
+    * read. */
+  def bpeEncodeIdsWith(docs: DataFrame, vocab: DataFrame,
+      cap: Int = CorpusPrep.BpeVocabCap): DataFrame =
+    CorpusPrep.bpeEncodeIdsFrom(docs, vocab, cap)
+
   /** Train and persist the unigram-LM model (piece, freq, cost).
     * Costs are snapped to integer nano-nats at TRAIN time — the
     * artifact carries them, so encode-side float parity is moot by

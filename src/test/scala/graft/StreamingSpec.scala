@@ -780,6 +780,47 @@ class StreamingSpec extends AnyFunSuite {
       "major fold never committed a generation in 6 cadence-1 batches")
   }
 
+  test("streaming encode-from-artifact equals the batch encode; crash-replay converges") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    // batch twin: the fused train+encode digests
+    val batch = CorpusPrep.bpeEncodeIds(Tables.documents(spark, dir))
+      .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+        size(col("ids")).cast("long").as("n_ids"),
+        md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
+    val expected = canon(batch)
+    assert(canon(StreamingQueries.streamEncodeIds(spark, dir)) === expected)
+    // crash-replay: kill after batch 1 landed but before its epoch
+    // commits — the replay must overwrite batch 1's own partition
+    // idempotently and converge to the uninterrupted digests
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_encode_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.bpeWrite(Tables.documents(spark, dir), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runEncodeStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runEncodeStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.encodeStreamOutput(spark, base)) === expected)
+  }
+
   test("CompactedState refuses a state root from a different checkpoint lifecycle") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
