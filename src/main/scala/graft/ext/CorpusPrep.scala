@@ -1299,7 +1299,10 @@ object CorpusPrep {
             t => t.isNotNull),
           lit(0.0), (b, t) => b + t)), acc)))
       .select(col("word"), col("wc"), col("theta"), col("fw"), col("bw"))
-    probes.join(fb, Seq("word"))
+    // dict-derived × dict-derived join-back: merge-hinted, never an
+    // estimate-blind broadcast of exploded lineage (the round-4 plan
+    // failure signature; the EM exclusion map join's discipline)
+    probes.join(fb.hint("merge"), Seq("word"))
       .withColumn("k", pmod(col("key"), lit(8)).cast("int"))
       .withColumn("i", expr("(key - k) div 8").cast("int"))
       .withColumn("e",
