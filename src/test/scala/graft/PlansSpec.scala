@@ -390,6 +390,21 @@ class PlansSpec extends AnyFunSuite {
       s"cartesian product in the EM loss plan:\n$plan")
   }
 
+  test("soft-EM lattice: the probe join-back shuffles, nothing goes cartesian") {
+    val plan = graft.ext.CorpusPrep.unigramSoftCounts(
+        Tables.documents(spark, dir))
+      .queryExecution.executedPlan.toString
+    // the (word)-keyed probes↔fold join is dict-derived on both sides
+    // — it must meet by shuffle (the EM exclusion join's discipline),
+    // and no stage may degenerate to a cartesian product; the only
+    // broadcasts are the sanctioned capped-vocab probes
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin"),
+      s"the soft-marginal join-back lost its shuffle:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian product in the soft-EM plan:\n$plan")
+  }
+
   test("range/overlap join buckets exactly above 2^53 (floorDiv, not double division)") {
     import spark.implicits._
     // Adversarial bounds: M is a bucket boundary (multiple of 600)
