@@ -65,6 +65,7 @@ object PlanAudit {
     "unigram_soft_counts", // broadcast(vocab ≤ cap + alphabet) in the Viterbi-scaling base DP and again under the forward–backward probe map — the unigram_segment class twice; the probes↔fold join-back is merge-hinted shuffle, never broadcast (reviewed round 10)
     "unigram_vocab_em_soft", // inherits unigram_em_loss' and unigram_soft_counts' capped-vocab broadcasts + the 1-row prune-threshold crossJoin — all bounded (reviewed round 10)
     "unigram_train_em_soft", // broadcast(collected literal model ≤ cap + alphabet): the unigram_train_em class with the lattice count estimator (reviewed round 10)
+    "unigram_segment_nbest", // broadcast(vocab ≤ cap + alphabet) under the k-best fold's probe map — the unigram_segment class (reviewed round 10)
     "curate_pipeline_pack") // the composed funnel inherits EXACTLY its stages' sanctioned broadcasts: the three decontam registry holdouts (curate_decontam_report class), the |domains|-row filter aggregate, and Packing's bucket-count-bounded offset prefix — nothing new broadcasts (reviewed round 9)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is

@@ -1314,6 +1314,67 @@ object CorpusPrep {
       .agg(round(sum(col("e")) * lit(1e4), 0).cast("long").as("e_x1e4"))
   }
 
+  /** N-best list size for [[unigramSegmentNbest]] — SentencePiece's
+    * `nbest_size` surface. Interpolated into the oracle SQL. */
+  val UnigramNbestK = 3
+
+  /** K-BEST Viterbi segmentation — the n-best surface subword
+    * regularization samples from (SentencePiece `nbest_size`): per
+    * dict word, the top-[[UnigramNbestK]] segmentations by
+    * (cost ASC, n_pieces ASC, path ASC). One codegen `aggregate` fold
+    * per word whose accumulator keeps the K best (cost, np, path)
+    * candidates PER POSITION: position j's list is the top K of the
+    * ≤ 4·K extensions of positions j−1..j−4. Pruning to K at interior
+    * positions is globally exact because the comparator is
+    * EXTENSION-STABLE — the [[UnigramPathSep]] separator sorts below
+    * every content char, so a < b ⟹ a⧺s < b⧺s for any shared suffix
+    * s, and cost/np extend additively: any full path whose prefix
+    * ranked > K at its position is dominated by K full extensions of
+    * the kept prefixes, hence ranks > K globally. Emitted paths join
+    * pieces with `|` (the dict alphabet excludes it), so the list is
+    * human-readable and byte-comparable across engines.
+    *
+    * Scale shape: [[viterbiDp]]'s exactly — broadcast ≤cap+alphabet
+    * probe map, one fold per DICT word, ≤ K structs per position. */
+  def unigramSegmentNbest(docs: DataFrame): DataFrame =
+    nbestDp(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs))
+      .orderBy(col("word"), col("rank"))
+
+  private[graft] def nbestDp(words: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    val probes = viterbiProbeEntries(words, vocab)
+    val maps = probes.groupBy(col("word"))
+      .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
+        .as("m"))
+    words.join(maps, Seq("word"))
+      .withColumn("dp", aggregate(
+        sequence(lit(1), length(col("word"))),
+        array(array(struct(lit(0L).as("cost"), lit(0).as("np"),
+          lit("").as("path")))),
+        (acc, j) => concat(acc, array(slice(array_sort(filter(
+          flatten(transform(
+            sequence(lit(1), least(lit(UnigramMaxPieceLen), j)),
+            k => transform(element_at(acc, j - k + 1),
+              prev => struct(
+                (prev.getField("cost") +
+                  element_at(col("m"), (j - k + 1) * 8 + k)).as("cost"),
+                (prev.getField("np") + 1).as("np"),
+                concat(prev.getField("path"), lit(UnigramPathSep),
+                  col("word").substr(j - k + 1, k)).as("path"))))),
+          c => c.getField("cost").isNotNull)),
+          1, UnigramNbestK)))))
+      .select(col("word"), col("wc"),
+        posexplode(element_at(col("dp"), length(col("word")) + 1))
+          .as(Seq("rk", "s")))
+      .select(col("word"), col("wc"),
+        (col("rk") + 1).cast("long").as("rank"),
+        col("s.cost").as("total_cost"),
+        col("s.np").cast("int").as("n_pieces"),
+        translate(col("s.path").substr(lit(2), length(col("s.path"))),
+          UnigramPathSep, "|").as("path"))
+  }
+
   /** Corpus-level soft usage: Σ_w wc(w)·E[#p | w] in exact 1e-4
     * integer units (the per-word snap makes this sum integer in both
     * engines), plus the word support count — the soft twin of
@@ -1709,6 +1770,10 @@ object CorpusPrep {
     // M-step decision, and the round-2 segment under the soft model
     "unigram_soft_counts" -> ((s, d) =>
       unigramSoftCounts(Tables.documents(s, d))),
+    // K-best segmentations per word — the nbest_size surface; the
+    // oracle re-ranks the exhaustively enumerated path space
+    "unigram_segment_nbest" -> ((s, d) =>
+      unigramSegmentNbest(Tables.documents(s, d))),
     "unigram_vocab_em_soft" -> ((s, d) =>
       unigramVocabEmSoft(Tables.documents(s, d)).orderBy(col("piece"))),
     "unigram_train_em_soft" -> ((s, d) =>
@@ -2072,6 +2137,26 @@ object CorpusPrep {
     // round-2 segment under the EM-pruned model: the collected loop
     // must land bit-equal on the distributed aux model's costs
     "unigram_train_em" -> unigramSegmentOracleSqlFor("unigram_vocab_em"),
+    // the K-best lists fully re-derived: every path enumerated (the
+    // n_best oracle's CTE carrying np + the chr(1) sequence), ranked
+    // by (cost, np, seq) — DuckDB's VARCHAR memcmp agrees with the
+    // engine's UTF8String struct sort through the below-content
+    // separator — and cut at K
+    "unigram_segment_nbest" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |done3 AS (SELECT p.word, p.cost, p.np, p.seq
+         |          FROM p JOIN wdict w ON w.word = p.word
+         |          WHERE p.pos = len(w.word)),
+         |rk AS (SELECT word, cost, np, seq,
+         |              row_number() OVER (PARTITION BY word
+         |                ORDER BY cost, np, seq) AS rank
+         |       FROM done3)
+         |SELECT w.word, w.wc, r.rank, r.cost AS total_cost,
+         |       CAST(r.np AS INTEGER) AS n_pieces,
+         |       replace(substr(r.seq, 2), chr(1), '|') AS path
+         |FROM rk r JOIN wdict w ON w.word = r.word
+         |WHERE r.rank <= $UnigramNbestK
+         |ORDER BY w.word, r.rank""".stripMargin,
     // SOFT-EM corpus usage, fully re-derived: every path enumerated
     // with its scaled probability, per-word marginals snapped to 1e-4
     // integers, exact-integer corpus sum — enumeration vs the

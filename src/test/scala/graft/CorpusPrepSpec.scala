@@ -726,4 +726,53 @@ class CorpusPrepSpec extends AnyFunSuite {
       .orderBy(col("word")).collect().map(_.toSeq.toList).toList
     assert(fromTrainer === fromModel)
   }
+
+  test("k-best segmentation equals the brute-enumerated top-K; rank 1 is the Viterbi argmin") {
+    val docs = docsOf(
+      1L -> "banana bandana banana abba abba cabbage",
+      2L -> "aaaa aaab abab banana cabbage dada dada dada")
+    val words = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
+    val vocab = CorpusPrep.unigramVocabCosts(docs)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    def paths(w: String): Seq[(Seq[String], Long)] =
+      if (w.isEmpty) Seq((Nil, 0L))
+      else (1 to math.min(CorpusPrep.UnigramMaxPieceLen, w.length))
+        .flatMap { k =>
+          val p = w.take(k)
+          costs.get(p).toSeq.flatMap(c =>
+            paths(w.drop(k)).map { case (ps, pc) => (p +: ps, c + pc) })
+        }
+    val got = CorpusPrep.unigramSegmentNbest(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(3), r.getInt(4), r.getString(5)))).toMap
+    var truncatedWords = 0
+    for (w <- words.collect().map(_.getString(0))) {
+      // brute top-K under the engine's exact comparator: (cost, np,
+      // sep-joined path) — the alphabet is ASCII so Java string order
+      // == UTF-8 byte order here
+      val ranked = paths(w)
+        .map { case (ps, c) =>
+          (c, ps.length, ps.mkString(CorpusPrep.UnigramPathSep,
+            CorpusPrep.UnigramPathSep, "")) }
+        .sorted.take(CorpusPrep.UnigramNbestK)
+      if (paths(w).size > CorpusPrep.UnigramNbestK) truncatedWords += 1
+      for (((c, np, sep), i) <- ranked.zipWithIndex) {
+        val want = (c, np, sep.drop(1).replace(CorpusPrep.UnigramPathSep, "|"))
+        assert(got((w, (i + 1).toLong)) === want,
+          s"k-best mismatch at ($w, rank ${i + 1})")
+      }
+      // no phantom ranks beyond the path-space size
+      assert(!got.contains((w, (ranked.size + 1).toLong)))
+    }
+    assert(truncatedWords > 0,
+      "fixture must exercise the top-K CUT or the pruning is untested")
+    // rank 1 ≡ the single-best DP's argmin (cost, pieces, path)
+    val best = CorpusPrep.viterbiDp(words, vocab).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(2), r.getInt(3),
+          r.getString(5).drop(1).replace(CorpusPrep.UnigramPathSep, "|"))))
+      .toMap
+    for ((w, b) <- best) assert(got((w, 1L)) === b,
+      s"rank 1 diverges from the Viterbi argmin for $w")
+  }
 }

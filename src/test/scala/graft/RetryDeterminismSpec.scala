@@ -184,4 +184,16 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assert(retried === clean,
       "streaming q1: landed output changed under task retry")
   }
+
+  test("soft-EM expected counts are identical under task retry (the 1e-4 snap absorbs re-execution)") {
+    // the lattice marginals are double-precision forward-backward
+    // sums; a retried task can re-accumulate partial aggregates in a
+    // different order, so the RAW doubles are not retry-stable — the
+    // per-(word, piece) snap to 1e-4 integer units is what makes the
+    // operator's OUTPUT a pure function of the data again (noise
+    // ~1e-13 against a 1e-4 grid), and every downstream aggregate is
+    // exact integer arithmetic from there
+    assertRetrySafe("unigram_soft_counts", docs,
+      d => graft.ext.CorpusPrep.unigramSoftCounts(d))
+  }
 }
