@@ -821,6 +821,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(StreamingQueries.encodeStreamOutput(spark, base)) === expected)
   }
 
+  test("a FAILED major fold costs read fan-in, never correctness; the next trigger recovers") {
+    import graft.streaming.StreamingQueries.CompactedState
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_failfold").toString
+    val content = StructType(Seq(StructField("fp", LongType)))
+    def histAt(id: Long): Set[Long] =
+      CompactedState.read(spark, base, content, id)
+        .collect().map(_.getLong(0)).toSet
+    // batches 0..3 with cadence 1, major 2: minors every batch and a
+    // major trigger at 2 and 3 — but the compact ROOT is occupied by a
+    // poison FILE (tests run as root, so permission bits can't block
+    // writes; a file where the fold needs a directory fails it on any
+    // OS), so the async fold's publish must fail (logged, swallowed)
+    val compactDir = new java.io.File(s"$base/compact")
+    assert(compactDir.createNewFile())
+    (0L to 3L).foreach { id =>
+      CompactedState.append(Seq(Tuple1(100L + id)).toDF("fp"), id, base)
+      CompactedState.maybeCompact(spark, base, content, id,
+        cadence = 1, sortCols = Seq("fp"), majorRuns = 2)
+      CompactedState.awaitCompactions(base)
+    }
+    // no generation ever committed...
+    assert(compactDir.isFile,
+      "fold must not commit through the poisoned root")
+    // ...and every read still sees the COMPLETE history through the
+    // surviving runs + deltas — the failure cost fan-in, not data
+    assert(histAt(4L) === Set(100L, 101L, 102L, 103L))
+    assert(compactDir.delete())
+    // recovery: the next cadence trigger majors successfully and GC
+    // kicks in; history is unchanged
+    CompactedState.append(Seq(Tuple1(104L)).toDF("fp"), 4L, base)
+    CompactedState.maybeCompact(spark, base, content, 4L,
+      cadence = 1, sortCols = Seq("fp"), majorRuns = 2)
+    CompactedState.awaitCompactions(base)
+    assert(compactDir.listFiles().exists(_.getName == "gen=4"),
+      "the fold must succeed once the root is writable again")
+    assert(histAt(5L) === Set(100L, 101L, 102L, 103L, 104L))
+  }
+
   test("CompactedState refuses a state root from a different checkpoint lifecycle") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
