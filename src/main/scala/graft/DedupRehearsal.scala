@@ -45,6 +45,14 @@ object DedupRehearsal {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS_PER_BATCH", "200000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCHES", "10").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MODE", "exact")
+    // round-11 probe arm: after the ramp, PROBE_BATCHES small batches
+    // of PROBE_ROWS docs each hit the fully-ramped index — the
+    // production point-lookup regime the bucket-pruned reads exist
+    // for; each probe's per-root (opened, total) leaf-path counts are
+    // reported so the prune is a measured fraction, not a shape claim
+    val probeRows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_ROWS", "0").toLong
+    val probeBatches =
+      sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_BATCHES", "4").toInt
     // state-compaction cadence (round 9): 0 = the pre-compaction
     // flat-delta layout (control arm for the listing-cost claim)
     val cadence = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CADENCE", "2").toInt
@@ -77,15 +85,39 @@ object DedupRehearsal {
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
         .foreach(f => require(f.setLastModified(1000000000000L + b * 60000L)))
     }
+    // probe tail: tiny batches, every 10th doc a verbatim dup of a
+    // ramp-corpus doc (so candidates exist), the rest unique
+    (0 until (if (probeRows > 0) probeBatches else 0)).foreach { q =>
+      val b = nBatches + q
+      val lo = nBatches * n + q * probeRows
+      val src = spark.range(lo, lo + probeRows)
+        .select(col("id").as("doc_id"), lit(s"probe$q").as("source"),
+          when(pmod(col("id"), lit(10L)) === 0L,
+            textOf(pmod(col("id"), lit(nBatches * n))))
+            .otherwise(textOf(col("id"))).as("text"))
+      val p = s"$base/src/batch_$b"
+      src.coalesce(1).write.mode("overwrite").parquet(p)
+      new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
+        .foreach(f => require(f.setLastModified(1000000000000L + b * 60000L)))
+    }
 
     // per-batch wall time from the afterWrites hook (fires after both
     // idempotent landings — the full batch cost, machinery included)
     val t0 = System.nanoTime()
     var last = t0
-    val marks = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val marks =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Long, String)]
+    val roots = if (mode == "neardup")
+      Seq("bands" -> s"$base/bands", "shingles" -> s"$base/shingles")
+    else Seq("fp" -> s"$base/state")
     val hook: Long => Unit = { id =>
       val now = System.nanoTime()
-      marks += ((id, (now - last) / 1000000L))
+      val stats = roots.map { case (name, root) =>
+        val (o, t) = Option(graft.streaming.StreamingQueries
+          .CompactedState.readStats.get(root)).getOrElse((0, 0))
+        s""""${name}_opened":$o,"${name}_total":$t"""
+      }.mkString(",")
+      marks += ((id, (now - last) / 1000000L, stats))
       last = now
     }
     val arm =
@@ -100,8 +132,11 @@ object DedupRehearsal {
           compactCadence = cadence, majorRuns = majorRuns)
         "fpindex_dedup"
       }
-    marks.foreach { case (id, ms) =>
-      println(s"""{"arm":"$arm","cadence":$cadence,"major":$majorRuns,"batch":$id,"rows":$n,"batch_ms":$ms,"hist_doc_rows":${id * n}}""")
+    marks.foreach { case (id, ms, stats) =>
+      val rows = if (id < nBatches) n else probeRows
+      val hist =
+        if (id <= nBatches) id * n else nBatches * n + (id - nBatches) * probeRows
+      println(s"""{"arm":"$arm","cadence":$cadence,"major":$majorRuns,"batch":$id,"rows":$rows,"batch_ms":$ms,"hist_doc_rows":$hist,$stats}""")
     }
     spark.stop()
   }

@@ -315,6 +315,72 @@ object StreamingQueries {
       * this many run dirs. */
     val DefaultMajorRuns = 4
 
+    /** Fold-time hash buckets on the state's JOIN KEY (round-11: the
+      * band-bucketed read path). Folds written with `bucketCols` land
+      * `__bucket=K/` subdirs (K = pmod(hash(keys), n)); a read that
+      * knows which keys it will probe passes their bucket set and
+      * opens ONLY those subdirs. The prune factor is
+      * min(1, distinctProbeKeys/nBuckets)-ish — a point-lookup batch
+      * against a huge index opens a handful of dirs; a batch whose
+      * key count exceeds the bucket count opens them all (hash
+      * buckets cannot prune a large random key set — that regime's
+      * bound is the flat LSM read fan-in, not the bucket prune). At
+      * 100 TB the constant rises with the state's file budget; 64
+      * keeps local fold writes one-file-per-bucket cheap. */
+    val DefaultStateBuckets = 64
+
+    /** The write- AND read-side bucket function — one definition so a
+      * probe's bucket of a key always equals the bucket the fold
+      * filed that key under (Murmur3 via `hash`, non-negative via
+      * `pmod`). */
+    def bucketOf(keys: Seq[org.apache.spark.sql.Column], n: Int)
+        : org.apache.spark.sql.Column =
+      pmod(hash(keys: _*), lit(n))
+
+    /** Distinct bucket ids the probe frame's keys hash into — the
+      * read-prune set. The collect is bounded by `n` (a constant, not
+      * data): it returns bucket IDS, never keys or rows. */
+    def bucketsHit(probe: DataFrame,
+        keys: Seq[org.apache.spark.sql.Column], n: Int): Set[Int] =
+      probe.select(bucketOf(keys, n).as("__b")).distinct()
+        .collect().map(_.getInt(0)).toSet
+
+    /** (openedLeafPaths, totalLeafPaths) of the most recent [[read]]
+      * per state root — rehearsal instrumentation (DedupRehearsal's
+      * probe arm reports how many bucket dirs the prune actually
+      * opened vs the unpruned layout). Measurement-only; never read
+      * by any operator. */
+    val readStats =
+      new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
+
+    /** Expand a fold dir into its `__bucket=K` leaf dirs when the
+      * fold was written bucketed, keeping only `needed` buckets when
+      * a prune set is given; an unbucketed dir (pre-bucketing
+      * generations in an upgraded lineage, and every delta) passes
+      * through whole. Returns (paths, totalLeafCount) so reads can
+      * report the prune. */
+    private def expandBuckets(spark: SparkSession, dirs: Seq[String],
+        needed: Option[Set[Int]]): (Seq[String], Int) = {
+      val conf = spark.sessionState.newHadoopConf()
+      var total = 0
+      val out = dirs.flatMap { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        val kids =
+          if (!fs.exists(p)) Seq.empty
+          else fs.listStatus(p).toSeq.filter(_.isDirectory)
+            .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+        if (kids.isEmpty) { total += 1; Seq(d) }
+        else {
+          total += kids.size
+          val ids = kids.map(k => (k, k.stripPrefix("__bucket=").toInt))
+          needed.fold(ids)(ns => ids.filter(kv => ns(kv._2)))
+            .map(kv => s"$d/${kv._1}")
+        }
+      }
+      (out, total)
+    }
+
     /** Partition-dir names under `path` with the given `key=` prefix,
       * via the Hadoop FS API — a `java.io.File` listing would be
       * local-FS only and silently return empty on a cluster
@@ -356,9 +422,14 @@ object StreamingQueries {
         .select(content.fieldNames.map(col).toIndexedSeq: _*)
 
     /** All state rows from batches strictly before `id`. Returns
-      * exactly the `content` columns. */
+      * exactly the `content` columns. `needed` (from [[bucketsHit]])
+      * prunes BUCKETED fold dirs to the buckets the caller will
+      * probe — exact for an equi-join on the fold's `bucketCols`
+      * (equal keys share a bucket, so unopened buckets cannot hold a
+      * match); unbucketed dirs and deltas are always read whole. */
     def read(spark: SparkSession, base: String,
-        content: StructType, id: Long): DataFrame = {
+        content: StructType, id: Long,
+        needed: Option[Set[Int]] = None): DataFrame = {
       // lifecycle guard: batch ids restart at 0 if the CHECKPOINT is
       // deleted while the state root survives — the stale state would
       // then silently read as empty history (every G resolves below
@@ -378,7 +449,7 @@ object StreamingQueries {
           s"${futureRuns.sorted.mkString(",")}; deltas " +
           s"${futureDeltas.sorted.mkString(",")}) — the checkpoint and " +
           "the state index must live and die together")
-      readAt(spark, base, content, id)
+      readAt(spark, base, content, id, needed)
     }
 
     /** The guard-free read core — also the major fold's input (the
@@ -386,16 +457,20 @@ object StreamingQueries {
       * the lifecycle guard would misread as a dead checkpoint; the
       * strict `< id` filters below make them invisible instead). */
     private def readAt(spark: SparkSession, base: String,
-        content: StructType, id: Long): DataFrame = {
+        content: StructType, id: Long,
+        needed: Option[Set[Int]] = None): DataFrame = {
       val g = gens(spark, base).filter(_ < id).maxOption
       val rs = runIds(spark, base)
         .filter(r => r < id && g.forall(r > _)).sorted
       val b = (g.toSeq ++ rs).maxOption.getOrElse(-1L)
       val ds = deltaIds(spark, base).filter(d => d < id && d >= b).sorted
-      readDirs(spark, content,
+      val (foldPaths, foldLeafTotal) = expandBuckets(spark,
         g.map(n => s"$base/compact/gen=$n").toSeq ++
-          rs.map(n => s"$base/runs/run=$n") ++
-          ds.map(n => s"$base/delta/batch_id=$n"))
+          rs.map(n => s"$base/runs/run=$n"), needed)
+      val deltaPaths = ds.map(n => s"$base/delta/batch_id=$n")
+      readStats.put(base,
+        (foldPaths.size + deltaPaths.size, foldLeafTotal + deltaPaths.size))
+      readDirs(spark, content, foldPaths ++ deltaPaths)
     }
 
     /** Per-batch delta landing — [[writeBatchIdempotent]] under the
@@ -409,7 +484,8 @@ object StreamingQueries {
       * is the commit point), so a replayed trigger has nothing to
       * redo. */
     private def publishFold(df: DataFrame, sortCols: Seq[String],
-        target: String): Unit = {
+        target: String, bucketCols: Seq[String] = Seq.empty,
+        nBuckets: Int = DefaultStateBuckets): Unit = {
       val spark = df.sparkSession
       val fs = new org.apache.hadoop.fs.Path(target)
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -418,12 +494,25 @@ object StreamingQueries {
       val staging = new org.apache.hadoop.fs.Path(
         tPath.getParent, s".staging_${tPath.getName.replace('=', '_')}")
       fs.delete(staging, true)
-      val laid =
-        if (sortCols.nonEmpty)
-          df.repartition(sortCols.map(col): _*)
-            .sortWithinPartitions(sortCols.map(col): _*)
-        else df
-      laid.write.mode("overwrite").parquet(staging.toString)
+      if (bucketCols.nonEmpty) {
+        // bucketed fold: __bucket=K subdirs on the join-key hash, one
+        // writer task per bucket (repartition ON the bucket), rows
+        // sorted (__bucket, sortCols) so the dynamic-partition writer
+        // finds its required clustering already satisfied and the
+        // within-bucket sortCols order survives into the files
+        df.withColumn("__bucket", bucketOf(bucketCols.map(col), nBuckets))
+          .repartition(col("__bucket"))
+          .sortWithinPartitions(("__bucket" +: sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("__bucket")
+          .parquet(staging.toString)
+      } else {
+        val laid =
+          if (sortCols.nonEmpty)
+            df.repartition(sortCols.map(col): _*)
+              .sortWithinPartitions(sortCols.map(col): _*)
+          else df
+        laid.write.mode("overwrite").parquet(staging.toString)
+      }
       fs.mkdirs(tPath.getParent)
       require(fs.rename(staging, tPath) || fs.exists(tPath),
         s"fold publish rename $staging -> $tPath failed")
@@ -435,12 +524,25 @@ object StreamingQueries {
       new java.util.concurrent.ConcurrentHashMap[String, Thread]()
 
     /** Join any in-flight major fold whose state root starts with
-      * `prefix` (a run's scratch base covers all its roots). */
-    def awaitCompactions(prefix: String): Unit = {
+      * `prefix` (a run's scratch base covers all its roots). The join
+      * is BOUNDED (advisory r10): a wedged filesystem call inside the
+      * background fold must not hang stream shutdown, gates and specs
+      * forever — correctness never depends on the fold completing
+      * (reads fall back to the previous generation + runs), so on
+      * timeout we log and leave the daemon thread behind. */
+    val AwaitCompactionMs = 120000L
+
+    def awaitCompactions(prefix: String,
+        timeoutMs: Long = AwaitCompactionMs): Unit = {
       import scala.jdk.CollectionConverters._
       inflight.asScala.toSeq.collect {
         case (root, t) if root.startsWith(prefix) =>
-          t.join(); inflight.remove(root, t)
+          t.join(timeoutMs)
+          if (t.isAlive)
+            System.err.println(s"[compacted-state] major fold at $root " +
+              s"still running after ${timeoutMs} ms — abandoning the " +
+              "daemon thread (state stays on the previous generation)")
+          else inflight.remove(root, t)
       }
       ()
     }
@@ -454,7 +556,9 @@ object StreamingQueries {
     def maybeCompact(spark: SparkSession, base: String,
         content: StructType, id: Long, cadence: Int,
         sortCols: Seq[String] = Seq.empty,
-        majorRuns: Int = DefaultMajorRuns): Unit =
+        majorRuns: Int = DefaultMajorRuns,
+        bucketCols: Seq[String] = Seq.empty,
+        nBuckets: Int = DefaultStateBuckets): Unit =
       if (cadence > 0 && id > 0 && id % cadence == 0) {
         val g = gens(spark, base).filter(_ < id).maxOption
         val priorRuns = runIds(spark, base)
@@ -464,9 +568,10 @@ object StreamingQueries {
           .filter(d => d < id && d >= b).sorted
           .map(n => s"$base/delta/batch_id=$n")
         publishFold(readDirs(spark, content, minorIn), sortCols,
-          s"$base/runs/run=$id")
+          s"$base/runs/run=$id", bucketCols, nBuckets)
         if (priorRuns.size + 1 >= majorRuns)
-          triggerMajor(spark, base, content, id, sortCols)
+          triggerMajor(spark, base, content, id, sortCols, bucketCols,
+            nBuckets)
       }
 
     /** Start the major fold on a daemon thread unless one is already
@@ -475,11 +580,13 @@ object StreamingQueries {
       * fold failure only logs: state stays on the previous
       * generation + runs, costing read fan-in, never correctness. */
     private def triggerMajor(spark: SparkSession, base: String,
-        content: StructType, id: Long, sortCols: Seq[String]): Unit = {
+        content: StructType, id: Long, sortCols: Seq[String],
+        bucketCols: Seq[String], nBuckets: Int): Unit = {
       val stale = inflight.get(base)
       if (stale != null && !stale.isAlive) inflight.remove(base, stale)
       val t = new Thread(() => {
-        try majorFold(spark, base, content, id, sortCols)
+        try majorFold(spark, base, content, id, sortCols, bucketCols,
+          nBuckets)
         catch { case e: Throwable =>
           System.err.println(
             s"[compacted-state] major fold gen=$id at $base failed: $e")
@@ -499,7 +606,9 @@ object StreamingQueries {
       * (G, id] stay until the NEXT major's GC — redundant but
       * unreachable, bounded by majorRuns dirs. */
     private def majorFold(spark: SparkSession, base: String,
-        content: StructType, id: Long, sortCols: Seq[String]): Unit = {
+        content: StructType, id: Long, sortCols: Seq[String],
+        bucketCols: Seq[String] = Seq.empty,
+        nBuckets: Int = DefaultStateBuckets): Unit = {
       val compactDir = new org.apache.hadoop.fs.Path(s"$base/compact")
       val fs = compactDir
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -520,10 +629,15 @@ object StreamingQueries {
         val b = (g.toSeq ++ rs).maxOption.getOrElse(-1L)
         val ds = deltaIds(spark, base)
           .filter(d => d < id && d >= b).sorted
-        publishFold(readDirs(spark, content,
+        // fold inputs expand bucketed dirs to their leaves (no prune:
+        // the fold rewrites everything) so a mixed bucketed/unbucketed
+        // union never trips partition-column discovery
+        val (foldIn, _) = expandBuckets(spark,
           g.map(n => s"$base/compact/gen=$n").toSeq ++
-            rs.map(n => s"$base/runs/run=$n") ++
-            ds.map(n => s"$base/delta/batch_id=$n")), sortCols, target)
+            rs.map(n => s"$base/runs/run=$n"), None)
+        publishFold(readDirs(spark, content,
+          foldIn ++ ds.map(n => s"$base/delta/batch_id=$n")),
+          sortCols, target, bucketCols, nBuckets)
       }
       val bKeep = (g.toSeq ++
         runIds(spark, base).filter(_ < id)).maxOption.getOrElse(-1L)
@@ -1041,22 +1155,40 @@ object StreamingQueries {
             id: Long) =>
         val s = batch.sparkSession
         val cached = batch.persist()
+        // minhash bands/shingles each feed THREE consumers (bucket
+        // probe or verify join + state append) — persist so the
+        // per-doc minhash runs once per batch, not per consumer
+        val bBands = Dedup.minhashBandKeys(cached.toDF()).persist()
+        val bSh = Dedup.minhashShingles(cached.toDF()).persist()
+        val cand = scala.collection.mutable.ArrayBuffer
+          .empty[org.apache.spark.sql.DataFrame]
         try {
-          val bBands = Dedup.minhashBandKeys(cached.toDF())
-          val bSh = Dedup.minhashShingles(cached.toDF())
           // STRICTLY EARLIER batches only — batch N's own partitions
           // may be (partially) visible on crash-replay of N; the
-          // guard lives inside CompactedState.read (gens AND deltas)
-          val hBands = CompactedState.read(s, bandsDir, bandContent, id)
-          val hSh = CompactedState.read(s, shDir, shContent, id)
-          val cand = bBands
+          // guard lives inside CompactedState.read (gens AND deltas).
+          // Both history reads are BUCKET-PRUNED (round 11): the band
+          // index opens only buckets the batch's band keys hash into,
+          // and the shingle index opens only buckets holding a
+          // CANDIDATE's doc_hist — candidate-proportional fan-in on
+          // the wide (shingle-array) state, exact by the equi-join/
+          // shared-bucket argument in CompactedState.read.
+          val hBands = CompactedState.read(s, bandsDir, bandContent, id,
+            Some(CompactedState.bucketsHit(bBands,
+              Seq(col("band"), col("band_key")),
+              CompactedState.DefaultStateBuckets)))
+          val cand0 = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
             .join(hBands.select(col("band"), col("band_key"),
               col("doc_id").as("doc_hist")).hint("merge"),
               Seq("band", "band_key"))
             .select(col("doc_new"), col("doc_hist"))
             .dropDuplicates("doc_new", "doc_hist")
-          val dropped = cand
+            .persist()
+          cand += cand0
+          val hSh = CompactedState.read(s, shDir, shContent, id,
+            Some(CompactedState.bucketsHit(cand0,
+              Seq(col("doc_hist")), CompactedState.DefaultStateBuckets)))
+          val dropped = cand0
             .join(bSh.select(col("doc_id").as("doc_new"),
               col("sh").as("sh_n")).hint("merge"), "doc_new")
             .join(hSh.select(col("doc_id").as("doc_hist"),
@@ -1075,11 +1207,16 @@ object StreamingQueries {
           CompactedState.append(bSh.select(col("doc_id"), col("sh")), id, shDir)
           CompactedState.maybeCompact(s, bandsDir, bandContent, id,
             compactCadence, sortCols = Seq("band", "band_key"),
-            majorRuns = majorRuns)
+            majorRuns = majorRuns,
+            bucketCols = Seq("band", "band_key"))
           CompactedState.maybeCompact(s, shDir, shContent, id,
-            compactCadence, sortCols = Seq("doc_id"), majorRuns = majorRuns)
+            compactCadence, sortCols = Seq("doc_id"), majorRuns = majorRuns,
+            bucketCols = Seq("doc_id"))
           afterWrites(id)
-        } finally { cached.unpersist(); () }
+        } finally {
+          cand.foreach(_.unpersist())
+          bBands.unpersist(); bSh.unpersist(); cached.unpersist(); ()
+        }
       }
       .start()
     try { q.processAllAvailable() } finally q.stop()

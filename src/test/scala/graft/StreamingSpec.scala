@@ -882,6 +882,54 @@ class StreamingSpec extends AnyFunSuite {
     assert(CompactedState.read(spark, base, content, 8L).count() === 1L)
   }
 
+  test("bucketed folds: pruned read opens only hit buckets and stays exact") {
+    import graft.streaming.StreamingQueries.CompactedState
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_buckets").toString
+    val content = StructType(Seq(StructField("k", LongType)))
+    val n = CompactedState.DefaultStateBuckets
+    // 5 batches × 64 keys, cadence 2 + major 2: minor at 2, minor at 4
+    // triggers the async major → by batch 5 the layout is one BUCKETED
+    // generation (gen=4) + batch 4's delta
+    (0L to 4L).foreach { id =>
+      CompactedState.append(
+        spark.range(id * 64, id * 64 + 64).select(col("id").as("k")),
+        id, base)
+      CompactedState.maybeCompact(spark, base, content, id, cadence = 2,
+        sortCols = Seq("k"), majorRuns = 2, bucketCols = Seq("k"))
+      CompactedState.awaitCompactions(base)
+    }
+    val genDir = new java.io.File(s"$base/compact/gen=4")
+    assert(genDir.isDirectory, "major fold never committed gen=4")
+    val bucketDirs = genDir.listFiles().filter(_.getName.startsWith("__bucket="))
+    assert(bucketDirs.length > 1 && bucketDirs.length <= n,
+      s"bucketed fold layout expected under gen=4, found ${bucketDirs.length}")
+    // unpruned read resolves the full history through the bucket leaves
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    assert(keysOf(CompactedState.read(spark, base, content, 5L)) ===
+      (0L until 320L).toSet)
+    // pruned read: probe 3 keys → open only their buckets; every probed
+    // key that exists is returned (equal keys share a bucket), nothing
+    // outside the state appears, and the read opened strictly fewer
+    // leaf dirs than the layout holds
+    val probe = Seq(3L, 77L, 310L).toDF("k")
+    val hit = CompactedState.bucketsHit(probe, Seq(col("k")), n)
+    val pruned = keysOf(CompactedState.read(spark, base, content, 5L,
+      Some(hit)))
+    assert(Set(3L, 77L, 310L).subsetOf(pruned))
+    assert(pruned.subsetOf((0L until 320L).toSet))
+    val (opened, total) = CompactedState.readStats.get(base)
+    assert(opened < total,
+      s"prune opened $opened of $total leaf paths — no pruning happened")
+    // the prune is exact for an equi-join on the bucket key: joining
+    // the probe against pruned state equals joining against the full
+    assert(probe.join(CompactedState.read(spark, base, content, 5L,
+        Some(hit)), Seq("k"), "left_semi").count() === 3L)
+  }
+
   test("state compaction: 6-batch run equals the compaction-free run; stale deltas GC'd") {
     import graft.streaming.StreamingQueries
     val dir = "/root/testdata/sf0.001"
