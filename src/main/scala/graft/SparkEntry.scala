@@ -74,6 +74,13 @@ object SparkEntry {
       "unigram_vocab_x" -> ((s, d) =>
         CorpusPrep.unigramVocabCosts(
           Tables.documents(s, d).filter(col("doc_id") % 2 === 0))),
+      // raw per-word selection hashes for the sampled-segmentation
+      // gate (DuckDB re-runs all selection arithmetic itself)
+      "subword_sample_h" -> ((s, d) =>
+        CorpusPrep.subwordSampleHashes(Tables.documents(s, d))),
+      // the (word, round) BPE-dropout drop decisions
+      "bpe_dropout_drops" -> ((s, d) =>
+        CorpusPrep.bpeDropoutDrops(Tables.documents(s, d))),
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),

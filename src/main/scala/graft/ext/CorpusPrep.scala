@@ -365,14 +365,25 @@ object CorpusPrep {
     * `q` ⇒ the tail is replaced by the merged symbol (a fresh merge
     * result `p‖q` can never re-match `p`, so "a a a" greedily merges
     * positions (0,1) and keeps 2 — classic BPE semantics). */
-  private def bpeApplyMerge(dict: DataFrame, p: String, q: String): DataFrame =
-    dict.withColumn("syms", aggregate(col("syms"),
+  private def bpeMergeFoldExpr(p: String, q: String): Column =
+    aggregate(col("syms"),
       slice(col("syms"), 1, 0),
       (acc, x) => when(size(acc) > 0 &&
           element_at(acc, -1) === lit(p) && x === lit(q),
         concat(slice(acc, lit(1), size(acc) - 1),
           array(lit(p + q))))
-        .otherwise(concat(acc, array(x)))))
+        .otherwise(concat(acc, array(x))))
+
+  private def bpeApplyMerge(dict: DataFrame, p: String, q: String): DataFrame =
+    dict.withColumn("syms", bpeMergeFoldExpr(p, q))
+
+  /** [[bpeApplyMerge]] gated per WORD: rows where `skip` holds keep
+    * their symbols untouched — the BPE-dropout encode's per-(word,
+    * merge) drop, fused into the same codegen fold. */
+  private def bpeApplyMergeUnless(dict: DataFrame, p: String, q: String,
+      skip: Column): DataFrame =
+    dict.withColumn("syms",
+      when(skip, col("syms")).otherwise(bpeMergeFoldExpr(p, q)))
 
   /** Multi-round BPE tokenizer training — the iterative merge loop
     * [[bpePairCounts]] is round 1 of, distributed: each round counts
@@ -712,6 +723,65 @@ object CorpusPrep {
         count(when(col("word").isNotNull && col("word_ids").isNull, 1))
           .as("n_unk"))
       .select(col("doc_id"), col("ids"), col("n_tokens"), col("n_unk"))
+  }
+
+  /** BPE-dropout (Provilkov et al. 2020) knobs: during ENCODE, merge
+    * round r is skipped for word w iff the seeded hash bucket of
+    * `w:r` lands under the rate — train state untouched, so the
+    * regularization is a pure encode-time reinterpretation of the
+    * same merge table. The per-(word, round) decision (rather than
+    * per application site) keeps selection a pure function of
+    * (word, round, seed) — retry-deterministic and re-derivable by
+    * the oracle from the materialized hash buckets. */
+  val BpeDropoutRate = 0.3
+  val BpeDropoutSeed = 13L
+
+  private def bpeDropKey(round: Column): Column =
+    concat(col("word"), lit(":"), round.cast("string"))
+
+  /** The dropped (word, round) pairs — the `bpe_dropout_drops` aux
+    * (DuckDB consumes the decisions and re-applies the conditional
+    * merge chain itself). */
+  def bpeDropoutDrops(docs: DataFrame,
+      rounds: Int = BpeMergeRoundsN): DataFrame =
+    bpeWordDict(docs)
+      .select(col("word"), explode(sequence(lit(1), lit(rounds))).as("round"))
+      .filter(Sampling.bucket(bpeDropKey(col("round")), BpeDropoutSeed) <
+        lit(math.round(BpeDropoutRate * Sampling.Buckets)))
+      .select(col("word"), col("round"))
+
+  /** Encode through the trained merge table WITH BPE-dropout: the
+    * train loop is [[bpeFinalDict]]'s verbatim (argmaxes come from the
+    * clean chain — a dropped merge must not change what the NEXT
+    * round learns, only how this word encodes), while a parallel
+    * dropout dict applies each merge conditionally per word. At
+    * rate 0 the two chains are identical expressions, so the output
+    * hash-equals [[bpeEncodeIds]] (spec-pinned). Ids derive from the
+    * dropout dict's own symbol set by the same lexical-rank rule —
+    * a pure function of (corpus, seed, rate), which is what the
+    * cross-engine hash needs.
+    *
+    * Scale shape: [[bpeEncodeIds]]'s — the conditional fold is one
+    * extra codegen branch per word; the drop decision is a narrow
+    * hash, no new shuffle. */
+  def bpeEncodeIdsDropout(docs: DataFrame, rate: Double = BpeDropoutRate,
+      rounds: Int = BpeMergeRoundsN, cap: Int = BpeVocabCap): DataFrame = {
+    val thr = math.round(rate * Sampling.Buckets)
+    var clean = bpeWordDict(docs)
+    var dropped = clean
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      bpeTopPairRow(clean) match {
+        case None => exhausted = true
+        case Some((p, q, _)) =>
+          clean = bpeApplyMerge(clean, p, q)
+          dropped = bpeApplyMergeUnless(dropped, p, q,
+            Sampling.bucket(bpeDropKey(lit(r)), BpeDropoutSeed) < lit(thr))
+          r += 1
+      }
+    }
+    bpeEncodeIdsFrom(docs, dropped, cap)
   }
 
   // ------------------------------------------- unigram-LM tokenizer
@@ -1375,6 +1445,63 @@ object CorpusPrep {
           UnigramPathSep, "|").as("path"))
   }
 
+  /** Subword-regularization sampling temperature — SentencePiece's
+    * `--alpha`: over a word's k-best list, candidate i is chosen with
+    * probability ∝ p_i^α = exp(−α·Δcost_i) (Δ against the word's best
+    * path, in nats). Interpolated into the oracle SQL as the
+    * precomputed −α/1e9 nano-nat multiplier so both engines form the
+    * identical exp argument. */
+  val SubwordSampleAlpha = 0.5
+
+  /** Seed of the per-word selection hash — a pure function of the
+    * word, so the sampled segmentation is deterministic across runs,
+    * retries and partitionings (the [[Sampling.bucket]] discipline). */
+  val SubwordSampleSeed = 11L
+
+  /** The raw per-word selection hashes, materialized as the
+    * `subword_sample_h` aux (DuckDB has no xxhash64 — it consumes the
+    * hash VALUES and re-runs all selection arithmetic itself, the
+    * sample_* gates' convention). */
+  def subwordSampleHashes(docs: DataFrame): DataFrame =
+    bpeWordDict(docs).select(col("word"),
+      xxhash64(lit(SubwordSampleSeed), col("word")).as("h"))
+
+  /** SEEDED SAMPLING over the k-best segmentations — the consumer the
+    * n-best surface exists for (SentencePiece subword regularization:
+    * at training time each word is encoded as a sampled, not argmin,
+    * segmentation). Per word: softmax weights at [[SubwordSampleAlpha]]
+    * over the k-best cost deltas, snapped ONCE to 1e-6 integer units
+    * (both engines compute round(1e6·exp(−α·Δ/1e9)) from the SAME
+    * integer Δ — the soft-EM snap discipline, boundary risk recorded
+    * there), then the pick is a pure integer threshold rule: u =
+    * pmod(xxhash64(seed, word), Σw) falls in exactly one cumulative-
+    * weight span. Everything after the snap is exact integer
+    * arithmetic in both engines.
+    *
+    * Scale shape: [[unigramSegmentNbest]]'s plus two windows over the
+    * DICT-word frame (vocabulary-bounded, never the corpus); the
+    * sampled choice is a narrow per-row filter — no new shuffle of
+    * anything corpus-sized. */
+  def unigramSegmentSampled(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy("word")
+    val nb = nbestDp(bpeWordDict(docs).select(col("word"), col("wc")),
+      unigramVocabCosts(docs))
+    val weighted = nb.withColumn("w_x1e6", round(
+      exp((col("total_cost") - min(col("total_cost")).over(byWord))
+        .cast("double") * lit(-SubwordSampleAlpha / 1e9)) * 1e6, 0)
+      .cast("long"))
+    weighted
+      .withColumn("cum", sum(col("w_x1e6")).over(byWord.orderBy(col("rank"))))
+      .withColumn("tot", sum(col("w_x1e6")).over(byWord))
+      .withColumn("u",
+        pmod(xxhash64(lit(SubwordSampleSeed), col("word")), col("tot")))
+      .filter(col("u") >= col("cum") - col("w_x1e6") && col("u") < col("cum"))
+      .select(col("word"), col("wc"), col("rank").as("chosen_rank"),
+        col("total_cost"), col("n_pieces"), col("path"))
+      .orderBy(col("word"))
+  }
+
   /** Corpus-level soft usage: Σ_w wc(w)·E[#p | w] in exact 1e-4
     * integer units (the per-word snap makes this sum integer in both
     * engines), plus the word support count — the soft twin of
@@ -1774,6 +1901,12 @@ object CorpusPrep {
     // oracle re-ranks the exhaustively enumerated path space
     "unigram_segment_nbest" -> ((s, d) =>
       unigramSegmentNbest(Tables.documents(s, d))),
+    // seeded subword-regularization sampling over the k-best lists:
+    // the oracle re-enumerates the lists, re-derives the snapped
+    // integer weights and re-runs the threshold pick from the
+    // materialized hash values
+    "unigram_segment_sampled" -> ((s, d) =>
+      unigramSegmentSampled(Tables.documents(s, d))),
     "unigram_vocab_em_soft" -> ((s, d) =>
       unigramVocabEmSoft(Tables.documents(s, d)).orderBy(col("piece"))),
     "unigram_train_em_soft" -> ((s, d) =>
@@ -1794,6 +1927,16 @@ object CorpusPrep {
     // encode composed, hash-checked against the identical oracle
     "bpe_encode_ids_deep" -> ((s, d) =>
       bpeEncodeIdsDeep(Tables.documents(s, d))
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))),
+    // BPE-dropout encode: the same digest through the per-(word,
+    // round) conditionally-applied merge chain; the oracle re-applies
+    // the identical dropped-merge set from the aux hash decisions
+    "bpe_encode_dropout" -> ((s, d) =>
+      bpeEncodeIdsDropout(Tables.documents(s, d))
         .select(col("doc_id"), col("n_tokens"), col("n_unk"),
           size(col("ids")).cast("long").as("n_ids"),
           md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
@@ -1929,34 +2072,100 @@ object CorpusPrep {
     * ordered `list()` aggregates), per the oracle-independence
     * discipline.
     */
+  /** The encode derivation as CTEs over any post-merge dictionary CTE
+    * `dictCte` — shared by the plain, cross-corpus and DROPOUT encode
+    * oracles (the dropout chain swaps in its conditionally-merged
+    * dict, everything downstream is identical). */
+  private def bpeEncodeTailSql(dictCte: String,
+      encodeWhere: String = ""): String =
+    s"""vw AS (SELECT word, syms FROM $dictCte
+       |       ORDER BY wc DESC, word LIMIT $BpeVocabCap),
+       |vs AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
+       |       FROM (SELECT DISTINCT unnest(syms) AS sym FROM vw)),
+       |wi AS (SELECT word, list(id ORDER BY i) AS word_ids
+       |       FROM (SELECT w.word, t.i, w.syms[CAST(t.i AS INTEGER)] AS sym
+       |             FROM vw w, unnest(range(1, len(w.syms) + 1)) t(i)) sq
+       |       JOIN vs USING (sym)
+       |       GROUP BY word),
+       |dw AS (SELECT doc_id, list_filter($W, x ->
+       |         regexp_full_match(x, '[a-z0-9]+') AND len(x) >= 2) AS ws
+       |       FROM documents$encodeWhere),
+       |tok AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
+       |               d.ws[CAST(t.i AS INTEGER)] AS word
+       |        FROM dw d, unnest(range(1, len(d.ws) + 1)) t(i)),
+       |enc AS (SELECT tok.doc_id, tok.wpos,
+       |               coalesce(wi.word_ids, [CAST($BpeUnkId AS BIGINT)]) AS wids,
+       |               CASE WHEN wi.word IS NULL THEN 1 ELSE 0 END AS unk
+       |        FROM tok LEFT JOIN wi ON wi.word = tok.word),
+       |eagg AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids,
+       |                count(*) AS n_tokens,
+       |                CAST(sum(unk) AS BIGINT) AS n_unk
+       |         FROM enc GROUP BY 1)""".stripMargin
+
   private def bpeEncodeIdsCtesSql(rounds: Int, trainWhere: String = "",
       encodeWhere: String = ""): String = {
     val base = bpeMergeOracleSql(rounds, trainWhere)
     val cut = base.lastIndexOf(s"SELECT 1 AS round")
     base.substring(0, cut).stripTrailing() + "," + "\n" +
-      s"""vw AS (SELECT word, syms FROM d$rounds
-         |       ORDER BY wc DESC, word LIMIT $BpeVocabCap),
-         |vs AS (SELECT sym, CAST(row_number() OVER (ORDER BY sym) AS BIGINT) AS id
-         |       FROM (SELECT DISTINCT unnest(syms) AS sym FROM vw)),
-         |wi AS (SELECT word, list(id ORDER BY i) AS word_ids
-         |       FROM (SELECT w.word, t.i, w.syms[CAST(t.i AS INTEGER)] AS sym
-         |             FROM vw w, unnest(range(1, len(w.syms) + 1)) t(i)) sq
-         |       JOIN vs USING (sym)
-         |       GROUP BY word),
-         |dw AS (SELECT doc_id, list_filter($W, x ->
-         |         regexp_full_match(x, '[a-z0-9]+') AND len(x) >= 2) AS ws
-         |       FROM documents$encodeWhere),
-         |tok AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
-         |               d.ws[CAST(t.i AS INTEGER)] AS word
-         |        FROM dw d, unnest(range(1, len(d.ws) + 1)) t(i)),
-         |enc AS (SELECT tok.doc_id, tok.wpos,
-         |               coalesce(wi.word_ids, [CAST($BpeUnkId AS BIGINT)]) AS wids,
-         |               CASE WHEN wi.word IS NULL THEN 1 ELSE 0 END AS unk
-         |        FROM tok LEFT JOIN wi ON wi.word = tok.word),
-         |eagg AS (SELECT doc_id, flatten(list(wids ORDER BY wpos)) AS ids,
-         |                count(*) AS n_tokens,
-         |                CAST(sum(unk) AS BIGINT) AS n_unk
-         |         FROM enc GROUP BY 1)""".stripMargin
+      bpeEncodeTailSql(s"d$rounds", encodeWhere)
+  }
+
+  /** The per-doc digest tail shared by the encode-ids oracles. */
+  private val bpeEncodeDigestSql: String =
+    s"""
+       |SELECT d.doc_id,
+       |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+       |       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_ids,
+       |       md5(coalesce(array_to_string(
+       |         [CAST(x AS VARCHAR) FOR x IN a.ids], ' '), '')) AS ids_md5
+       |FROM documents d LEFT JOIN eagg a USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** BPE-dropout oracle: the clean merge chain learns the SAME
+    * argmaxes (t1..tN — dropout never feeds back into training), a
+    * parallel x-chain re-applies each merge per word UNLESS the
+    * (word, round) pair appears in the materialized drop decisions,
+    * and the digest runs over the x-chain's dictionary. */
+  private def bpeDropoutEncodeOracleSql(rounds: Int): String = {
+    val base = bpeMergeOracleSql(rounds)
+    val cut = base.lastIndexOf("SELECT 1 AS round")
+    val dropChain = (1 to rounds).map { r =>
+      s"""ex$r AS (SELECT word, wc, CAST(i AS BIGINT) AS i,
+         |               syms[CAST(i AS INTEGER)] AS sym
+         |        FROM x${r - 1}, unnest(range(1, len(syms) + 1)) t(i)),
+         |sx$r AS (SELECT e.word, e.wc, e.i, e.sym,
+         |               CASE WHEN dr.word IS NOT NULL THEN 0
+         |                    WHEN e.sym = t.p AND
+         |                         lead(e.sym) OVER (PARTITION BY e.word
+         |                                           ORDER BY e.i) = t.q
+         |                    THEN 1 ELSE 0 END AS st
+         |        FROM ex$r e CROSS JOIN t$r t
+         |        LEFT JOIN drops dr ON dr.word = e.word AND dr.round = $r),
+         |vx$r AS (SELECT word, i FROM (
+         |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
+         |          FROM (SELECT word, i,
+         |                       i - row_number() OVER (PARTITION BY word
+         |                                              ORDER BY i) AS g
+         |                FROM sx$r WHERE st = 1))
+         |        WHERE off % 2 = 0),
+         |mx$r AS (SELECT s.word, s.wc, s.i,
+         |               CASE WHEN v.i IS NOT NULL THEN t.p || t.q
+         |                    ELSE s.sym END AS sym
+         |        FROM sx$r s CROSS JOIN t$r t
+         |        LEFT JOIN vx$r v ON v.word = s.word AND v.i = s.i
+         |        LEFT JOIN vx$r v2 ON v2.word = s.word AND v2.i = s.i - 1
+         |        WHERE v2.i IS NULL),
+         |x$r AS (SELECT word, wc, list(sym ORDER BY i) AS syms
+         |        FROM mx$r GROUP BY 1, 2)""".stripMargin
+    }
+    base.substring(0, cut).stripTrailing() + ",\n" +
+      """drops AS (SELECT word, round
+        |          FROM read_parquet('__OUTDIR__/.aux/bpe_dropout_drops/*.parquet')),
+        |x0 AS (SELECT word, wc, syms FROM d0),""".stripMargin + "\n" +
+      dropChain.mkString(",\n") + ",\n" +
+      bpeEncodeTailSql(s"x$rounds") +
+      bpeEncodeDigestSql
   }
 
   /** Encode-ids gate: per-doc digest over the chain, zero-eligible
@@ -2046,6 +2255,7 @@ object CorpusPrep {
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids_deep" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),
+    "bpe_encode_dropout" -> bpeDropoutEncodeOracleSql(BpeMergeRoundsN),
     "pack_encoded_ids" -> packEncodedIdsOracleSql(BpeMergeRoundsN),
     "bpe_fertility_by_lang" -> bpeFertilityOracleSql(BpeMergeRoundsN),
     "unigram_vocab" ->
@@ -2157,6 +2367,40 @@ object CorpusPrep {
          |FROM rk r JOIN wdict w ON w.word = r.word
          |WHERE r.rank <= $UnigramNbestK
          |ORDER BY w.word, r.rank""".stripMargin,
+    // the sampled segmentation fully re-derived: the k-best lists are
+    // re-enumerated, the snapped 1e-6 integer softmax weights re-
+    // computed from the same integer deltas (the identical precomputed
+    // −α/1e9 multiplier forms a bit-equal exp argument), and the pick
+    // re-run as the pure integer threshold rule over the materialized
+    // xxhash64 values (pmod spelled out — DuckDB % keeps sign)
+    "unigram_segment_sampled" ->
+      s"""WITH RECURSIVE $unigramBestPathCtes,
+         |done3 AS (SELECT p.word, p.cost, p.np, p.seq
+         |          FROM p JOIN wdict w ON w.word = p.word
+         |          WHERE p.pos = len(w.word)),
+         |rk AS (SELECT word, cost, np, seq,
+         |              row_number() OVER (PARTITION BY word
+         |                ORDER BY cost, np, seq) AS rank
+         |       FROM done3),
+         |nb AS (SELECT * FROM rk WHERE rank <= $UnigramNbestK),
+         |wt AS (SELECT word, rank, cost, np, seq,
+         |              CAST(round(exp((cost - min(cost) OVER (PARTITION BY word))
+         |                   * ${-SubwordSampleAlpha / 1e9}) * 1e6) AS BIGINT) AS w
+         |       FROM nb),
+         |cw AS (SELECT word, rank, cost, np, seq, w,
+         |              sum(w) OVER (PARTITION BY word ORDER BY rank) AS cum,
+         |              sum(w) OVER (PARTITION BY word) AS tot
+         |       FROM wt),
+         |hs AS (SELECT word, h
+         |       FROM read_parquet('__OUTDIR__/.aux/subword_sample_h/*.parquet'))
+         |SELECT c.word, wd.wc, CAST(c.rank AS BIGINT) AS chosen_rank,
+         |       c.cost AS total_cost, CAST(c.np AS INTEGER) AS n_pieces,
+         |       replace(substr(c.seq, 2), chr(1), '|') AS path
+         |FROM cw c JOIN hs ON hs.word = c.word
+         |JOIN wdict wd ON wd.word = c.word
+         |WHERE ((hs.h % c.tot) + c.tot) % c.tot >= c.cum - c.w
+         |  AND ((hs.h % c.tot) + c.tot) % c.tot < c.cum
+         |ORDER BY c.word""".stripMargin,
     // SOFT-EM corpus usage, fully re-derived: every path enumerated
     // with its scaled probability, per-word marginals snapped to 1e-4
     // integers, exact-integer corpus sum — enumeration vs the

@@ -1116,6 +1116,14 @@ object StreamingQueries {
     * ((band, band_key) / doc_id) and each ingest reads them as the
     * probe build — written once, never rewritten.
     */
+  /** Batch-size bound under which the near-dup band probe BROADCASTS
+    * the batch side (≤ this many docs ⇒ ≤ ×[[graft.ext.Dedup]] band
+    * count rows — bounded by the trigger, not by any corpus
+    * estimate) and the accumulated index streams map-side. Above it,
+    * the merge join — a bulk batch is the same order as the index
+    * slice it reads. */
+  val ProbeBatchMaxDocs = 10000L
+
   def streamNearDupIncremental(spark: SparkSession, dir: String,
       nBatches: Int = 3): DataFrame = {
     val base = prepareDedupStream(spark, dir, nBatches,
@@ -1176,11 +1184,21 @@ object StreamingQueries {
             Some(CompactedState.bucketsHit(bBands,
               Seq(col("band"), col("band_key")),
               CompactedState.DefaultStateBuckets)))
-          val cand0 = bBands
+          val bNew = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
-            .join(hBands.select(col("band"), col("band_key"),
-              col("doc_id").as("doc_hist")).hint("merge"),
-              Seq("band", "band_key"))
+          val hHist = hBands.select(col("band"), col("band_key"),
+            col("doc_id").as("doc_hist"))
+          // join-side dispatch on the MEASURED batch size (cached —
+          // the count is a cache scan, and the broadcast bound is the
+          // trigger's own size, never a corpus-derived estimate): a
+          // trickle batch (≤ ProbeBatchMaxDocs docs ⇒ ≤ ×16 band-key
+          // rows) broadcasts and the accumulated index STREAMS map-
+          // side — no shuffle/sort of corpus-proportional state to
+          // admit a small batch; a bulk batch takes the merge join,
+          // where the batch side is the same order as the index read
+          val cand0 = (if (cached.count() <= ProbeBatchMaxDocs)
+              hHist.join(broadcast(bNew), Seq("band", "band_key"))
+            else bNew.join(hHist.hint("merge"), Seq("band", "band_key")))
             .select(col("doc_new"), col("doc_hist"))
             .dropDuplicates("doc_new", "doc_hist")
             .persist()

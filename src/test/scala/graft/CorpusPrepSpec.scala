@@ -775,4 +775,94 @@ class CorpusPrepSpec extends AnyFunSuite {
     for ((w, b) <- best) assert(got((w, 1L)) === b,
       s"rank 1 diverges from the Viterbi argmin for $w")
   }
+
+  test("BPE-dropout: rate 0 bit-equals the plain encode; the shipped rate only re-segments (token/unk counts invariant, never fewer ids)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("m"), size(col("ids")).as("n_ids"))
+        .orderBy(col("doc_id")).collect().map(_.toSeq).toSeq
+    val plain = canon(CorpusPrep.bpeEncodeIds(docs))
+    assert(canon(CorpusPrep.bpeEncodeIdsDropout(docs, rate = 0.0)) === plain,
+      "rate-0 dropout must be the identity on the encode")
+    val dropped = canon(CorpusPrep.bpeEncodeIdsDropout(docs))
+    assert(dropped.map(_.take(3)) === plain.map(_.take(3)),
+      "dropout must not change doc/token/unk counts — only segmentation")
+    // a dropped merge splits a symbol: id sequences get longer, never shorter
+    assert(dropped.zip(plain).forall { case (d, p) =>
+      d(4).asInstanceOf[Int] >= p(4).asInstanceOf[Int] })
+    assert(dropped.zip(plain).exists(dp => dp._1(3) != dp._2(3)),
+      "the shipped rate must actually drop merges on this fixture")
+  }
+
+  test("sampled segmentation: exactly one k-best pick per word; snapped weights clear the rounding boundary (advisory-r10 margin check)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val nb = CorpusPrep.unigramSegmentNbest(docs).collect()
+      .map(r => (r.getString(0), r.getLong(2)) ->
+        ((r.getLong(1), r.getLong(3), r.getInt(4), r.getString(5))))
+      .toMap
+    val words = nb.keys.map(_._1).toSet
+    val got = CorpusPrep.unigramSegmentSampled(docs).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4),
+          r.getString(5))))
+    // exactly one row per dict word, and the pick IS its k-best row
+    assert(got.map(_._1).toSet === words)
+    assert(got.length === words.size)
+    for ((w, (wc, rank, cost, np, path)) <- got) {
+      val (nwc, ncost, nnp, npath) = nb((w, rank))
+      assert((wc, cost, np, path) === ((nwc, ncost, nnp, npath)),
+        s"sampled pick for $w is not its rank-$rank k-best row")
+    }
+    // snap-margin audit (the advisory-r10 class): every raw softmax
+    // weight must sit farther than 1e-6 from the .5 rounding boundary,
+    // so the two engines' last-ulp exp() differences cannot flip the
+    // snapped integer
+    val costsByWord = nb.toSeq.groupBy(_._1._1)
+    for ((w, rows) <- costsByWord) {
+      val best = rows.map(_._2._2).min
+      for ((_, (_, c, _, _)) <- rows) {
+        val raw = math.exp((c - best).toDouble *
+          (-CorpusPrep.SubwordSampleAlpha / 1e9)) * 1e6
+        val frac = raw - math.floor(raw)
+        assert(math.abs(frac - 0.5) > 1e-6,
+          s"weight for $w sits ${math.abs(frac - 0.5)} from the rounding " +
+            "boundary — cross-engine exp() ulp noise could flip the snap")
+      }
+    }
+  }
+
+  test("soft-EM snap margin: every marginal's raw 1e-4 expectation clears the rounding boundary on the fixture (advisory r10)") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val words = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
+    val vocab = CorpusPrep.unigramVocabCosts(docs)
+    val costs = vocab.collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    def paths(w: String): Seq[(Seq[String], Long)] =
+      if (w.isEmpty) Seq((Nil, 0L))
+      else (1 to math.min(CorpusPrep.UnigramMaxPieceLen, w.length))
+        .flatMap { k =>
+          val p = w.take(k)
+          costs.get(p).toSeq.flatMap(c =>
+            paths(w.drop(k)).map { case (ps, pc) => (p +: ps, c + pc) })
+        }
+    var checked = 0
+    for (w <- words.collect().map(_.getString(0))) {
+      val ps = paths(w)
+      val best = ps.map(_._2).min
+      val weighted = ps.map { case (pieces, c) =>
+        (pieces, math.exp(-(c - best).toDouble / 1e9)) }
+      val z = weighted.map(_._2).sum
+      val expect = weighted.flatMap { case (pieces, wt) => pieces.map(_ -> wt) }
+        .groupBy(_._1).view.mapValues(v => v.map(_._2).sum / z * 1e4)
+      for ((_, raw) <- expect) {
+        val frac = raw - math.floor(raw)
+        assert(math.abs(frac - 0.5) > 1e-6,
+          s"soft marginal for $w sits ${math.abs(frac - 0.5)} from the " +
+            ".5 boundary — the 1e-4 snap could diverge across engines")
+        checked += 1
+      }
+    }
+    assert(checked > 0)
+  }
 }

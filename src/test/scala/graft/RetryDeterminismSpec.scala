@@ -196,4 +196,20 @@ class RetryDeterminismSpec extends AnyFunSuite {
     assertRetrySafe("unigram_soft_counts", docs,
       d => graft.ext.CorpusPrep.unigramSoftCounts(d))
   }
+
+  test("sampled subword segmentation is identical under task retry") {
+    // the pick is a pure integer threshold over (xxhash64(seed, word),
+    // snapped 1e-6 weights) — re-execution cannot move it
+    assertRetrySafe("unigram_segment_sampled", docs,
+      d => graft.ext.CorpusPrep.unigramSegmentSampled(d))
+  }
+
+  test("BPE-dropout encode is identical under task retry") {
+    // the dropped-merge set is a pure function of (word, round, seed)
+    assertRetrySafe("bpe_encode_dropout", docs,
+      d => graft.ext.CorpusPrep.bpeEncodeIdsDropout(d)
+        .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5")))
+  }
 }
