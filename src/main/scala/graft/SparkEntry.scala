@@ -84,6 +84,10 @@ object SparkEntry {
       "clf_weights" -> ((s, d) =>
         TextAnalysis.classifierTrain(Tables.documents(s, d),
           col("lang") === "en")),
+      // per-codepoint NFKD decompositions (the trusted primitive the
+      // NFKC oracle folds + recomposes — DuckDB has no NFKC)
+      "nfkd_map" -> ((s, d) =>
+        D.nfkdCodepointMap(Tables.documents(s, d))),
       "minhash_shingles" -> ((s, d) => D.minhashShingles(Tables.documents(s, d))),
       "minhash_bands" -> ((s, d) => D.minhashBandKeys(Tables.documents(s, d))),
       "simhash_tokens" -> ((s, d) => D.simhashTokenHashes(Tables.documents(s, d))),

@@ -67,6 +67,22 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("dup_count"))
       .drop("text")
 
+  /** Per-codepoint NFKD decompositions of every distinct codepoint in
+    * the corpus — the `nfkd_map` aux behind `dedup_exact_nfkc`: DuckDB
+    * (which has no NFKC/NFKD primitive) folds these per document and
+    * recomposes with its own `nfc_normalize`, which equals NFKC by
+    * UAX#15. The explode is per-codepoint but the aggregate is the
+    * corpus's distinct-CHARACTER set — a few thousand rows at any
+    * corpus size; verification-time cost, not an operator. */
+  def nfkdCodepointMap(docs: DataFrame): DataFrame =
+    docs.select(explode(when(length(col("text")) > 0,
+        transform(sequence(lit(1), length(col("text"))),
+          i => col("text").substr(i, lit(1))))
+        .otherwise(array().cast("array<string>"))).as("ch"))
+      .distinct()
+      .select(col("ch"),
+        graft.functions.NfkcNormalize.nfkd_normalize(col("ch")).as("nfkd"))
+
   /** Exact dedup on a user key (first-by-doc_id per (lang, source)) —
     * the `dropDuplicates` surface, expressed as groupBy-min so the
     * result is deterministic (dropDuplicates keeps an arbitrary row).
@@ -819,6 +835,17 @@ object Dedup {
           graft.functions.NfcNormalize.nfc_normalize(col("text"))))
         .select(col("keep_doc_id"), col("dup_count"))
         .orderBy(col("keep_doc_id"))),
+    // exact dedup over NFKC (SentencePiece's default normalizer):
+    // compatibility variants — ligatures, full-width forms — fold
+    // together BEFORE hashing. DuckDB has no nfkc_normalize, so the
+    // oracle rebuilds NFKC as nfc_normalize over the engine-
+    // materialized per-codepoint NFKD map (exact by UAX#15:
+    // NFKC = NFC∘NFKD, and NFC canonically reorders before composing)
+    "dedup_exact_nfkc" -> ((s, d) =>
+      exact(Tables.documents(s, d).withColumn("text",
+          graft.functions.NfkcNormalize.nfkc_normalize(col("text"))))
+        .select(col("keep_doc_id"), col("dup_count"))
+        .orderBy(col("keep_doc_id"))),
     "dedup_exact_by_key" -> ((s, d) =>
       exactByKey(Tables.documents(s, d)).orderBy(col("lang"), col("source"))),
     "dedup_minhash_pairs" -> ((s, d) =>
@@ -1086,6 +1113,24 @@ object Dedup {
       """SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
         |FROM documents GROUP BY nfc_normalize(text)
         |ORDER BY keep_doc_id""".stripMargin,
+    // NFKC re-derived without an NFKC primitive: per-codepoint NFKD
+    // from the aux map (the trusted primitive, known-answer-spec'd),
+    // folded per document in codepoint order, recomposed with DuckDB's
+    // own nfc_normalize — empty docs kept via the LEFT JOIN
+    "dedup_exact_nfkc" ->
+      """WITH m AS (SELECT ch, nfkd
+        |           FROM read_parquet('__OUTDIR__/.aux/nfkd_map/*.parquet')),
+        |cx AS (SELECT doc_id, CAST(t.i AS BIGINT) AS i,
+        |              text[CAST(t.i AS INTEGER):CAST(t.i AS INTEGER)] AS ch
+        |       FROM documents, unnest(range(1, len(text) + 1)) t(i)),
+        |nx AS (SELECT c.doc_id,
+        |              nfc_normalize(string_agg(m.nfkd, '' ORDER BY c.i))
+        |                AS ntext
+        |       FROM cx c JOIN m USING (ch) GROUP BY c.doc_id),
+        |nt AS (SELECT d.doc_id, coalesce(n.ntext, '') AS ntext
+        |       FROM documents d LEFT JOIN nx n USING (doc_id))
+        |SELECT min(doc_id) AS keep_doc_id, count(*) AS dup_count
+        |FROM nt GROUP BY ntext ORDER BY keep_doc_id""".stripMargin,
     "dedup_exact_by_key" ->
       """SELECT lang, source, min(doc_id) AS keep_doc_id, count(*) AS group_size
         |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin,

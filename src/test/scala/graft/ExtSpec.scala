@@ -433,6 +433,44 @@ class ExtSpec extends AnyFunSuite {
     assert(viaNfc(0).getLong(1) === 1L && viaNfc(0).getLong(2) === 2L)
   }
 
+  test("NFKC: known compatibility answers, idempotence, NFC⊂NFKC, and dedup collapse of presentation variants") {
+    import spark.implicits._
+    import graft.ext.Dedup
+    import graft.functions.NfkcNormalize.{nfkc_normalize, nfkd_normalize}
+    // published Unicode data points: ligatures, full-width forms,
+    // squared units, circled digits, plus a canonical (NFC) case —
+    // NFKC must cover BOTH decomposition classes
+    val known = Seq(
+      "ﬁscal" -> "fiscal",          // U+FB01 LATIN SMALL LIGATURE FI
+      "ﬀ" -> "ff",                  // U+FB00
+      "２３ab" -> "23ab",           // full-width digits
+      "ｶﾞ" -> "ガ",                 // half-width katakana + voicing mark
+      "㎞" -> "km",                 // U+339E SQUARE KM
+      "①" -> "1",                   // U+2460 CIRCLED DIGIT ONE
+      "café" -> "café",       // canonical composition still runs
+      "plain ascii 42" -> "plain ascii 42")
+    val got = known.map(_._1).toDF("s")
+      .select(nfkc_normalize(col("s"))).collect().map(_.getString(0))
+    assert(got.toSeq === known.map(_._2))
+    // idempotence + the oracle identity NFKC = NFC(concat(NFKD(cp)))
+    val comps = known.map(_._1).toDF("s").select(
+      nfkc_normalize(nfkc_normalize(col("s"))) ===
+        nfkc_normalize(col("s")),
+      nfkc_normalize(col("s")) ===
+        graft.functions.NfcNormalize.nfc_normalize(nfkd_normalize(col("s"))))
+      .collect()
+    assert(comps.forall(r => r.getBoolean(0) && r.getBoolean(1)))
+    // the gate's semantics: presentation variants of one string become
+    // ONE document under NFKC-dedup, while plain exact sees them apart
+    val docs = Seq((1L, "ﬁle ２３"), (2L, "file 23"), (3L, "other"))
+      .toDF("doc_id", "text")
+    assert(Dedup.exact(docs).count() === 3L)
+    val viaNfkc = Dedup.exact(docs.withColumn("text",
+        nfkc_normalize(col("text")))).orderBy(col("keep_doc_id")).collect()
+    assert(viaNfkc.length === 2)
+    assert(viaNfkc(0).getLong(1) === 1L && viaNfkc(0).getLong(2) === 2L)
+  }
+
   test("matryoshka recall: one row per (dim, query), hits bounded, wider is better on average") {
     import graft.ext.Similarity
     val emb = Tables.embeddings(spark, dir)
