@@ -96,7 +96,13 @@ object Bench {
     // per-gate diff actually reads. tools/make_bands.py accepts it as
     // either the fresh or the historical input.
     try {
-      val out = java.nio.file.Paths.get("target/bench_per_gate.json")
+      // anchored to this class's own build tree, not the process CWD
+      // (advisory r10: a driver launched elsewhere would silently
+      // write the committed-copy diff input to the wrong place)
+      val root = java.nio.file.Paths.get(
+        getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
+        .getParent // .../target/scala-2.13/classes -> .../target/scala-2.13
+      val out = root.resolveSibling("bench_per_gate.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out,
         (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

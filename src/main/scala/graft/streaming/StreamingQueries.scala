@@ -796,8 +796,14 @@ object StreamingQueries {
     * streamed nothing.
     */
   private def fixtureEventStream(spark: SparkSession, dir: String): DataFrame = {
+    // layout sniff via the Hadoop FS API (advisory r10 hygiene): a
+    // java.io.File probe is local-FS only — on a cluster filesystem it
+    // would always report "not a directory" and silently take the
+    // single-file branch
     val path = s"$dir/events.parquet"
-    if (new java.io.File(path).isDirectory)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (fs.exists(p) && fs.getFileStatus(p).isDirectory)
       eventStream(spark, path, "*.parquet", path)
     else eventStream(spark, dir, "events.parquet", path)
   }

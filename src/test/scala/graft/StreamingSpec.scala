@@ -882,6 +882,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(CompactedState.read(spark, base, content, 8L).count() === 1L)
   }
 
+  test("fixture stream directory layout: the FS-probed branch replays to the same result as the single-file fixture") {
+    import graft.streaming.StreamingQueries
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toString).toSeq
+    val expected = canon(StreamingQueries.replay(spark, dir,
+      StreamingQueries.q1DailyUv, Seq("date_str")).orderBy(col("date_str")))
+    // the same fixture laid out as a DIRECTORY <dir>/events.parquet/
+    // — the layout the Hadoop-FS probe (advisory-r10 hygiene) must
+    // route to the directory branch; a java.io.File-style probe gone
+    // wrong would read the file branch and fail on a directory path
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_events_dirlayout")
+    val evDir = tmp.resolve("events.parquet")
+    java.nio.file.Files.createDirectories(evDir)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      evDir.resolve("part-00000.parquet"))
+    val viaDir = canon(StreamingQueries.replay(spark, tmp.toString,
+      StreamingQueries.q1DailyUv, Seq("date_str")).orderBy(col("date_str")))
+    assert(viaDir === expected)
+  }
+
   test("bucketed folds: pruned read opens only hit buckets and stays exact") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
