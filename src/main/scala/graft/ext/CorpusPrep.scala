@@ -787,8 +787,16 @@ object CorpusPrep {
   // ------------------------------------------- unigram-LM tokenizer
 
   /** Unigram-LM vocabulary knobs — interpolated into the oracle SQL
-    * so the two engines can never desync on them. */
-  val UnigramMaxPieceLen = 4
+    * so the two engines can never desync on them.
+    *
+    * Piece length raised 4 → 7 (round 11, VERDICT ask 6 — production
+    * SentencePiece vocabularies carry pieces well past 4 chars): 7 is
+    * the ceiling of the ×8 probe-key packing (`start*8 + len` needs
+    * len < 8) every DP fold, the soft marginal pass and the k-best
+    * fold share. Cost grows ×(7/4) candidate probes per position in
+    * the folds and widens the substring explode — priced in the
+    * re-measured unigram canary rows (BASELINE.md r11). */
+  val UnigramMaxPieceLen = 7
   val UnigramMinFreq = 3L
   val UnigramVocabCap = 512
 
