@@ -329,6 +329,27 @@ object StreamingQueries {
       * keeps local fold writes one-file-per-bucket cheap. */
     val DefaultStateBuckets = 64
 
+    /** Fold-INPUT byte size below which a fold writes UNBUCKETED even
+      * when `bucketCols` are set: a small fold's 64-way dynamic-
+      * partition write (shuffle + per-bucket files) costs more than
+      * any read it could ever prune, and reads handle mixed
+      * bucketed/unbucketed layouts anyway — so bucketing engages only
+      * once the fold is big enough that pruned reads repay the write
+      * fan-out. 16 MB ≈ the point where one fold ≈ one healthy
+      * parquet file per bucket stops being small-file litter. */
+    val DefaultBucketMinFoldBytes: Long = 16L << 20
+
+    /** Total on-disk bytes under `dirs` — FS metadata only (the
+      * fold-size probe behind [[DefaultBucketMinFoldBytes]]). */
+    private def dirBytes(spark: SparkSession, dirs: Seq[String]): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      dirs.map { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.getContentSummary(p).getLength else 0L
+      }.sum
+    }
+
     /** The write- AND read-side bucket function — one definition so a
       * probe's bucket of a key always equals the bucket the fold
       * filed that key under (Murmur3 via `hash`, non-negative via
@@ -344,6 +365,34 @@ object StreamingQueries {
         keys: Seq[org.apache.spark.sql.Column], n: Int): Set[Int] =
       probe.select(bucketOf(keys, n).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
+
+    /** Fold-leaf count below which computing a [[bucketsHit]] prune
+      * set cannot pay for itself: the prune set costs one (small)
+      * Spark job per read, so against a state of fewer leaf files
+      * than one fully-bucketed fold the job dispatch outweighs every
+      * open it could save — callers read unpruned and the per-batch
+      * cost is exactly the pre-bucketing path's (measured: the
+      * round-11 prune jobs at gate-scale state cost
+      * `stream_neardup_incremental` ~+1.3 s before this threshold). */
+    val PruneMinLeaves: Int = DefaultStateBuckets
+
+    /** The unpruned leaf count a [[read]] at `id` would open — the
+      * FS-METADATA-only proxy callers compare against
+      * [[PruneMinLeaves]] before paying for a [[bucketsHit]] job.
+      * Same listing the read itself performs (cheap on any FS that
+      * can serve the read at all); no data is touched. */
+    def foldLeafTotal(spark: SparkSession, base: String,
+        id: Long): Int = {
+      val g = gens(spark, base).filter(_ < id).maxOption
+      val rs = runIds(spark, base)
+        .filter(r => r < id && g.forall(r > _))
+      val b = (g.toSeq ++ rs).maxOption.getOrElse(-1L)
+      val ds = deltaIds(spark, base).filter(d => d < id && d >= b)
+      val (_, total) = expandBuckets(spark,
+        g.map(n => s"$base/compact/gen=$n").toSeq ++
+          rs.map(n => s"$base/runs/run=$n"), None)
+      total + ds.size
+    }
 
     /** (openedLeafPaths, totalLeafPaths) of the most recent [[read]]
       * per state root — rehearsal instrumentation (DedupRehearsal's
@@ -558,7 +607,8 @@ object StreamingQueries {
         sortCols: Seq[String] = Seq.empty,
         majorRuns: Int = DefaultMajorRuns,
         bucketCols: Seq[String] = Seq.empty,
-        nBuckets: Int = DefaultStateBuckets): Unit =
+        nBuckets: Int = DefaultStateBuckets,
+        bucketMinBytes: Long = DefaultBucketMinFoldBytes): Unit =
       if (cadence > 0 && id > 0 && id % cadence == 0) {
         val g = gens(spark, base).filter(_ < id).maxOption
         val priorRuns = runIds(spark, base)
@@ -567,11 +617,16 @@ object StreamingQueries {
         val minorIn = deltaIds(spark, base)
           .filter(d => d < id && d >= b).sorted
           .map(n => s"$base/delta/batch_id=$n")
+        // size-gate the bucket layout per fold: tiny minors write one
+        // sorted file, big ones land bucketed; reads mix both freely
+        val minorBuckets =
+          if (dirBytes(spark, minorIn) >= bucketMinBytes) bucketCols
+          else Seq.empty
         publishFold(readDirs(spark, content, minorIn), sortCols,
-          s"$base/runs/run=$id", bucketCols, nBuckets)
+          s"$base/runs/run=$id", minorBuckets, nBuckets)
         if (priorRuns.size + 1 >= majorRuns)
           triggerMajor(spark, base, content, id, sortCols, bucketCols,
-            nBuckets)
+            nBuckets, bucketMinBytes)
       }
 
     /** Start the major fold on a daemon thread unless one is already
@@ -581,12 +636,13 @@ object StreamingQueries {
       * generation + runs, costing read fan-in, never correctness. */
     private def triggerMajor(spark: SparkSession, base: String,
         content: StructType, id: Long, sortCols: Seq[String],
-        bucketCols: Seq[String], nBuckets: Int): Unit = {
+        bucketCols: Seq[String], nBuckets: Int,
+        bucketMinBytes: Long): Unit = {
       val stale = inflight.get(base)
       if (stale != null && !stale.isAlive) inflight.remove(base, stale)
       val t = new Thread(() => {
         try majorFold(spark, base, content, id, sortCols, bucketCols,
-          nBuckets)
+          nBuckets, bucketMinBytes)
         catch { case e: Throwable =>
           System.err.println(
             s"[compacted-state] major fold gen=$id at $base failed: $e")
@@ -608,7 +664,8 @@ object StreamingQueries {
     private def majorFold(spark: SparkSession, base: String,
         content: StructType, id: Long, sortCols: Seq[String],
         bucketCols: Seq[String] = Seq.empty,
-        nBuckets: Int = DefaultStateBuckets): Unit = {
+        nBuckets: Int = DefaultStateBuckets,
+        bucketMinBytes: Long = DefaultBucketMinFoldBytes): Unit = {
       val compactDir = new org.apache.hadoop.fs.Path(s"$base/compact")
       val fs = compactDir
         .getFileSystem(spark.sessionState.newHadoopConf())
@@ -635,9 +692,12 @@ object StreamingQueries {
         val (foldIn, _) = expandBuckets(spark,
           g.map(n => s"$base/compact/gen=$n").toSeq ++
             rs.map(n => s"$base/runs/run=$n"), None)
-        publishFold(readDirs(spark, content,
-          foldIn ++ ds.map(n => s"$base/delta/batch_id=$n")),
-          sortCols, target, bucketCols, nBuckets)
+        val allIn = foldIn ++ ds.map(n => s"$base/delta/batch_id=$n")
+        val genBuckets =
+          if (dirBytes(spark, allIn) >= bucketMinBytes) bucketCols
+          else Seq.empty
+        publishFold(readDirs(spark, content, allIn),
+          sortCols, target, genBuckets, nBuckets)
       }
       val bKeep = (g.toSeq ++
         runIds(spark, base).filter(_ < id)).maxOption.getOrElse(-1L)
@@ -1180,16 +1240,21 @@ object StreamingQueries {
           // STRICTLY EARLIER batches only — batch N's own partitions
           // may be (partially) visible on crash-replay of N; the
           // guard lives inside CompactedState.read (gens AND deltas).
-          // Both history reads are BUCKET-PRUNED (round 11): the band
+          // Both history reads are BUCKET-PRUNED (round 11) once the
+          // state outgrows PruneMinLeaves (below it, computing the
+          // prune set costs more than the opens it saves — gate-scale
+          // batches take the exact pre-bucketing path): the band
           // index opens only buckets the batch's band keys hash into,
           // and the shingle index opens only buckets holding a
           // CANDIDATE's doc_hist — candidate-proportional fan-in on
           // the wide (shingle-array) state, exact by the equi-join/
           // shared-bucket argument in CompactedState.read.
+          val pruneBands = CompactedState.foldLeafTotal(s, bandsDir, id) >=
+            CompactedState.PruneMinLeaves
           val hBands = CompactedState.read(s, bandsDir, bandContent, id,
-            Some(CompactedState.bucketsHit(bBands,
+            if (pruneBands) Some(CompactedState.bucketsHit(bBands,
               Seq(col("band"), col("band_key")),
-              CompactedState.DefaultStateBuckets)))
+              CompactedState.DefaultStateBuckets)) else None)
           val bNew = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
           val hHist = hBands.select(col("band"), col("band_key"),
@@ -1198,11 +1263,13 @@ object StreamingQueries {
           // the count is a cache scan, and the broadcast bound is the
           // trigger's own size, never a corpus-derived estimate): a
           // trickle batch (≤ ProbeBatchMaxDocs docs ⇒ ≤ ×16 band-key
-          // rows) broadcasts and the accumulated index STREAMS map-
-          // side — no shuffle/sort of corpus-proportional state to
-          // admit a small batch; a bulk batch takes the merge join,
-          // where the batch side is the same order as the index read
-          val cand0 = (if (cached.count() <= ProbeBatchMaxDocs)
+          // rows) against a LARGE index broadcasts, and the index
+          // STREAMS map-side — no shuffle/sort of corpus-proportional
+          // state to admit a small batch; a bulk batch (or a state
+          // still below the prune threshold, where the count job is
+          // the dominant cost) takes the merge join, where the batch
+          // side is the same order as the index slice it reads
+          val cand0 = (if (pruneBands && cached.count() <= ProbeBatchMaxDocs)
               hHist.join(broadcast(bNew), Seq("band", "band_key"))
             else bNew.join(hHist.hint("merge"), Seq("band", "band_key")))
             .select(col("doc_new"), col("doc_hist"))
@@ -1210,8 +1277,11 @@ object StreamingQueries {
             .persist()
           cand += cand0
           val hSh = CompactedState.read(s, shDir, shContent, id,
-            Some(CompactedState.bucketsHit(cand0,
-              Seq(col("doc_hist")), CompactedState.DefaultStateBuckets)))
+            if (CompactedState.foldLeafTotal(s, shDir, id) >=
+                CompactedState.PruneMinLeaves)
+              Some(CompactedState.bucketsHit(cand0,
+                Seq(col("doc_hist")), CompactedState.DefaultStateBuckets))
+            else None)
           val dropped = cand0
             .join(bSh.select(col("doc_id").as("doc_new"),
               col("sh").as("sh_n")).hint("merge"), "doc_new")

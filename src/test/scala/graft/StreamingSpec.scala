@@ -921,7 +921,8 @@ class StreamingSpec extends AnyFunSuite {
         spark.range(id * 64, id * 64 + 64).select(col("id").as("k")),
         id, base)
       CompactedState.maybeCompact(spark, base, content, id, cadence = 2,
-        sortCols = Seq("k"), majorRuns = 2, bucketCols = Seq("k"))
+        sortCols = Seq("k"), majorRuns = 2, bucketCols = Seq("k"),
+        bucketMinBytes = 0L)
       CompactedState.awaitCompactions(base)
     }
     val genDir = new java.io.File(s"$base/compact/gen=4")
@@ -951,6 +952,26 @@ class StreamingSpec extends AnyFunSuite {
     // the probe against pruned state equals joining against the full
     assert(probe.join(CompactedState.read(spark, base, content, 5L,
         Some(hit)), Seq("k"), "left_semi").count() === 3L)
+    // foldLeafTotal (the prune-engagement proxy) counts exactly the
+    // leaves an unpruned read would open: the bucketed gen's leaf dirs
+    // plus batch 4's delta — and this layout is over the engagement
+    // threshold, so a stream at this state size would prune
+    assert(CompactedState.foldLeafTotal(spark, base, 5L) ===
+      bucketDirs.length + 1)
+    assert(CompactedState.foldLeafTotal(spark, base, 5L) >=
+      CompactedState.PruneMinLeaves)
+    // a fresh root with two delta appendlets sits far below the
+    // threshold — the regime where a read must not pay for a prune job
+    val fresh = java.nio.file.Files
+      .createTempDirectory("graft_state_fresh").toString
+    (0L to 1L).foreach { id =>
+      CompactedState.append(
+        spark.range(id * 4, id * 4 + 4).select(col("id").as("k")),
+        id, fresh)
+    }
+    assert(CompactedState.foldLeafTotal(spark, fresh, 2L) === 2)
+    assert(CompactedState.foldLeafTotal(spark, fresh, 2L) <
+      CompactedState.PruneMinLeaves)
   }
 
   test("state compaction: 6-batch run equals the compaction-free run; stale deltas GC'd") {
