@@ -45,14 +45,15 @@ object DedupRehearsal {
     val n = sys.env.getOrElse("SPARK_GRAFT_DEDUP_ROWS_PER_BATCH", "200000").toLong
     val nBatches = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BATCHES", "10").toInt
     val mode = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MODE", "exact")
-    // round-11 probe arm: after the ramp, PROBE_BATCHES small batches
-    // of PROBE_ROWS docs each hit the fully-ramped index — the
-    // production point-lookup regime the bucket-pruned reads exist
-    // for; each probe's per-root (opened, total) leaf-path counts are
-    // reported so the prune is a measured fraction, not a shape claim
-    val probeRows = sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_ROWS", "0").toLong
-    val probeBatches =
-      sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_BATCHES", "4").toInt
+    // round-11 probe arm: after the ramp, small batches (one per
+    // comma-separated size in PROBE_ROWS, e.g. "500,500,50,50") hit
+    // the fully-ramped index — the production point-lookup regime the
+    // bucket-pruned reads exist for; each probe's per-root
+    // (opened, total) leaf-path counts are reported so the prune is a
+    // measured fraction, not a shape claim
+    val probeSizes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_ROWS", "")
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      .filter(_ > 0)
     // state-compaction cadence (round 9): 0 = the pre-compaction
     // flat-delta layout (control arm for the listing-cost claim)
     val cadence = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CADENCE", "2").toInt
@@ -62,6 +63,16 @@ object DedupRehearsal {
     val majorRuns = sys.env.getOrElse("SPARK_GRAFT_DEDUP_MAJOR",
       graft.streaming.StreamingQueries.CompactedState.DefaultMajorRuns
         .toString).toInt
+    // neardup-only knobs: fold-bucket count (the read-prune fan-out;
+    // a LINEAGE constant — each run starts a fresh root) and the
+    // bucket-engagement byte floor (set huge for the unbucketed
+    // full-scan CONTROL arm)
+    val nBuckets = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BUCKETS",
+      graft.streaming.StreamingQueries.CompactedState.DefaultStateBuckets
+        .toString).toInt
+    val bucketMin = sys.env.getOrElse("SPARK_GRAFT_DEDUP_BUCKET_MIN",
+      graft.streaming.StreamingQueries.CompactedState
+        .DefaultBucketMinFoldBytes.toString).toLong
     // schema dir only (doc_id/source/text) — data is synthetic
     val schemaDir = "/root/testdata/sf0.01"
 
@@ -70,8 +81,13 @@ object DedupRehearsal {
     hPath.getFileSystem(spark.sessionState.newHadoopConf()).delete(hPath, true)
 
     // ~20-word docs; in batch b > 0, every 10th doc verbatim-repeats
-    // the same-position doc of batch b−1 (a true cross-batch dup the
-    // anti join must drop); everything else is unique
+    // the PRECEDING-position doc of batch b−1 (a true cross-batch dup
+    // the anti join must drop); everything else is unique. The +1
+    // offset matters (fixed round 11): copying the SAME position
+    // (id − n) referenced a slot whose own text was overridden by the
+    // previous batch's dup rule for every b ≥ 2, so those "dups"
+    // matched nothing in history and ramp batches past 1 silently
+    // measured the zero-candidate regime.
     def textOf(id: org.apache.spark.sql.Column) =
       concat_ws(" ", transform(sequence(lit(1), lit(20)),
         i => concat(lit("w"), pmod(xxhash64(id, i), lit(5000L)))))
@@ -79,7 +95,7 @@ object DedupRehearsal {
       val src = spark.range(b * n, (b + 1) * n)
         .select(col("id").as("doc_id"), lit(s"src$b").as("source"),
           when(lit(b) > 0 && pmod(col("id"), lit(10L)) === 0L,
-            textOf(col("id") - n)).otherwise(textOf(col("id"))).as("text"))
+            textOf(col("id") - n + 1)).otherwise(textOf(col("id"))).as("text"))
       val p = s"$base/src/batch_$b"
       src.coalesce(1).write.mode("overwrite").parquet(p)
       new java.io.File(p).listFiles().filter(_.getName.endsWith(".parquet"))
@@ -87,13 +103,16 @@ object DedupRehearsal {
     }
     // probe tail: tiny batches, every 10th doc a verbatim dup of a
     // ramp-corpus doc (so candidates exist), the rest unique
-    (0 until (if (probeRows > 0) probeBatches else 0)).foreach { q =>
+    val probeLos = probeSizes.scanLeft(nBatches * n)(_ + _)
+    probeSizes.zipWithIndex.foreach { case (probeRows, q) =>
       val b = nBatches + q
-      val lo = nBatches * n + q * probeRows
+      val lo = probeLos(q)
       val src = spark.range(lo, lo + probeRows)
         .select(col("id").as("doc_id"), lit(s"probe$q").as("source"),
+          // +1 lands the copied slot on a %10 == 1 position — a ramp
+          // doc whose text was stored verbatim (see the ramp comment)
           when(pmod(col("id"), lit(10L)) === 0L,
-            textOf(pmod(col("id"), lit(nBatches * n))))
+            textOf(pmod(col("id"), lit(nBatches * n)) + 1))
             .otherwise(textOf(col("id"))).as("text"))
       val p = s"$base/src/batch_$b"
       src.coalesce(1).write.mode("overwrite").parquet(p)
@@ -124,7 +143,8 @@ object DedupRehearsal {
       if (mode == "neardup") {
         graft.streaming.StreamingQueries.runNearDupStream(
           spark, schemaDir, base, afterWrites = hook,
-          compactCadence = cadence, majorRuns = majorRuns)
+          compactCadence = cadence, majorRuns = majorRuns,
+          nBuckets = nBuckets, bucketMinBytes = bucketMin)
         "bandindex_neardup"
       } else {
         graft.streaming.StreamingQueries.runDedupStream(
@@ -133,9 +153,9 @@ object DedupRehearsal {
         "fpindex_dedup"
       }
     marks.foreach { case (id, ms, stats) =>
-      val rows = if (id < nBatches) n else probeRows
-      val hist =
-        if (id <= nBatches) id * n else nBatches * n + (id - nBatches) * probeRows
+      val q = (id - nBatches).toInt
+      val rows = if (id < nBatches) n else probeSizes(q)
+      val hist = if (id <= nBatches) id * n else probeLos(q)
       println(s"""{"arm":"$arm","cadence":$cadence,"major":$majorRuns,"batch":$id,"rows":$rows,"batch_ms":$ms,"hist_doc_rows":$hist,$stats}""")
     }
     spark.stop()

@@ -1850,6 +1850,250 @@ object CorpusPrep {
        |          FROM marg m JOIN wdict w ON w.word = m.word
        |          GROUP BY 1)""".stripMargin
 
+  // ---------------------------------------------- WordPiece tokenizer
+
+  /** WordPiece merge rounds (Schuster & Nakajima 2012 — BERT's
+    * tokenizer), gated at the oracle's unroll depth like the BPE
+    * loop. WordPiece differs from BPE in exactly two places, both
+    * carried here: (1) the merge ARGMAX maximizes the likelihood
+    * ratio count(pq) / (count(p)·count(q)) instead of the raw pair
+    * count, and (2) word-internal symbols carry the `##` continuation
+    * marker, so a merged symbol is `p ⧺ strip##(q)` and the encode
+    * side can distinguish word-initial from continuation pieces. */
+  val WordPieceRoundsN = 3
+
+  /** Max CHARS a learned piece can reach at [[WordPieceRoundsN]]
+    * (each round at most doubles a symbol: 2^rounds) — the greedy
+    * encode's probe-length bound, packed ×16 into the probe key
+    * (start·16 + len), so it must stay < 16. */
+  val WordPieceMaxPieceLen = 8
+
+  /** Word-length cap for the WordPiece dict — the `max_input_chars_
+    * per_word` knob every production WordPiece carries (BERT: 100);
+    * here it also fixes the oracle's greedy-step unroll count, so it
+    * is interpolated into the SQL. */
+  val WordPieceMaxWordLen = 24
+
+  /** The likelihood-ratio argmax compared EXACTLY across engines:
+    * both sides floor the rational count(pq)·SCALE / (count(p)·
+    * count(q)) in 128-bit integer arithmetic (Spark DECIMAL(38,0)
+    * `div`, DuckDB HUGEINT `//`) — identical integers, no float in
+    * the ordering. Headroom: counts ≤ ~10¹² keep the numerator under
+    * 10³⁰ ≪ 10³⁸; past that (≫ trillion-token corpora) shift the
+    * scale down. */
+  val WordPieceScoreScale = "1000000000000000000" // 10^18
+
+  /** The WordPiece word dictionary: [[bpeWordDict]]'s filter plus the
+    * word-length cap, symbols marked BERT-style (first char plain,
+    * continuations `##`-prefixed). */
+  def wordPieceDict(docs: DataFrame): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z0-9]+$") && length(col("word")) >= 2 &&
+        length(col("word")) <= WordPieceMaxWordLen)
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms",
+        transform(split(col("word"), ""),
+          (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))))
+
+  /** One WordPiece training round's statistics: adjacent-pair counts
+    * joined with both symbols' occurrence counts and the exact
+    * integer score key — the frame the argmax row is drawn from. */
+  private def wordPieceRoundStats(dict: DataFrame): DataFrame = {
+    val pairs = dict.select(col("wc"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(1), size(col("syms")) - 1),
+            i => struct(element_at(col("syms"), i).as("p"),
+              element_at(col("syms"), i + 1).as("q"))))
+          .otherwise(array().cast("array<struct<p:string,q:string>>")))
+        .as("pr"))
+      .groupBy(col("pr.p").as("p"), col("pr.q").as("q"))
+      .agg(sum(col("wc")).as("cnt"))
+    val singles = dict
+      .select(col("wc"), explode(col("syms")).as("sym"))
+      .groupBy(col("sym")).agg(sum(col("wc")).as("scnt"))
+    pairs
+      .join(broadcast(singles.select(col("sym").as("p"),
+        col("scnt").as("cp"))), "p")
+      .join(broadcast(singles.select(col("sym").as("q"),
+        col("scnt").as("cq"))), "q")
+      .withColumn("score_key", expr(
+        s"CAST(cnt AS DECIMAL(38,0)) * $WordPieceScoreScale div " +
+          "(CAST(cp AS DECIMAL(38,0)) * CAST(cq AS DECIMAL(38,0)))"))
+      .select(col("p"), col("q"), col("cnt"), col("cp"), col("cq"),
+        col("score_key"))
+  }
+
+  /** The round's argmax, collected — the [[bpeTopPairRow]] contract
+    * (1 row by a deterministic total order: score desc, then
+    * lexical). Singles are BROADCAST BY STRUCTURE: the symbol-type
+    * set grows by ONE per round, so it is ≤ alphabet + rounds rows at
+    * any corpus size. */
+  private def wordPieceTopRow(dict: DataFrame)
+      : Option[(String, String, Long, Long, Long, Long)] =
+    wordPieceRoundStats(dict)
+      .orderBy(col("score_key").desc, col("p"), col("q")).limit(1)
+      .collect().headOption
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+
+  /** The continuation marker stripped off the RIGHT side of a merge:
+    * `a ⧺ ##b → ab`, `##b ⧺ ##c → ##bc`. */
+  private def wpMerged(p: String, q: String): String =
+    p + q.stripPrefix("##")
+
+  /** WordPiece training — the merge table (round, p, q, cnt, cp, cq,
+    * score_key). Same per-round plan shape as [[bpeMergeRounds]]
+    * (one dict-sized pair shuffle + a 1-row collect + a codegen merge
+    * fold); only the argmax statistic differs. */
+  def wordPieceMergeRounds(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = wordPieceDict(docs)
+    val merges = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      wordPieceTopRow(dict) match {
+        case None => exhausted = true
+        case Some((p, q, cnt, cp, cq, key)) =>
+          merges += ((r, p, q, cnt, cp, cq, key))
+          dict = dict.withColumn("syms",
+            aggregate(col("syms"), slice(col("syms"), 1, 0),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(p) && x === lit(q),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(wpMerged(p, q)))))
+                .otherwise(concat(acc, array(x)))))
+          r += 1
+      }
+    }
+    merges.toSeq
+      .toDF("round", "p", "q", "cnt", "cp", "cq", "score_key")
+      .orderBy(col("round"))
+  }
+
+  /** The trained dict after `rounds` WordPiece merges. */
+  private def wordPieceFinalDict(docs: DataFrame, rounds: Int): DataFrame = {
+    var dict = wordPieceDict(docs)
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      wordPieceTopRow(dict) match {
+        case None => exhausted = true
+        case Some((p, q, _, _, _, _)) =>
+          dict = dict.withColumn("syms",
+            aggregate(col("syms"), slice(col("syms"), 1, 0),
+              (acc, x) => when(size(acc) > 0 &&
+                  element_at(acc, -1) === lit(p) && x === lit(q),
+                concat(slice(acc, lit(1), size(acc) - 1),
+                  array(lit(wpMerged(p, q)))))
+                .otherwise(concat(acc, array(x)))))
+          r += 1
+      }
+    }
+    dict
+  }
+
+  /** The learned piece inventory: every distinct symbol the trained
+    * dict still carries (plain = word-initial, `##` = continuation).
+    * ≤ alphabet + rounds rows by the one-new-symbol-per-round
+    * argument — broadcastable at any corpus size. */
+  def wordPieceVocab(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame =
+    wordPieceFinalDict(docs, rounds)
+      .select(explode(col("syms")).as("piece")).distinct()
+
+  /** GREEDY longest-match-first WordPiece encode over the dict words
+    * — BERT's WordpieceTokenizer semantics: at each position take the
+    * LONGEST vocab piece matching the remaining suffix (continuation
+    * pieces must carry `##`); if NO piece matches, the WHOLE word
+    * becomes `[UNK]`. One codegen fold per word over a broadcast
+    * probe map ([[viterbiDp]]'s discipline, ×16 key packing for the
+    * longer pieces); each fold step consumes one piece, and
+    * word-length steps always suffice because a piece is ≥ 1 char.
+    *
+    * Scale shape: the corpus collapses to the dict once (the
+    * [[bpePairCounts]] argument); everything after is per-dict-word
+    * codegen over a ≤ alphabet+rounds broadcast — no corpus rescans,
+    * no driver data. */
+  def wordPieceEncodeWords(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame =
+    wordPieceEncodeWith(wordPieceDict(docs).select(col("word"), col("wc")),
+      wordPieceVocab(docs, rounds))
+
+  /** The greedy encode against an EXPLICIT piece inventory — the gate
+    * feeds the trained vocab; specs feed crafted inventories (the
+    * only way to pin the `[UNK]` dead path deterministically: with a
+    * same-corpus trained vocab, every dict word's own final symbol
+    * path is in the inventory by construction, so stranding requires
+    * a longest-match deviation that tiny fixtures rarely produce). */
+  def wordPieceEncodeWith(wordsIn: DataFrame,
+      vocabIn: DataFrame): DataFrame = {
+    val words = wordsIn
+    val vocab = vocabIn
+      .select(col("piece"),
+        when(col("piece").startsWith("##"),
+          expr("substring(piece, 3)")).otherwise(col("piece")).as("stem"),
+        col("piece").startsWith("##").as("cont"))
+    // probe entries: (start·16 + len) → len, for every substring whose
+    // marked form is in the vocab; the map is word-local and the vocab
+    // side is broadcast by the ≤ alphabet+rounds contract
+    val probes = words
+      .select(col("word"), explode(flatten(transform(
+          sequence(lit(1), length(col("word"))),
+          i => transform(
+            sequence(lit(1), least(lit(WordPieceMaxPieceLen),
+              length(col("word")) - i + 1)),
+            k => struct((i * 16 + k).as("key"),
+              col("word").substr(i, k).as("stem"),
+              (i > 1).as("cont")))))).as("s"))
+      .select(col("word"), col("s.key").as("key"), col("s.stem").as("stem"),
+        col("s.cont").as("cont"))
+      .join(broadcast(vocab), Seq("stem", "cont"))
+      .groupBy(col("word"))
+      .agg(map_from_entries(collect_list(
+        struct(col("key"), col("key").as("v")))).as("m"))
+    val len = length(col("word"))
+    val stepped = words.join(probes, Seq("word"), "left")
+      .withColumn("st", aggregate(
+        sequence(lit(1), len),
+        struct(lit(1).as("pos"), lit(0).as("np"), lit("").as("path"),
+          lit(false).as("dead")),
+        (st, _) => when(st.getField("dead") || st.getField("pos") > len, st)
+          .otherwise(element_at(transform(
+            // best = the longest matching piece length at pos (0 = none);
+            // wrapped in a 1-element transform so the argmax subtree is
+            // written once and referenced thrice
+            array(aggregate(
+              filter(transform(
+                sequence(lit(1), least(lit(WordPieceMaxPieceLen),
+                  len - st.getField("pos") + 1)),
+                k => when(col("m").isNotNull &&
+                  element_at(col("m"),
+                    st.getField("pos") * 16 + k).isNotNull, k)),
+                x => x.isNotNull),
+              lit(0), (b, k) => greatest(b, k))),
+            best => when(best === 0,
+              struct(st.getField("pos").as("pos"), st.getField("np").as("np"),
+                st.getField("path").as("path"), lit(true).as("dead")))
+              .otherwise(struct(
+                (st.getField("pos") + best).as("pos"),
+                (st.getField("np") + 1).as("np"),
+                concat(st.getField("path"), lit("|"),
+                  when(st.getField("pos") > 1, lit("##")).otherwise(lit("")),
+                  col("word").substr(st.getField("pos"), best)).as("path"),
+                lit(false).as("dead")))), 1))))
+    stepped.select(col("word"), col("wc"),
+        when(col("st.dead"), lit(0L))
+          .otherwise(col("st.np").cast("long")).as("n_pieces"),
+        when(col("st.dead"), lit("[UNK]"))
+          .otherwise(expr("substring(st.path, 2)")).as("pieces"),
+        col("st.dead").cast("int").as("is_unk"))
+      .orderBy(col("word"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1860,6 +2104,14 @@ object CorpusPrep {
     "text_span_removal" -> ((s, d) => removeDupSpans(Tables.documents(s, d))),
     "bpe_pair_counts" -> ((s, d) => bpePairCounts(Tables.documents(s, d))),
     "bpe_merge_rounds" -> ((s, d) => bpeMergeRounds(Tables.documents(s, d))),
+    // WordPiece (BERT) training: likelihood-ratio argmax compared as
+    // exact 128-bit floor-divided integers in both engines
+    "wordpiece_merges" -> ((s, d) =>
+      wordPieceMergeRounds(Tables.documents(s, d))),
+    // greedy longest-match-first encode over the learned inventory,
+    // [UNK] on any unmatched position (BERT semantics)
+    "wordpiece_encode" -> ((s, d) =>
+      wordPieceEncodeWords(Tables.documents(s, d))),
     // the deep (collected-dict) trainer gated at the oracle's unroll
     // depth: driver-loop semantics vs the independent SQL merge chain;
     // CorpusPrepSpec extends the equivalence to exhaustion depth
@@ -2176,6 +2428,137 @@ object CorpusPrep {
       bpeEncodeDigestSql
   }
 
+  /** The WordPiece training chain as CTEs ending at `w$rounds` — the
+    * independent SQL re-derivation of [[wordPieceMergeRounds]]: the
+    * `##`-marked dict, per-round pair AND single-symbol counts, the
+    * exact 128-bit-integer score key (HUGEINT `//`, the twin of the
+    * engine's DECIMAL(38,0) `div` — both floor the same rational),
+    * and the same leftmost-non-overlapping merge application as the
+    * BPE oracle with the continuation marker stripped off the right
+    * side. */
+  private def wordPieceChainSql(rounds: Int): String = {
+    val init =
+      s"""wdict AS MATERIALIZED (
+         |  SELECT word, count(*) AS wc
+         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  WHERE regexp_full_match(word, '[a-z0-9]+')
+         |    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen
+         |  GROUP BY 1),
+         |w0 AS MATERIALIZED (SELECT word, wc,
+         |              [CASE WHEN i = 1 THEN word[CAST(i AS INTEGER):CAST(i AS INTEGER)]
+         |                    ELSE '##' || word[CAST(i AS INTEGER):CAST(i AS INTEGER)] END
+         |               FOR i IN range(1, len(word) + 1)] AS syms
+         |       FROM wdict)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val d = s"w${r - 1}"
+      s"""wp$r AS (SELECT s.syms[CAST(i AS INTEGER)] AS p,
+         |               s.syms[CAST(i + 1 AS INTEGER)] AS q,
+         |               CAST(sum(wc) AS BIGINT) AS cnt
+         |        FROM $d s, unnest(range(1, len(s.syms))) t(i)
+         |        GROUP BY 1, 2),
+         |ws$r AS (SELECT sym, CAST(sum(wc) AS BIGINT) AS scnt
+         |        FROM (SELECT wc, unnest(syms) AS sym FROM $d)
+         |        GROUP BY 1),
+         |wt$r AS (SELECT p, q, cnt, sp.scnt AS cp, sq.scnt AS cq,
+         |               CAST(CAST(cnt AS HUGEINT) * $WordPieceScoreScale
+         |                 // (CAST(sp.scnt AS HUGEINT) * sq.scnt) AS BIGINT)
+         |                 AS score_key
+         |        FROM wp$r JOIN ws$r sp ON sp.sym = p
+         |                  JOIN ws$r sq ON sq.sym = q
+         |        ORDER BY score_key DESC, p, q LIMIT 1),
+         |we$r AS (SELECT word, wc, CAST(i AS BIGINT) AS i,
+         |               syms[CAST(i AS INTEGER)] AS sym
+         |        FROM $d, unnest(range(1, len(syms) + 1)) t(i)),
+         |wg$r AS (SELECT e.word, e.wc, e.i, e.sym,
+         |               CASE WHEN e.sym = t.p AND
+         |                         lead(e.sym) OVER (PARTITION BY e.word
+         |                                           ORDER BY e.i) = t.q
+         |                    THEN 1 ELSE 0 END AS st
+         |        FROM we$r e, wt$r t),
+         |wv$r AS (SELECT word, i FROM (
+         |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
+         |          FROM (SELECT word, i,
+         |                       i - row_number() OVER (PARTITION BY word
+         |                                              ORDER BY i) AS g
+         |                FROM wg$r WHERE st = 1))
+         |        WHERE off % 2 = 0),
+         |wm$r AS (SELECT s.word, s.wc, s.i,
+         |               CASE WHEN v.i IS NOT NULL THEN
+         |                      t.p || (CASE WHEN t.q LIKE '##%'
+         |                                   THEN t.q[3:] ELSE t.q END)
+         |                    ELSE s.sym END AS sym
+         |        FROM wg$r s CROSS JOIN wt$r t
+         |        LEFT JOIN wv$r v ON v.word = s.word AND v.i = s.i
+         |        LEFT JOIN wv$r v2 ON v2.word = s.word AND v2.i = s.i - 1
+         |        WHERE v2.i IS NULL),
+         |w$r AS MATERIALIZED (SELECT word, wc, list(sym ORDER BY i) AS syms
+         |        FROM wm$r GROUP BY 1, 2)""".stripMargin
+    }
+    s"WITH $init,\n${roundCtes.mkString(",\n")}"
+  }
+
+  /** `wordpiece_merges` oracle: the chain's per-round argmax rows. */
+  private def wordPieceMergesOracleSql(rounds: Int): String = {
+    val finalSel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, p, q, cnt, cp, cq, score_key FROM wt$r")
+      .mkString("\nUNION ALL ")
+    wordPieceChainSql(rounds) + s"\n$finalSel\nORDER BY round"
+  }
+
+  /** `wordpiece_encode` oracle: the trained chain's piece inventory,
+    * then GREEDY longest-match-first segmentation re-run as
+    * [[WordPieceMaxWordLen]] UNROLLED step CTEs (each step picks the
+    * longest matching piece per active word via a window — legal here
+    * because the unroll is plain CTEs, not recursion; a no-match
+    * active word dies to `[UNK]`, BERT semantics). */
+  private def wordPieceEncodeOracleSql(rounds: Int): String = {
+    // every step CTE is MATERIALIZED: g(s−1) is referenced twice per
+    // step (candidate pick + carry-through), so DuckDB's default
+    // inlining would re-evaluate the whole chain 2^steps times
+    val steps = (1 to WordPieceMaxWordLen).map { s =>
+      val g = s"g${s - 1}"
+      s"""c$s AS MATERIALIZED (SELECT g.word, v.stem,
+         |               CAST(len(v.stem) AS INTEGER) AS kl
+         |        FROM $g g JOIN wps v
+         |          ON NOT g.dead AND g.pos <= len(g.word)
+         |         AND v.cont = (g.pos > 1)
+         |         AND v.stem = g.word[g.pos : g.pos + CAST(len(v.stem) AS INTEGER) - 1]
+         |        QUALIFY row_number() OVER (PARTITION BY g.word
+         |                                   ORDER BY len(v.stem) DESC) = 1),
+         |g$s AS MATERIALIZED (SELECT g.word, g.wc,
+         |               CASE WHEN g.dead OR g.pos > len(g.word) OR c.kl IS NULL
+         |                    THEN g.pos ELSE g.pos + c.kl END AS pos,
+         |               CASE WHEN g.dead OR g.pos > len(g.word) OR c.kl IS NULL
+         |                    THEN g.np ELSE g.np + 1 END AS np,
+         |               CASE WHEN g.dead OR g.pos > len(g.word) OR c.kl IS NULL
+         |                    THEN g.path
+         |                    ELSE g.path || '|' ||
+         |                      (CASE WHEN g.pos > 1 THEN '##' ELSE '' END) ||
+         |                      c.stem END AS path,
+         |               CASE WHEN g.dead THEN TRUE
+         |                    WHEN g.pos <= len(g.word) AND c.kl IS NULL THEN TRUE
+         |                    ELSE FALSE END AS dead
+         |        FROM $g g LEFT JOIN c$s c USING (word))""".stripMargin
+    }
+    wordPieceChainSql(rounds) + ",\n" +
+      s"""wpv AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece FROM w$rounds),
+         |wps AS MATERIALIZED (SELECT piece,
+         |               CASE WHEN piece LIKE '##%' THEN piece[3:]
+         |                    ELSE piece END AS stem,
+         |               (piece LIKE '##%') AS cont
+         |        FROM wpv),
+         |g0 AS MATERIALIZED (SELECT word, wc, CAST(1 AS INTEGER) AS pos,
+         |              0 AS np, '' AS path, FALSE AS dead
+         |       FROM wdict),""".stripMargin + "\n" +
+      steps.mkString(",\n") + "\n" +
+      s"""SELECT word, wc,
+         |       CAST(CASE WHEN dead THEN 0 ELSE np END AS BIGINT) AS n_pieces,
+         |       CASE WHEN dead THEN '[UNK]' ELSE path[2:] END AS pieces,
+         |       CAST(dead AS INTEGER) AS is_unk
+         |FROM g$WordPieceMaxWordLen
+         |ORDER BY word""".stripMargin
+  }
+
   /** Encode-ids gate: per-doc digest over the chain, zero-eligible
     * docs re-attached from the base table (engine keeps them via the
     * outer explode). */
@@ -2259,6 +2642,8 @@ object CorpusPrep {
 
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
+    "wordpiece_merges" -> wordPieceMergesOracleSql(WordPieceRoundsN),
+    "wordpiece_encode" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
     "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),

@@ -326,7 +326,15 @@ object StreamingQueries {
       * buckets cannot prune a large random key set — that regime's
       * bound is the flat LSM read fan-in, not the bucket prune). At
       * 100 TB the constant rises with the state's file budget; 64
-      * keeps local fold writes one-file-per-bucket cheap. */
+      * keeps local fold writes one-file-per-bucket cheap.
+      *
+      * LINEAGE INVARIANT: the bucket count is part of the state root's
+      * identity — a read prunes with the SAME N the folds were written
+      * under (different N ⇒ a probe's bucket id no longer names the
+      * dir its key was filed in, and the prune silently drops
+      * matches). Change N only with a fresh state root (or after a
+      * full re-fold); unbucketed dirs are always safe because reads
+      * pass them through whole. */
     val DefaultStateBuckets = 64
 
     /** Fold-INPUT byte size below which a fold writes UNBUCKETED even
@@ -1205,7 +1213,10 @@ object StreamingQueries {
   def runNearDupStream(spark: SparkSession, dir: String, base: String,
       afterWrites: Long => Unit = _ => (),
       compactCadence: Int = 2,
-      majorRuns: Int = CompactedState.DefaultMajorRuns): Unit = {
+      majorRuns: Int = CompactedState.DefaultMajorRuns,
+      nBuckets: Int = CompactedState.DefaultStateBuckets,
+      bucketMinBytes: Long = CompactedState.DefaultBucketMinFoldBytes)
+      : Unit = {
     import graft.ext.Dedup
     import org.apache.spark.sql.types.{ArrayType, IntegerType, LongType,
       StructField, StructType}
@@ -1253,8 +1264,7 @@ object StreamingQueries {
             CompactedState.PruneMinLeaves
           val hBands = CompactedState.read(s, bandsDir, bandContent, id,
             if (pruneBands) Some(CompactedState.bucketsHit(bBands,
-              Seq(col("band"), col("band_key")),
-              CompactedState.DefaultStateBuckets)) else None)
+              Seq(col("band"), col("band_key")), nBuckets)) else None)
           val bNew = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
           val hHist = hBands.select(col("band"), col("band_key"),
@@ -1280,7 +1290,7 @@ object StreamingQueries {
             if (CompactedState.foldLeafTotal(s, shDir, id) >=
                 CompactedState.PruneMinLeaves)
               Some(CompactedState.bucketsHit(cand0,
-                Seq(col("doc_hist")), CompactedState.DefaultStateBuckets))
+                Seq(col("doc_hist")), nBuckets))
             else None)
           val dropped = cand0
             .join(bSh.select(col("doc_id").as("doc_new"),
@@ -1302,10 +1312,12 @@ object StreamingQueries {
           CompactedState.maybeCompact(s, bandsDir, bandContent, id,
             compactCadence, sortCols = Seq("band", "band_key"),
             majorRuns = majorRuns,
-            bucketCols = Seq("band", "band_key"))
+            bucketCols = Seq("band", "band_key"), nBuckets = nBuckets,
+            bucketMinBytes = bucketMinBytes)
           CompactedState.maybeCompact(s, shDir, shContent, id,
             compactCadence, sortCols = Seq("doc_id"), majorRuns = majorRuns,
-            bucketCols = Seq("doc_id"))
+            bucketCols = Seq("doc_id"), nBuckets = nBuckets,
+            bucketMinBytes = bucketMinBytes)
           afterWrites(id)
         } finally {
           cand.foreach(_.unpersist())

@@ -865,4 +865,90 @@ class CorpusPrepSpec extends AnyFunSuite {
     }
     assert(checked > 0)
   }
+
+  test("wordpiece: likelihood-ratio argmax diverges from BPE's count argmax where it must") {
+    // pairs (a,##b) cnt 8, (a,##d) cnt 8, (c,##b) cnt 8, (c,##d) cnt 2;
+    // singles a:16 c:10 ##b:16 ##d:10. BPE (count desc, lexical) picks
+    // (a,##b); WordPiece scores 8/(16·16) < 8/(16·10) = 8/(10·16) —
+    // the ratio tie between (a,##d) and (c,##b) breaks lexically to
+    // (a,##d), and the merged symbol strips q's continuation marker.
+    val docs = docsOf((0L until 8L).map(i => i -> "ab ad cb").toSeq ++
+      Seq(8L -> "cd cd"): _*)
+    val bpe = CorpusPrep.bpeMergeRounds(docs, rounds = 1).collect()
+    assert((bpe(0).getString(1), bpe(0).getString(2)) === ("a", "b"))
+    val wp = CorpusPrep.wordPieceMergeRounds(docs, rounds = 1).collect()
+    assert((wp(0).getString(1), wp(0).getString(2)) === ("a", "##d"))
+    assert(wp(0).getLong(3) === 8L)   // cnt(a,##d)
+    assert(wp(0).getLong(4) === 16L)  // cp: 'a' opens ab ×8 and ad ×8
+    assert(wp(0).getLong(5) === 10L)  // cq: ##d closes ad ×8 and cd ×2
+    // score_key = floor(8e18 / (16·10)) — exact integer both engines
+    assert(wp(0).getLong(6) === 8L * 1000000000000000000L / (16L * 10L))
+    // the trained dict carries the merged, marker-stripped symbol
+    val enc = CorpusPrep.wordPieceEncodeWords(docs, rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(enc("ad") === "ad")
+    assert(enc("ab") === "a|##b")
+  }
+
+  test("wordpiece dead path: a stranded greedy match lands the whole word on [UNK]") {
+    import spark.implicits._
+    // inventory without ##d: greedy on "abd" takes "ab" (longest) then
+    // finds nothing for the 'd' continuation — BERT semantics demand
+    // the WHOLE word become [UNK], not a partial emission; "ab" and
+    // "ad" stay encodable so the dead path is provably per-word
+    val words = Seq(("abd", 3L), ("ab", 5L), ("ad", 2L)).toDF("word", "wc")
+    val vocab = Seq("ab", "a", "##b").toDF("piece")
+    // keyed by word: (n_pieces, pieces, is_unk)
+    val byWord = CorpusPrep.wordPieceEncodeWith(words, vocab)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getString(3), r.getInt(4)))).toMap
+    assert(byWord("abd") === ((0L, "[UNK]", 1)))
+    assert(byWord("ab") === ((1L, "ab", 0)))
+    assert(byWord("ad") === ((0L, "[UNK]", 1))) // ##d missing here too
+  }
+
+  test("wordpiece greedy encode: longest-match-first equals the brute-force reference on every dict word") {
+    val docs = docsOf(
+      0L -> "abcd abcd abc ab cd bcd",
+      1L -> "abcd xyq xy yq zz azd",
+      2L -> "ab ab ab cd cd abcd queue")
+    val rounds = CorpusPrep.WordPieceRoundsN
+    val vocab = CorpusPrep.wordPieceVocab(docs, rounds)
+      .collect().map(_.getString(0)).toSet
+    assert(vocab.exists(_.startsWith("##")), "no continuation pieces learned")
+    // brute-force greedy: longest matching piece at each position,
+    // ## form required past position 0, dead => [UNK]
+    def greedy(word: String): (Long, String, Int) = {
+      var pos = 0
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos < word.length) {
+        val marked = (math.min(word.length - pos,
+            CorpusPrep.WordPieceMaxPieceLen) to 1 by -1)
+          .map(k => (if (pos > 0) "##" else "") + word.substring(pos, pos + k))
+          .find(vocab.contains)
+        marked match {
+          case None => return (0L, "[UNK]", 1)
+          case Some(p) =>
+            out += p
+            pos += (if (p.startsWith("##")) p.length - 2 else p.length)
+        }
+      }
+      (out.size.toLong, out.mkString("|"), 0)
+    }
+    val got = CorpusPrep.wordPieceEncodeWords(docs, rounds).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val (np, pieces, unk) = greedy(r.getString(0))
+      assert((r.getLong(2), r.getString(3), r.getInt(4)) ===
+        ((np, pieces, unk)), s"word ${r.getString(0)}")
+      // non-unk pieces reassemble to the word
+      if (unk == 0)
+        assert(r.getString(3).split('|').map(_.stripPrefix("##"))
+          .mkString === r.getString(0))
+    }
+    // the [UNK] path is deterministically pinned by the dead-path spec
+    // below: a same-corpus trained vocab contains every dict word's
+    // own final symbol path, so unk here would require a longest-match
+    // deviation this tiny fixture doesn't produce
+  }
 }
