@@ -1941,6 +1941,48 @@ object CorpusPrep {
   private def wpMerged(p: String, q: String): String =
     p + q.stripPrefix("##")
 
+  /** The training loop, run ONCE over a PERSISTED base dict and
+    * returned as driver-side values: each round's stats plan is
+    * evaluated by several jobs (the argmax collect plus two broadcast
+    * builds), and without the persist every one of them re-ran the
+    * corpus-sized word-count shuffle — measured at 10.7 s / 25.1 s
+    * for the two sf0.1 gates before this cache. Both returns are
+    * contract-bounded: the merge table is ≤ `rounds` rows, the
+    * vocabulary ≤ alphabet + rounds pieces (each round mints exactly
+    * ONE new symbol type). The base dict unpersists before returning
+    * — everything downstream consumes the collected values, so no
+    * cache entry outlives the call. */
+  private def wordPieceTrainCollect(docs: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)],
+         Seq[String]) = {
+    val base = wordPieceDict(docs).persist()
+    try {
+      var dict: DataFrame = base
+      val merges = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Long, Long, Long, Long)]
+      var r = 1
+      var exhausted = false
+      while (r <= rounds && !exhausted) {
+        wordPieceTopRow(dict) match {
+          case None => exhausted = true
+          case Some((p, q, cnt, cp, cq, key)) =>
+            merges += ((r, p, q, cnt, cp, cq, key))
+            dict = dict.withColumn("syms",
+              aggregate(col("syms"), slice(col("syms"), 1, 0),
+                (acc, x) => when(size(acc) > 0 &&
+                    element_at(acc, -1) === lit(p) && x === lit(q),
+                  concat(slice(acc, lit(1), size(acc) - 1),
+                    array(lit(wpMerged(p, q)))))
+                  .otherwise(concat(acc, array(x)))))
+            r += 1
+        }
+      }
+      val vocab = dict.select(explode(col("syms")).as("piece"))
+        .distinct().collect().map(_.getString(0)).toSeq
+      (merges.toSeq, vocab)
+    } finally { base.unpersist(); () }
+  }
+
   /** WordPiece training — the merge table (round, p, q, cnt, cp, cq,
     * score_key). Same per-round plan shape as [[bpeMergeRounds]]
     * (one dict-sized pair shuffle + a 1-row collect + a codegen merge
@@ -1949,61 +1991,22 @@ object CorpusPrep {
       rounds: Int = WordPieceRoundsN): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var dict = wordPieceDict(docs)
-    val merges = scala.collection.mutable.ArrayBuffer
-      .empty[(Int, String, String, Long, Long, Long, Long)]
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      wordPieceTopRow(dict) match {
-        case None => exhausted = true
-        case Some((p, q, cnt, cp, cq, key)) =>
-          merges += ((r, p, q, cnt, cp, cq, key))
-          dict = dict.withColumn("syms",
-            aggregate(col("syms"), slice(col("syms"), 1, 0),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(p) && x === lit(q),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(wpMerged(p, q)))))
-                .otherwise(concat(acc, array(x)))))
-          r += 1
-      }
-    }
-    merges.toSeq
+    wordPieceTrainCollect(docs, rounds)._1
       .toDF("round", "p", "q", "cnt", "cp", "cq", "score_key")
       .orderBy(col("round"))
-  }
-
-  /** The trained dict after `rounds` WordPiece merges. */
-  private def wordPieceFinalDict(docs: DataFrame, rounds: Int): DataFrame = {
-    var dict = wordPieceDict(docs)
-    var r = 1
-    var exhausted = false
-    while (r <= rounds && !exhausted) {
-      wordPieceTopRow(dict) match {
-        case None => exhausted = true
-        case Some((p, q, _, _, _, _)) =>
-          dict = dict.withColumn("syms",
-            aggregate(col("syms"), slice(col("syms"), 1, 0),
-              (acc, x) => when(size(acc) > 0 &&
-                  element_at(acc, -1) === lit(p) && x === lit(q),
-                concat(slice(acc, lit(1), size(acc) - 1),
-                  array(lit(wpMerged(p, q)))))
-                .otherwise(concat(acc, array(x)))))
-          r += 1
-      }
-    }
-    dict
   }
 
   /** The learned piece inventory: every distinct symbol the trained
     * dict still carries (plain = word-initial, `##` = continuation).
     * ≤ alphabet + rounds rows by the one-new-symbol-per-round
-    * argument — broadcastable at any corpus size. */
+    * argument — collected by that contract, a literal frame (and so
+    * trivially broadcastable) at any corpus size. */
   def wordPieceVocab(docs: DataFrame,
-      rounds: Int = WordPieceRoundsN): DataFrame =
-    wordPieceFinalDict(docs, rounds)
-      .select(explode(col("syms")).as("piece")).distinct()
+      rounds: Int = WordPieceRoundsN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordPieceTrainCollect(docs, rounds)._2.toDF("piece")
+  }
 
   /** GREEDY longest-match-first WordPiece encode over the dict words
     * — BERT's WordpieceTokenizer semantics: at each position take the
