@@ -96,16 +96,31 @@ object Bench {
     // per-gate diff actually reads. tools/make_bands.py accepts it as
     // either the fresh or the historical input.
     try {
-      // anchored to this class's own build tree, not the process CWD
-      // (advisory r10: a driver launched elsewhere would silently
-      // write the committed-copy diff input to the wrong place)
-      val root = java.nio.file.Paths.get(
+      // anchored to the REPO ROOT found by walking up from this
+      // class's own code source to the dir holding build.sbt —
+      // advisory r10 wanted the build tree instead of the CWD, but a
+      // fixed ../.. from the code source breaks under sbt's bgRun
+      // launcher (the classpath is a jar in target/bg-jobs/<job>/,
+      // which sbt deletes with the job — the first fix silently
+      // wrote the committed-copy diff input into that ephemeral
+      // dir). SPARK_GRAFT_BENCH_OUT overrides for odd launchers.
+      val src = java.nio.file.Paths.get(
         getClass.getProtectionDomain.getCodeSource.getLocation.toURI)
-        .getParent // .../target/scala-2.13/classes -> .../target/scala-2.13
-      val out = root.resolveSibling("bench_per_gate.json")
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out,
-        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val repoRoot = Iterator.iterate(src)(_.getParent)
+        .takeWhile(_ != null)
+        .find(p => java.nio.file.Files.exists(p.resolve("build.sbt")))
+      sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .map(java.nio.file.Paths.get(_))
+        .orElse(repoRoot.map(_.resolve("target")
+          .resolve("bench_per_gate.json"))) match {
+        case Some(out) =>
+          java.nio.file.Files.createDirectories(out.getParent)
+          java.nio.file.Files.write(out,
+            (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case None =>
+          System.err.println("[bench] per-gate file skipped: no " +
+            "build.sbt above the code source and no SPARK_GRAFT_BENCH_OUT")
+      }
     } catch { case e: Exception =>
       System.err.println(s"[bench] per-gate file write failed: $e")
     }
