@@ -974,9 +974,16 @@ object StreamingQueries {
     val scratch = graft.RunScratch.dir("replay_flush", dir)
     new java.io.File(scratch).mkdirs()
     val link = java.nio.file.Paths.get(scratch, "events.parquet")
-    if (!java.nio.file.Files.exists(link))
+    // NOFOLLOW: a dangling link must read as "present" here, or the
+    // second pass trips FileAlreadyExists on the create. And the
+    // target must be ABSOLUTE — a relative fixture dir (e.g. a
+    // target/canary path) stored relative would resolve against the
+    // scratch dir and dangle.
+    if (!java.nio.file.Files.exists(link,
+        java.nio.file.LinkOption.NOFOLLOW_LINKS))
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(dir, "events.parquet"))
+        link,
+        java.nio.file.Paths.get(dir, "events.parquet").toAbsolutePath)
     val sentinel = java.nio.file.Paths.get(scratch, "zz_flush.parquet")
     if (!java.nio.file.Files.exists(sentinel)) {
       // the sentinel must ship in the fixture's own at-rest ts
