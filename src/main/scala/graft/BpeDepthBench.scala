@@ -79,14 +79,25 @@ object BpeDepthBench {
     // stage the two costs inside ONE run: the distributed
     // word-count + capped collect, then the memory-resident driver
     // loop, each timed directly (a differenced second collect run
-    // benefits from warmed caches/JIT and skews rounds_per_sec)
+    // benefits from warmed caches/JIT and skews rounds_per_sec).
+    // SPARK_GRAFT_DEPTH_MODE=wordpiece swaps in the WordPiece deep
+    // loop (likelihood-ratio argmax + denominator re-pricing) on the
+    // same corpus — its merges/s is expected BELOW the BPE loop's
+    // (every merge re-prices all pairs adjacent to three symbols),
+    // and this run prices that intrinsic extra.
+    val wp = sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("wordpiece")
     val t0 = System.nanoTime()
-    val dictRows = graft.ext.CorpusPrep.bpeDictCollect(docs)
+    val dictRows =
+      if (wp) graft.ext.CorpusPrep.wordPieceDictCollect(docs)
+      else graft.ext.CorpusPrep.bpeDictCollect(docs)
     val collectSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
-    val n = graft.ext.CorpusPrep.bpeDeepMerges(dictRows, rounds).length
+    val n =
+      if (wp) graft.ext.CorpusPrep.wordPieceDeepMerges(dictRows, rounds).length
+      else graft.ext.CorpusPrep.bpeDeepMerges(dictRows, rounds).length
     val loopSec = math.max((System.nanoTime() - t1) / 1e9, 0.001)
-    println(f"""{"dict_words":${dictRows.length},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
+    val mode = if (wp) "wordpiece" else "bpe"
+    println(f"""{"mode":"$mode%s","dict_words":${dictRows.length},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
     spark.stop()
   }
 }

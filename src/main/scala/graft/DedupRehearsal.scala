@@ -54,6 +54,22 @@ object DedupRehearsal {
     val probeSizes = sys.env.getOrElse("SPARK_GRAFT_DEDUP_PROBE_ROWS", "")
       .split(",").toSeq.map(_.trim).filter(_.nonEmpty).map(_.toLong)
       .filter(_ > 0)
+    // PROBE_ROWS changed meaning in round 11 (single size × PROBE_
+    // BATCHES → a comma-separated size LIST); a caller still setting
+    // the retired knob would silently get one probe per listed size —
+    // fail loudly instead (ADVICE round 11)
+    require(!sys.env.contains("SPARK_GRAFT_DEDUP_PROBE_BATCHES"),
+      "SPARK_GRAFT_DEDUP_PROBE_BATCHES is retired: list every probe " +
+        "batch's size in SPARK_GRAFT_DEDUP_PROBE_ROWS instead " +
+        "(comma-separated, e.g. \"500,500,50,50\")")
+    // the +1 verbatim-slot dup rule below guarantees the copied slot
+    // holds verbatim text only when n ≡ 0 (mod 10) — any other value
+    // can land dups on overridden slots and silently re-open the
+    // zero-candidate regime the +1 fix closed (ADVICE round 11)
+    require(n % 10 == 0,
+      s"SPARK_GRAFT_DEDUP_ROWS_PER_BATCH must be a multiple of 10 " +
+        s"(got $n): the cross-batch dup rule derives verbatim slots " +
+        "mod 10")
     // state-compaction cadence (round 9): 0 = the pre-compaction
     // flat-delta layout (control arm for the listing-cost claim)
     val cadence = sys.env.getOrElse("SPARK_GRAFT_DEDUP_CADENCE", "2").toInt

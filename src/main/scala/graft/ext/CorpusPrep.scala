@@ -1956,7 +1956,31 @@ object CorpusPrep {
       : (Seq[(Int, String, String, Long, Long, Long, Long)],
          Seq[String]) = {
     val base = wordPieceDict(docs).persist()
-    try {
+    try wordPieceTrainWith(base, rounds)
+    finally { base.unpersist(); () }
+  }
+
+  /** The loop body over an ALREADY-MATERIALIZED base dict (persist or
+    * localCheckpoint — the caller owns the lifecycle), split out so
+    * [[wordPieceEncodeWords]] can train AND extract the word list
+    * from ONE materialized base instead of re-deriving the corpus
+    * dict per consumer (ADVICE round 11). */
+  /** Lineage-truncation cadence for the distributed WordPiece loop:
+    * every this-many rounds the chained dict materializes
+    * (`localCheckpoint`), capping plan depth — without it the
+    * per-round `aggregate` folds nest until Catalyst's executor-side
+    * tree transforms overflow the stack (measured: ~18 chained
+    * WordPiece rounds kill the executor; the `##` marking makes this
+    * loop exhaust deeper than its BPE twin on like corpora). The
+    * standard iterative-Spark discipline (ALS/GraphX checkpoint
+    * cadence); production-depth training uses [[wordPieceDeepLoop]]
+    * regardless. */
+  val WordPieceCheckpointEvery = 8
+
+  private def wordPieceTrainWith(base: DataFrame, rounds: Int)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)],
+         Seq[String]) = {
+    {
       var dict: DataFrame = base
       val merges = scala.collection.mutable.ArrayBuffer
         .empty[(Int, String, String, Long, Long, Long, Long)]
@@ -1974,13 +1998,15 @@ object CorpusPrep {
                   concat(slice(acc, lit(1), size(acc) - 1),
                     array(lit(wpMerged(p, q)))))
                   .otherwise(concat(acc, array(x)))))
+            if (r % WordPieceCheckpointEvery == 0)
+              dict = dict.localCheckpoint()
             r += 1
         }
       }
       val vocab = dict.select(explode(col("syms")).as("piece"))
         .distinct().collect().map(_.getString(0)).toSeq
       (merges.toSeq, vocab)
-    } finally { base.unpersist(); () }
+    }
   }
 
   /** WordPiece training — the merge table (round, p, q, cnt, cp, cq,
@@ -2022,9 +2048,22 @@ object CorpusPrep {
     * codegen over a ≤ alphabet+rounds broadcast — no corpus rescans,
     * no driver data. */
   def wordPieceEncodeWords(docs: DataFrame,
-      rounds: Int = WordPieceRoundsN): DataFrame =
-    wordPieceEncodeWith(wordPieceDict(docs).select(col("word"), col("wc")),
-      wordPieceVocab(docs, rounds))
+      rounds: Int = WordPieceRoundsN): DataFrame = {
+    // ONE corpus scan for the whole gate: the base dict materializes
+    // eagerly (localCheckpoint — it must outlive this call, since the
+    // returned frame is lazy and a persist would have to be released
+    // before the caller ever evaluates it), training folds over the
+    // materialized partitions, and the encode's word list reads the
+    // SAME frame — previously the word list re-derived the corpus
+    // dict unpersisted while training persisted its own copy (ADVICE
+    // round 11, measured as one full extra corpus shuffle per run)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = wordPieceDict(docs).localCheckpoint()
+    val (_, vocab) = wordPieceTrainWith(base, rounds)
+    wordPieceEncodeWith(base.select(col("word"), col("wc")),
+      vocab.toDF("piece"))
+  }
 
   /** The greedy encode against an EXPLICIT piece inventory — the gate
     * feeds the trained vocab; specs feed crafted inventories (the
@@ -2097,6 +2136,247 @@ object CorpusPrep {
       .orderBy(col("word"))
   }
 
+  /** The WordPiece deep trainer's capped dictionary pull —
+    * [[bpeDictCollect]]'s twin over the WordPiece word filter (ONE
+    * distributed word-count + a ≤ dictCap-row collect; the `##`
+    * symbol marking is re-derived driver-side from the word itself,
+    * so only (word, wc) crosses the wire). Shares [[BpeDictCap]]: the
+    * same memory-resident-state contract, the same cap discipline. */
+  def wordPieceDictCollect(docs: DataFrame,
+      dictCap: Int = BpeDictCap): Array[(String, Long)] =
+    wordPieceDict(docs)
+      .orderBy(col("wc").desc, col("word")).limit(dictCap)
+      .select(col("word"), col("wc")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+
+  /** PRODUCTION-DEPTH WordPiece training — [[bpeDeepLoop]]'s
+    * discipline (collect the vocabulary-bounded dict once, merge at
+    * driver memory speed) ported to the likelihood-ratio argmax
+    * (VERDICT round 11 #1). The per-round distributed loop
+    * ([[wordPieceMergeRounds]]) pays a full Spark job per merge; a
+    * production BERT vocabulary needs ~3·10⁴ rounds, which only the
+    * collected-dict loop can price in minutes.
+    *
+    * The one structural delta from the BPE loop: WordPiece's score
+    * `⌊cnt·SCALE / (cp·cq)⌋` depends on the SINGLE-symbol counts, and
+    * a merge changes cp/cq/c(pq′) for EVERY live pair touching p, q
+    * or the minted symbol — not just the pairs whose own count moved.
+    * So alongside the pair→words index the loop keeps a symbol→pairs
+    * index, and a round re-prices (re-enqueues at the live score)
+    * the union of count-dirty pairs and denominator-dirty pairs
+    * before the next pop. The lazy-invalidation pop check recomputes
+    * the LIVE score (never trusts the stored one), so a stale entry
+    * can only be discarded, never selected. Scores floor in BigInt —
+    * the driver twin of the engine's DECIMAL(38,0) `div` and the
+    * oracle's HUGEINT `//`: all three floor the same rational, so the
+    * argmax order is identical by construction.
+    *
+    * Cost shape: a round pays O(touched words × length) for the count
+    * deltas plus O(pairs adjacent to p, q, m) for the re-pricing —
+    * the second term is WordPiece's intrinsic extra over BPE (the
+    * denominator coupling), bounded by the live-pair degree of three
+    * symbols, not by the dict. Tie-break matches the distributed loop
+    * and the SQL oracle exactly: score DESC, then lexically smallest
+    * (p, q) (ASCII symbols, so Java and UTF8 binary order agree).
+    * Stops early when no pairs remain.
+    */
+  private[ext] def wordPieceDeepLoop(dictRows: Array[(String, Long)],
+      rounds: Int)
+      : (Seq[(Int, String, String, Long, Long, Long, Long)],
+         Array[Array[String]]) = {
+    val scale = BigInt(WordPieceScoreScale)
+    val words: Array[Array[String]] = dictRows.map { case (w, _) =>
+      w.split("").filter(_.nonEmpty).zipWithIndex
+        .map { case (c, i) => if (i == 0) c else "##" + c }
+    }
+    val wcs: Array[Long] = dictRows.map(_._2)
+
+    import scala.collection.mutable
+    val pairCounts = mutable.HashMap.empty[(String, String), Long]
+    val symCounts = mutable.HashMap.empty[String, Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    val pairsBySym =
+      mutable.HashMap.empty[String, mutable.Set[(String, String)]]
+    // pop order: highest score first, then lexically smallest (p, q)
+    val pq = mutable.PriorityQueue.empty[(Long, String, String)](
+      Ordering.fromLessThan[(Long, String, String)] { (a, b) =>
+        if (a._1 != b._1) a._1 < b._1
+        else if (a._2 != b._2) a._2 > b._2
+        else a._3 > b._3
+      })
+    // exact flooring in BigInt: cp·cq overflows Long past ~10⁹ counts,
+    // the quotient never does (cnt ≤ min(cp, cq) ⇒ score ≤ SCALE)
+    def liveScore(p: (String, String)): Option[Long] =
+      pairCounts.get(p).map { cnt =>
+        ((BigInt(cnt) * scale) /
+          (BigInt(symCounts(p._1)) * BigInt(symCounts(p._2)))).toLong
+      }
+    def indexPair(p: (String, String)): Unit = {
+      pairsBySym.getOrElseUpdate(p._1, mutable.Set.empty) += p
+      pairsBySym.getOrElseUpdate(p._2, mutable.Set.empty) += p
+      ()
+    }
+    def dropPairIndex(p: (String, String)): Unit = {
+      pairsBySym.get(p._1).foreach(_ -= p)
+      pairsBySym.get(p._2).foreach(_ -= p)
+    }
+
+    for (w <- words.indices) {
+      val ws = words(w); val c = wcs(w)
+      for (s <- ws) symCounts(s) = symCounts.getOrElse(s, 0L) + c
+      for (i <- 0 until ws.length - 1) {
+        val p = (ws(i), ws(i + 1))
+        pairCounts(p) = pairCounts.getOrElse(p, 0L) + c
+        where.getOrElseUpdate(p, mutable.Set.empty) += w
+        indexPair(p)
+      }
+    }
+    for (p <- pairCounts.keys)
+      liveScore(p).foreach(s => pq.enqueue((s, p._1, p._2)))
+
+    def mergeGreedy(syms: Array[String], p: String, q: String,
+        m: String): Array[String] = {
+      val out = mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == p && syms(i + 1) == q) {
+          out += m; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      out.toArray
+    }
+
+    val merges = mutable.ArrayBuffer
+      .empty[(Int, String, String, Long, Long, Long, Long)]
+    val dirty = mutable.Set.empty[(String, String)]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      // lazy invalidation against the LIVE score (stored scores go
+      // stale through the denominator as well as the count)
+      var top: Option[(Long, String, String)] = None
+      while (top.isEmpty && pq.nonEmpty) {
+        val (k, p, q) = pq.dequeue()
+        if (liveScore((p, q)).contains(k)) top = Some((k, p, q))
+      }
+      top match {
+        case None => exhausted = true
+        case Some((key, p, q)) =>
+          val pr = (p, q)
+          merges += ((r, p, q, pairCounts(pr), symCounts(p), symCounts(q),
+            key))
+          val m = wpMerged(p, q)
+          dirty.clear()
+          val touched = where.getOrElse(pr, mutable.Set.empty).toArray
+          for (w <- touched) {
+            val old = words(w)
+            val has = (0 until old.length - 1)
+              .exists(i => old(i) == p && old(i + 1) == q)
+            if (has) {
+              val c = wcs(w)
+              for (i <- 0 until old.length - 1) {
+                val op = (old(i), old(i + 1))
+                val nc = pairCounts(op) - c
+                if (nc <= 0L) {
+                  pairCounts.remove(op); where.remove(op)
+                  dropPairIndex(op); dirty -= op
+                } else { pairCounts(op) = nc; dirty += op }
+              }
+              for (s <- old) symCounts(s) = symCounts(s) - c
+              val nw = mergeGreedy(old, p, q, m)
+              words(w) = nw
+              for (s <- nw) symCounts(s) = symCounts.getOrElse(s, 0L) + c
+              val kept = (0 until nw.length - 1)
+                .map(i => (nw(i), nw(i + 1))).toSet
+              for (i <- 0 until old.length - 1) {
+                val op = (old(i), old(i + 1))
+                if (!kept.contains(op)) where.get(op).foreach(_ -= w)
+              }
+              for (i <- 0 until nw.length - 1) {
+                val np = (nw(i), nw(i + 1))
+                pairCounts(np) = pairCounts.getOrElse(np, 0L) + c
+                where.getOrElseUpdate(np, mutable.Set.empty) += w
+                indexPair(np); dirty += np
+              }
+            }
+          }
+          pairCounts.remove(pr); where.remove(pr)
+          dropPairIndex(pr); dirty -= pr
+          // denominator dirt: every live pair adjacent to p, q or the
+          // minted symbol re-prices even if its own count never moved
+          for (s <- Seq(p, q, m);
+               dp <- pairsBySym.getOrElse(s, mutable.Set.empty))
+            dirty += dp
+          for (dp <- dirty; sc <- liveScore(dp))
+            pq.enqueue((sc, dp._1, dp._2))
+          r += 1
+      }
+    }
+    (merges.toSeq, words)
+  }
+
+  /** The deep merge loop on an ALREADY-COLLECTED dictionary — the
+    * [[bpeDeepMerges]] seam, exposed so [[graft.BpeDepthBench]] can
+    * time the driver loop directly inside one run. */
+  def wordPieceDeepMerges(dictRows: Array[(String, Long)], rounds: Int)
+      : Seq[(Int, String, String, Long, Long, Long, Long)] =
+    wordPieceDeepLoop(dictRows, rounds)._1
+
+  /** WordPiece vocabulary cap for the ARTIFACT cross-corpus gates —
+    * the `vocab_size` knob every production WordPiece carries (BERT:
+    * 30 522): the persisted inventory keeps only the top-cap pieces
+    * by occurrence weight, and a word needing a truncated piece
+    * encodes as `[UNK]`. Sized to BIND on the fixture (the trained
+    * even-half dict carries 39 distinct pieces; 32 truncates the
+    * bottom seven — rare word-INITIAL chars like `q`/`p`/`r` and the
+    * merged `li` whose plain `l` was absorbed by training, so `l…`
+    * words have no fallback) and the whole-word-[UNK] path carries
+    * REAL oracle-checked traffic (VERDICT r11 #3) — the same
+    * bind-on-fixture discipline as [[BpeVocabCap]]. */
+  val WordPieceVocabCap = 32
+
+  /** The trained inventory under a vocabulary cap: pieces ranked by
+    * occurrence weight over the FINAL dict (Σ wc per symbol
+    * occurrence), deterministic tie-break (weight DESC, piece) —
+    * derivable by both engines from the trained state alone. */
+  private[ext] def wordPieceVocabOf(wcs: Array[Long],
+      words: Array[Array[String]], cap: Int): Seq[String] = {
+    val usage = scala.collection.mutable.HashMap.empty[String, Long]
+    for (i <- words.indices; s <- words(i))
+      usage(s) = usage.getOrElse(s, 0L) + wcs(i)
+    usage.toSeq.sortBy { case (p, u) => (-u, p) }.take(cap).map(_._1)
+  }
+
+  /** Deep WordPiece training — the merge table at collected-dict
+    * speed, equal to [[wordPieceMergeRounds]] at the same depth
+    * (gated against the SAME oracle; CorpusPrepSpec extends the
+    * equivalence to exhaustion depth). */
+  def wordPieceTrainDeep(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN,
+      dictCap: Int = BpeDictCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    wordPieceDeepLoop(wordPieceDictCollect(docs, dictCap), rounds)._1
+      .toDF("round", "p", "q", "cnt", "cp", "cq", "score_key")
+      .orderBy(col("round"))
+  }
+
+  /** Deep-train → greedy-encode composed: the deep loop's final piece
+    * inventory feeds the SAME encode core as [[wordPieceEncodeWords]]
+    * — hash-checked against the identical oracle, so deep ≡
+    * distributed is proven end-to-end at the gate, not asserted. */
+  def wordPieceEncodeDeep(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN,
+      dictCap: Int = BpeDictCap): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictRows = wordPieceDictCollect(docs, dictCap)
+    val (_, words) = wordPieceDeepLoop(dictRows, rounds)
+    val vocab = words.iterator.flatten.toSet.toSeq
+    wordPieceEncodeWith(dictRows.toSeq.toDF("word", "wc"),
+      vocab.toDF("piece"))
+  }
+
   // ------------------------------------------------------------ queries
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2115,6 +2395,15 @@ object CorpusPrep {
     // [UNK] on any unmatched position (BERT semantics)
     "wordpiece_encode" -> ((s, d) =>
       wordPieceEncodeWords(Tables.documents(s, d))),
+    // the DEEP (collected-dict, lazy-PQ) WordPiece trainer at the
+    // oracle's unroll depth — driver-loop semantics vs the
+    // independent SQL chain, the bpe_merge_deep discipline
+    "wordpiece_merge_deep" -> ((s, d) =>
+      wordPieceTrainDeep(Tables.documents(s, d))),
+    // deep-train → greedy-encode composed, hash-checked against the
+    // in-lineage encode's identical oracle
+    "wordpiece_encode_deep" -> ((s, d) =>
+      wordPieceEncodeDeep(Tables.documents(s, d))),
     // the deep (collected-dict) trainer gated at the oracle's unroll
     // depth: driver-loop semantics vs the independent SQL merge chain;
     // CorpusPrepSpec extends the equivalence to exhaustion depth
@@ -2263,7 +2552,10 @@ object CorpusPrep {
     * positions drop by an anti-join on `start at i−1`. A deliberately
     * DIFFERENT formulation from the engine's fold — agreement means
     * the merge semantics match, not that one implementation was
-    * transcribed.
+    * transcribed. The argmax attaches via LEFT JOIN ON TRUE so an
+    * exhausted round carries the dict through unchanged (the engine's
+    * early stop) instead of emptying every downstream CTE — same
+    * carry-through as the WordPiece chain (ADVICE round 11).
     */
   private def bpeMergeOracleSql(rounds: Int,
       trainWhere: String = ""): String = {
@@ -2292,7 +2584,7 @@ object CorpusPrep {
          |                         lead(e.sym) OVER (PARTITION BY e.word
          |                                           ORDER BY e.i) = t.q
          |                    THEN 1 ELSE 0 END AS st
-         |        FROM e$r e, t$r t),
+         |        FROM e$r e LEFT JOIN t$r t ON TRUE),
          |v$r AS (SELECT word, i FROM (
          |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
          |          FROM (SELECT word, i,
@@ -2303,7 +2595,7 @@ object CorpusPrep {
          |m$r AS (SELECT s.word, s.wc, s.i,
          |               CASE WHEN v.i IS NOT NULL THEN t.p || t.q
          |                    ELSE s.sym END AS sym
-         |        FROM s$r s CROSS JOIN t$r t
+         |        FROM s$r s LEFT JOIN t$r t ON TRUE
          |        LEFT JOIN v$r v ON v.word = s.word AND v.i = s.i
          |        LEFT JOIN v$r v2 ON v2.word = s.word AND v2.i = s.i - 1
          |        WHERE v2.i IS NULL),
@@ -2403,7 +2695,7 @@ object CorpusPrep {
          |                         lead(e.sym) OVER (PARTITION BY e.word
          |                                           ORDER BY e.i) = t.q
          |                    THEN 1 ELSE 0 END AS st
-         |        FROM ex$r e CROSS JOIN t$r t
+         |        FROM ex$r e LEFT JOIN t$r t ON TRUE
          |        LEFT JOIN drops dr ON dr.word = e.word AND dr.round = $r),
          |vx$r AS (SELECT word, i FROM (
          |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
@@ -2415,7 +2707,7 @@ object CorpusPrep {
          |mx$r AS (SELECT s.word, s.wc, s.i,
          |               CASE WHEN v.i IS NOT NULL THEN t.p || t.q
          |                    ELSE s.sym END AS sym
-         |        FROM sx$r s CROSS JOIN t$r t
+         |        FROM sx$r s LEFT JOIN t$r t ON TRUE
          |        LEFT JOIN vx$r v ON v.word = s.word AND v.i = s.i
          |        LEFT JOIN vx$r v2 ON v2.word = s.word AND v2.i = s.i - 1
          |        WHERE v2.i IS NULL),
@@ -2438,12 +2730,20 @@ object CorpusPrep {
     * engine's DECIMAL(38,0) `div` — both floor the same rational),
     * and the same leftmost-non-overlapping merge application as the
     * BPE oracle with the continuation marker stripped off the right
-    * side. */
-  private def wordPieceChainSql(rounds: Int): String = {
+    * side. The per-round argmax attaches via LEFT JOIN ON TRUE (not
+    * CROSS JOIN): on an EXHAUSTED round (empty `wt$r` — every word
+    * fully merged, possible on degenerate fuzz corpora) the dict
+    * carries through unchanged, mirroring the engine's early stop,
+    * instead of vanishing and turning every later encode into
+    * `[UNK]` (ADVICE round 11). `trainWhere` restricts the TRAINING
+    * corpus (the cross-corpus artifact gate trains on one doc-id
+    * half). */
+  private def wordPieceChainSql(rounds: Int,
+      trainWhere: String = ""): String = {
     val init =
       s"""wdict AS MATERIALIZED (
          |  SELECT word, count(*) AS wc
-         |  FROM (SELECT unnest($W) AS word FROM documents)
+         |  FROM (SELECT unnest($W) AS word FROM documents$trainWhere)
          |  WHERE regexp_full_match(word, '[a-z0-9]+')
          |    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen
          |  GROUP BY 1),
@@ -2477,7 +2777,7 @@ object CorpusPrep {
          |                         lead(e.sym) OVER (PARTITION BY e.word
          |                                           ORDER BY e.i) = t.q
          |                    THEN 1 ELSE 0 END AS st
-         |        FROM we$r e, wt$r t),
+         |        FROM we$r e LEFT JOIN wt$r t ON TRUE),
          |wv$r AS (SELECT word, i FROM (
          |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
          |          FROM (SELECT word, i,
@@ -2490,7 +2790,7 @@ object CorpusPrep {
          |                      t.p || (CASE WHEN t.q LIKE '##%'
          |                                   THEN t.q[3:] ELSE t.q END)
          |                    ELSE s.sym END AS sym
-         |        FROM wg$r s CROSS JOIN wt$r t
+         |        FROM wg$r s LEFT JOIN wt$r t ON TRUE
          |        LEFT JOIN wv$r v ON v.word = s.word AND v.i = s.i
          |        LEFT JOIN wv$r v2 ON v2.word = s.word AND v2.i = s.i - 1
          |        WHERE v2.i IS NULL),
@@ -2501,6 +2801,7 @@ object CorpusPrep {
   }
 
   /** `wordpiece_merges` oracle: the chain's per-round argmax rows. */
+  // (cross-corpus and unk-rate variants below share the same chain)
   private def wordPieceMergesOracleSql(rounds: Int): String = {
     val finalSel = (1 to rounds)
       .map(r => s"SELECT $r AS round, p, q, cnt, cp, cq, score_key FROM wt$r")
@@ -2513,8 +2814,17 @@ object CorpusPrep {
     * [[WordPieceMaxWordLen]] UNROLLED step CTEs (each step picks the
     * longest matching piece per active word via a window — legal here
     * because the unroll is plain CTEs, not recursion; a no-match
-    * active word dies to `[UNK]`, BERT semantics). */
-  private def wordPieceEncodeOracleSql(rounds: Int): String = {
+    * active word dies to `[UNK]`, BERT semantics). `trainWhere`
+    * restricts the TRAINING corpus; `encodeWhere` swaps the encode
+    * spine to a DIFFERENT predicate's word dict (the cross-corpus
+    * artifact gate: pieces the train half never minted strand encode
+    * words on the genuine `[UNK]` path); `vocabCap` truncates the
+    * inventory to the top-cap pieces by occurrence weight over the
+    * trained dict (the artifact gates' production `vocab_size` knob —
+    * the independent re-derivation of [[wordPieceVocabOf]]). */
+  private[ext] def wordPieceEncodeOracleSql(rounds: Int,
+      trainWhere: String = "", encodeWhere: String = "",
+      vocabCap: Option[Int] = None): String = {
     // every step CTE is MATERIALIZED: g(s−1) is referenced twice per
     // step (candidate pick + carry-through), so DuckDB's default
     // inlining would re-evaluate the whole chain 2^steps times
@@ -2543,8 +2853,29 @@ object CorpusPrep {
          |                    ELSE FALSE END AS dead
          |        FROM $g g LEFT JOIN c$s c USING (word))""".stripMargin
     }
-    wordPieceChainSql(rounds) + ",\n" +
-      s"""wpv AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece FROM w$rounds),
+    val encDict =
+      if (encodeWhere.isEmpty) ""
+      else
+        s"""edict AS MATERIALIZED (
+           |  SELECT word, count(*) AS wc
+           |  FROM (SELECT unnest($W) AS word FROM documents$encodeWhere)
+           |  WHERE regexp_full_match(word, '[a-z0-9]+')
+           |    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen
+           |  GROUP BY 1),
+           |""".stripMargin
+    val spine = if (encodeWhere.isEmpty) "wdict" else "edict"
+    val wpvCte = vocabCap match {
+      case None =>
+        s"wpv AS MATERIALIZED (SELECT DISTINCT unnest(syms) AS piece FROM w$rounds),"
+      case Some(cap) =>
+        s"""wpv AS MATERIALIZED (SELECT piece FROM (
+           |        SELECT piece, CAST(sum(wc) AS BIGINT) AS u FROM (
+           |          SELECT wc, unnest(syms) AS piece FROM w$rounds)
+           |        GROUP BY 1)
+           |       ORDER BY u DESC, piece LIMIT $cap),""".stripMargin
+    }
+    wordPieceChainSql(rounds, trainWhere) + ",\n" + encDict +
+      s"""$wpvCte
          |wps AS MATERIALIZED (SELECT piece,
          |               CASE WHEN piece LIKE '##%' THEN piece[3:]
          |                    ELSE piece END AS stem,
@@ -2552,7 +2883,7 @@ object CorpusPrep {
          |        FROM wpv),
          |g0 AS MATERIALIZED (SELECT word, wc, CAST(1 AS INTEGER) AS pos,
          |              0 AS np, '' AS path, FALSE AS dead
-         |       FROM wdict),""".stripMargin + "\n" +
+         |       FROM $spine),""".stripMargin + "\n" +
       steps.mkString(",\n") + "\n" +
       s"""SELECT word, wc,
          |       CAST(CASE WHEN dead THEN 0 ELSE np END AS BIGINT) AS n_pieces,
@@ -2560,6 +2891,28 @@ object CorpusPrep {
          |       CAST(dead AS INTEGER) AS is_unk
          |FROM g$WordPieceMaxWordLen
          |ORDER BY word""".stripMargin
+  }
+
+  /** Corpus-level unk-rate twin of the cross-corpus WordPiece encode:
+    * the same trained chain + greedy unroll, folded to ONE row of
+    * occurrence-weighted unk shares (exact integer ×10⁴ ratio — the
+    * rate column VERDICT r11 asked the oracle to re-derive). */
+  private[ext] def wordPieceUnkStatsOracleSql(rounds: Int,
+      trainWhere: String, encodeWhere: String,
+      vocabCap: Option[Int] = None): String = {
+    val base =
+      wordPieceEncodeOracleSql(rounds, trainWhere, encodeWhere, vocabCap)
+    val cut = base.lastIndexOf("SELECT word, wc,")
+    base.substring(0, cut) +
+      s"""SELECT count(*) AS n_words,
+         |       CAST(sum(wc) AS BIGINT) AS n_wc,
+         |       CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS unk_words,
+         |       CAST(sum(CASE WHEN dead THEN wc ELSE 0 END) AS BIGINT)
+         |         AS unk_wc,
+         |       CAST(sum(CASE WHEN dead THEN wc ELSE 0 END) * 10000
+         |            // sum(wc) AS BIGINT) AS unk_wc_x10k
+         |FROM g$WordPieceMaxWordLen""".stripMargin
   }
 
   /** Encode-ids gate: per-doc digest over the chain, zero-eligible
@@ -2647,6 +3000,8 @@ object CorpusPrep {
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "wordpiece_merges" -> wordPieceMergesOracleSql(WordPieceRoundsN),
     "wordpiece_encode" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
+    "wordpiece_merge_deep" -> wordPieceMergesOracleSql(WordPieceRoundsN),
+    "wordpiece_encode_deep" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
     "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),

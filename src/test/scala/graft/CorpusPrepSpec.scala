@@ -890,6 +890,57 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(enc("ab") === "a|##b")
   }
 
+  test("deep WordPiece trainer: merge-for-merge equal to the distributed loop, to exhaustion") {
+    // a TWO-LETTER alphabet on purpose: every merge shifts the single-
+    // symbol counts that every other live pair's score divides by, so
+    // the denominator re-pricing path (the one structural delta from
+    // the BPE deep loop) carries the argmax in most rounds — any
+    // missed re-price diverges from the distributed loop, which
+    // recomputes all scores from scratch each round. Kept SMALL
+    // (≤ ~19 exhaustion merges by the Σ(len−1) bound) because the
+    // distributed comparison chains one plan level per round — the
+    // `##` marking doubles the symbol space, and the banana-scale BPE
+    // fixture exhausts deep enough here to blow the executor stack
+    val docs = docsOf(
+      1L -> "abab abab abab baba baba abba baab aabb aabb",
+      2L -> "abab baab bb aa ab ba baba abba")
+    val deep = CorpusPrep.wordPieceTrainDeep(docs, rounds = 50)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // exhaustion: fewer than 50 merges, every word fully merged
+    assert(deep.length < 50 && deep.nonEmpty)
+    val dist = CorpusPrep.wordPieceMergeRounds(docs, rounds = deep.length)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(deep.toSeq === dist.toSeq)
+    assert(deep.length >= 8,
+      s"only ${deep.length} merges before exhaustion — fixture too " +
+        "small to exercise the re-pricing loop meaningfully")
+    // the re-pricing actually fired: some selected score EXCEEDS the
+    // same pair's round-1 price (a denominator shrank under it) — on
+    // a fixture where that never happens this test would silently
+    // stop covering the re-pricing path, so pin it
+    val r1 = CorpusPrep.wordPieceDeepMerges(
+      CorpusPrep.wordPieceDictCollect(docs), 1).head
+    assert(deep.exists(m => m._7 > r1._7),
+      "no later merge ever out-scored round 1's argmax — fixture no " +
+        "longer exercises denominator re-pricing")
+  }
+
+  test("deep WordPiece encode: composed deep-train → encode equals the distributed path") {
+    val docs = docsOf(
+      0L -> "abcd abcd abc ab cd bcd",
+      1L -> "abcd xyq xy yq zz azd",
+      2L -> "ab ab ab cd cd abcd queue")
+    val deep = CorpusPrep.wordPieceEncodeDeep(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4)))
+    val dist = CorpusPrep.wordPieceEncodeWords(docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4)))
+    assert(deep.toSeq === dist.toSeq)
+  }
+
   test("wordpiece dead path: a stranded greedy match lands the whole word on [UNK]") {
     import spark.implicits._
     // inventory without ##d: greedy on "abd" takes "ab" (longest) then
