@@ -111,6 +111,54 @@ object TokenizerArtifact {
       cap: Int = CorpusPrep.BpeVocabCap): DataFrame =
     CorpusPrep.bpeEncodeIdsFrom(docs, vocab, cap)
 
+  /** Train (deep loop) and persist both WordPiece artifacts —
+    * completing the artifact lifecycle for the third tokenizer
+    * family (VERDICT r11 #1):
+    *
+    *   <dir>/wordpiece_merges  (round, p, q, cnt, cp, cq, score_key)
+    *   <dir>/wordpiece_vocab   (piece)  — the piece inventory the
+    *                           greedy encoder probes (plain =
+    *                           word-initial, `##` = continuation)
+    *
+    * The vocab is ≤ alphabet + rounds rows by the one-new-symbol-
+    * per-round contract; the merge table ≤ rounds rows — both
+    * megabytes at any corpus scale, fan-out via [[artifactParts]]. */
+  def wordPieceWrite(docs: DataFrame, dir: String,
+      rounds: Int = CorpusPrep.WordPieceRoundsN,
+      vocabCap: Int = Int.MaxValue): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val dictRows = CorpusPrep.wordPieceDictCollect(docs)
+    val (merges, words) = CorpusPrep.wordPieceDeepLoop(dictRows, rounds)
+    merges.toDF("round", "p", "q", "cnt", "cp", "cq", "score_key")
+      .repartition(artifactParts(rounds.toLong))
+      .write.mode("overwrite").parquet(s"$dir/wordpiece_merges")
+    // vocab_size truncation at WRITE time (the production knob): the
+    // persisted inventory keeps the top-cap pieces by occurrence
+    // weight; encode-side [UNK]s follow from the artifact alone
+    CorpusPrep
+      .wordPieceVocabOf(dictRows.map(_._2), words, vocabCap).toDF("piece")
+      .repartition(artifactParts(rounds.toLong + UnigramAlphabetBound))
+      .write.mode("overwrite").parquet(s"$dir/wordpiece_vocab")
+  }
+
+  /** Load the WordPiece piece inventory ONCE, materialized — the
+    * streaming encode's per-batch probe frame ([[bpeLoadVocab]]'s
+    * seam for the third tokenizer). */
+  def wordPieceLoadVocab(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/wordpiece_vocab").localCheckpoint()
+
+  /** Greedy-encode a corpus's word dict through a PERSISTED WordPiece
+    * artifact — the identical encode core as
+    * [[CorpusPrep.wordPieceEncodeWords]], no training stage in this
+    * lineage. Words the trained inventory cannot tile land on the
+    * whole-word `[UNK]` path (BERT semantics) — under a DIFFERENT
+    * encode corpus that path carries real traffic. */
+  def wordPieceEncode(docs: DataFrame, dir: String): DataFrame =
+    CorpusPrep.wordPieceEncodeWith(
+      CorpusPrep.wordPieceDict(docs).select(col("word"), col("wc")),
+      docs.sparkSession.read.parquet(s"$dir/wordpiece_vocab"))
+
   /** Train and persist the unigram-LM model (piece, freq, cost).
     * Costs are snapped to integer nano-nats at TRAIN time — the
     * artifact carries them, so encode-side float parity is moot by
@@ -208,6 +256,44 @@ object TokenizerArtifact {
       val docs = Tables.documents(s, d)
       unigramWrite(docs.filter(expr(TrainHalf)), dir)
       unigramEncodeStats(docs.filter(expr(EncodeHalf)), dir)
+    }),
+    // WordPiece roundtrip: deep-train → persist → reload in a fresh
+    // lineage → greedy-encode, hash-matched against wordpiece_encode's
+    // UNCHANGED oracle (artifact ≡ in-lineage ≡ deep ≡ distributed,
+    // all through one hash)
+    "wordpiece_artifact_roundtrip" -> ((s, d) => {
+      val dir = RunScratch.dir("wordpiece_artifact", d)
+      val docs = Tables.documents(s, d)
+      wordPieceWrite(docs, dir)
+      wordPieceEncode(docs, dir)
+    }),
+    // train-on-A / encode-on-B under the production vocab_size cap:
+    // odd-half words needing a truncated piece (the fixture halves
+    // share their alphabet, so the CAP is what strands — rare `##`
+    // continuations fall outside the top-40) land on the whole-word
+    // [UNK] path — the only gate where that path carries real
+    // (non-crafted) traffic under the oracle (VERDICT r11 #3)
+    "wordpiece_artifact_cross_encode" -> ((s, d) => {
+      val dir = RunScratch.dir("wordpiece_artifact_x", d)
+      val docs = Tables.documents(s, d)
+      wordPieceWrite(docs.filter(expr(TrainHalf)), dir,
+        vocabCap = CorpusPrep.WordPieceVocabCap)
+      wordPieceEncode(docs.filter(expr(EncodeHalf)), dir)
+    }),
+    // the same cross split folded to ONE row of occurrence-weighted
+    // unk shares — the rate column the oracle re-derives end-to-end
+    "wordpiece_unk_rate" -> ((s, d) => {
+      val dir = RunScratch.dir("wordpiece_unk_rate", d)
+      val docs = Tables.documents(s, d)
+      wordPieceWrite(docs.filter(expr(TrainHalf)), dir,
+        vocabCap = CorpusPrep.WordPieceVocabCap)
+      wordPieceEncode(docs.filter(expr(EncodeHalf)), dir)
+        .agg(count(lit(1)).as("n_words"),
+          sum(col("wc")).as("n_wc"),
+          sum(col("is_unk").cast("long")).as("unk_words"),
+          sum(when(col("is_unk") === 1, col("wc")).otherwise(0L))
+            .as("unk_wc"))
+        .withColumn("unk_wc_x10k", expr("unk_wc * 10000 div n_wc"))
     }))
 
   /** Both roundtrip gates share the in-lineage gates' oracles
@@ -225,5 +311,19 @@ object TokenizerArtifact {
     // model UNION the unseen-char unk entries (the coverModel twin)
     "unigram_artifact_cross_encode" ->
       CorpusPrep.unigramEncodeStatsOracleSqlFor("unigram_vocab_x",
-        docWhere = s" WHERE $EncodeHalf", unkCover = true))
+        docWhere = s" WHERE $EncodeHalf", unkCover = true),
+    "wordpiece_artifact_roundtrip" -> CorpusPrep.oracles("wordpiece_encode"),
+    // train chain from the even half ONLY; encode spine (edict) from
+    // the odd half — pieces the train half never minted leave odd-half
+    // words on the [UNK] path in both engines
+    "wordpiece_artifact_cross_encode" ->
+      CorpusPrep.wordPieceEncodeOracleSql(CorpusPrep.WordPieceRoundsN,
+        trainWhere = s" WHERE $TrainHalf",
+        encodeWhere = s" WHERE $EncodeHalf",
+        vocabCap = Some(CorpusPrep.WordPieceVocabCap)),
+    "wordpiece_unk_rate" ->
+      CorpusPrep.wordPieceUnkStatsOracleSql(CorpusPrep.WordPieceRoundsN,
+        trainWhere = s" WHERE $TrainHalf",
+        encodeWhere = s" WHERE $EncodeHalf",
+        vocabCap = Some(CorpusPrep.WordPieceVocabCap)))
 }

@@ -337,6 +337,31 @@ object StreamingQueries {
       * pass them through whole. */
     val DefaultStateBuckets = 64
 
+    /** Bucket count above which a fold CONSOLIDATES (round-12, VERDICT
+      * r11 #2): at N ≤ this the round-11 one-dir-per-bucket layout is
+      * cheap and maximally prunable; past it, N dirs × files per fold
+      * becomes the small-file blow-up the round-11 rehearsal measured
+      * (ramp folds at N=2048 degraded ~19× from thousands of tiny
+      * files), so the fold writes [[FoldLeafGroups]] `__brange=LO_HI`
+      * dirs instead — each a CONTIGUOUS bucket span with the bucket id
+      * persisted as a SORTED leading data column. Reads dir-prune to
+      * the spans their probe buckets intersect and push
+      * `__bucket IN (...)` into the parquet scan, so row groups
+      * outside the probed buckets are skipped on column statistics:
+      * high N prices as bytes-not-read within few files, not as
+      * files-opened. The bucket FUNCTION and the lineage invariant (N
+      * fixed per root) are untouched — only the on-disk grouping of
+      * bucket ids changes, and reads handle all three layouts
+      * (unbucketed / per-bucket / consolidated) side by side in one
+      * state root. */
+    val ConsolidateOverBuckets: Int = DefaultStateBuckets
+
+    /** Leaf dirs (= writer tasks) per CONSOLIDATED fold — sized to the
+      * unbucketed fold's own write fan-out (the shuffle-partition
+      * count), so consolidation never writes more files than the
+      * CONTROL layout it replaces. */
+    val FoldLeafGroups: Int = 32
+
     /** Fold-INPUT byte size below which a fold writes UNBUCKETED even
       * when `bucketCols` are set: a small fold's 64-way dynamic-
       * partition write (shuffle + per-bucket files) costs more than
@@ -410,12 +435,16 @@ object StreamingQueries {
     val readStats =
       new java.util.concurrent.ConcurrentHashMap[String, (Int, Int)]()
 
-    /** Expand a fold dir into its `__bucket=K` leaf dirs when the
-      * fold was written bucketed, keeping only `needed` buckets when
-      * a prune set is given; an unbucketed dir (pre-bucketing
-      * generations in an upgraded lineage, and every delta) passes
-      * through whole. Returns (paths, totalLeafCount) so reads can
-      * report the prune. */
+    /** Expand a fold dir into its bucket leaf dirs when the fold was
+      * written bucketed — `__bucket=K` (one bucket per dir) or
+      * `__brange=LO_HI` (consolidated span per dir) — keeping only
+      * the leaves `needed` buckets can live in when a prune set is
+      * given; an unbucketed dir (pre-bucketing generations in an
+      * upgraded lineage, and every delta) passes through whole.
+      * Returns (paths, totalLeafCount) so reads can report the
+      * prune. A kept `__brange` leaf still holds unprobed buckets —
+      * [[readDirs]]' pushed `__bucket` filter finishes the prune at
+      * row-group granularity. */
     private def expandBuckets(spark: SparkSession, dirs: Seq[String],
         needed: Option[Set[Int]]): (Seq[String], Int) = {
       val conf = spark.sessionState.newHadoopConf()
@@ -423,16 +452,24 @@ object StreamingQueries {
       val out = dirs.flatMap { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         val fs = p.getFileSystem(conf)
-        val kids =
+        val names =
           if (!fs.exists(p)) Seq.empty
           else fs.listStatus(p).toSeq.filter(_.isDirectory)
-            .map(_.getPath.getName).filter(_.startsWith("__bucket="))
+            .map(_.getPath.getName)
+        val kids = names.filter(n =>
+          n.startsWith("__bucket=") || n.startsWith("__brange="))
         if (kids.isEmpty) { total += 1; Seq(d) }
         else {
           total += kids.size
-          val ids = kids.map(k => (k, k.stripPrefix("__bucket=").toInt))
-          needed.fold(ids)(ns => ids.filter(kv => ns(kv._2)))
-            .map(kv => s"$d/${kv._1}")
+          kids.filter { k =>
+            needed.forall { ns =>
+              if (k.startsWith("__bucket=")) ns(k.stripPrefix("__bucket=").toInt)
+              else {
+                val Array(lo, hi) = k.stripPrefix("__brange=").split('_')
+                ns.exists(b => b >= lo.toInt && b <= hi.toInt)
+              }
+            }
+          }.map(k => s"$d/$k")
         }
       }
       (out, total)
@@ -469,14 +506,35 @@ object StreamingQueries {
 
     /** Union of explicitly-listed partition dirs with the KNOWN
       * content schema (empty frame when nothing is listed — the same
-      * no-inference rule as [[graft.ext.Layout.readBack]]). */
+      * no-inference rule as [[graft.ext.Layout.readBack]]). With a
+      * prune set, the read carries the persisted `__bucket` column
+      * (consolidated-fold files only; everywhere else it reads NULL,
+      * which the filter passes whole) and pushes
+      * `__bucket IS NULL OR __bucket IN (needed)` into the scan —
+      * inside a consolidated leaf, row groups sorted outside the
+      * probed buckets never leave disk (parquet column statistics).
+      * Exact for an equi-join on the fold's bucket keys: a filtered
+      * row's key hashes to an unprobed bucket, so it could never
+      * match. */
     private def readDirs(spark: SparkSession, content: StructType,
-        paths: Seq[String]): DataFrame =
+        paths: Seq[String],
+        needed: Option[Set[Int]] = None): DataFrame =
       if (paths.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], content)
-      else spark.read.schema(content).parquet(paths: _*)
-        .select(content.fieldNames.map(col).toIndexedSeq: _*)
+      else needed match {
+        case Some(ns) =>
+          val aug = StructType(content.fields :+
+            org.apache.spark.sql.types.StructField("__bucket",
+              org.apache.spark.sql.types.IntegerType, nullable = true))
+          spark.read.schema(aug).parquet(paths: _*)
+            .filter(col("__bucket").isNull ||
+              col("__bucket").isin(ns.toSeq: _*))
+            .select(content.fieldNames.map(col).toIndexedSeq: _*)
+        case None =>
+          spark.read.schema(content).parquet(paths: _*)
+            .select(content.fieldNames.map(col).toIndexedSeq: _*)
+      }
 
     /** All state rows from batches strictly before `id`. Returns
       * exactly the `content` columns. `needed` (from [[bucketsHit]])
@@ -527,7 +585,7 @@ object StreamingQueries {
       val deltaPaths = ds.map(n => s"$base/delta/batch_id=$n")
       readStats.put(base,
         (foldPaths.size + deltaPaths.size, foldLeafTotal + deltaPaths.size))
-      readDirs(spark, content, foldPaths ++ deltaPaths)
+      readDirs(spark, content, foldPaths ++ deltaPaths, needed)
     }
 
     /** Per-batch delta landing — [[writeBatchIdempotent]] under the
@@ -551,7 +609,26 @@ object StreamingQueries {
       val staging = new org.apache.hadoop.fs.Path(
         tPath.getParent, s".staging_${tPath.getName.replace('=', '_')}")
       fs.delete(staging, true)
-      if (bucketCols.nonEmpty) {
+      if (bucketCols.nonEmpty && nBuckets > ConsolidateOverBuckets) {
+        // CONSOLIDATED fold (high N): few __brange=LO_HI span dirs,
+        // the bucket id persisted as the SORTED leading data column —
+        // reads dir-prune to intersecting spans and finish the prune
+        // with a pushed __bucket IN filter over the column statistics
+        // (bytes-not-read), so N can track the state's file budget
+        // without multiplying files
+        val groups = math.min(nBuckets, FoldLeafGroups)
+        val perGroup = (nBuckets + groups - 1) / groups
+        df.withColumn("__bucket", bucketOf(bucketCols.map(col), nBuckets))
+          .withColumn("__brange", concat_ws("_",
+            expr(s"(__bucket div $perGroup) * $perGroup"),
+            expr(s"least($nBuckets - 1, " +
+              s"(__bucket div $perGroup) * $perGroup + $perGroup - 1)")))
+          .repartition(col("__brange"))
+          .sortWithinPartitions(
+            (Seq("__brange", "__bucket") ++ sortCols).map(col): _*)
+          .write.mode("overwrite").partitionBy("__brange")
+          .parquet(staging.toString)
+      } else if (bucketCols.nonEmpty) {
         // bucketed fold: __bucket=K subdirs on the join-key hash, one
         // writer task per bucket (repartition ON the bucket), rows
         // sorted (__bucket, sortCols) so the dynamic-partition writer
@@ -1413,6 +1490,81 @@ object StreamingQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Streaming WordPiece encode-from-artifact — the [[streamEncodeIds]]
+    * discipline for the third tokenizer (VERDICT r11 #4): the piece
+    * inventory is deep-trained and persisted ONCE
+    * ([[graft.ext.TokenizerArtifact.wordPieceWrite]]), the stream
+    * loads it once at start, and every micro-batch greedy-encodes its
+    * OWN word dict against the same loaded frame, landing per-word
+    * rows idempotently. The readback re-aggregates occurrence counts
+    * across batches (`wc` sums; the encode columns are a pure
+    * function of (word, inventory), so they group exactly) — the
+    * result must hash-equal the BATCH `wordpiece_encode` oracle
+    * VERBATIM: the stream loses nothing, duplicates nothing, and the
+    * artifact-loaded greedy encode is bit-equal to the fused
+    * train+encode. Encode is per-word pure; state-free at any scale
+    * (one ≤ alphabet+rounds broadcast per executor, batch-local word
+    * aggregation only).
+    */
+  def streamWordPieceEncode(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val base = prepareDedupStream(spark, dir, nBatches,
+      scratch = "stream_wp_encode")
+    val art = s"$base/artifact"
+    graft.ext.TokenizerArtifact.wordPieceWrite(
+      graft.sources.Tables.documents(spark, dir), art)
+    runWordPieceEncodeStream(spark, dir, base, art)
+    wordPieceStreamOutput(spark, base)
+  }
+
+  /** Start (or RESTART against the same checkpoint) the WordPiece
+    * encode stream and drain it — split out so the crash-replay spec
+    * can kill and resume it ([[runEncodeStream]]'s seam). */
+  def runWordPieceEncodeStream(spark: SparkSession, dir: String,
+      base: String, artifactDir: String,
+      afterWrites: Long => Unit = _ => ()): Unit = {
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val vocab = graft.ext.TokenizerArtifact
+      .wordPieceLoadVocab(spark, artifactDir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(s"$base/src")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val words = graft.ext.CorpusPrep.wordPieceDict(batch.toDF())
+          .select(col("word"), col("wc"))
+        val enc = graft.ext.CorpusPrep.wordPieceEncodeWith(words, vocab)
+        writeBatchIdempotent(enc, id, s"$base/out")
+        afterWrites(id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
+  /** The landed per-word encodes under `base`, re-aggregated to the
+    * batch gate's output shape (batch-local `wc` slices sum back to
+    * corpus counts; encode columns group exactly — per-word pure). */
+  def wordPieceStreamOutput(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType,
+      StructField, StructType}
+    graft.ext.Layout.readBack(spark, s"$base/out", StructType(Seq(
+        StructField("word", StringType),
+        StructField("wc", LongType),
+        StructField("n_pieces", LongType),
+        StructField("pieces", StringType),
+        StructField("is_unk", IntegerType),
+        StructField("batch_id", LongType))))
+      .groupBy(col("word"), col("n_pieces"), col("pieces"), col("is_unk"))
+      .agg(sum(col("wc")).as("wc"))
+      .select(col("word"), col("wc"), col("n_pieces"), col("pieces"),
+        col("is_unk"))
+      .orderBy(col("word"))
+  }
+
   /** The landed survivor set under `base`, in gate output shape. */
   def dedupStreamOutput(spark: SparkSession, base: String): DataFrame =
     graft.ext.Layout.readBack(spark, s"$base/out",
@@ -1457,7 +1609,8 @@ object StreamingQueries {
         enrichBySegment(graft.sources.Tables.customer(s, d)),
         Seq("segment")).orderBy(col("segment"))),
     "stream_join_attrib" -> (streamJoinAttrib _),
-    "stream_encode_ids" -> ((s, d) => streamEncodeIds(s, d))
+    "stream_encode_ids" -> ((s, d) => streamEncodeIds(s, d)),
+    "stream_wordpiece_encode" -> ((s, d) => streamWordPieceEncode(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1465,6 +1618,11 @@ object StreamingQueries {
     // must be indistinguishable from the batch train+encode — losing,
     // duplicating, or artifact-drifting any doc breaks the hash
     "stream_encode_ids" -> graft.ext.CorpusPrep.oracles("bpe_encode_ids"),
+    // same discipline for the WordPiece stream: the landed, re-
+    // aggregated per-word encodes vs the batch wordpiece_encode
+    // oracle verbatim
+    "stream_wordpiece_encode" ->
+      graft.ext.CorpusPrep.oracles("wordpiece_encode"),
     // first-batch-wins over mod-3 micro-batches: a doc survives iff
     // no doc in a SMALLER mod class shares its fingerprint (same-fp
     // docs within one batch both survive — the anti-join semantics)

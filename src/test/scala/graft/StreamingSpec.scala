@@ -821,6 +821,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(canon(StreamingQueries.encodeStreamOutput(spark, base)) === expected)
   }
 
+  test("streaming WordPiece encode-from-artifact equals the batch encode; crash-replay converges") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(String, Long, Long, String, Int)] =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getInt(4))).toSeq
+    // batch twin: the fused train+encode per-word frame
+    val expected =
+      canon(CorpusPrep.wordPieceEncodeWords(Tables.documents(spark, dir)))
+    assert(expected.nonEmpty)
+    assert(canon(StreamingQueries.streamWordPieceEncode(spark, dir))
+      === expected)
+    // crash-replay: kill after batch 1's landing but before its epoch
+    // commits — the replay must overwrite batch 1's own partition
+    // idempotently and the re-aggregated wc sums must converge to the
+    // uninterrupted per-word frame (a duplicated landing would double
+    // that batch's wc slice)
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_wp_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.wordPieceWrite(Tables.documents(spark, dir), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runWordPieceEncodeStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runWordPieceEncodeStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.wordPieceStreamOutput(spark, base))
+      === expected)
+  }
+
   test("a FAILED major fold costs read fan-in, never correctness; the next trigger recovers") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
@@ -972,6 +1014,75 @@ class StreamingSpec extends AnyFunSuite {
     assert(CompactedState.foldLeafTotal(spark, fresh, 2L) === 2)
     assert(CompactedState.foldLeafTotal(spark, fresh, 2L) <
       CompactedState.PruneMinLeaves)
+  }
+
+  test("consolidated folds (high N): few range dirs, pruned read exact, row prune via pushed filter") {
+    import graft.streaming.StreamingQueries.CompactedState
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_state_brange").toString
+    val content = StructType(Seq(StructField("k", LongType)))
+    val n = 2048 // > ConsolidateOverBuckets → the consolidated layout
+    assert(n > CompactedState.ConsolidateOverBuckets)
+    (0L to 4L).foreach { id =>
+      CompactedState.append(
+        spark.range(id * 64, id * 64 + 64).select(col("id").as("k")),
+        id, base)
+      CompactedState.maybeCompact(spark, base, content, id, cadence = 2,
+        sortCols = Seq("k"), majorRuns = 2, bucketCols = Seq("k"),
+        nBuckets = n, bucketMinBytes = 0L)
+      CompactedState.awaitCompactions(base)
+    }
+    val genDir = new java.io.File(s"$base/compact/gen=4")
+    assert(genDir.isDirectory, "major fold never committed gen=4")
+    // consolidated layout: __brange span dirs, bounded by the group
+    // budget — NOT one dir per bucket (the small-file blow-up)
+    val rangeDirs = genDir.listFiles()
+      .filter(_.getName.startsWith("__brange="))
+    assert(rangeDirs.nonEmpty, "expected __brange span dirs under gen=4")
+    assert(rangeDirs.length <= CompactedState.FoldLeafGroups)
+    assert(genDir.listFiles()
+      .count(_.getName.startsWith("__bucket=")) === 0)
+    // the spans tile [0, n) without overlap
+    val spans = rangeDirs.map { d =>
+      val Array(lo, hi) = d.getName.stripPrefix("__brange=").split('_')
+      (lo.toInt, hi.toInt)
+    }.sortBy(_._1)
+    spans.foreach { case (lo, hi) => assert(lo >= 0 && hi < n && lo <= hi) }
+    assert(spans.sliding(2).forall {
+      case Array((_, h1), (l2, _)) => l2 > h1
+      case _ => true
+    }, "overlapping bucket spans")
+    def keysOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.collect().map(_.getLong(0)).toSet
+    // unpruned read resolves the full history through the span dirs
+    assert(keysOf(CompactedState.read(spark, base, content, 5L)) ===
+      (0L until 320L).toSet)
+    // pruned read: every probed key returned, nothing foreign, fewer
+    // leaf dirs opened than the layout holds, and the pushed filter
+    // keeps only rows of probed buckets (the bytes-not-read path)
+    val probe = Seq(3L, 77L, 310L).toDF("k")
+    val hit = CompactedState.bucketsHit(probe, Seq(col("k")), n)
+    val prunedDf = CompactedState.read(spark, base, content, 5L, Some(hit))
+    val pruned = keysOf(prunedDf)
+    assert(Set(3L, 77L, 310L).subsetOf(pruned))
+    assert(pruned.subsetOf((0L until 320L).toSet))
+    val (opened, total) = CompactedState.readStats.get(base)
+    assert(opened < total,
+      s"prune opened $opened of $total leaf paths — no dir pruning")
+    // row-level prune: surviving FOLD rows must hash into probed
+    // buckets (delta rows pass unfiltered — batch 4's delta holds
+    // keys 256..319, excluded below)
+    val foldRows = pruned.filter(_ < 256L)
+    foldRows.foreach { k =>
+      val b = spark.range(1).select(
+        CompactedState.bucketOf(Seq(lit(k)), n)).head().getInt(0)
+      assert(hit.contains(b),
+        s"fold row $k (bucket $b) survived outside the probe set $hit")
+    }
+    // the prune is exact for the equi-join the state exists for
+    assert(probe.join(prunedDf, Seq("k"), "left_semi").count() === 3L)
   }
 
   test("state compaction: 6-batch run equals the compaction-free run; stale deltas GC'd") {
