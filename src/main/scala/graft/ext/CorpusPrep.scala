@@ -2098,7 +2098,13 @@ object CorpusPrep {
       .agg(map_from_entries(collect_list(
         struct(col("key"), col("key").as("v")))).as("m"))
     val len = length(col("word"))
-    val stepped = words.join(probes, Seq("word"), "left")
+    // dict-derived × dict-derived join-back: merge-hinted, never a
+    // broadcast — probes is WORD-DICT-sized and its explode lineage
+    // defeats size estimation (when `wordsIn` is a literal or
+    // artifact-read frame the static planner guessed probes small
+    // and broadcast it — the PlanAudit failure signature; the
+    // in-lineage path already planned SMJ here)
+    val stepped = words.join(probes.hint("merge"), Seq("word"), "left")
       .withColumn("st", aggregate(
         sequence(lit(1), len),
         struct(lit(1).as("pos"), lit(0).as("np"), lit("").as("path"),
@@ -2322,6 +2328,78 @@ object CorpusPrep {
       : Seq[(Int, String, String, Long, Long, Long, Long)] =
     wordPieceDeepLoop(dictRows, rounds)._1
 
+  /** Per-DOCUMENT WordPiece encode — the BERT tokenization shape
+    * ([[bpeEncodeIds]]'s role for the third tokenizer): documents
+    * explode to eligible tokens, each token resolves through the
+    * per-word trained encode (a dict-sized equi-join — the word dict
+    * is collect-capped state at the trainer but needs no broadcast
+    * contract here: tokens co-shuffle with their words, the standard
+    * corpus-tokenization join), and per-doc aggregation emits token/
+    * piece/unk counts plus an order-exact digest of the piece strings
+    * (a whole-word `[UNK]` contributes ONE piece, BERT semantics).
+    * Corpus-sized work: one token explode + one keyed join — no
+    * driver data, no rescans; the trained inventory is derived once
+    * from the same materialized base dict as the per-word gate. */
+  def wordPieceEncodeDocs(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = wordPieceDict(docs).localCheckpoint()
+    val (_, vocab) = wordPieceTrainWith(base, rounds)
+    val byWord = wordPieceEncodeWith(base.select(col("word"), col("wc")),
+        vocab.toDF("piece"))
+      .select(col("word"),
+        when(col("is_unk") === 1, lit(1L)).otherwise(col("n_pieces"))
+          .as("np"),
+        col("pieces").as("ps"), col("is_unk").cast("long").as("unk"))
+    val toks = docs.select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "word")))
+      .filter(col("word").rlike("^[a-z0-9]+$") &&
+        length(col("word")) >= 2 &&
+        length(col("word")) <= WordPieceMaxWordLen)
+    // token-stream join-back: merge-hinted, never broadcast — byWord
+    // is WORD-DICT-sized (uncapped, unlike bpeEncodeIds' ≤ cap ids
+    // map), and its explode-derived lineage defeats size estimation
+    // (the PlanAudit failure signature); same discipline as the
+    // unigram encode join-back
+    val agg = toks.join(byWord.hint("merge"), "word")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("unk")).as("n_unk"),
+        sum(col("np")).as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("ps")))),
+          x => x.getField("ps")), " ")).as("pieces_md5"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces_md5"), md5(lit(""))).as("pieces_md5"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Per-language WordPiece fertility (pieces per eligible token
+    * ×100) + whole-word unk share (×10⁴) — [[bpeFertilityByLang]]'s
+    * twin over the per-document encode; exact integer ratios,
+    * ANSI-safe NULL on a zero-token language. */
+  def wordPieceFertilityByLang(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame =
+    wordPieceEncodeDocs(docs, rounds)
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("n_unk")).as("n_unk"))
+      .withColumn("fertility_x100",
+        expr("CASE WHEN n_tokens = 0 THEN NULL" +
+          " ELSE n_pieces * 100 div n_tokens END"))
+      .withColumn("unk_x10k",
+        expr("CASE WHEN n_tokens = 0 THEN NULL" +
+          " ELSE n_unk * 10000 div n_tokens END"))
+      .orderBy(col("lang"))
+
   /** WordPiece vocabulary cap for the ARTIFACT cross-corpus gates —
     * the `vocab_size` knob every production WordPiece carries (BERT:
     * 30 522): the persisted inventory keeps only the top-cap pieces
@@ -2404,6 +2482,15 @@ object CorpusPrep {
     // in-lineage encode's identical oracle
     "wordpiece_encode_deep" -> ((s, d) =>
       wordPieceEncodeDeep(Tables.documents(s, d))),
+    // per-DOCUMENT encode (the BERT tokenization shape): token
+    // explode + keyed join to the per-word encodes, order-exact
+    // piece digest per doc
+    "wordpiece_encode_docs" -> ((s, d) =>
+      wordPieceEncodeDocs(Tables.documents(s, d))),
+    // per-language fertility + whole-word unk share over the same
+    // chain — the bpe_fertility_by_lang twin
+    "wordpiece_fertility_by_lang" -> ((s, d) =>
+      wordPieceFertilityByLang(Tables.documents(s, d))),
     // the deep (collected-dict) trainer gated at the oracle's unroll
     // depth: driver-loop semantics vs the independent SQL merge chain;
     // CorpusPrepSpec extends the equivalence to exhaustion depth
@@ -2893,6 +2980,74 @@ object CorpusPrep {
          |ORDER BY word""".stripMargin
   }
 
+  /** The per-document tail over the greedy-unroll CTEs: per-word
+    * piece strings (UNK = one `[UNK]` piece), document tokens
+    * re-derived with the SAME eligibility filter, order-exact digest
+    * via `string_agg ORDER BY` position — the independent
+    * re-derivation of [[wordPieceEncodeDocs]]' reassembly (the
+    * engine's struct-sort fold vs SQL ordered aggregation, per the
+    * oracle-independence discipline). */
+  private def wordPieceDocsTailSql: String =
+    s"""wenc AS MATERIALIZED (SELECT word,
+       |        CAST(CASE WHEN dead THEN 1 ELSE np END AS BIGINT) AS np,
+       |        CASE WHEN dead THEN '[UNK]' ELSE path[2:] END AS ps,
+       |        CAST(dead AS BIGINT) AS unk
+       |        FROM g$WordPieceMaxWordLen),
+       |dwp AS (SELECT doc_id, list_filter($W, x ->
+       |         regexp_full_match(x, '[a-z0-9]+')
+       |         AND len(x) BETWEEN 2 AND $WordPieceMaxWordLen) AS ws
+       |        FROM documents),
+       |tokp AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
+       |                d.ws[CAST(t.i AS INTEGER)] AS word
+       |         FROM dwp d, unnest(range(1, len(d.ws) + 1)) t(i)),
+       |eaggp AS (SELECT tok.doc_id, count(*) AS n_tokens,
+       |                 CAST(sum(w.unk) AS BIGINT) AS n_unk,
+       |                 CAST(sum(w.np) AS BIGINT) AS n_pieces,
+       |                 md5(string_agg(w.ps, ' ' ORDER BY tok.wpos))
+       |                   AS pieces_md5
+       |          FROM tokp tok JOIN wenc w USING (word)
+       |          GROUP BY 1)""".stripMargin
+
+  /** `wordpiece_encode_docs` oracle: per-doc digests, zero-eligible
+    * docs re-attached (the engine's left join keeps them). */
+  private def wordPieceEncodeDocsOracleSql(rounds: Int): String = {
+    val base = wordPieceEncodeOracleSql(rounds)
+    val cut = base.lastIndexOf("SELECT word, wc,")
+    base.substring(0, cut).stripTrailing() + ",\n" +
+      wordPieceDocsTailSql + "\n" +
+      s"""SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+         |       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |       coalesce(a.pieces_md5, md5('')) AS pieces_md5
+         |FROM documents d LEFT JOIN eaggp a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** `wordpiece_fertility_by_lang` oracle: the same chain folded per
+    * language with exact integer ratios. */
+  private def wordPieceFertilityOracleSql(rounds: Int): String = {
+    val base = wordPieceEncodeOracleSql(rounds)
+    val cut = base.lastIndexOf("SELECT word, wc,")
+    base.substring(0, cut).stripTrailing() + ",\n" +
+      wordPieceDocsTailSql + "\n" +
+      s"""SELECT d.lang,
+         |       count(*) AS n_docs,
+         |       CAST(sum(coalesce(a.n_tokens, 0)) AS BIGINT) AS n_tokens,
+         |       CAST(sum(coalesce(a.n_pieces, 0)) AS BIGINT) AS n_pieces,
+         |       CAST(sum(coalesce(a.n_unk, 0)) AS BIGINT) AS n_unk,
+         |       CASE WHEN sum(coalesce(a.n_tokens, 0)) = 0 THEN NULL
+         |            ELSE CAST(sum(coalesce(a.n_pieces, 0)) * 100
+         |                      // sum(coalesce(a.n_tokens, 0)) AS BIGINT)
+         |       END AS fertility_x100,
+         |       CASE WHEN sum(coalesce(a.n_tokens, 0)) = 0 THEN NULL
+         |            ELSE CAST(sum(coalesce(a.n_unk, 0)) * 10000
+         |                      // sum(coalesce(a.n_tokens, 0)) AS BIGINT)
+         |       END AS unk_x10k
+         |FROM documents d LEFT JOIN eaggp a USING (doc_id)
+         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+  }
+
   /** Corpus-level unk-rate twin of the cross-corpus WordPiece encode:
     * the same trained chain + greedy unroll, folded to ONE row of
     * occurrence-weighted unk shares (exact integer ×10⁴ ratio — the
@@ -3002,6 +3157,9 @@ object CorpusPrep {
     "wordpiece_encode" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
     "wordpiece_merge_deep" -> wordPieceMergesOracleSql(WordPieceRoundsN),
     "wordpiece_encode_deep" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
+    "wordpiece_encode_docs" -> wordPieceEncodeDocsOracleSql(WordPieceRoundsN),
+    "wordpiece_fertility_by_lang" ->
+      wordPieceFertilityOracleSql(WordPieceRoundsN),
     "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),
     "bpe_encode_stats" -> bpeEncodeOracleSql(BpeMergeRoundsN),
     "bpe_encode_ids" -> bpeEncodeIdsOracleSql(BpeMergeRoundsN),

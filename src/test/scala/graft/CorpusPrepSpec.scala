@@ -941,6 +941,39 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(deep.toSeq === dist.toSeq)
   }
 
+  test("wordpiece per-doc encode: digest reassembles the per-word encodes in token order") {
+    val docs = docsOf(
+      0L -> "abcd abcd xy zz abcd ab",   // repeats + order matter
+      1L -> "Hello a supercalifragilisticexpialidocious ab cd", // caps,
+      // 1-char and >24-char tokens are INELIGIBLE and must vanish
+      2L -> "")                          // zero eligible tokens
+    val byWord = CorpusPrep.wordPieceEncodeWords(docs)
+      .collect().map(r => r.getString(0) ->
+        ((if (r.getInt(4) == 1) 1L else r.getLong(2)),
+          r.getString(3))).toMap
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val eligible = "^[a-z0-9]+$".r
+    def expected(text: String): (Long, Long, Long, String) = {
+      val toks = text.toLowerCase.trim.split("\\s+").toSeq
+        .filter(w => eligible.matches(w) && w.length >= 2 &&
+          w.length <= CorpusPrep.WordPieceMaxWordLen)
+      val parts = toks.map(byWord(_))
+      (toks.size.toLong,
+        parts.count(_._2 == "[UNK]").toLong,
+        parts.map(_._1).sum,
+        md5hex(parts.map(_._2).mkString(" ")))
+    }
+    val got = CorpusPrep.wordPieceEncodeDocs(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) === expected("abcd abcd xy zz abcd ab"))
+    assert(got(1L) ===
+      expected("Hello a supercalifragilisticexpialidocious ab cd"))
+    assert(got(2L) === ((0L, 0L, 0L, md5hex(""))))
+  }
+
   test("wordpiece dead path: a stranded greedy match lands the whole word on [UNK]") {
     import spark.implicits._
     // inventory without ##d: greedy on "abd" takes "ab" (longest) then
