@@ -15,7 +15,10 @@
 set -euo pipefail
 cd "$(dirname "$0")/.."
 LOG="${1:?usage: readme_testcount.sh <sbt-test-log>}"
-N=$(grep -oE 'Tests: succeeded [0-9]+, failed 0' "$LOG" | tail -1 \
+# the AGGREGATE sbt summary ("Passed: Total N, Failed 0") — the
+# per-framework "Tests: succeeded" line counts ScalaTest only and
+# misses the ScalaCheck properties (PropertiesSpec's 8)
+N=$(grep -oE 'Passed: Total [0-9]+, Failed 0' "$LOG" | tail -1 \
     | grep -oE '[0-9]+' | head -1)
 [ -n "${N:-}" ] || { echo "no passing test summary in $LOG" >&2; exit 1; }
 grep -q '<!--testcount-->' README.md || {
