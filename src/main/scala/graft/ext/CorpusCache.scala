@@ -25,6 +25,7 @@ import org.apache.spark.storage.StorageLevel
   */
 object CorpusCache {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val checkpoints = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
   /** Persist `df` at MEMORY_AND_DISK and track it for release.
     * Idempotent per logical plan: CacheManager keys by plan, so a
@@ -40,16 +41,44 @@ object CorpusCache {
     df
   }
 
-  /** Unpersist every tracked frame; returns how many were released. */
+  /** `localCheckpoint` + track for release (ADVICE r12): checkpoint
+    * blocks belong to the truncated-lineage RDD, not the CacheManager,
+    * so `Dataset.unpersist` cannot free them — untracked, each
+    * tokenizer gate/fuzz invocation left one dict's blocks resident
+    * for the session's lifetime. STRONGER contract than [[cache]]:
+    * releasing a checkpoint drops the only copy of its data (lineage
+    * is gone), so a frame returned before [[releaseAll]] must not be
+    * re-evaluated after it. The registered call sites all create a
+    * fresh checkpoint per invocation and the run entry points release
+    * only at run boundaries (after full evaluation), which satisfies
+    * that by construction. */
+  def checkpoint(df: DataFrame): DataFrame = synchronized {
+    val out = df.localCheckpoint()
+    checkpoints += out
+    out
+  }
+
+  /** Unpersist every tracked frame and every tracked checkpoint's
+    * materialized RDD; returns how many were released. */
   def releaseAll(blocking: Boolean = false): Int = synchronized {
-    val n = tracked.size
+    val n = tracked.size + checkpoints.size
     tracked.foreach(_.unpersist(blocking))
     tracked.clear()
+    checkpoints.foreach(f =>
+      org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(f)
+        .foreach(_.unpersist(blocking)))
+    checkpoints.clear()
     n
   }
 
-  /** Tracked frames still holding a storage level (for tests). */
+  /** Tracked frames still holding a storage level (for tests).
+    * Checkpoints report through their materialized RDD —
+    * `Dataset.storageLevel` consults the CacheManager, which never
+    * knew about them. */
   def lingering: Seq[DataFrame] = synchronized {
-    tracked.filter(_.storageLevel != StorageLevel.NONE).toSeq
+    (tracked.filter(_.storageLevel != StorageLevel.NONE) ++
+      checkpoints.filter(f =>
+        org.apache.spark.sql.graftbridge.Bridge.checkpointedRdd(f)
+          .exists(_.getStorageLevel != StorageLevel.NONE))).toSeq
   }
 }

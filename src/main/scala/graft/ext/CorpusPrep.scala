@@ -494,10 +494,31 @@ object CorpusPrep {
     * gated path's own). */
   def bpeDictCollect(docs: DataFrame,
       dictCap: Int = BpeDictCap): Array[(String, Long)] =
-    bpeWordDict(docs)
+    warnIfDictCapped(bpeWordDict(docs)
       .orderBy(col("wc").desc, col("word")).limit(dictCap)
       .select(col("word"), col("wc")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1))), dictCap, "bpeDictCollect")
+
+  /** Loud cap signal for the deep trainers' dictionary collects
+    * (ADVICE r12): truncation at `dictCap` is a legitimate production
+    * knob (train on the top-cap words by (wc desc, word) — the
+    * deterministic order CorpusPrepSpec pins), but the deep GATES are
+    * hash-checked against FULL-dict oracles, so a corpus whose
+    * vocabulary exceeds the cap would silently drift from them (the
+    * deep encode's word spine shrinks with the dict, making the drift
+    * invisible until a hash mismatch). A limit that returns exactly
+    * `dictCap` rows means the cap bound (or the corpus met it exactly
+    * — indistinguishable): say so loudly instead of drifting in
+    * silence. */
+  private def warnIfDictCapped(rows: Array[(String, Long)],
+      dictCap: Int, what: String): Array[(String, Long)] = {
+    if (rows.length >= dictCap)
+      Console.err.println(s"[$what] collected dictionary FILLED " +
+        s"dictCap=$dictCap rows — training proceeds on the top-$dictCap " +
+        "words by (wc desc, word); full-dict oracles and encode spines " +
+        "will NOT match a cap-bound corpus")
+    rows
+  }
 
   def bpeTrainDeep(docs: DataFrame, rounds: Int,
       dictCap: Int = BpeDictCap): DataFrame = {
@@ -1269,10 +1290,9 @@ object CorpusPrep {
       // ONE base DP job per round, materialized, feeding both the
       // usage aggregate and the exclusion-loss derivation (the loss
       // lineage would otherwise re-run the identical DP)
-      val base = viterbiDp(words, vdf)
+      val base = CorpusCache.checkpoint(viterbiDp(words, vdf)
         .select(col("word"), col("wc"),
-          col("total_cost").as("base_cost"), col("path"))
-        .localCheckpoint()
+          col("total_cost").as("base_cost"), col("path")))
       val usage = base
         .select(col("wc"),
           explode(split(col("path"), UnigramPathSep)).as("piece"))
@@ -1578,10 +1598,9 @@ object CorpusPrep {
       .toSeq
     for (_ <- 2 to rounds) {
       val vdf = model.toDF("piece", "freq", "cost")
-      val base = viterbiDp(words, vdf)
+      val base = CorpusCache.checkpoint(viterbiDp(words, vdf)
         .select(col("word"), col("wc"),
-          col("total_cost").as("base_cost"), col("path"))
-        .localCheckpoint()
+          col("total_cost").as("base_cost"), col("path")))
       val usage = unigramSoftMarginalsFrom(words, vdf,
           base.select(col("word"), col("base_cost").as("total_cost")))
         .groupBy(col("piece"))
@@ -1999,7 +2018,7 @@ object CorpusPrep {
                     array(lit(wpMerged(p, q)))))
                   .otherwise(concat(acc, array(x)))))
             if (r % WordPieceCheckpointEvery == 0)
-              dict = dict.localCheckpoint()
+              dict = CorpusCache.checkpoint(dict)
             r += 1
         }
       }
@@ -2050,16 +2069,17 @@ object CorpusPrep {
   def wordPieceEncodeWords(docs: DataFrame,
       rounds: Int = WordPieceRoundsN): DataFrame = {
     // ONE corpus scan for the whole gate: the base dict materializes
-    // eagerly (localCheckpoint — it must outlive this call, since the
-    // returned frame is lazy and a persist would have to be released
-    // before the caller ever evaluates it), training folds over the
-    // materialized partitions, and the encode's word list reads the
-    // SAME frame — previously the word list re-derived the corpus
-    // dict unpersisted while training persisted its own copy (ADVICE
-    // round 11, measured as one full extra corpus shuffle per run)
+    // eagerly (a TRACKED localCheckpoint — it must outlive this call,
+    // since the returned frame is lazy; CorpusCache.releaseAll frees
+    // the blocks at the harness run boundary, ADVICE r12), training
+    // folds over the materialized partitions, and the encode's word
+    // list reads the SAME frame — previously the word list re-derived
+    // the corpus dict unpersisted while training persisted its own
+    // copy (ADVICE round 11, measured as one full extra corpus
+    // shuffle per run)
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = wordPieceDict(docs).localCheckpoint()
+    val base = CorpusCache.checkpoint(wordPieceDict(docs))
     val (_, vocab) = wordPieceTrainWith(base, rounds)
     wordPieceEncodeWith(base.select(col("word"), col("wc")),
       vocab.toDF("piece"))
@@ -2150,10 +2170,11 @@ object CorpusPrep {
     * same memory-resident-state contract, the same cap discipline. */
   def wordPieceDictCollect(docs: DataFrame,
       dictCap: Int = BpeDictCap): Array[(String, Long)] =
-    wordPieceDict(docs)
+    warnIfDictCapped(wordPieceDict(docs)
       .orderBy(col("wc").desc, col("word")).limit(dictCap)
       .select(col("word"), col("wc")).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
+      .map(r => (r.getString(0), r.getLong(1))), dictCap,
+      "wordPieceDictCollect")
 
   /** PRODUCTION-DEPTH WordPiece training — [[bpeDeepLoop]]'s
     * discipline (collect the vocabulary-bounded dict once, merge at
@@ -2344,7 +2365,7 @@ object CorpusPrep {
       rounds: Int = WordPieceRoundsN): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val base = wordPieceDict(docs).localCheckpoint()
+    val base = CorpusCache.checkpoint(wordPieceDict(docs))
     val (_, vocab) = wordPieceTrainWith(base, rounds)
     val byWord = wordPieceEncodeWith(base.select(col("word"), col("wc")),
         vocab.toDF("piece"))

@@ -102,7 +102,7 @@ object TokenizerArtifact {
     * artifact at stream start and every micro-batch encodes against
     * the SAME frame (vocabulary-bounded, so pinning it is megabytes). */
   def bpeLoadVocab(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/bpe_vocab").localCheckpoint()
+    CorpusCache.checkpoint(spark.read.parquet(s"$dir/bpe_vocab"))
 
   /** Encode through an ALREADY-LOADED vocab frame ([[bpeLoadVocab]]) —
     * the same core as [[bpeEncodeIds]] minus the per-call artifact
@@ -146,7 +146,7 @@ object TokenizerArtifact {
     * streaming encode's per-batch probe frame ([[bpeLoadVocab]]'s
     * seam for the third tokenizer). */
   def wordPieceLoadVocab(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/wordpiece_vocab").localCheckpoint()
+    CorpusCache.checkpoint(spark.read.parquet(s"$dir/wordpiece_vocab"))
 
   /** Greedy-encode a corpus's word dict through a PERSISTED WordPiece
     * artifact — the identical encode core as
@@ -270,9 +270,11 @@ object TokenizerArtifact {
     // train-on-A / encode-on-B under the production vocab_size cap:
     // odd-half words needing a truncated piece (the fixture halves
     // share their alphabet, so the CAP is what strands — rare `##`
-    // continuations fall outside the top-40) land on the whole-word
-    // [UNK] path — the only gate where that path carries real
-    // (non-crafted) traffic under the oracle (VERDICT r11 #3)
+    // continuations fall outside the top-cap, see
+    // CorpusPrep.WordPieceVocabCap for the sized-to-bind numbers)
+    // land on the whole-word [UNK] path — the only gate where that
+    // path carries real (non-crafted) traffic under the oracle
+    // (VERDICT r11 #3)
     "wordpiece_artifact_cross_encode" -> ((s, d) => {
       val dir = RunScratch.dir("wordpiece_artifact_x", d)
       val docs = Tables.documents(s, d)

@@ -464,9 +464,18 @@ object StreamingQueries {
           kids.filter { k =>
             needed.forall { ns =>
               if (k.startsWith("__bucket=")) ns(k.stripPrefix("__bucket=").toInt)
-              else {
-                val Array(lo, hi) = k.stripPrefix("__brange=").split('_')
-                ns.exists(b => b >= lo.toInt && b <= hi.toInt)
+              else k.stripPrefix("__brange=").split('_') match {
+                // defensive parse (ADVICE r12): a malformed span dir
+                // (rename debris, a future layout) must name itself
+                // in the failure instead of surfacing as a bare
+                // MatchError deep inside a state read
+                case Array(lo, hi) if lo.forall(_.isDigit) &&
+                    hi.forall(_.isDigit) =>
+                  ns.exists(b => b >= lo.toInt && b <= hi.toInt)
+                case _ => throw new IllegalStateException(
+                  s"unparseable consolidated-fold dir '$k' under $d — " +
+                    "expected __brange=LO_HI with numeric bounds; the " +
+                    "state root holds foreign or truncated debris")
               }
             }
           }.map(k => s"$d/$k")
@@ -968,6 +977,29 @@ object StreamingQueries {
     * driver; the final small result table is read back once for the
     * gate, exactly the reference's "query the MySQL table" step.
     */
+  /** Row cap for the replay harnesses' final collects (VERDICT r12
+    * #8): these sinks hold per-key aggregates of a fixture replay —
+    * verification-sized by construction — and the collect exists only
+    * to re-root the result in a one-partition frame. The cap makes
+    * that contract EXECUTABLE: a future caller pointing a replay at
+    * an unbounded result fails loudly before the driver absorbs it
+    * (these three sites are the pattern a contributor would copy). */
+  val VerificationCollectMaxRows = 1000000
+
+  /** Bounded collect: `limit(cap + 1)` bounds the driver transfer
+    * itself (not post-hoc), and the one overflow row — if present —
+    * trips the contract by name. */
+  private[graft] def collectVerificationSized(out: DataFrame,
+      maxRows: Int = VerificationCollectMaxRows)
+      : Seq[org.apache.spark.sql.Row] = {
+    val rows = out.limit(maxRows + 1).collect()
+    require(rows.length <= maxRows,
+      s"verification-sized collect exceeded $maxRows rows — the replay " +
+        "harnesses exist for fixture-sized results; land an unbounded " +
+        "result through a sink, never through the driver")
+    rows.toSeq
+  }
+
   def replay(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame, keys: Seq[String],
       outputMode: String = "update"): DataFrame = {
@@ -991,7 +1023,7 @@ object StreamingQueries {
     // in-memory database — repeated replays would otherwise keep one
     // Derby instance alive per call for the JVM's lifetime
     val out = sink.toDF(spark)
-    val rows = out.collect().toSeq
+    val rows = collectVerificationSized(out)
     try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
     catch { case e: java.sql.SQLException if e.getSQLState == "08006" => () }
     spark.createDataFrame(
@@ -1019,7 +1051,7 @@ object StreamingQueries {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try { q.processAllAvailable() } finally q.stop()
     val out = spark.table(name)
-    val rows = out.collect().toSeq // verification-sized final state
+    val rows = collectVerificationSized(out) // executable size contract
     spark.catalog.dropTempView(name)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }
@@ -1101,7 +1133,7 @@ object StreamingQueries {
       finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     try { q.processAllAvailable() } finally q.stop()
     val out = spark.table(name)
-    val rows = out.collect().toSeq // verification-sized final state
+    val rows = collectVerificationSized(out) // executable size contract
     spark.catalog.dropTempView(name)
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
   }

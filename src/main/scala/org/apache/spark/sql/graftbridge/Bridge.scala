@@ -33,4 +33,16 @@ object Bridge {
       schema: StructType): DataFrame =
     spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
       .internalCreateDataFrame(rdd, schema, isStreaming = false)
+
+  /** The materialized RDD behind a `localCheckpoint`ed frame (its
+    * analyzed plan is the checkpoint's `LogicalRDD` leaf), if the
+    * frame is one. `Dataset.unpersist` cannot release checkpoint
+    * blocks — they belong to the truncated-lineage RDD, not the
+    * CacheManager — so lifecycle owners (graft.ext.CorpusCache)
+    * unpersist this RDD directly. */
+  def checkpointedRdd(df: DataFrame): Option[RDD[_]] =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => Some(lr.rdd)
+      case _ => None
+    }
 }

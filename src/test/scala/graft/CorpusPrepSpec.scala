@@ -1035,4 +1035,24 @@ class CorpusPrepSpec extends AnyFunSuite {
     // own final symbol path, so unk here would require a longest-match
     // deviation this tiny fixture doesn't produce
   }
+
+  test("deep dict collects warn loudly when dictCap binds (ADVICE r12)") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa bb cc dd ee ff")).toDF("doc_id", "text")
+    def stderrOf(f: => Unit): String = {
+      val buf = new java.io.ByteArrayOutputStream()
+      Console.withErr(buf)(f)
+      buf.toString
+    }
+    val w1 = stderrOf(
+      assert(CorpusPrep.wordPieceDictCollect(docs, dictCap = 3).length === 3))
+    assert(w1.contains("dictCap=3") && w1.contains("wordPieceDictCollect"))
+    val w2 = stderrOf(
+      assert(CorpusPrep.bpeDictCollect(docs, dictCap = 3).length === 3))
+    assert(w2.contains("dictCap=3") && w2.contains("bpeDictCollect"))
+    // comfortably under the cap: silent
+    assert(stderrOf(
+      assert(CorpusPrep.wordPieceDictCollect(docs, dictCap = 100)
+        .length === 6)).isEmpty)
+  }
 }

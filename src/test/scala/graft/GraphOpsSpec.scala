@@ -162,4 +162,17 @@ class GraphOpsSpec extends AnyFunSuite {
       "no MEMORY_AND_DISK entries may outlive the run boundary")
     assert(CorpusCache.releaseAll() === 0, "release is idempotent")
   }
+
+  test("tracked checkpoints release with the run boundary (ADVICE r12)") {
+    import spark.implicits._
+    CorpusCache.releaseAll()
+    val ck = CorpusCache.checkpoint(
+      (0 until 50).map(i => (i.toLong, s"w$i")).toDF("id", "w"))
+    assert(ck.count() === 50)
+    assert(CorpusCache.lingering.nonEmpty,
+      "checkpoint blocks are tracked while live")
+    assert(CorpusCache.releaseAll() > 0)
+    assert(CorpusCache.lingering.isEmpty,
+      "checkpoint blocks must not outlive the run boundary")
+  }
 }

@@ -1122,4 +1122,15 @@ class StreamingSpec extends AnyFunSuite {
     assert(!new java.io.File(s"$base/state/compact").listFiles()
       .exists(_.getName.startsWith(".staging_")))
   }
+
+  test("verification collects are bounded and trip past the cap (r12 #8)") {
+    import spark.implicits._
+    val df = spark.range(10).toDF("n")
+    assert(StreamingQueries.collectVerificationSized(df, maxRows = 20)
+      .size === 10)
+    val e = intercept[IllegalArgumentException] {
+      StreamingQueries.collectVerificationSized(df, maxRows = 5)
+    }
+    assert(e.getMessage.contains("verification-sized"))
+  }
 }
