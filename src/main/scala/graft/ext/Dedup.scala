@@ -123,6 +123,13 @@ object Dedup {
           tokensNorm(col("text")), shingleK)).as("sh"))
       .filter(size(col("sh")) > 0))
 
+  /** Default LSH band count — named so consumers sizing per-batch
+    * band-key volume (the streaming near-dup's probe-saturation
+    * break-even, VERDICT r12 #1) derive from the same constant the
+    * banding uses: ≤ docs × [[DefaultMinhashBands]] band rows per
+    * batch. */
+  val DefaultMinhashBands = 16
+
   /** (doc_id, band, band_key): the banded signature keys — the whole
     * LSH candidate-generation state, and the other aux input to the
     * minhash oracle. Band keys are a pure arithmetic combine of
@@ -132,7 +139,8 @@ object Dedup {
     * the shingle arrays (which would multiply shuffle volume by
     * document size × bands).
     */
-  def minhashBandKeys(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+  def minhashBandKeys(docs: DataFrame,
+      bands: Int = DefaultMinhashBands, rowsPerBand: Int = 4,
       shingleK: Int = 3): DataFrame = {
     val numHashes = bands * rowsPerBand
     minhashShingles(docs, shingleK)

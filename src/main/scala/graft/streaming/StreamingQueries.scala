@@ -399,6 +399,37 @@ object StreamingQueries {
       probe.select(bucketOf(keys, n).as("__b")).distinct()
         .collect().map(_.getInt(0)).toSet
 
+    /** Expected fraction of an N-bucket layout that a probe of `k`
+      * (not-necessarily-distinct) keys hits under uniform hashing:
+      * 1 − (1 − 1/n)^k. Callers pass the probe ROW count for `k` — an
+      * upper bound on its distinct keys — which biases the estimate
+      * HIGH, i.e. toward skipping the prune: the safe direction,
+      * since an unpruned read is exact (only slower), while the
+      * bound needs no extra distinct-count job. */
+    def expectedSaturation(k: Long, n: Int): Double =
+      1.0 - math.pow(1.0 - 1.0 / math.max(1, n), k.toDouble)
+
+    /** Probe-saturation break-even (VERDICT r12 #1): above this
+      * expected hit fraction, a pruned read SKIPS the [[bucketsHit]]
+      * job and the pushed `__bucket` filter and reads the state
+      * unpruned — a probe that blankets the buckets pays the prune
+      * machinery to save (almost) no reads. Measured basis (the
+      * round-12 consolidated-fold rehearsal, BASELINE.md): 50-doc
+      * probes at N=2048 — 800 band keys, expected saturation ≈ 0.32 —
+      * won 0.73–0.84× CONTROL with the prune ON; 500-doc probes —
+      * 8000 keys, ≈ 0.98 — paid 1.6–1.8× CONTROL for the prune job +
+      * filter at a batch size where reads aren't the floor. 0.75
+      * splits the regimes with margin on both sides (and bypasses the
+      * always-saturated N=64 band reads the round-11 arms documented
+      * as point-lookup-only). */
+    val PruneMaxSaturation = 0.75
+
+    /** Should a read pay for a prune set, given the probe's key-count
+      * upper bound? Callers gate on the leaf floor
+      * ([[PruneMinLeaves]]) first; this adds the saturation ceiling. */
+    def pruneWorthwhile(probeKeys: Long, n: Int): Boolean =
+      expectedSaturation(probeKeys, n) <= PruneMaxSaturation
+
     /** Fold-leaf count below which computing a [[bucketsHit]] prune
       * set cannot pay for itself: the prune set costs one (small)
       * Spark job per read, so against a state of fewer leaf files
@@ -1370,14 +1401,24 @@ object StreamingQueries {
           // Both history reads are BUCKET-PRUNED (round 11) once the
           // state outgrows PruneMinLeaves (below it, computing the
           // prune set costs more than the opens it saves — gate-scale
-          // batches take the exact pre-bucketing path): the band
-          // index opens only buckets the batch's band keys hash into,
-          // and the shingle index opens only buckets holding a
-          // CANDIDATE's doc_hist — candidate-proportional fan-in on
-          // the wide (shingle-array) state, exact by the equi-join/
-          // shared-bucket argument in CompactedState.read.
-          val pruneBands = CompactedState.foldLeafTotal(s, bandsDir, id) >=
-            CompactedState.PruneMinLeaves
+          // batches take the exact pre-bucketing path) AND the probe
+          // stays under the saturation break-even (round 13, VERDICT
+          // r12 #1: a probe whose keys would blanket the buckets pays
+          // the bucketsHit job + pushed filter to save almost no
+          // reads — measured 1.6–1.8× CONTROL on 500-doc probes at
+          // N=2048; such batches read unpruned, exact either way):
+          // the band index opens only buckets the batch's band keys
+          // hash into, and the shingle index opens only buckets
+          // holding a CANDIDATE's doc_hist — candidate-proportional
+          // fan-in on the wide (shingle-array) state, exact by the
+          // equi-join/shared-bucket argument in CompactedState.read.
+          val largeBandState = CompactedState.foldLeafTotal(s, bandsDir,
+            id) >= CompactedState.PruneMinLeaves
+          // lazy: below the leaf floor (gate scale) no decision needs
+          // the count, and the pre-bucketing path stays count-free
+          lazy val batchDocs = cached.count()
+          val pruneBands = largeBandState && CompactedState.pruneWorthwhile(
+            batchDocs * graft.ext.Dedup.DefaultMinhashBands, nBuckets)
           val hBands = CompactedState.read(s, bandsDir, bandContent, id,
             if (pruneBands) Some(CompactedState.bucketsHit(bBands,
               Seq(col("band"), col("band_key")), nBuckets)) else None)
@@ -1388,23 +1429,30 @@ object StreamingQueries {
           // join-side dispatch on the MEASURED batch size (cached —
           // the count is a cache scan, and the broadcast bound is the
           // trigger's own size, never a corpus-derived estimate): a
-          // trickle batch (≤ ProbeBatchMaxDocs docs ⇒ ≤ ×16 band-key
-          // rows) against a LARGE index broadcasts, and the index
-          // STREAMS map-side — no shuffle/sort of corpus-proportional
-          // state to admit a small batch; a bulk batch (or a state
-          // still below the prune threshold, where the count job is
-          // the dominant cost) takes the merge join, where the batch
-          // side is the same order as the index slice it reads
-          val cand0 = (if (pruneBands && cached.count() <= ProbeBatchMaxDocs)
+          // trickle batch (≤ ProbeBatchMaxDocs docs ⇒ ≤ ×bands
+          // band-key rows) against a LARGE index broadcasts, and the
+          // index STREAMS map-side — no shuffle/sort of corpus-
+          // proportional state to admit a small batch; a bulk batch
+          // (or a state still below the prune threshold, where the
+          // count job is the dominant cost) takes the merge join,
+          // where the batch side is the same order as the index slice
+          // it reads. Dispatch keys on the STATE size, not on whether
+          // the prune engaged — a saturation-bypassed trickle batch
+          // (blanketing band keys at small N) still broadcasts.
+          val cand0 = (if (largeBandState && batchDocs <= ProbeBatchMaxDocs)
               hHist.join(broadcast(bNew), Seq("band", "band_key"))
             else bNew.join(hHist.hint("merge"), Seq("band", "band_key")))
             .select(col("doc_new"), col("doc_hist"))
             .dropDuplicates("doc_new", "doc_hist")
             .persist()
           cand += cand0
+          // the candidate count bounds the shingle probe's distinct
+          // doc_hist keys — the same break-even, on the wide state
+          lazy val candRows = cand0.count()
           val hSh = CompactedState.read(s, shDir, shContent, id,
             if (CompactedState.foldLeafTotal(s, shDir, id) >=
-                CompactedState.PruneMinLeaves)
+                CompactedState.PruneMinLeaves &&
+                CompactedState.pruneWorthwhile(candRows, nBuckets))
               Some(CompactedState.bucketsHit(cand0,
                 Seq(col("doc_hist")), nBuckets))
             else None)

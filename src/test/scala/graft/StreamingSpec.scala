@@ -1133,4 +1133,25 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("verification-sized"))
   }
+
+  test("probe-saturation break-even pins the prune bypass (r12 #1)") {
+    import graft.streaming.StreamingQueries.CompactedState
+    // the rehearsal's measured regimes (BASELINE.md consolidated-fold
+    // arms): 50-doc probes at N=2048 (~800 band keys, saturation
+    // ~0.32) keep the prune; 500-doc probes (~8000 keys, ~0.98)
+    // bypass; a trickle probe at N=64 blankets the buckets and
+    // bypasses too (the documented point-lookup-only band regime)
+    assert(CompactedState.pruneWorthwhile(800L, 2048))
+    assert(!CompactedState.pruneWorthwhile(8000L, 2048))
+    assert(!CompactedState.pruneWorthwhile(800L, 64))
+    assert(CompactedState.pruneWorthwhile(1L, 2048))
+    assert(!CompactedState.pruneWorthwhile(1000L, 1)) // degenerate n safe
+    // the ceiling itself is the spec-pinned knob
+    assert(CompactedState.PruneMaxSaturation === 0.75)
+    // monotone in probe keys, anti-monotone in bucket count
+    assert(CompactedState.expectedSaturation(100L, 2048) <
+      CompactedState.expectedSaturation(1000L, 2048))
+    assert(CompactedState.expectedSaturation(1000L, 8192) <
+      CompactedState.expectedSaturation(1000L, 2048))
+  }
 }
