@@ -178,8 +178,26 @@ object TokenizerArtifact {
     * the corpus word dict under the covered costs, aggregate per
     * document — the identical core as
     * [[CorpusPrep.unigramEncodeStats]] minus the training stage. */
-  def unigramEncodeStats(docs: DataFrame, dir: String): DataFrame = {
-    val model = docs.sparkSession.read.parquet(s"$dir/unigram_model")
+  def unigramEncodeStats(docs: DataFrame, dir: String): DataFrame =
+    unigramEncodeStatsWith(docs,
+      docs.sparkSession.read.parquet(s"$dir/unigram_model"))
+
+  /** Load the unigram model artifact ONCE, materialized — the
+    * streaming encode's per-batch cost frame ([[bpeLoadVocab]]'s seam
+    * for the second tokenizer; tracked for run-boundary release via
+    * [[CorpusCache.releaseAll]]). */
+  def unigramLoadModel(spark: SparkSession, dir: String): DataFrame =
+    CorpusCache.checkpoint(spark.read.parquet(s"$dir/unigram_model"))
+
+  /** Encode stats through an ALREADY-LOADED model frame — the same
+    * core as [[unigramEncodeStats]] minus the per-call artifact read
+    * (the streaming composition's per-batch body): derive the batch's
+    * own word dict, unk-cover the model against it, Viterbi-segment,
+    * aggregate per document. Per-word purity is what makes the
+    * batch-sliced composition exact: a word's optimum is a function
+    * of (word, covered model) alone, never of which other words share
+    * the dict. */
+  def unigramEncodeStatsWith(docs: DataFrame, model: DataFrame): DataFrame = {
     val dict = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
     CorpusPrep.unigramEncodeStatsFrom(docs,
       CorpusPrep.viterbiDp(dict, coverModel(dict, model))

@@ -863,6 +863,48 @@ class StreamingSpec extends AnyFunSuite {
       === expected)
   }
 
+  test("streaming unigram encode-from-artifact equals the batch encode; crash-replay converges") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // batch twin: the fused train+segment+aggregate per-doc frame
+    val expected =
+      canon(CorpusPrep.unigramEncodeStats(Tables.documents(spark, dir))
+        .orderBy("doc_id"))
+    assert(expected.nonEmpty)
+    assert(canon(StreamingQueries.streamUnigramEncode(spark, dir))
+      === expected)
+    // crash-replay: kill after batch 1's landing but before its epoch
+    // commits — the replay must overwrite batch 1's own partition
+    // idempotently (a duplicated landing would double those docs'
+    // rows and break the doc_id spine)
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_uni_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.unigramWrite(Tables.documents(spark, dir), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runUnigramEncodeStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runUnigramEncodeStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.unigramStreamOutput(spark, base))
+      === expected)
+  }
+
   test("a FAILED major fold costs read fan-in, never correctness; the next trigger recovers") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
