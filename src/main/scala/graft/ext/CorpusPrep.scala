@@ -2421,6 +2421,128 @@ object CorpusPrep {
           " ELSE n_unk * 10000 div n_tokens END"))
       .orderBy(col("lang"))
 
+  // ------------------------------------------- BERT basic tokenizer
+  // (r12 #3: the production pre-tokenization surface — punctuation
+  // splitting, lowercase + NFD accent strip, CJK char isolation — as
+  // native expressions, oracled end-to-end)
+
+  /** Deterministic multilingual decorations for the BERT
+    * pre-tokenization gate: the fixture corpus is plain `[a-z0-9 ]`
+    * text, so the charset classes the basic tokenizer exists for
+    * (accents, case, punctuation, CJK) are synthesized onto it — the
+    * [[graft.ext.Curation.urlCanon]] discipline: both engines derive
+    * the SAME decorated text from (doc_id, text) with plain string
+    * ops, so the oracle re-derives the input too, not just the
+    * tokenization. One entry per doc_id mod 5 (entry 4 leaves the doc
+    * undecorated — the all-ASCII control class). No entry contains a
+    * single quote (SQL literal safety) or a non-BMP codepoint (char
+    * indexing parity: DuckDB slices characters, Spark counts UTF-16
+    * units — equal on the BMP). */
+  private[ext] val BertDecor: Seq[String] = Seq(
+    " Café, naïve!",
+    " ÜBER-Städte (première)?",
+    " 你好,世界!",
+    " RÉSUMÉ piñata; façade",
+    "")
+
+  /** Length of the synthetic over-long token (doc_id % 13 == 0):
+    * past [[WordPieceMaxWordLen]], so BERT's `max_input_chars_per_
+    * word` whole-word-[UNK] path carries real oracle-checked
+    * traffic. */
+  val BertLongWordLen = 30
+
+  /** The decorated fixture (doc_id, text) — the gate's input. */
+  def bertFixtureText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), concat(col("text"),
+      element_at(array(BertDecor.map(lit): _*),
+        (pmod(col("doc_id"), lit(5L)) + 1).cast("int")),
+      when(pmod(col("doc_id"), lit(13L)) === 0,
+        lit(" " + "x" * BertLongWordLen)).otherwise(lit("")))
+      .as("text"))
+
+  /** BERT basic tokenization as one narrow codegen expression chain —
+    * `BasicTokenizer(do_lower_case=True)` semantics, whole-string
+    * form (lower/strip commute with the splits: accents never sit on
+    * punctuation, case folds per char):
+    * lowercase → NFD ([[graft.functions.NfkcNormalize.nfd_normalize]],
+    * the native expression) → drop combining marks (`\p{Mn}`) →
+    * pad ASCII punctuation (`\p{Punct}` ≡ DuckDB `[[:punct:]]`) →
+    * pad CJK unified ideographs (U+4E00–U+9FFF — each CJK char is
+    * its own token, the BERT rule) → split on whitespace, drop
+    * empties. Zero shuffle: a scan-local expression at any corpus
+    * size. */
+  def bertTokens(text: Column): Column =
+    filter(split(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            graft.functions.NfkcNormalize.nfd_normalize(lower(text)),
+            "\\p{Mn}", ""),
+          "([\\p{Punct}])", " $1 "),
+        "([\\u4e00-\\u9fff])", " $1 "),
+      "\\s+"), w => length(w) >= 1)
+
+  /** The WordPiece dict over the BERT token stream: every basic token
+    * up to [[WordPieceMaxWordLen]] chars trains (BERT keeps
+    * punctuation and CJK chars in vocabulary — no charset filter, no
+    * 2-char floor), symbols marked BERT-style. Over-long tokens never
+    * enter the dict: they encode as whole-word `[UNK]` downstream. */
+  def wordPieceDictBert(docs: DataFrame): DataFrame =
+    docs.select(explode(bertTokens(col("text"))).as("word"))
+      .filter(length(col("word")).between(1, WordPieceMaxWordLen))
+      .groupBy(col("word")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms",
+        transform(split(col("word"), ""),
+          (c, i) => when(i === 0, c).otherwise(concat(lit("##"), c))))
+
+  /** Per-document WordPiece encode over BERT pre-tokenization — the
+    * production-charset twin of [[wordPieceEncodeDocs]] (whose
+    * `[a-z0-9]{2,24}` eligibility is fixture-shaped, VERDICT r12
+    * blemish #1): decorate → basic-tokenize → train on the full token
+    * dict → greedy-encode per word → reassemble per document, with
+    * over-long tokens (> [[WordPieceMaxWordLen]]) counting as one
+    * whole-word `[UNK]` (BERT `max_input_chars_per_word`). Corpus-
+    * sized work is one token explode + one keyed join, same as the
+    * v1 gate; the decoration and tokenization are scan-local. */
+  def wordPieceEncodeDocsBert(docs: DataFrame,
+      rounds: Int = WordPieceRoundsN): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val decorated = bertFixtureText(docs)
+    val base = CorpusCache.checkpoint(wordPieceDictBert(decorated))
+    val (_, vocab) = wordPieceTrainWith(base, rounds)
+    val byWord = wordPieceEncodeWith(base.select(col("word"), col("wc")),
+        vocab.toDF("piece"))
+      .select(col("word"),
+        when(col("is_unk") === 1, lit(1L)).otherwise(col("n_pieces"))
+          .as("np"),
+        col("pieces").as("ps"), col("is_unk").cast("long").as("unk"))
+    val toks = decorated.select(col("doc_id"),
+      posexplode(bertTokens(col("text"))).as(Seq("pos", "word")))
+    // LEFT join: the only dict misses are the over-long tokens, which
+    // resolve to the whole-word [UNK] fallback inline — every token
+    // ≤ the length cap is in the dict by construction (same stream,
+    // same filter). Merge-hinted like the v1 gate (dict-sized,
+    // explode lineage defeats size estimation).
+    val long = length(col("word")) > WordPieceMaxWordLen
+    val agg = toks.join(byWord.hint("merge"), Seq("word"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(long, lit(1L)).otherwise(col("unk"))).as("n_unk"),
+        sum(when(long, lit(1L)).otherwise(col("np"))).as("n_pieces"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("pos"),
+            when(long, lit("[UNK]")).otherwise(col("ps")).as("ps")))),
+          x => x.getField("ps")), " ")).as("pieces_md5"))
+    docs.select(col("doc_id")).join(agg, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_unk"), lit(0L)).as("n_unk"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"),
+        coalesce(col("pieces_md5"), md5(lit(""))).as("pieces_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** WordPiece vocabulary cap for the ARTIFACT cross-corpus gates —
     * the `vocab_size` knob every production WordPiece carries (BERT:
     * 30 522): the persisted inventory keeps only the top-cap pieces
@@ -2508,6 +2630,12 @@ object CorpusPrep {
     // piece digest per doc
     "wordpiece_encode_docs" -> ((s, d) =>
       wordPieceEncodeDocs(Tables.documents(s, d))),
+    // the production-charset twin: BERT basic tokenization
+    // (punctuation split, lowercase + NFD accent strip, CJK char
+    // isolation) over a deterministically decorated corpus, oracled
+    // end-to-end incl. the over-long-token [UNK] path (r12 #3)
+    "wordpiece_encode_docs_bert" -> ((s, d) =>
+      wordPieceEncodeDocsBert(Tables.documents(s, d))),
     // per-language fertility + whole-word unk share over the same
     // chain — the bpe_fertility_by_lang twin
     "wordpiece_fertility_by_lang" -> ((s, d) =>
@@ -2845,15 +2973,21 @@ object CorpusPrep {
     * instead of vanishing and turning every later encode into
     * `[UNK]` (ADVICE round 11). `trainWhere` restricts the TRAINING
     * corpus (the cross-corpus artifact gate trains on one doc-id
-    * half). */
+    * half). The BERT-pre-tokenization gate (r12 #3) re-parameterizes
+    * the WORD SOURCE — `prelude` CTE(s) prepended after WITH,
+    * `docsRel` the relation tokenized, `tokensExpr` the per-doc token
+    * list, `elig` the dict word filter — while the trained-chain CTEs
+    * stay byte-identical. */
   private def wordPieceChainSql(rounds: Int,
-      trainWhere: String = ""): String = {
+      trainWhere: String = "", prelude: String = "",
+      docsRel: String = "documents", tokensExpr: String = W,
+      elig: String = s"regexp_full_match(word, '[a-z0-9]+')\n" +
+        s"    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen"): String = {
     val init =
-      s"""wdict AS MATERIALIZED (
+      s"""${prelude}wdict AS MATERIALIZED (
          |  SELECT word, count(*) AS wc
-         |  FROM (SELECT unnest($W) AS word FROM documents$trainWhere)
-         |  WHERE regexp_full_match(word, '[a-z0-9]+')
-         |    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen
+         |  FROM (SELECT unnest($tokensExpr) AS word FROM $docsRel$trainWhere)
+         |  WHERE $elig
          |  GROUP BY 1),
          |w0 AS MATERIALIZED (SELECT word, wc,
          |              [CASE WHEN i = 1 THEN word[CAST(i AS INTEGER):CAST(i AS INTEGER)]
@@ -2932,7 +3066,10 @@ object CorpusPrep {
     * the independent re-derivation of [[wordPieceVocabOf]]). */
   private[ext] def wordPieceEncodeOracleSql(rounds: Int,
       trainWhere: String = "", encodeWhere: String = "",
-      vocabCap: Option[Int] = None): String = {
+      vocabCap: Option[Int] = None, prelude: String = "",
+      docsRel: String = "documents", tokensExpr: String = W,
+      elig: String = s"regexp_full_match(word, '[a-z0-9]+')\n" +
+        s"    AND len(word) BETWEEN 2 AND $WordPieceMaxWordLen"): String = {
     // every step CTE is MATERIALIZED: g(s−1) is referenced twice per
     // step (candidate pick + carry-through), so DuckDB's default
     // inlining would re-evaluate the whole chain 2^steps times
@@ -2982,7 +3119,8 @@ object CorpusPrep {
            |        GROUP BY 1)
            |       ORDER BY u DESC, piece LIMIT $cap),""".stripMargin
     }
-    wordPieceChainSql(rounds, trainWhere) + ",\n" + encDict +
+    wordPieceChainSql(rounds, trainWhere, prelude, docsRel, tokensExpr,
+      elig) + ",\n" + encDict +
       s"""$wpvCte
          |wps AS MATERIALIZED (SELECT piece,
          |               CASE WHEN piece LIKE '##%' THEN piece[3:]
@@ -3036,6 +3174,80 @@ object CorpusPrep {
     val cut = base.lastIndexOf("SELECT word, wc,")
     base.substring(0, cut).stripTrailing() + ",\n" +
       wordPieceDocsTailSql + "\n" +
+      s"""SELECT d.doc_id,
+         |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+         |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
+         |       CAST(coalesce(a.n_pieces, 0) AS BIGINT) AS n_pieces,
+         |       coalesce(a.pieces_md5, md5('')) AS pieces_md5
+         |FROM documents d LEFT JOIN eaggp a USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** The BERT basic tokenization in DuckDB — the independent twin of
+    * [[bertTokens]]: `strip_accents` (utf8proc's canonical
+    * decompose-and-drop — NFD + drop Mn for every mark the fixture
+    * carries) after `lower`, ASCII-punct and CJK padding with the
+    * same character classes (`[[:punct:]]` ≡ Java `\p{Punct}`,
+    * `\x{4e00}-\x{9fff}` ≡ `一-鿿`), whitespace split, drop
+    * empties. References a `text` column in scope. */
+  private val BertW: String =
+    """list_filter(string_split_regex(trim(regexp_replace(regexp_replace(""" +
+      """strip_accents(lower(text)), '([[:punct:]])', ' \1 ', 'g'), """ +
+      """'([\x{4e00}-\x{9fff}])', ' \1 ', 'g')), '\s+'), x -> len(x) >= 1)"""
+
+  /** The decorated-fixture CTE — the oracle re-derives the gate's
+    * INPUT too ([[bertFixtureText]]'s twin), the urlCanon synthesis
+    * discipline. */
+  private def bertDocsCte: String = {
+    val cases = BertDecor.zipWithIndex
+      .map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")
+    s"""bdocs AS (SELECT doc_id, text ||
+       |  (CASE doc_id % 5 $cases END) ||
+       |  (CASE WHEN doc_id % 13 = 0 THEN ' ${"x" * BertLongWordLen}'
+       |        ELSE '' END) AS text
+       |FROM documents)""".stripMargin
+  }
+
+  /** The per-document tail for the BERT gate: like
+    * [[wordPieceDocsTailSql]] but over the decorated corpus's FULL
+    * basic-token stream — the LEFT join's only misses are over-long
+    * tokens, folded inline to one whole-word `[UNK]` (BERT
+    * `max_input_chars_per_word`). */
+  private def bertDocsTailSql: String =
+    s"""wenc AS MATERIALIZED (SELECT word,
+       |        CAST(CASE WHEN dead THEN 1 ELSE np END AS BIGINT) AS np,
+       |        CASE WHEN dead THEN '[UNK]' ELSE path[2:] END AS ps,
+       |        CAST(dead AS BIGINT) AS unk
+       |        FROM g$WordPieceMaxWordLen),
+       |dwp AS (SELECT doc_id, $BertW AS ws FROM bdocs),
+       |tokp AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
+       |                d.ws[CAST(t.i AS INTEGER)] AS word
+       |         FROM dwp d, unnest(range(1, len(d.ws) + 1)) t(i)),
+       |eaggp AS (SELECT tok.doc_id, count(*) AS n_tokens,
+       |                 CAST(sum(CASE WHEN len(tok.word) > $WordPieceMaxWordLen
+       |                               THEN 1 ELSE w.unk END) AS BIGINT) AS n_unk,
+       |                 CAST(sum(CASE WHEN len(tok.word) > $WordPieceMaxWordLen
+       |                               THEN 1 ELSE w.np END) AS BIGINT) AS n_pieces,
+       |                 md5(string_agg(
+       |                   CASE WHEN len(tok.word) > $WordPieceMaxWordLen
+       |                        THEN '[UNK]' ELSE w.ps END,
+       |                   ' ' ORDER BY tok.wpos)) AS pieces_md5
+       |          FROM tokp tok LEFT JOIN wenc w USING (word)
+       |          GROUP BY 1)""".stripMargin
+
+  /** `wordpiece_encode_docs_bert` oracle: the UNCHANGED trained-chain
+    * + greedy-unroll CTEs, re-rooted on the decorated corpus's BERT
+    * token stream (dict filter = length only — punctuation and CJK
+    * chars train, BERT semantics), with the over-long-token [UNK]
+    * fold in the document tail. */
+  private def wordPieceEncodeDocsBertOracleSql(rounds: Int): String = {
+    val base = wordPieceEncodeOracleSql(rounds,
+      prelude = bertDocsCte + ",\n", docsRel = "bdocs",
+      tokensExpr = BertW,
+      elig = s"len(word) BETWEEN 1 AND $WordPieceMaxWordLen")
+    val cut = base.lastIndexOf("SELECT word, wc,")
+    base.substring(0, cut).stripTrailing() + ",\n" +
+      bertDocsTailSql + "\n" +
       s"""SELECT d.doc_id,
          |       CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
          |       CAST(coalesce(a.n_unk, 0) AS BIGINT) AS n_unk,
@@ -3179,6 +3391,8 @@ object CorpusPrep {
     "wordpiece_merge_deep" -> wordPieceMergesOracleSql(WordPieceRoundsN),
     "wordpiece_encode_deep" -> wordPieceEncodeOracleSql(WordPieceRoundsN),
     "wordpiece_encode_docs" -> wordPieceEncodeDocsOracleSql(WordPieceRoundsN),
+    "wordpiece_encode_docs_bert" ->
+      wordPieceEncodeDocsBertOracleSql(WordPieceRoundsN),
     "wordpiece_fertility_by_lang" ->
       wordPieceFertilityOracleSql(WordPieceRoundsN),
     "bpe_merge_deep" -> bpeMergeOracleSql(BpeMergeRoundsN),

@@ -52,6 +52,38 @@ case class NfkcNormalize(child: Expression) extends UnaryExpression {
   override def prettyName: String = "nfkc_normalize"
 }
 
+/** NFD (CANONICAL decomposition, no recomposition) — the BERT basic
+  * tokenizer's accent-strip substrate (`_run_strip_accents`: NFD,
+  * then drop the combining marks): `é` splits to `e` + U+0301, and a
+  * following `regexp_replace(…, "\\p{Mn}", "")` leaves the base
+  * letter. Canonical (not compatibility) decomposition is what BERT
+  * specifies — ligatures and width variants survive, only accents
+  * fold. The DuckDB oracle twin is `strip_accents` (utf8proc), which
+  * performs the same decompose-and-drop for canonical marks. */
+case class NfdNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"nfd_normalize requires string, got $other")
+    }
+
+  override def nullSafeEval(input: Any): Any =
+    NfkcNormalize.computeNfd(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfkcNormalize.computeNfd($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfdNormalize =
+    copy(child = newChild)
+
+  override def prettyName: String = "nfd_normalize"
+}
+
 /** NFKD (compatibility decomposition, no recomposition) — exists for
   * the `nfkd_map` aux: the per-codepoint decompositions the DuckDB
   * oracle folds and recomposes itself. Not a gate operator. */
@@ -92,6 +124,14 @@ object NfkcNormalize {
   }
 
   /** Called from generated code. */
+  def computeNfd(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFD)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFD))
+  }
+
+  /** Called from generated code. */
   def computeNfkd(s: UTF8String): UTF8String = {
     val str = s.toString
     if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFKD)) s
@@ -108,5 +148,10 @@ object NfkcNormalize {
   def nfkd_normalize(s: Column): Column = {
     import org.apache.spark.sql.graftbridge.Bridge
     Bridge.column(NfkdNormalize(Bridge.expression(s)))
+  }
+
+  def nfd_normalize(s: Column): Column = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    Bridge.column(NfdNormalize(Bridge.expression(s)))
   }
 }

@@ -1055,4 +1055,39 @@ class CorpusPrepSpec extends AnyFunSuite {
       assert(CorpusPrep.wordPieceDictCollect(docs, dictCap = 100)
         .length === 6)).isEmpty)
   }
+
+  test("BERT basic tokenization: punct split, accent strip, CJK isolation (r12 #3)") {
+    import spark.implicits._
+    val got = Seq(
+      "Caf\u00e9, na\u00efve!",
+      "\u00dcBER-St\u00e4dte (premi\u00e8re)?",
+      "hello \u4f60\u597d,\u4e16\u754c! end",
+      "R\u00c9SUM\u00c9 pi\u00f1ata; \u0153uvre",
+      "\u00c5ngstr\u00f6m \u00fcber fa\u00e7ade").toDF("text")
+      .select(CorpusPrep.bertTokens(col("text")).as("t"))
+      .collect().map(_.getSeq[String](0).toSeq).toSeq
+    // pinned against the DuckDB twin's outputs (strip_accents + the
+    // same padding regexes) — the cross-engine split contract
+    assert(got === Seq(
+      Seq("cafe", ",", "naive", "!"),
+      Seq("uber", "-", "stadte", "(", "premiere", ")", "?"),
+      Seq("hello", "\u4f60", "\u597d", ",", "\u4e16", "\u754c", "!", "end"),
+      Seq("resume", "pinata", ";", "\u0153uvre"),
+      Seq("angstrom", "uber", "facade")))
+  }
+
+  test("BERT per-doc encode: over-long tokens land as ONE whole-word [UNK]") {
+    import spark.implicits._
+    // doc 0 (0 % 13 == 0) gains the synthetic 30-char word; doc 1
+    // stays plain ascii (1 % 5 == 1 adds punct/accent decor)
+    val docs = Seq((0L, "alpha beta"), (13L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val out = CorpusPrep.wordPieceEncodeDocsBert(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // both docs get the long word (0 and 13 are both % 13 == 0);
+    // exactly one [UNK] each from it
+    assert(out(0L)._2 >= 1L && out(13L)._2 >= 1L)
+    // the long word counts as ONE token (not a dropped row)
+    assert(out(0L)._1 >= 3L)
+  }
 }
