@@ -57,6 +57,10 @@ object SparkEntry {
       "leakage_buckets" -> ((s, d) =>
         Sampling.leakageAssign(Tables.documents(s, d))
           .select(col("doc_id"), col("component"), col("bucket"))),
+      // the minhash production twin's (component, bucket) assignment
+      "leakage_buckets_minhash" -> ((s, d) =>
+        Sampling.leakageAssignMinhash(Tables.documents(s, d))
+          .select(col("doc_id"), col("component"), col("bucket"))),
       "dsir_logratio" -> ((s, d) =>
         Sampling.dsirLogRatio(Tables.documents(s, d), col("lang") === "en")),
       "lm_bigram_xent" -> ((s, d) =>

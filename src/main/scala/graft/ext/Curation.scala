@@ -126,8 +126,28 @@ object Curation {
     * frames the pipeline already materializes.
     */
   def curationAudit(docs: DataFrame, qualityMin: Long = DefaultQualityMin,
-      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame = {
-    val (pass, kd, curated) = stages(docs, qualityMin, jaccardThreshold)
+      jaccardThreshold: Double = DefaultJaccardThreshold): DataFrame =
+    auditOf(docs, stages(docs, qualityMin, jaccardThreshold))
+
+  /** The PRODUCTION-PATH audit twin (VERDICT r12 #4 — the sf1.0
+    * canary table's worst rows inherited the exact-contrast arm):
+    * the identical first-dropping-stage melt as [[curationAudit]],
+    * with the near-dup stage clustered over [[Dedup.minhashPairs]]'s
+    * banded candidates — the [[curateMinhash]] stage swap applied to
+    * the row-level report, so the audit is canary-measured in the
+    * minhash scaling class, not the all-pairs-in-block contrast
+    * arm's. */
+  def curationAuditMinhash(docs: DataFrame,
+      qualityMin: Long = DefaultQualityMin): DataFrame =
+    auditOf(docs, stagesWith(docs, qualityMin,
+      kd => Dedup.minhashPairs(kd)))
+
+  /** The first-dropping-stage melt shared by the exact-arm audit and
+    * its minhash production twin — one dataflow, two pair
+    * derivations. */
+  private def auditOf(docs: DataFrame,
+      s: (DataFrame, DataFrame, DataFrame)): DataFrame = {
+    val (pass, kd, curated) = s
     docs.select(col("doc_id"), col("source"))
       .join(pass.select(col("doc_id"), lit(1).as("in_pass")), Seq("doc_id"), "left")
       .join(kd.select(col("doc_id"), lit(1).as("in_kd")), Seq("doc_id"), "left")
@@ -425,6 +445,8 @@ object Curation {
     "curate_corpus_minhash" -> ((s, d) => curateMinhash(Tables.documents(s, d))),
     "curate_funnel" -> ((s, d) => curationFunnel(Tables.documents(s, d))),
     "curate_audit" -> ((s, d) => curationAudit(Tables.documents(s, d))),
+    "curate_audit_minhash" -> ((s, d) =>
+      curationAuditMinhash(Tables.documents(s, d))),
     "curate_url_canon" -> ((s, d) => urlCanon(Tables.documents(s, d))),
     "curate_url_decontam" -> ((s, d) => urlDecontam(Tables.documents(s, d))),
     "curate_decontam_report" -> ((s, d) =>
@@ -497,6 +519,42 @@ object Curation {
        |kd AS (SELECT d.doc_id, d.source, d.text FROM documents d
        |       JOIN kept k ON k.doc_id = d.doc_id)""".stripMargin
   }
+
+  /** The PRODUCTION (minhash) stage chain: quality→exact prefix
+    * verbatim, near-dup pairs from the full-corpus aux band keys
+    * restricted to the kd survivors, shingle-verified at the minhash
+    * threshold, closed, survivors kept. ONE copy shared by the
+    * corpus twin and the audit twin. */
+  private lazy val minhashStagesCte: String =
+    s"""$qualityKdCte,
+       |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+       |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+       |  FROM bk a JOIN bk b
+       |    ON a.band = b.band AND a.band_key = b.band_key
+       |   AND a.doc_id < b.doc_id
+       |  JOIN kd ka ON ka.doc_id = a.doc_id
+       |  JOIN kd kb ON kb.doc_id = b.doc_id),
+       |p AS (
+       |  SELECT c.u, c.v FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.u
+       |  JOIN sh sb ON sb.doc_id = c.v
+       |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+       |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+       |        >= ${Dedup.DefaultMinhashThreshold}),
+       |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+       |reach(a, b) AS (
+       |  SELECT u, v FROM edges
+       |  UNION
+       |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+       |comp AS (SELECT a AS node, least(a, min(b)) AS component
+       |         FROM reach GROUP BY a),
+       |curated AS (
+       |  SELECT kd.* FROM kd
+       |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
+       |    ON kd.doc_id = dl.node
+       |  WHERE dl.node IS NULL)""".stripMargin
 
   private lazy val stagesCte: String = {
     s"""$qualityKdCte,
@@ -725,37 +783,24 @@ object Curation {
     // the minhash gate threshold, then the same closure + survivors
     "curate_corpus_minhash" ->
       s"""WITH RECURSIVE
-         |$qualityKdCte,
-         |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
-         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
-         |  FROM bk a JOIN bk b
-         |    ON a.band = b.band AND a.band_key = b.band_key
-         |   AND a.doc_id < b.doc_id
-         |  JOIN kd ka ON ka.doc_id = a.doc_id
-         |  JOIN kd kb ON kb.doc_id = b.doc_id),
-         |p AS (
-         |  SELECT c.u, c.v FROM cand c
-         |  JOIN sh sa ON sa.doc_id = c.u
-         |  JOIN sh sb ON sb.doc_id = c.v
-         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
-         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
-         |        >= ${Dedup.DefaultMinhashThreshold}),
-         |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
-         |reach(a, b) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
-         |comp AS (SELECT a AS node, least(a, min(b)) AS component
-         |         FROM reach GROUP BY a),
-         |curated AS (
-         |  SELECT kd.* FROM kd
-         |  LEFT JOIN (SELECT node FROM comp WHERE node != component) dl
-         |    ON kd.doc_id = dl.node
-         |  WHERE dl.node IS NULL)
+         |$minhashStagesCte
          |SELECT source, count(*) AS n_curated, min(doc_id) AS first_doc
          |FROM curated GROUP BY source ORDER BY source""".stripMargin,
+    // the minhash stage chain melted to the row-level audit — the
+    // production twin of curate_audit (VERDICT r12 #4)
+    "curate_audit_minhash" ->
+      s"""WITH RECURSIVE
+         |$minhashStagesCte
+         |SELECT d.doc_id, d.source,
+         |       CASE WHEN p.doc_id IS NULL THEN 'quality'
+         |            WHEN k.doc_id IS NULL THEN 'exact_dup'
+         |            WHEN c.doc_id IS NULL THEN 'near_dup'
+         |            ELSE 'kept' END AS outcome
+         |FROM documents d
+         |LEFT JOIN pass p ON p.doc_id = d.doc_id
+         |LEFT JOIN kd k ON k.doc_id = d.doc_id
+         |LEFT JOIN curated c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     // the same staged CTE chain, melted to one first-dropping-stage
     // row per input document
     "curate_audit" ->

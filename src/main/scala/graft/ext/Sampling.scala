@@ -360,6 +360,35 @@ object Sampling {
           .otherwise("test"))
   }
 
+  /** The PRODUCTION-PATH leakage twin (VERDICT r12 #4): component =
+    * the BANDED minhash closure ([[Dedup.minhashPairs]] →
+    * components) instead of the exact-Jaccard contrast arm the
+    * oracle-exact gate inherits — the same one-argument pair-stage
+    * swap as [[Curation.curateMinhash]], so the split assignment is
+    * canary-measured in the minhash scaling class. Same
+    * cluster-moves-as-one-unit guarantee: the hash is of the
+    * component representative, whatever derived the components. */
+  def leakageAssignMinhash(docs: DataFrame, seed: Long = 7L): DataFrame =
+    docs.join(
+        Dedup.connectedComponents(Dedup.minhashPairs(docs),
+            "doc_a", "doc_b")
+          .withColumnRenamed("node", "doc_id"),
+        Seq("doc_id"), "left")
+      .withColumn("component", coalesce(col("component"), col("doc_id")))
+      .withColumn("bucket", bucket(col("component"), seed))
+
+  def leakageSafeSplitsMinhash(docs: DataFrame,
+      trainPct: Double = DefaultTrainPct, valPct: Double = DefaultValPct,
+      seed: Long = 7L): DataFrame = {
+    val trainHi = (trainPct * Buckets).toLong
+    val valHi = ((trainPct + valPct) * Buckets).toLong
+    leakageAssignMinhash(docs, seed)
+      .withColumn("split",
+        when(col("bucket") < trainHi, "train")
+          .when(col("bucket") < valHi, "validation")
+          .otherwise("test"))
+  }
+
   /** Hashed-n-gram feature-bucket count for DSIR: 3 hex chars of the
     * token's md5 = 4096 buckets, a STRING key both engines derive
     * identically (the md5-prefix idiom [[capPerGroup]]/[[shuffleOrder]]
@@ -466,6 +495,10 @@ object Sampling {
       leakageSafeSplits(Tables.documents(s, d))
         .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
         .orderBy(col("split"), col("lang"))),
+    "split_leakage_safe_minhash" -> ((s, d) =>
+      leakageSafeSplitsMinhash(Tables.documents(s, d))
+        .groupBy(col("split"), col("lang")).agg(count(lit(1)).as("n"))
+        .orderBy(col("split"), col("lang"))),
     "sample_cap_source" -> ((s, d) =>
       capPerGroup(Tables.documents(s, d), "source", "doc_id",
         md5(col("text")), n = 20)
@@ -551,6 +584,46 @@ object Sampling {
          |       FROM documents d LEFT JOIN comp c USING (doc_id)),
          |b AS (SELECT DISTINCT component, bucket
          |      FROM read_parquet('__OUTDIR__/.aux/leakage_buckets/*.parquet'))
+         |SELECT CASE WHEN b.bucket < $defaultTrainHi THEN 'train'
+         |            WHEN b.bucket < $defaultValHi THEN 'validation'
+         |            ELSE 'test' END AS split,
+         |       ac.lang, count(*) AS n
+         |FROM ac JOIN b USING (component)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // the production twin: DuckDB re-derives the MINHASH closure from
+    // the full-corpus aux band keys (candidates by shared band key,
+    // shingle-verified at the gate threshold, recursive-CTE
+    // components), then takes only the component hash bucket from the
+    // twin aux — a wrong banded component shifts documents between
+    // splits and the counts hash-mismatch
+    "split_leakage_safe_minhash" ->
+      s"""WITH RECURSIVE
+         |bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_bands/*.parquet')),
+         |sh AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/minhash_shingles/*.parquet')),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+         |  FROM bk a JOIN bk b
+         |    ON a.band = b.band AND a.band_key = b.band_key
+         |   AND a.doc_id < b.doc_id),
+         |p AS (
+         |  SELECT c.u, c.v FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.u
+         |  JOIN sh sb ON sb.doc_id = c.v
+         |  WHERE len(list_intersect(sa.sh, sb.sh)) * 1.0 /
+         |        (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+         |        >= ${Dedup.DefaultMinhashThreshold}),
+         |edges AS (SELECT u, v FROM p UNION ALL SELECT v, u FROM p),
+         |reach(a, b) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.a, e.v FROM reach r JOIN edges e ON r.b = e.u WHERE e.v != r.a),
+         |comp AS (SELECT a AS doc_id, least(a, min(b)) AS component
+         |         FROM reach GROUP BY a),
+         |ac AS (SELECT d.doc_id, d.lang,
+         |              coalesce(c.component, d.doc_id) AS component
+         |       FROM documents d LEFT JOIN comp c USING (doc_id)),
+         |b AS (SELECT DISTINCT component, bucket
+         |      FROM read_parquet('__OUTDIR__/.aux/leakage_buckets_minhash/*.parquet'))
          |SELECT CASE WHEN b.bucket < $defaultTrainHi THEN 'train'
          |            WHEN b.bucket < $defaultValHi THEN 'validation'
          |            ELSE 'test' END AS split,
