@@ -246,6 +246,62 @@ object ScalingLadder {
       graft.ext.GraphOps.coActivityEdgesOf(act)
         .queryExecution.toRdd.count()
     }
+    // ---- round-13 rungs (VERDICT r12 #5): the families added since
+    // the round-4 ladder run — WordPiece deep train+encode, the BERT
+    // per-doc composition, the consolidated-fold probe read, and the
+    // 8-stage curation composition (incremental IVF ingest is the
+    // ann_ivf_ingest rung above)
+    ladder("wordpiece_deep_encode", base * 4) { n =>
+      // deep-train (collected dict, driver lazy-PQ loop) + per-word
+      // greedy encode on a corpus whose WORD DICT grows with n
+      // (vocab = n/5): the corpus pays one word-count shuffle,
+      // everything after is dict-proportional — ratio ≈ 2 pins both
+      // stages linear in the dictionary
+      graft.ext.CorpusPrep.wordPieceEncodeWords(
+          docs(spark, n, vocab = math.max(2000, (n / 5).toInt)))
+        .queryExecution.toRdd.count()
+    }
+    ladder("wordpiece_docs_bert", base) { n =>
+      // the round-13 production-charset gate end-to-end: decorate →
+      // basic-tokenize (native NFD strip + padding regexes) → train →
+      // greedy encode → per-doc reassembly
+      graft.ext.CorpusPrep.wordPieceEncodeDocsBert(
+          docs(spark, n, vocab = math.max(2000, (n / 5).toInt)))
+        .queryExecution.toRdd.count()
+    }
+    ladder("curate_pipeline_pack", base / 5) { n =>
+      // the 8-stage composed pipeline (domain canon → quality → exact
+      // → minhash near-dup → 3-arm decontam → budget → pack) in one
+      // lineage; embeddings scale with the corpus like the cosine rung
+      val emb = ScaleRehearsal.clusteredEmbeddings(spark, n,
+          centers = math.max(4, (n / 250).toInt))
+        .withColumn("label", pmod(col("vec_id"), lit(100)).cast("int"))
+      graft.ext.Curation.pipelinePack(docs(spark, n), emb, qualityMin = 0)
+        .queryExecution.toRdd.count()
+    }
+    ladder("state_fold_probe_read", base * 8) { n =>
+      // consolidated-fold write + bucket-pruned read at N=2048 (the
+      // round-12 __brange layout): one n-row delta folds into ≤32
+      // span dirs, then a 64-key probe reads back through the span
+      // prune + pushed __bucket filter — ratio ≈ 2 pins fold+read
+      // linear in state rows at a fixed probe size
+      import graft.streaming.StreamingQueries.CompactedState
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val root = java.nio.file.Files
+        .createTempDirectory("ladder_state").toString
+      val content = StructType(Seq(StructField("k", LongType),
+        StructField("v", LongType)))
+      CompactedState.append(
+        spark.range(n).select(col("id").as("k"), (col("id") * 7L).as("v")),
+        0L, root)
+      CompactedState.maybeCompact(spark, root, content, 1L, cadence = 1,
+        sortCols = Seq("k"), majorRuns = 1000,
+        bucketCols = Seq("k"), nBuckets = 2048, bucketMinBytes = 0L)
+      val probe = spark.range(64).select((col("id") * (n / 64)).as("k"))
+      val hit = CompactedState.bucketsHit(probe, Seq(col("k")), 2048)
+      CompactedState.read(spark, root, content, 2L, Some(hit))
+        .queryExecution.toRdd.count()
+    }
 
     graft.ext.CorpusCache.releaseAll()
     spark.stop()
