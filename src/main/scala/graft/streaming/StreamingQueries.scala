@@ -1421,7 +1421,13 @@ object StreamingQueries {
             batchDocs * graft.ext.Dedup.DefaultMinhashBands, nBuckets)
           val hBands = CompactedState.read(s, bandsDir, bandContent, id,
             if (pruneBands) Some(CompactedState.bucketsHit(bBands,
-              Seq(col("band"), col("band_key")), nBuckets)) else None)
+              Seq(col("band"), col("band_key")), nBuckets))
+              // post-hoc ceiling on the ACTUAL set (the estimate is
+              // an upper bound, so this rarely fires — but a weirdly
+              // dispersed key set shouldn't carry a useless filter)
+              .filter(_.size <=
+                CompactedState.PruneMaxSaturation * nBuckets)
+            else None)
           val bNew = bBands
             .select(col("band"), col("band_key"), col("doc_id").as("doc_new"))
           val hHist = hBands.select(col("band"), col("band_key"),
@@ -1431,14 +1437,16 @@ object StreamingQueries {
           // trigger's own size, never a corpus-derived estimate): a
           // trickle batch (≤ ProbeBatchMaxDocs docs ⇒ ≤ ×bands
           // band-key rows) against a LARGE index broadcasts, and the
-          // index STREAMS map-side — no shuffle/sort of corpus-
-          // proportional state to admit a small batch; a bulk batch
-          // (or a state still below the prune threshold, where the
-          // count job is the dominant cost) takes the merge join,
-          // where the batch side is the same order as the index slice
-          // it reads. Dispatch keys on the STATE size, not on whether
-          // the prune engaged — a saturation-bypassed trickle batch
-          // (blanketing band keys at small N) still broadcasts.
+          // index (pruned or not) STREAMS map-side — no shuffle/sort
+          // of corpus-proportional state to admit a small batch; a
+          // bulk batch (or a state still below the prune threshold,
+          // where the count job is the dominant cost) takes the merge
+          // join. Dispatch keys on the STATE size, decoupled from the
+          // saturation gate (round-13 rehearsal, run-pair measured:
+          // a saturation-bypassed 500-doc probe ran 3.8 s under the
+          // broadcast and 7.1 s when it fell back to the merge join —
+          // sorting the full index to admit a trickle is the cost the
+          // broadcast exists to avoid, pruned slice or whole).
           val cand0 = (if (largeBandState && batchDocs <= ProbeBatchMaxDocs)
               hHist.join(broadcast(bNew), Seq("band", "band_key"))
             else bNew.join(hHist.hint("merge"), Seq("band", "band_key")))
@@ -1446,15 +1454,18 @@ object StreamingQueries {
             .dropDuplicates("doc_new", "doc_hist")
             .persist()
           cand += cand0
-          // the candidate count bounds the shingle probe's distinct
-          // doc_hist keys — the same break-even, on the wide state
-          lazy val candRows = cand0.count()
+          // shingle-side break-even is POST-HOC — the candidate count
+          // isn't known without a job, so the prune set is computed
+          // as before (one job, as in r12) and the saturation ceiling
+          // decides only whether the pushed filter is worth carrying
+          // (the job is sunk; a blanketing set saves nothing)
           val hSh = CompactedState.read(s, shDir, shContent, id,
             if (CompactedState.foldLeafTotal(s, shDir, id) >=
-                CompactedState.PruneMinLeaves &&
-                CompactedState.pruneWorthwhile(candRows, nBuckets))
+                CompactedState.PruneMinLeaves)
               Some(CompactedState.bucketsHit(cand0,
                 Seq(col("doc_hist")), nBuckets))
+                .filter(_.size <=
+                  CompactedState.PruneMaxSaturation * nBuckets)
             else None)
           val dropped = cand0
             .join(bSh.select(col("doc_id").as("doc_new"),
