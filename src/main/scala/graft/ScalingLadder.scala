@@ -115,7 +115,13 @@ object ScalingLadder {
         .queryExecution.toRdd.count()
     }
     ladder("dedup_jaccard_blocked", base) { n =>
-      graft.ext.Dedup.jaccardPairsBySource(docs(spark, n), threshold = 0.8)
+      // blocks MUST scale with the corpus (blocksFor — constant docs
+      // per source): round-13 measured the fixed-20-block form at
+      // 4.49× per doubling at 125k→250k docs — the by-construction
+      // within-block quadratic the class Scaladoc warns about, i.e.
+      // the fixture, not the operator
+      graft.ext.Dedup.jaccardPairsBySource(
+          docs(spark, n, blocks = blocksFor(n)), threshold = 0.8)
         .queryExecution.toRdd.count()
     }
     ladder("dedup_ngram_jaccard", base) { n =>
