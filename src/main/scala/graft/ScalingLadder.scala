@@ -305,8 +305,16 @@ object ScalingLadder {
         bucketCols = Seq("k"), nBuckets = 2048, bucketMinBytes = 0L)
       val probe = spark.range(64).select((col("id") * (n / 64)).as("k"))
       val hit = CompactedState.bucketsHit(probe, Seq(col("k")), 2048)
-      CompactedState.read(spark, root, content, 2L, Some(hit))
+      val rows = CompactedState.read(spark, root, content, 2L, Some(hit))
         .queryExecution.toRdd.count()
+      // each ladder step writes an n-row parquet state tree under a
+      // fresh temp dir — reclaim it once the read has been measured
+      // (ADVICE r13: the rung leaked up to base*8 doublings per run)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
+        .asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+      rows
     }
 
     graft.ext.CorpusCache.releaseAll()

@@ -67,7 +67,15 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v.replace("__OUTDIR__", outDir))}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Same output-ordering discipline as Bench (BENCH_r13 defect):
+    // releaseAll's per-RDD "locally checkpointed" WARNs are expected
+    // teardown noise and would scroll any earlier "[verify] X failed"
+    // line out of a captured tail — silence them, scoped.
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
+    org.apache.logging.log4j.core.config.Configurator
+      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.WARN)
     spark.stop()
   }
 }

@@ -166,7 +166,8 @@ object Dedup {
     * (persisted — see its cache-lifetime contract). The cross join
     * only ever happens inside a bucket.
     */
-  def minhashPairs(docs: DataFrame, bands: Int = 16, rowsPerBand: Int = 4,
+  def minhashPairs(docs: DataFrame, bands: Int = DefaultMinhashBands,
+      rowsPerBand: Int = 4,
       threshold: Double = DefaultMinhashThreshold,
       shingleK: Int = 3): DataFrame = {
     val prepped = minhashShingles(docs, shingleK)
@@ -228,7 +229,7 @@ object Dedup {
     * (see [[minhashPairs]]'s join note).
     */
   def minhashPairsAgainst(newDocs: DataFrame, history: DataFrame,
-      bands: Int = 16, rowsPerBand: Int = 4,
+      bands: Int = DefaultMinhashBands, rowsPerBand: Int = 4,
       threshold: Double = DefaultMinhashThreshold,
       shingleK: Int = 3): DataFrame = {
     val bNew = minhashBandKeys(newDocs, bands, rowsPerBand, shingleK)

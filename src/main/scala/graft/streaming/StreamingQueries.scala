@@ -500,8 +500,15 @@ object StreamingQueries {
                 // (rename debris, a future layout) must name itself
                 // in the failure instead of surfacing as a bare
                 // MatchError deep inside a state read
-                case Array(lo, hi) if lo.forall(_.isDigit) &&
-                    hi.forall(_.isDigit) =>
+                // nonEmpty matters: "".forall(_.isDigit) is vacuously
+                // true, so '__brange=_5' would otherwise fall through
+                // to ''.toInt and throw a raw NumberFormatException
+                // instead of the self-naming failure below (ADVICE r13).
+                // The length cap keeps an absurd numeral (> 9 digits)
+                // out of toInt overflow for the same reason.
+                case Array(lo, hi) if lo.nonEmpty && hi.nonEmpty &&
+                    lo.length <= 9 && hi.length <= 9 &&
+                    lo.forall(_.isDigit) && hi.forall(_.isDigit) =>
                   ns.exists(b => b >= lo.toInt && b <= hi.toInt)
                 case _ => throw new IllegalStateException(
                   s"unparseable consolidated-fold dir '$k' under $d — " +
