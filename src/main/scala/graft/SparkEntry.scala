@@ -141,7 +141,7 @@ object SparkEntry {
       ZOrder.queries ++ graft.sources.FileFormats.queries ++
       graft.ext.Scd2.queries ++ Search.queries ++ Sharding.queries ++
       Sketches.queries ++ graft.ext.GraphOps.queries ++
-      graft.ext.TokenizerArtifact.queries +
+      graft.ext.TokenizerArtifact.queries ++ graft.ext.ByteBpe.queries +
       ("gen_orders_rollup" -> (genRollup _))
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -157,7 +157,7 @@ object SparkEntry {
       ZOrder.oracles ++ graft.sources.FileFormats.oracles ++
       graft.ext.Scd2.oracles ++ Search.oracles ++ Sharding.oracles ++
       Sketches.oracles ++ graft.ext.GraphOps.oracles ++
-      graft.ext.TokenizerArtifact.oracles +
+      graft.ext.TokenizerArtifact.oracles ++ graft.ext.ByteBpe.oracles +
       ("gen_orders_rollup" ->
         """SELECT strftime(ts, '%Y-%m-%d') AS date_str,
           |       count(DISTINCT user_id) AS uv,

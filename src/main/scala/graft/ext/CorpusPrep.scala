@@ -510,7 +510,7 @@ object CorpusPrep {
     * `dictCap` rows means the cap bound (or the corpus met it exactly
     * — indistinguishable): say so loudly instead of drifting in
     * silence. */
-  private def warnIfDictCapped(rows: Array[(String, Long)],
+  private[ext] def warnIfDictCapped(rows: Array[(String, Long)],
       dictCap: Int, what: String): Array[(String, Long)] = {
     if (rows.length >= dictCap)
       Console.err.println(s"[$what] collected dictionary FILLED " +
@@ -558,10 +558,14 @@ object CorpusPrep {
   /** The driver-side merge loop shared by [[bpeTrainDeep]] (wants the
     * merge table) and [[bpeTrainDeepDict]] (wants the final words
     * state). */
-  private[ext] def bpeDeepLoop(dictRows: Array[(String, Long)], rounds: Int)
+  /** `init` is the word → initial-symbol-sequence decomposition:
+    * per-character for the char-level trainers (default), UTF-8
+    * hex-byte pairs for [[ByteBpe]] — the merge/argmax machinery is
+    * alphabet-agnostic (symbols are opaque strings, merge = concat). */
+  private[ext] def bpeDeepLoop(dictRows: Array[(String, Long)], rounds: Int,
+      init: String => Array[String] = _.split("").filter(_.nonEmpty))
       : (Seq[(Int, String, String, Long)], Array[Array[String]]) = {
-    val words: Array[Array[String]] =
-      dictRows.map(_._1.split("").filter(_.nonEmpty))
+    val words: Array[Array[String]] = dictRows.map(r => init(r._1))
     val wcs: Array[Long] = dictRows.map(_._2)
 
     import scala.collection.mutable
@@ -1665,6 +1669,14 @@ object CorpusPrep {
     * filter the identical `[a-z0-9]{2,}` stream and every eligible
     * token's word is in the corpus-derived dict), which the gate hash
     * implicitly re-proves every run.
+    *
+    * WordPiece is deliberately NOT a column here: its two per-doc
+    * surfaces differ in pre-tokenizer charset (see
+    * [[wordPieceEncodeDocs]] — the fixture-charset contrast arm — vs
+    * the canonical [[wordPieceEncodeDocsBert]]), so a WordPiece
+    * fertility over this `[a-z0-9]{2,}` word stream would be the
+    * contrast arm's number, not the canonical surface's; the
+    * WordPiece view lives in [[wordPieceFertilityByLang]].
     */
   def tokenizerCompare(docs: DataFrame): DataFrame =
     bpeEncodeIds(docs)
@@ -2349,8 +2361,18 @@ object CorpusPrep {
       : Seq[(Int, String, String, Long, Long, Long, Long)] =
     wordPieceDeepLoop(dictRows, rounds)._1
 
-  /** Per-DOCUMENT WordPiece encode — the BERT tokenization shape
-    * ([[bpeEncodeIds]]'s role for the third tokenizer): documents
+  /** Per-DOCUMENT WordPiece encode, FIXTURE-CHARSET CONTRAST ARM
+    * (VERDICT r13 #3 resolution): this v1 surface keeps the
+    * `[a-z0-9]{2,24}` eligibility the original gate was oracled on;
+    * [[wordPieceEncodeDocsBert]] is the CANONICAL per-document
+    * WordPiece surface for consumers (BERT BasicTokenizer
+    * pre-tokenization — accents, punctuation, CJK, whole-word [UNK]).
+    * v1 stays gated (`wordpiece_encode_docs`) as the
+    * restricted-charset contrast: same trainer, same greedy encode,
+    * different pre-tokenizer — the pair isolates exactly what the
+    * pre-tokenization step changes.
+    *
+    * Mechanics ([[bpeEncodeIds]]'s role for the third tokenizer): documents
     * explode to eligible tokens, each token resolves through the
     * per-word trained encode (a dict-sized equi-join — the word dict
     * is collect-capped state at the trainer but needs no broadcast
@@ -2470,7 +2492,16 @@ object CorpusPrep {
     * pad CJK unified ideographs (U+4E00–U+9FFF — each CJK char is
     * its own token, the BERT rule) → split on whitespace, drop
     * empties. Zero shuffle: a scan-local expression at any corpus
-    * size. */
+    * size.
+    *
+    * Charset scope (ADVICE r13): the punctuation/CJK padding covers
+    * ASCII `\p{Punct}` plus the BMP CJK Unified Ideographs block —
+    * the fixture/oracle charset — NOT the full BasicTokenizer
+    * surface. Real BERT also pads all Unicode `\p{P}` categories
+    * (e.g. U+FF0C fullwidth comma) and the extension CJK blocks;
+    * extending here requires the identical class on the DuckDB
+    * oracle side, so the wider classes are deliberately out of this
+    * gate's scope. */
   def bertTokens(text: Column): Column =
     filter(split(
       regexp_replace(
@@ -2804,24 +2835,47 @@ object CorpusPrep {
          |d0 AS (SELECT word, wc,
          |              [word[i:i] FOR i IN range(1, len(word) + 1)] AS syms
          |       FROM wdict)""".stripMargin
-    val roundCtes = (1 to rounds).map { r =>
+    val roundCtes = (1 to rounds).map(bpeRoundCteSql)
+    val finalSel = (1 to rounds)
+      .map(r => s"SELECT $r AS round, p, q, cnt FROM t$r")
+      .mkString("\nUNION ALL ")
+    s"WITH $init,\n${roundCtes.mkString(",\n")}\n$finalSel\nORDER BY round"
+  }
+
+  /** One BPE merge round as CTEs `p$r/t$r/e$r/s$r/v$r/m$r/d$r` over
+    * the previous round's dictionary `d${r-1}(word, wc, syms)` —
+    * alphabet-agnostic (symbols are opaque strings, merge = `p || q`),
+    * shared by the char-level chain above and [[ByteBpe]]'s hex-byte
+    * chain.
+    *
+    * `mat = true` pins the multiply-referenced CTEs MATERIALIZED:
+    * DuckDB inlines CTEs by default, so each round's 3–4 references
+    * to the previous round compound EXPONENTIALLY with depth — at 6
+    * rounds the inlined leaf count exhausts the process fd limit on
+    * the base parquet alone. The 3-round char chains predate the flag
+    * and keep their historical inlined form (byte-identical oracle
+    * text); results are identical either way. */
+  private[ext] def bpeRoundCteSql(r: Int): String = bpeRoundCteSql(r, false)
+
+  private[ext] def bpeRoundCteSql(r: Int, mat: Boolean): String = {
+      val M = if (mat) " MATERIALIZED" else ""
       val d = s"d${r - 1}"
       s"""p$r AS (SELECT s.syms[CAST(i AS INTEGER)] AS p,
          |               s.syms[CAST(i + 1 AS INTEGER)] AS q,
          |               CAST(sum(wc) AS BIGINT) AS cnt
          |        FROM $d s, unnest(range(1, len(s.syms))) t(i)
          |        GROUP BY 1, 2),
-         |t$r AS (SELECT p, q, cnt FROM p$r ORDER BY cnt DESC, p, q LIMIT 1),
+         |t$r AS$M (SELECT p, q, cnt FROM p$r ORDER BY cnt DESC, p, q LIMIT 1),
          |e$r AS (SELECT word, wc, CAST(i AS BIGINT) AS i,
          |               syms[CAST(i AS INTEGER)] AS sym
          |        FROM $d, unnest(range(1, len(syms) + 1)) t(i)),
-         |s$r AS (SELECT e.word, e.wc, e.i, e.sym,
+         |s$r AS$M (SELECT e.word, e.wc, e.i, e.sym,
          |               CASE WHEN e.sym = t.p AND
          |                         lead(e.sym) OVER (PARTITION BY e.word
          |                                           ORDER BY e.i) = t.q
          |                    THEN 1 ELSE 0 END AS st
          |        FROM e$r e LEFT JOIN t$r t ON TRUE),
-         |v$r AS (SELECT word, i FROM (
+         |v$r AS$M (SELECT word, i FROM (
          |          SELECT word, i, i - min(i) OVER (PARTITION BY word, g) AS off
          |          FROM (SELECT word, i,
          |                       i - row_number() OVER (PARTITION BY word
@@ -2835,13 +2889,8 @@ object CorpusPrep {
          |        LEFT JOIN v$r v ON v.word = s.word AND v.i = s.i
          |        LEFT JOIN v$r v2 ON v2.word = s.word AND v2.i = s.i - 1
          |        WHERE v2.i IS NULL),
-         |d$r AS (SELECT word, wc, list(sym ORDER BY i) AS syms
+         |d$r AS$M (SELECT word, wc, list(sym ORDER BY i) AS syms
          |        FROM m$r GROUP BY 1, 2)""".stripMargin
-    }
-    val finalSel = (1 to rounds)
-      .map(r => s"SELECT $r AS round, p, q, cnt FROM t$r")
-      .mkString("\nUNION ALL ")
-    s"WITH $init,\n${roundCtes.mkString(",\n")}\n$finalSel\nORDER BY round"
   }
 
   /** Same unrolled merge chain, final SELECT over the post-merge
@@ -3198,7 +3247,7 @@ object CorpusPrep {
   /** The decorated-fixture CTE — the oracle re-derives the gate's
     * INPUT too ([[bertFixtureText]]'s twin), the urlCanon synthesis
     * discipline. */
-  private def bertDocsCte: String = {
+  private[ext] def bertDocsCte: String = {
     val cases = BertDecor.zipWithIndex
       .map { case (d, i) => s"WHEN $i THEN '$d'" }.mkString(" ")
     s"""bdocs AS (SELECT doc_id, text ||

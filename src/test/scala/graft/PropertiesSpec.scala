@@ -5,6 +5,7 @@ import org.apache.spark.unsafe.types.UTF8String
 import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.{forAll, propBoolean}
 
+import graft.ext.ByteBpe
 import graft.functions.{ArgMaxDouble, CentroidScores, SimHash64, VecDot}
 import graft.sources.Connectors
 
@@ -19,6 +20,31 @@ object PropertiesSpec extends Properties("graft.kernels") {
 
   private val tokenGen: Gen[List[String]] =
     Gen.listOf(Gen.identifier.suchThat(_.nonEmpty))
+
+  // byte-BPE's no-UNK guarantee rests on hexSyms being a TOTAL
+  // decomposition of any string's UTF-8 bytes (every pre-token has a
+  // base-symbol encoding, so no input can ever need an unknown token)
+  // — checked over arbitrary unicode strings, surrogates included
+  property("byte-bpe: hexSyms totally decomposes any UTF-8 string") =
+    forAll { (s: String) =>
+      val syms = ByteBpe.hexSyms(s)
+      val bytes = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      syms.length == bytes.length &&
+        syms.forall(h => h.length == 2 &&
+          h.forall("0123456789ABCDEF".contains(_))) &&
+        syms.map(h => Integer.parseInt(h, 16).toByte).sameElements(bytes)
+    }
+
+  property("byte-bpe: symbolIds gives byte values to bases, 255+r to minted") =
+    forAll(Gen.listOf(Gen.zip(Gen.chooseNum(0, 255), Gen.chooseNum(0, 255)))) {
+      pairs =>
+        val merges = pairs.zipWithIndex.map { case ((a, b), i) =>
+          (i + 1, f"$a%02X", f"$b%02X", 1L)
+        }
+        val id = ByteBpe.symbolIds(merges)
+        (0 to 255).forall(b => id(f"$b%02X") == b.toLong) &&
+          merges.forall { case (r, p, q, _) => id(p + q) >= 256L }
+    }
 
   property("simhash permutation-invariant (multiset semantics)") =
     forAll(tokenGen) { tokens =>
