@@ -68,7 +68,9 @@ object PlanAudit {
     "unigram_segment_nbest", // broadcast(vocab ≤ cap + alphabet) under the k-best fold's probe map — the unigram_segment class (reviewed round 10)
     "curate_pipeline_pack", // the composed funnel inherits EXACTLY its stages' sanctioned broadcasts: the three decontam registry holdouts (curate_decontam_report class), the |domains|-row filter aggregate, and Packing's bucket-count-bounded offset prefix — nothing new broadcasts (reviewed round 9)
     "bpe_encode_dropout", // inherits bpe_encode_ids' broadcast(wordIds ≤ BpeVocabCap) through the conditionally-merged dropout dict — the bpe_encode_ids_deep class; the drop decision is a narrow per-word hash, no new broadcast (reviewed round 12 — the gate landed round 11 without an audit pass)
-    "unigram_segment_sampled") // broadcast(vocab ≤ cap + alphabet) under the shared k-best fold — the unigram_segment_nbest class; the per-word selection-hash join is word-keyed shuffle (reviewed round 12 — same round-11 audit gap)
+    "unigram_segment_sampled", // broadcast(vocab ≤ cap + alphabet) under the shared k-best fold — the unigram_segment_nbest class; the per-word selection-hash join is word-keyed shuffle (reviewed round 12 — same round-11 audit gap)
+    "sim_ann_ivfpq",     // broadcast(probes ≤ queries × nProbe, qTables ≤ queries × m·kSub doubles, cand ≤ queries × k × rerank, qFull ≤ queries) — all query-side bounded BY CONTRACT; the corpus-sized codes frame streams through the cluster join (reviewed round 14)
+    "sim_ivfpq_recall")  // the sim_ann_ivfpq broadcasts inherited through the reused ivfPqTopK + bruteTopK's bounded query side (reviewed round 14)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is
     * not the hazard this audit hunts: it multiplies nothing and

@@ -119,6 +119,11 @@ object SparkEntry {
         S.ivfIncrementalFor(s, d)._1.select("neighbor_id", "cluster")),
       "ivf_inc_probes" -> ((s, d) =>
         S.ivfIncrementalFor(s, d)._2.select("query_id", "cluster")),
+      // the composed IVF-PQ model's three frames (same memoized state
+      // the sim_ann_ivfpq / sim_ivfpq_recall gates consume)
+      "ivfpq_codes" -> ((s, d) => S.ivfPqModelFor(s, d).get._1),
+      "ivfpq_probes" -> ((s, d) => S.ivfPqModelFor(s, d).get._2),
+      "ivfpq_qtables" -> ((s, d) => S.ivfPqModelFor(s, d).get._3),
       "pq_codes" -> ((s, d) => S.pqModelFor(s, d).get._1),
       "pq_tables" -> ((s, d) => S.pqModelFor(s, d).get._2),
       "pq_norms" -> ((s, d) => {

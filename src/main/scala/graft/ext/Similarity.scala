@@ -656,7 +656,6 @@ object Similarity {
         spark.emptyDataFrame.select(lit(0L).as("query_id"),
           lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
       case Some((codes, qTables, normTable)) =>
-        val corpus = withNorm(emb, "vec_id", "e", "nrm")
         // ADC scan: lookup-adds over codes, no full vectors touched
         val w = Window.partitionBy(col("query_id"))
           .orderBy(col("approx_cos").desc, col("neighbor_id"))
@@ -675,22 +674,31 @@ object Similarity {
           .select(col("query_id"), col("neighbor_id"))
 
         // exact re-rank: only candidates are decompressed (id join back)
-        val qFull = withNorm(queries, "query_id", "e_q", "n_q")
-        val rw = Window.partitionBy(col("query_id"))
-          .orderBy(col("sim_exact").desc, col("neighbor_id"))
-        // cand is bounded (≤ queries × k × rerankFactor rows):
-        // broadcast it explicitly so the full-width corpus is the
-        // streamed side at any scale
-        broadcast(cand).join(corpus.select(col("vec_id").as("neighbor_id"),
-            col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
-          .join(broadcast(qFull), "query_id")
-          .withColumn("sim_exact",
-            VecDot.vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
-          .withColumn("rank", row_number().over(rw))
-          .filter(col("rank") <= k)
-          .select(col("query_id"), col("rank"), col("neighbor_id"),
-            round(col("sim_exact"), 6).as("sim"))
+        exactRerank(emb, queries, cand, k)
     }
+  }
+
+  /** Exact cosine re-rank of a bounded candidate list — the shared
+    * tail of [[pqTopK]] and [[ivfPqTopK]]. `cand` is bounded
+    * (≤ queries × k × rerankFactor rows): broadcast it explicitly so
+    * the full-width corpus is the streamed side at any scale; only
+    * candidates are ever decompressed (id join back). */
+  private def exactRerank(emb: DataFrame, queries: DataFrame,
+      cand: DataFrame, k: Int): DataFrame = {
+    import graft.functions.VecDot
+    val corpus = withNorm(emb, "vec_id", "e", "nrm")
+    val qFull = withNorm(queries, "query_id", "e_q", "n_q")
+    val rw = Window.partitionBy(col("query_id"))
+      .orderBy(col("sim_exact").desc, col("neighbor_id"))
+    broadcast(cand).join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("e").as("e_c"), col("nrm").as("n_c")), "neighbor_id")
+      .join(broadcast(qFull), "query_id")
+      .withColumn("sim_exact",
+        VecDot.vec_dot(col("e_q"), col("e_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("sim_exact"), 6).as("sim"))
   }
 
   /** The trained PQ model, deterministic end-to-end: encoded corpus
@@ -703,46 +711,17 @@ object Similarity {
   def pqModel(emb: DataFrame, queries: DataFrame,
       m: Int = PqM, kSub: Int = 16, lloydIters: Int = 2)
       : Option[(DataFrame, DataFrame, Seq[Seq[Double]])] = {
-    import graft.functions.{ArgMaxDouble, CentroidScores}
     val spark = emb.sparkSession
     val corpus = CorpusCache.cache(withNorm(emb, "vec_id", "e", "nrm")
       .repartition(spark.sparkContext.defaultParallelism)) // see [[thresholdJoin]]
 
-    val seeds = corpus.orderBy(col("vec_id")).limit(kSub).collect()
-      .map(_.getSeq[Double](1))
-    if (seeds.isEmpty) return None
-    val dim = seeds(0).length
-    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
-    val dSub = dim / m
-
-    // books(s)(j): sub-centroid j of sub-space s
-    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
-      seeds.map(v => v.slice(s * dSub, (s + 1) * dSub)).toArray)
-
-    def eS(s: Int) = slice(col("e"), s * dSub + 1, dSub)
-    // augmented assignment: argmax dot(e_s ⊕ 1, c ⊕ −‖c‖²/2) ⇔ argmin ‖e_s − c‖²
-    def codeCol(s: Int) = {
-      val aug = books(s).map(c => c :+ (-c.map(x => x * x).sum / 2)).toSeq
-      ArgMaxDouble.arg_max_double(CentroidScores.centroid_scores(
-        concat(eS(s), array(lit(1.0))), typedlit(aug)))
-    }
-
-    for (_ <- 0 until lloydIters) {
-      val updated = corpus.select(
-          posexplode(array((0 until m).map(s =>
-            struct(lit(s).as("s"), codeCol(s).as("code"), eS(s).as("sub"))): _*))
-            .as(Seq("p", "sc")))
-        .groupBy(col("sc.s").as("s"), col("sc.code").as("code"))
-        .agg(array((0 until dSub).map(d =>
-          avg(element_at(col("sc.sub"), d + 1))): _*).as("centroid"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
-      books = Array.tabulate(m)(s => Array.tabulate(kSub)(j =>
-        updated.getOrElse((s, j), books(s)(j))))
-    }
+    val trained = pqTrainBooksOn(corpus, m, kSub, lloydIters)
+    if (trained.isEmpty) return None
+    val (books, dSub) = trained.get
 
     // encoded corpus: the slim frame a PQ scan reads (id + m codes)
     val codes = corpus.select(col("vec_id").as("neighbor_id"),
-      array((0 until m).map(codeCol): _*).as("codes"))
+      pqCodesCol(books, m, dSub).as("codes"))
 
     // per-query lookup tables — dispatch on query-batch size:
     //  ≤ [[PqMaxDriverQueries]]: driver-built (the gate contract —
@@ -763,6 +742,154 @@ object Similarity {
     val normTable = (0 until m).map(s =>
       books(s).map(c => c.map(x => x * x).sum).toSeq).toSeq
     Some((codes, qTables, normTable))
+  }
+
+  /** PQ codebook training on any `(vec_id, e double-array, …)` frame
+    * — seeds from the first `kSub` rows by id, `lloydIters`
+    * distributed sub-space Lloyd rounds (one posexplode sweep + a
+    * kSub·m-bounded collect per round). Returns (books, dSub); None
+    * on an empty frame. Extracted from [[pqModel]] so [[ivfPqModel]]
+    * trains the identical way on RESIDUAL vectors. */
+  private[ext] def pqTrainBooksOn(corpus: DataFrame, m: Int, kSub: Int,
+      lloydIters: Int): Option[(Array[Array[Seq[Double]]], Int)] = {
+    val eIdx = corpus.columns.indexOf("e")
+    val seeds = corpus.orderBy(col("vec_id")).limit(kSub).collect()
+      .map(_.getSeq[Double](eIdx))
+    if (seeds.isEmpty) return None
+    val dim = seeds(0).length
+    require(dim % m == 0, s"dim $dim not divisible into $m sub-spaces")
+    val dSub = dim / m
+
+    // books(s)(j): sub-centroid j of sub-space s
+    var books: Array[Array[Seq[Double]]] = Array.tabulate(m)(s =>
+      seeds.map(v => v.slice(s * dSub, (s + 1) * dSub)).toArray)
+
+    for (_ <- 0 until lloydIters) {
+      val updated = corpus.select(
+          posexplode(array((0 until m).map(s =>
+            struct(lit(s).as("s"), pqCodeCol(books, s, dSub).as("code"),
+              slice(col("e"), s * dSub + 1, dSub).as("sub"))): _*))
+            .as(Seq("p", "sc")))
+        .groupBy(col("sc.s").as("s"), col("sc.code").as("code"))
+        .agg(array((0 until dSub).map(d =>
+          avg(element_at(col("sc.sub"), d + 1))): _*).as("centroid"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getSeq[Double](2)).toMap
+      books = Array.tabulate(m)(s => Array.tabulate(kSub)(j =>
+        updated.getOrElse((s, j), books(s)(j))))
+    }
+    Some((books, dSub))
+  }
+
+  /** Sub-space code assignment over the `e` column — augmented
+    * argmax: argmax dot(e_s ⊕ 1, c ⊕ −‖c‖²/2) ⇔ argmin ‖e_s − c‖². */
+  private[ext] def pqCodeCol(books: Array[Array[Seq[Double]]], s: Int,
+      dSub: Int): Column = {
+    import graft.functions.{ArgMaxDouble, CentroidScores}
+    val aug = books(s).map(c => c :+ (-c.map(x => x * x).sum / 2)).toSeq
+    ArgMaxDouble.arg_max_double(CentroidScores.centroid_scores(
+      concat(slice(col("e"), s * dSub + 1, dSub), array(lit(1.0))),
+      typedlit(aug)))
+  }
+
+  /** The m-code array a PQ scan stores per vector. */
+  private[ext] def pqCodesCol(books: Array[Array[Seq[Double]]], m: Int,
+      dSub: Int): Column =
+    array((0 until m).map(s => pqCodeCol(books, s, dSub)): _*)
+
+  /** IVF-PQ composed model (VERDICT r13 #3) — the memory-true 100 TB
+    * ANN serving shape. Plain IVF probes RAW vectors (the index IS
+    * the full-width corpus); plain PQ ADC-scans the WHOLE corpus
+    * (N·m lookups per query). Composed: the IVF coarse quantizer
+    * (√N sizing, [[ivfTrain]]) partitions the corpus into lists, each
+    * vector stores only its PQ codes of the RESIDUAL (vector − its
+    * list centroid — residuals concentrate around 0, so the same
+    * codebook budget quantizes them far tighter than raw vectors)
+    * plus one exact norm, and a query ADC-scans just its nProbe
+    * probed lists before an exact re-rank of the short list. Index
+    * memory: m bytes + 8 per vector; per-query work: ~nProbe/nlist of
+    * the corpus — that is what makes the memory math work at scale.
+    *
+    * Candidate scoring is approximate DOT decomposed through the
+    * residual — dot(q, e) ≈ dot(q, c) + Σₛ dot(q_s, book_s[code_s])
+    * — over the exact norms: approx_cos = (q·c + ADC) / (‖q‖·‖e‖).
+    * `dot(q, c)` is computed ONCE per (query, probed list) and stored
+    * on the probe row, so both engines read the same double (the
+    * dot_table discipline).
+    *
+    * Deterministic end-to-end given the trained state; Verify
+    * materializes all three frames as aux and the DuckDB oracle
+    * re-runs probe-filtered ADC + exact re-rank in SQL. Returns
+    * (codes(neighbor_id, cluster, codes, n_c),
+    *  probes(query_id, cluster, q_dot_c),
+    *  qTables(query_id, n_q, dot_table)); None on an empty corpus.
+    */
+  def ivfPqModel(emb: DataFrame, queries: DataFrame, m: Int = PqM,
+      kSub: Int = 16, lloydIters: Int = 2, nClusters: Int = 0,
+      nProbe: Int = 4): Option[(DataFrame, DataFrame, DataFrame)] = {
+    import graft.functions.VecDot.vec_dot
+    val spark = emb.sparkSession
+    val centroids = ivfTrain(emb, nClusters, lloydIters)
+    if (centroids.isEmpty) return None
+    val centroidSeq: Seq[Seq[Double]] = centroids.sortBy(_._1).map(_._2).toSeq
+    // assigned corpus with residuals + exact norms; cached — the
+    // residual sub-codebook trainer scans it lloydIters+1 times
+    val assigned = CorpusCache.cache(ivfAssignCorpus(centroids, emb)
+      .withColumn("e", zip_with(col("e_c"),
+        element_at(typedlit(centroidSeq), col("cluster") + 1),
+        (a, b) => a - b))
+      .withColumn("n_c", sqrt(aggregate(col("e_c"), lit(0.0),
+        (acc, v) => acc + v * v)))
+      .repartition(spark.sparkContext.defaultParallelism))
+    pqTrainBooksOn(assigned.select(col("neighbor_id").as("vec_id"),
+        col("e")), m, kSub, lloydIters).map { case (books, dSub) =>
+      // the slim index frame: id, list, m residual codes, one norm
+      val codes = assigned.select(col("neighbor_id"), col("cluster"),
+        pqCodesCol(books, m, dSub).as("codes"), col("n_c"))
+      val probes = ivfProbes(centroids, queries, nProbe)
+        .withColumn("q_dot_c", vec_dot(col("e_q"),
+          element_at(typedlit(centroidSeq), col("cluster") + 1)))
+        .select(col("query_id"), col("cluster"), col("q_dot_c"))
+      // per-query ADC tables over the RESIDUAL books — same
+      // size-dispatch as [[pqModel]]
+      val qNorm = withNorm(queries, "query_id", "e_q", "n_q")
+      val probe = qNorm.limit(PqMaxDriverQueries + 1).collect()
+      val qTables =
+        if (probe.length <= PqMaxDriverQueries)
+          pqDotTablesDriver(spark, probe.toSeq, books, m, dSub)
+        else pqDotTablesDistributed(qNorm, books, m, dSub)
+      (codes, probes, qTables)
+    }
+  }
+
+  /** Probe-filtered ADC scan + exact re-rank over a composed IVF-PQ
+    * model. The probe and table sides broadcast BY CONTRACT (bounded
+    * by queries × nProbe and queries × m·kSub doubles); the codes
+    * frame — the only corpus-sized input — streams through the
+    * cluster-keyed join, and at scale it is cluster-bucketed state so
+    * the probe join prunes to the probed lists' buckets. */
+  def ivfPqTopK(emb: DataFrame,
+      model: Option[(DataFrame, DataFrame, DataFrame)],
+      queries: DataFrame, k: Int, rerankFactor: Int = PqRerank): DataFrame = {
+    import graft.functions.PqAdc
+    val spark = emb.sparkSession
+    model match {
+      case None =>
+        spark.emptyDataFrame.select(lit(0L).as("query_id"),
+          lit(0).as("rank"), lit(0L).as("neighbor_id"), lit(0.0).as("sim")).limit(0)
+      case Some((codes, probes, qTables)) =>
+        val w = Window.partitionBy(col("query_id"))
+          .orderBy(col("approx_cos").desc, col("neighbor_id"))
+        val cand = broadcast(probes).join(codes, "cluster")
+          .filter(col("query_id") =!= col("neighbor_id"))
+          .join(broadcast(qTables), "query_id")
+          .withColumn("approx_cos",
+            (col("q_dot_c") + PqAdc.pq_adc(col("codes"), col("dot_table"))) /
+              (col("n_q") * col("n_c")))
+          .withColumn("crank", row_number().over(w))
+          .filter(col("crank") <= k * rerankFactor)
+          .select(col("query_id"), col("neighbor_id"))
+        exactRerank(emb, queries, cand, k)
+    }
   }
 
   /** Contract bound for driver-built per-query ADC tables: below it
@@ -823,6 +950,8 @@ object Similarity {
     (SparkSession, String), (DataFrame, DataFrame)]()
   private val pqMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Option[(DataFrame, DataFrame, Seq[Seq[Double]])]]()
+  private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Option[(DataFrame, DataFrame, DataFrame)]]()
 
   /** IVF assignments for the fixture at `dir`, trained once per
     * (session, dir) and shared between the `sim_ann_ivf` gate query
@@ -870,6 +999,16 @@ object Similarity {
     pqMemo.computeIfAbsent((spark, dir), { _ =>
       val emb = Tables.embeddings(spark, dir)
       pqModel(emb, querySet(emb))
+    })
+
+  /** IVF-PQ model for the fixture at `dir`, trained once per
+    * (session, dir) and shared between the `sim_ann_ivfpq` /
+    * `sim_ivfpq_recall` gate queries and the aux materialization. */
+  def ivfPqModelFor(spark: SparkSession, dir: String)
+      : Option[(DataFrame, DataFrame, DataFrame)] =
+    ivfPqMemo.computeIfAbsent((spark, dir), { _ =>
+      val emb = Tables.embeddings(spark, dir)
+      ivfPqModel(emb, querySet(emb))
     })
 
   /** Truncation widths the Matryoshka evaluation measures. */
@@ -934,6 +1073,32 @@ object Similarity {
       pqTopK(emb, pqModelFor(s, d), querySet(emb), k = GateK)
         .orderBy(col("query_id"), col("rank"))
     }),
+    // the COMPOSED serving shape: IVF lists + residual PQ codes +
+    // probe-filtered ADC + exact re-rank, over the (session, dir)-
+    // shared model the aux builders also materialize
+    "sim_ann_ivfpq" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      ivfPqTopK(emb, ivfPqModelFor(s, d), querySet(emb), k = GateK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // recall@k of the composed index vs the gated brute-force truth —
+    // the row that sits beside sim_ivf_recall so the IVF → IVF-PQ
+    // quality cost is a measured number, not an assumption
+    "sim_ivfpq_recall" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val ann = ivfPqTopK(emb, ivfPqModelFor(s, d), querySet(emb), k = GateK)
+        .select(col("query_id"), col("neighbor_id"))
+      val brute = bruteTopK(emb, querySet(emb), k = GateK)
+        .select(col("query_id"), col("neighbor_id"))
+      val hits = ann.join(brute, Seq("query_id", "neighbor_id"))
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hit"))
+      querySet(emb).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall_x100", expr(s"(n_hit * 100) div $GateK"))
+        .orderBy(col("query_id"))
+    }),
     // hard negatives over the SAME shared IVF model (and the same aux)
     "sim_hard_negatives" -> ((s, d) =>
       hardNegatives(ivfAssignmentsFor(s, d), Tables.embeddings(s, d), k = GateK)
@@ -993,7 +1158,70 @@ object Similarity {
     * is an exact hash-match, and recall itself is asserted vs brute
     * force in ScalaTest.
     */
+  /** The IVF-PQ candidate CTEs shared by the `sim_ann_ivfpq` and
+    * `sim_ivfpq_recall` oracles: probe-filtered ADC scoring re-run
+    * from the materialized model state (codes + probes with their
+    * stored q·centroid dots + per-query tables), crank cut at
+    * k·rerank — the independent SQL twin of [[ivfPqTopK]]'s scan. */
+  private def ivfPqCandCtes: String =
+    s"""codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_codes/*.parquet')),
+       |p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_probes/*.parquet')),
+       |qt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_qtables/*.parquet')),
+       |scored AS (
+       |  SELECT p.query_id, codes.neighbor_id,
+       |         (p.q_dot_c + list_sum(list_transform(range(1, ${PqM + 1}),
+       |           s -> qt.dot_table[s][codes.codes[s] + 1]))) /
+       |         (qt.n_q * codes.n_c) AS approx_cos
+       |  FROM p JOIN codes ON p.cluster = codes.cluster
+       |       JOIN qt ON qt.query_id = p.query_id
+       |  WHERE p.query_id != codes.neighbor_id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT query_id, neighbor_id,
+       |         row_number() OVER (PARTITION BY query_id
+       |           ORDER BY approx_cos DESC, neighbor_id) AS crank
+       |  FROM scored) WHERE crank <= ${GateK * PqRerank})""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_ann_ivfpq" ->
+      s"""WITH $ivfPqCandCtes
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    cand.neighbor_id) AS rank
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
+    "sim_ivfpq_recall" ->
+      s"""WITH $ivfPqCandCtes,
+        |ann AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    cand.neighbor_id) AS rank
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |  WHERE rank <= $GateK),
+        |brute AS (SELECT query_id, neighbor_id FROM (
+        |  SELECT q.vec_id AS query_id, c2.vec_id AS neighbor_id,
+        |         row_number() OVER (PARTITION BY q.vec_id
+        |           ORDER BY list_cosine_similarity(q.embedding::DOUBLE[], c2.embedding::DOUBLE[]) DESC,
+        |                    c2.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c2 ON q.vec_id != c2.vec_id
+        |  WHERE q.vec_id < $GateQueryCut)
+        |  WHERE rank <= $GateK),
+        |h AS (SELECT a.query_id, count(*) AS n_hit
+        |      FROM ann a JOIN brute b
+        |        ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+        |      GROUP BY 1)
+        |SELECT q.vec_id AS query_id,
+        |       coalesce(h.n_hit, 0) AS n_hit,
+        |       (coalesce(h.n_hit, 0) * 100) // $GateK AS recall_x100
+        |FROM embeddings q LEFT JOIN h ON h.query_id = q.vec_id
+        |WHERE q.vec_id < $GateQueryCut
+        |ORDER BY query_id""".stripMargin,
     "sim_ann_lsh" ->
       s"""WITH bk AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/lsh_buckets/*.parquet')),
         |cand AS (
