@@ -82,6 +82,10 @@ object SparkEntry {
       // gate (DuckDB re-runs all selection arithmetic itself)
       "subword_sample_h" -> ((s, d) =>
         CorpusPrep.subwordSampleHashes(Tables.documents(s, d))),
+      // the per-(doc, word) hashes of the document-level sampler
+      // (epoch folded into the key) for the streaming sampled gate
+      "subword_doc_sample_h" -> ((s, d) =>
+        CorpusPrep.subwordDocSampleHashes(Tables.documents(s, d))),
       // the (word, round) BPE-dropout drop decisions
       "bpe_dropout_drops" -> ((s, d) =>
         CorpusPrep.bpeDropoutDrops(Tables.documents(s, d))),

@@ -380,7 +380,7 @@ object CorpusPrep {
   /** [[bpeApplyMerge]] gated per WORD: rows where `skip` holds keep
     * their symbols untouched — the BPE-dropout encode's per-(word,
     * merge) drop, fused into the same codegen fold. */
-  private def bpeApplyMergeUnless(dict: DataFrame, p: String, q: String,
+  private[ext] def bpeApplyMergeUnless(dict: DataFrame, p: String, q: String,
       skip: Column): DataFrame =
     dict.withColumn("syms",
       when(skip, col("syms")).otherwise(bpeMergeFoldExpr(p, q)))
@@ -761,7 +761,7 @@ object CorpusPrep {
   val BpeDropoutRate = 0.3
   val BpeDropoutSeed = 13L
 
-  private def bpeDropKey(round: Column): Column =
+  private[ext] def bpeDropKey(round: Column): Column =
     concat(col("word"), lit(":"), round.cast("string"))
 
   /** The dropped (word, round) pairs — the `bpe_dropout_drops` aux
@@ -1514,25 +1514,92 @@ object CorpusPrep {
     * DICT-word frame (vocabulary-bounded, never the corpus); the
     * sampled choice is a narrow per-row filter — no new shuffle of
     * anything corpus-sized. */
-  def unigramSegmentSampled(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val byWord = Window.partitionBy("word")
-    val nb = nbestDp(bpeWordDict(docs).select(col("word"), col("wc")),
-      unigramVocabCosts(docs))
-    val weighted = nb.withColumn("w_x1e6", round(
-      exp((col("total_cost") - min(col("total_cost")).over(byWord))
-        .cast("double") * lit(-SubwordSampleAlpha / 1e9)) * 1e6, 0)
-      .cast("long"))
-    weighted
-      .withColumn("cum", sum(col("w_x1e6")).over(byWord.orderBy(col("rank"))))
-      .withColumn("tot", sum(col("w_x1e6")).over(byWord))
+  def unigramSegmentSampled(docs: DataFrame): DataFrame =
+    sampledSpans(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs))
       .withColumn("u",
         pmod(xxhash64(lit(SubwordSampleSeed), col("word")), col("tot")))
       .filter(col("u") >= col("cum") - col("w_x1e6") && col("u") < col("cum"))
       .select(col("word"), col("wc"), col("rank").as("chosen_rank"),
         col("total_cost"), col("n_pieces"), col("path"))
       .orderBy(col("word"))
+
+  /** Per-word k-best candidates with their snapped integer softmax
+    * weights and cumulative spans — the shared sampling state: a
+    * selector picks rank r iff its u ∈ [cum − w, cum). Extracted from
+    * [[unigramSegmentSampled]] (same expressions verbatim) so the
+    * per-(doc, epoch) document sampler and the streaming leg derive
+    * spans the identical way. Vocabulary-bounded: dict words × k. */
+  private[graft] def sampledSpans(words: DataFrame,
+      vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byWord = Window.partitionBy("word")
+    nbestDp(words, vocab)
+      .withColumn("w_x1e6", round(
+        exp((col("total_cost") - min(col("total_cost")).over(byWord))
+          .cast("double") * lit(-SubwordSampleAlpha / 1e9)) * 1e6, 0)
+        .cast("long"))
+      .withColumn("cum", sum(col("w_x1e6")).over(byWord.orderBy(col("rank"))))
+      .withColumn("tot", sum(col("w_x1e6")).over(byWord))
   }
+
+  /** Epoch of the per-document sampled-encode GATE — the knob a
+    * training pipeline turns per pass so each epoch sees a different
+    * (but replay-stable) segmentation of the same corpus. */
+  val SubwordDocEpoch = 1L
+
+  /** Per-(doc, word) selection hashes for the document-level sampler
+    * — the `subword_doc_sample_h` aux ([[subwordSampleHashes]]'s
+    * shape with the doc and epoch folded into the key; DuckDB
+    * consumes the VALUES and re-runs the threshold pick itself). */
+  def subwordDocSampleHashes(docs: DataFrame,
+      epoch: Long = SubwordDocEpoch): DataFrame =
+    docs.select(col("doc_id"),
+        explode(filter(TextAnalysis.tokens(col("text")),
+          w => w.rlike("^[a-z0-9]+$") && length(w) >= 2)).as("word"))
+      .distinct()
+      .select(col("doc_id"), col("word"),
+        xxhash64(lit(SubwordSampleSeed), lit(epoch), col("doc_id"),
+          col("word")).as("h"))
+
+  /** Per-DOCUMENT encode stats under SUBWORD-REGULARIZATION sampling
+    * (VERDICT r13 #4, the batch twin of the streaming leg): each
+    * (doc, word) occurrence takes the k-best candidate its
+    * (seed, epoch, doc_id, word) hash lands on — a pure function of
+    * stable identifiers, so retries, partitionings AND streaming
+    * replays reproduce it bit-for-bit, while distinct docs (and
+    * distinct epochs) sample independently — the property subword
+    * regularization exists for. Aggregates to the
+    * `unigram_encode_stats` shape (n_words, n_pieces, cost_x1e9).
+    *
+    * Scale shape: the span frame is vocabulary-bounded (dict × k);
+    * the doc-token stream is the corpus-sized side and co-shuffles
+    * with its words through the merge-hinted equi-join (the
+    * [[unigramEncodeStatsFrom]] discipline) — ×k before the
+    * one-in-k threshold filter, never ×corpus. */
+  def unigramSampledDocStats(docs: DataFrame,
+      epoch: Long = SubwordDocEpoch): DataFrame =
+    unigramSampledDocStatsWith(docs,
+      sampledSpans(bpeWordDict(docs).select(col("word"), col("wc")),
+        unigramVocabCosts(docs)), epoch)
+
+  /** The document sampler over an already-derived span frame — the
+    * streaming seam ([[graft.ext.TokenizerArtifact]] feeds spans from
+    * a loaded artifact model). */
+  private[graft] def unigramSampledDocStatsWith(docs: DataFrame,
+      spans: DataFrame, epoch: Long): DataFrame =
+    docs.select(col("doc_id"),
+        explode(filter(TextAnalysis.tokens(col("text")),
+          w => w.rlike("^[a-z0-9]+$") && length(w) >= 2)).as("word"))
+      .join(spans.hint("merge"), Seq("word"))
+      .withColumn("u", pmod(xxhash64(lit(SubwordSampleSeed), lit(epoch),
+        col("doc_id"), col("word")), col("tot")))
+      .filter(col("u") >= col("cum") - col("w_x1e6") && col("u") < col("cum"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_pieces")).as("n_pieces"),
+        sum(col("total_cost")).as("cost_x1e9"))
+      .orderBy(col("doc_id"))
 
   /** Corpus-level soft usage: Σ_w wc(w)·E[#p | w] in exact 1e-4
     * integer units (the per-word snap makes this sum integer in both
@@ -3432,6 +3499,45 @@ object CorpusPrep {
          |FROM o2, unnest(range(off // $B, (off + n - 1) // $B + 1)) AS t(seq)
          |ORDER BY seq_id, doc_id""".stripMargin
   }
+
+  /** `stream_unigram_encode_sampled` / batch-twin oracle (VERDICT r13
+    * #4): the k-best enumeration + snapped-weight CTEs of the
+    * `unigram_segment_sampled` oracle, with the threshold pick re-run
+    * per (doc, word) from the materialized DOC-level hash values
+    * (`subword_doc_sample_h` — epoch folded into the hash key), then
+    * aggregated per document. */
+  private[graft] def unigramSampledDocStatsOracleSql: String =
+    s"""WITH RECURSIVE $unigramBestPathCtes,
+       |done3 AS (SELECT p.word, p.cost, p.np, p.seq
+       |          FROM p JOIN wdict w ON w.word = p.word
+       |          WHERE p.pos = len(w.word)),
+       |rk AS (SELECT word, cost, np, seq,
+       |              row_number() OVER (PARTITION BY word
+       |                ORDER BY cost, np, seq) AS rank
+       |       FROM done3),
+       |nb AS (SELECT * FROM rk WHERE rank <= $UnigramNbestK),
+       |wt AS (SELECT word, rank, cost, np,
+       |              CAST(round(exp((cost - min(cost) OVER (PARTITION BY word))
+       |                   * ${-SubwordSampleAlpha / 1e9}) * 1e6) AS BIGINT) AS w
+       |       FROM nb),
+       |cw AS (SELECT word, rank, cost, np, w,
+       |              sum(w) OVER (PARTITION BY word ORDER BY rank) AS cum,
+       |              sum(w) OVER (PARTITION BY word) AS tot
+       |       FROM wt),
+       |dtok AS (SELECT doc_id, word
+       |         FROM (SELECT doc_id, unnest($W) AS word FROM documents)
+       |         WHERE regexp_full_match(word, '[a-z0-9]+') AND len(word) >= 2),
+       |hs AS (SELECT doc_id, word, h
+       |       FROM read_parquet('__OUTDIR__/.aux/subword_doc_sample_h/*.parquet')),
+       |pick AS (SELECT d.doc_id, c.np, c.cost
+       |         FROM dtok d JOIN cw c ON c.word = d.word
+       |         JOIN hs ON hs.doc_id = d.doc_id AND hs.word = d.word
+       |         WHERE ((hs.h % c.tot) + c.tot) % c.tot >= c.cum - c.w
+       |           AND ((hs.h % c.tot) + c.tot) % c.tot < c.cum)
+       |SELECT doc_id, count(*) AS n_words,
+       |       CAST(sum(np) AS BIGINT) AS n_pieces,
+       |       CAST(sum(cost) AS BIGINT) AS cost_x1e9
+       |FROM pick GROUP BY 1 ORDER BY doc_id""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "bpe_merge_rounds" -> bpeMergeOracleSql(BpeMergeRoundsN),

@@ -111,6 +111,35 @@ object TokenizerArtifact {
       cap: Int = CorpusPrep.BpeVocabCap): DataFrame =
     CorpusPrep.bpeEncodeIdsFrom(docs, vocab, cap)
 
+  /** The DROPOUT-reinterpreted dictionary from a persisted artifact
+    * (VERDICT r13 #4 — the BPE side of the streaming
+    * subword-regularization pair): each vocab word's symbols
+    * re-derive from its characters by folding the PERSISTED merge
+    * table, skipping merge r for word w iff the seeded
+    * (word, round) hash bucket lands under the rate — train state
+    * untouched (dropout is an encode-time reinterpretation of the
+    * same merges, Provilkov et al. 2020), and the whole frame is a
+    * pure function of (artifact, seed): batch-independent, so a
+    * stream derives it ONCE at start and every micro-batch (and
+    * every crash-replay) encodes against the identical dict. Bounded
+    * by the artifact's vocabulary contract. */
+  def bpeDropoutDictFrom(spark: SparkSession, dir: String,
+      rate: Double = CorpusPrep.BpeDropoutRate): DataFrame = {
+    val thr = math.round(rate * graft.ext.Sampling.Buckets)
+    val merges = spark.read.parquet(s"$dir/bpe_merges")
+      .orderBy(col("round")).collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("p"),
+        r.getAs[String]("q")))
+    var dict = spark.read.parquet(s"$dir/bpe_vocab")
+      .select(col("word"), col("wc"), split(col("word"), "").as("syms"))
+    merges.foreach { case (rd, p, q) =>
+      dict = CorpusPrep.bpeApplyMergeUnless(dict, p, q,
+        graft.ext.Sampling.bucket(CorpusPrep.bpeDropKey(lit(rd)),
+          CorpusPrep.BpeDropoutSeed) < lit(thr))
+    }
+    CorpusCache.checkpoint(dict)
+  }
+
   /** Train (deep loop) and persist both WordPiece artifacts —
     * completing the artifact lifecycle for the third tokenizer
     * family (VERDICT r11 #1):
@@ -202,6 +231,22 @@ object TokenizerArtifact {
     CorpusPrep.unigramEncodeStatsFrom(docs,
       CorpusPrep.viterbiDp(dict, coverModel(dict, model))
         .select(col("word"), col("n_pieces"), col("total_cost")))
+  }
+
+  /** SAMPLED per-document encode stats through an ALREADY-LOADED
+    * model frame — the subword-regularization streaming seam (VERDICT
+    * r13 #4): k-best spans derive per batch from (batch word dict,
+    * covered model) — per-word pure, so batch slicing is exact — and
+    * the pick is [[CorpusPrep.unigramSampledDocStatsWith]]'s
+    * (seed, epoch, doc_id, word) threshold rule: a pure function of
+    * stable identifiers, which is what makes streaming REPLAY
+    * idempotent (a re-run batch re-samples identically) while epochs
+    * still vary the segmentation. */
+  def unigramSampledDocStatsWith(docs: DataFrame, model: DataFrame,
+      epoch: Long = CorpusPrep.SubwordDocEpoch): DataFrame = {
+    val dict = CorpusPrep.bpeWordDict(docs).select(col("word"), col("wc"))
+    CorpusPrep.unigramSampledDocStatsWith(docs,
+      CorpusPrep.sampledSpans(dict, coverModel(dict, model)), epoch)
   }
 
   /** The unk augmentation: unseen encode-dict single chars at the

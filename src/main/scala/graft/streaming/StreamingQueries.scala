@@ -1571,6 +1571,55 @@ object StreamingQueries {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Streaming BPE-DROPOUT encode-from-artifact — the BPE side of the
+    * subword-regularization streaming pair (VERDICT r13 #4; see
+    * [[streamUnigramEncodeSampled]] for the unigram side). The
+    * dropout-reinterpreted dictionary is a pure function of
+    * (artifact, seed) — derived ONCE at stream start
+    * ([[graft.ext.TokenizerArtifact.bpeDropoutDictFrom]]), so every
+    * micro-batch AND every crash-replay encodes against the identical
+    * dict, and the landed union is hash-equal to the batch
+    * `bpe_encode_dropout` oracle verbatim. */
+  def streamBpeEncodeDropout(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val base = prepareDedupStream(spark, dir, nBatches,
+      scratch = "stream_bpe_dropout")
+    val art = s"$base/artifact"
+    graft.ext.TokenizerArtifact.bpeWrite(
+      graft.sources.Tables.documents(spark, dir), art)
+    runBpeDropoutStream(spark, dir, base, art)
+    encodeStreamOutput(spark, base)
+  }
+
+  /** Start (or RESTART against the same checkpoint) the dropout
+    * encode stream and drain it — the crash-replay seam. */
+  def runBpeDropoutStream(spark: SparkSession, dir: String, base: String,
+      artifactDir: String, afterWrites: Long => Unit = _ => ()): Unit = {
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val dropped = graft.ext.TokenizerArtifact
+      .bpeDropoutDictFrom(spark, artifactDir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(s"$base/src")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val enc = graft.ext.TokenizerArtifact
+          .bpeEncodeIdsWith(batch.toDF(), dropped)
+          .select(col("doc_id"), col("n_tokens"), col("n_unk"),
+            size(col("ids")).cast("long").as("n_ids"),
+            md5(array_join(transform(col("ids"), i => i.cast("string")),
+              " ")).as("ids_md5"))
+        writeBatchIdempotent(enc, id, s"$base/out")
+        afterWrites(id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** The landed per-doc digests under `base`, in the bpe_encode_ids
     * gate output shape (batch_id is landing metadata, not payload). */
   def encodeStreamOutput(spark: SparkSession, base: String): DataFrame = {
@@ -1719,6 +1768,58 @@ object StreamingQueries {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Streaming SUBWORD-REGULARIZATION encode (VERDICT r13 #4 — the
+    * last asymmetry in the tokenizer matrix: the three streaming
+    * encode legs all ran deterministic encode while sampled-unigram
+    * and BPE-dropout were batch-only). Same lifecycle as
+    * [[streamUnigramEncode]] — model trained + persisted once, loaded
+    * once at stream start, per batch the k-best spans derive from the
+    * batch's OWN word dict against the loaded model (per-word pure)
+    * and each (doc, word) takes the candidate its
+    * (seed, epoch, doc_id, word) hash selects. The hash key is the
+    * idempotence contract: a crash-replayed batch re-samples
+    * IDENTICALLY (stable identifiers only — no RNG state, no batch
+    * timing), so the landed union is hash-equal to the batch twin
+    * [[graft.ext.CorpusPrep.unigramSampledDocStats]] verbatim, while
+    * a different epoch re-samples the whole corpus. */
+  def streamUnigramEncodeSampled(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val base = prepareDedupStream(spark, dir, nBatches,
+      scratch = "stream_uni_enc_sampled")
+    val art = s"$base/artifact"
+    graft.ext.TokenizerArtifact.unigramWrite(
+      graft.sources.Tables.documents(spark, dir), art)
+    runUnigramEncodeSampledStream(spark, dir, base, art)
+    unigramStreamOutput(spark, base)
+  }
+
+  /** Start (or RESTART against the same checkpoint) the sampled
+    * encode stream and drain it — the crash-replay seam. */
+  def runUnigramEncodeSampledStream(spark: SparkSession, dir: String,
+      base: String, artifactDir: String,
+      epoch: Long = graft.ext.CorpusPrep.SubwordDocEpoch,
+      afterWrites: Long => Unit = _ => ()): Unit = {
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val model = graft.ext.TokenizerArtifact
+      .unigramLoadModel(spark, artifactDir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(s"$base/src")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val enc = graft.ext.TokenizerArtifact
+          .unigramSampledDocStatsWith(batch.toDF(), model, epoch)
+        writeBatchIdempotent(enc, id, s"$base/out")
+        afterWrites(id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
   /** The landed per-doc stats under `base`, in the
     * unigram_encode_stats gate output shape (batch_id is landing
     * metadata, not payload; docs are disjoint across batches, so the
@@ -1782,7 +1883,10 @@ object StreamingQueries {
     "stream_join_attrib" -> (streamJoinAttrib _),
     "stream_encode_ids" -> ((s, d) => streamEncodeIds(s, d)),
     "stream_wordpiece_encode" -> ((s, d) => streamWordPieceEncode(s, d)),
-    "stream_unigram_encode" -> ((s, d) => streamUnigramEncode(s, d))
+    "stream_unigram_encode" -> ((s, d) => streamUnigramEncode(s, d)),
+    "stream_unigram_encode_sampled" -> ((s, d) =>
+      streamUnigramEncodeSampled(s, d)),
+    "stream_bpe_encode_dropout" -> ((s, d) => streamBpeEncodeDropout(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1800,6 +1904,18 @@ object StreamingQueries {
     // purity + one-batch-per-doc make the union exact)
     "stream_unigram_encode" ->
       graft.ext.CorpusPrep.oracles("unigram_encode_stats"),
+    // the subword-regularization stream (deterministic-seed arm):
+    // DuckDB re-enumerates the k-best lists, re-snaps the integer
+    // weights, and re-runs the per-(doc, word) threshold pick from
+    // the materialized doc-level hashes — landing ≡ sampled batch
+    // twin through one hash
+    "stream_unigram_encode_sampled" ->
+      graft.ext.CorpusPrep.unigramSampledDocStatsOracleSql,
+    // the BPE-dropout stream: the landed per-doc digests vs the batch
+    // bpe_encode_dropout oracle VERBATIM (the dropout dict is a pure
+    // function of artifact + seed; docs arrive in exactly one batch)
+    "stream_bpe_encode_dropout" ->
+      graft.ext.CorpusPrep.oracles("bpe_encode_dropout"),
     // first-batch-wins over mod-3 micro-batches: a doc survives iff
     // no doc in a SMALLER mod class shares its fingerprint (same-fp
     // docs within one batch both survive — the anti-join semantics)

@@ -905,6 +905,114 @@ class StreamingSpec extends AnyFunSuite {
       === expected)
   }
 
+  test("streaming SAMPLED unigram encode equals the sampled batch twin; " +
+      "crash-replay re-samples identically; epochs vary the segmentation") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val expected =
+      canon(CorpusPrep.unigramSampledDocStats(Tables.documents(spark, dir)))
+    assert(expected.nonEmpty)
+    assert(canon(StreamingQueries.streamUnigramEncodeSampled(spark, dir))
+      === expected)
+    // the sampling is REGULARIZATION, not noise in the gate: it must
+    // differ from the deterministic (argmin) encode somewhere, and a
+    // different epoch must re-sample the corpus differently — while
+    // each epoch stays replay-stable
+    val argmin =
+      canon(CorpusPrep.unigramEncodeStats(Tables.documents(spark, dir))
+        .orderBy("doc_id"))
+    assert(expected !== argmin,
+      "sampled encode degenerated to the argmin encode on every doc")
+    // crash-replay: kill after batch 1's landing but before its epoch
+    // commits — the replay must RE-SAMPLE batch 1 identically (the
+    // (seed, epoch, doc_id, word) key carries no RNG state) and
+    // overwrite its partition idempotently
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_uni_sampled_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.unigramWrite(Tables.documents(spark, dir), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runUnigramEncodeSampledStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runUnigramEncodeSampledStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.unigramStreamOutput(spark, base))
+      === expected)
+    // epoch 2: a different (but equally deterministic) sampling
+    val epoch2 =
+      canon(CorpusPrep.unigramSampledDocStats(Tables.documents(spark, dir),
+        epoch = 2L))
+    assert(epoch2 !== expected,
+      "epoch 2 sampled identically to epoch 1 - the epoch key is dead")
+  }
+
+  test("streaming BPE-dropout encode equals the dropout batch twin; " +
+      "crash-replay re-encodes identically") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    def digest(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("doc_id"), col("n_tokens"), col("n_unk"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy(col("doc_id"))
+    val expected =
+      canon(digest(CorpusPrep.bpeEncodeIdsDropout(Tables.documents(spark, dir))))
+    assert(expected.nonEmpty)
+    assert(canon(StreamingQueries.streamBpeEncodeDropout(spark, dir))
+      === expected)
+    // the dropout must actually reinterpret somewhere: it differs
+    // from the clean encode on at least one doc
+    val clean =
+      canon(digest(CorpusPrep.bpeEncodeIds(Tables.documents(spark, dir))))
+    assert(expected !== clean,
+      "dropout encode degenerated to the clean encode on every doc")
+    // crash-replay: the dropout dict is a pure function of
+    // (artifact, seed) - the restarted stream re-derives it bit-equal
+    // and overwrites batch 1's landing idempotently
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_bpe_dropout_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.bpeWrite(Tables.documents(spark, dir), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runBpeDropoutStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runBpeDropoutStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.encodeStreamOutput(spark, base))
+      === expected)
+  }
+
   test("a FAILED major fold costs read fan-in, never correctness; the next trigger recovers") {
     import graft.streaming.StreamingQueries.CompactedState
     import org.apache.spark.sql.types.{LongType, StructField, StructType}
