@@ -154,6 +154,14 @@ object ByteBpe {
     val dictDf = dictRows.zip(words).toIndexedSeq
       .map { case ((w, _), syms) => (w, syms.toIndexedSeq.map(id)) }
       .toDF("word", "word_ids")
+    byteEncodeIdsFromDict(docs, dictDf)
+  }
+
+  /** The encode core over any `(word, word_ids)` trained dictionary —
+    * the artifact/streaming seam ([[graft.ext.TokenizerArtifact]]
+    * feeds a dict loaded from a persisted byte-BPE model). */
+  private[ext] def byteEncodeIdsFromDict(docs: DataFrame,
+      dictDf: DataFrame): DataFrame = {
     val toks = docs.select(col("doc_id"),
       posexplode_outer(preTokens(col("text"))).as(Seq("wpos", "word")))
     toks.join(dictDf, Seq("word"), "left")
@@ -199,14 +207,35 @@ object ByteBpe {
     * [[CorpusPrep.bpeRoundCteSql]] — full per-round recounts, the
     * independent formulation of the engine's delta-maintained loop),
     * GPT-2 id layout, per-doc reassembly, digest. */
-  private def byteEncodeOracleSql(rounds: Int): String = {
+  /** Per-doc UNIQUE letters-only token appended to the CROSS gate's
+    * encode half (" q" + digits of doc_id mapped a–j): the train half
+    * can never contain it, so the raw-byte fallback carries real,
+    * oracle-checked traffic instead of being a dead path (the r11
+    * WordPiece-unk lesson). Letters-only matters: a digit suffix
+    * would split into its own pre-token under [[PreTokPattern]]. */
+  def crossExtraText(docs: DataFrame): DataFrame =
+    docs.withColumn("text", concat(col("text"), lit(" q"),
+      translate(col("doc_id").cast("string"),
+        "0123456789", "abcdefghij")))
+
+  /** The SQL twin of [[crossExtraText]]'s appended token. */
+  private[ext] val CrossExtraSql: String =
+    "' q' || translate(CAST(doc_id AS VARCHAR), '0123456789', 'abcdefghij')"
+
+  private[ext] def byteEncodeOracleSql(rounds: Int,
+      trainWhere: String = "", encodeWhere: String = "",
+      encodeExtraSql: String = "''"): String = {
     val init =
       s"""pret AS MATERIALIZED (SELECT doc_id,
          |                regexp_extract_all(text, '$PreTokPattern') AS ws
          |         FROM bdocs),
          |bdict AS (SELECT word, CAST(count(*) AS BIGINT) AS wc
-         |          FROM (SELECT unnest(ws) AS word FROM pret)
+         |          FROM (SELECT unnest(ws) AS word FROM pret$trainWhere)
          |          GROUP BY 1),
+         |pr2 AS (SELECT doc_id,
+         |               regexp_extract_all(text || $encodeExtraSql,
+         |                 '$PreTokPattern') AS ws
+         |        FROM bdocs$encodeWhere),
          |d0 AS (SELECT word, wc,
          |              regexp_extract_all(hex(encode(word)), '..') AS syms
          |       FROM bdict)""".stripMargin
@@ -229,7 +258,7 @@ object ByteBpe {
          |       GROUP BY word),
          |tok AS (SELECT d.doc_id, CAST(t.i AS BIGINT) AS wpos,
          |               d.ws[CAST(t.i AS INTEGER)] AS word
-         |        FROM pret d, unnest(range(1, len(d.ws) + 1)) t(i)),
+         |        FROM pr2 d, unnest(range(1, len(d.ws) + 1)) t(i)),
          |enc AS (SELECT tok.doc_id, tok.wpos,
          |               coalesce(wi.word_ids,
          |                 [${hexValSql("h")} FOR h IN
@@ -251,7 +280,8 @@ object ByteBpe {
        |       CAST(coalesce(len(a.ids), 0) AS BIGINT) AS n_ids,
        |       md5(coalesce(array_to_string(
        |         [CAST(x AS VARCHAR) FOR x IN a.ids], ' '), '')) AS ids_md5
-       |FROM documents d LEFT JOIN eagg a USING (doc_id)
+       |FROM (SELECT doc_id FROM documents$encodeWhere) d
+       |LEFT JOIN eagg a USING (doc_id)
        |ORDER BY d.doc_id""".stripMargin
   }
 

@@ -233,6 +233,66 @@ object TokenizerArtifact {
         .select(col("word"), col("n_pieces"), col("total_cost")))
   }
 
+  /** Train (deep loop over byte symbols) and persist the BYTE-LEVEL
+    * BPE artifacts — the fourth tokenizer family joins the lifecycle:
+    *
+    *   <dir>/bytebpe_merges  (round, p, q, cnt) — hex-pair merges
+    *   <dir>/bytebpe_vocab   (word, wc, syms)   — the merged
+    *                         pre-token dictionary (≤ dictCap rows by
+    *                         the collect contract, loud at the cap)
+    *
+    * Input is the caller's (already decorated) corpus — byte-BPE has
+    * no eligibility filter, every pre-token trains. */
+  def byteBpeWrite(docs: DataFrame, dir: String,
+      rounds: Int = ByteBpe.ByteBpeRounds): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (merges, dictRows, words) = ByteBpe.trainDeep(docs, rounds)
+    merges.toDF("round", "p", "q", "cnt")
+      .repartition(artifactParts(rounds.toLong))
+      .write.mode("overwrite").parquet(s"$dir/bytebpe_merges")
+    dictRows.zip(words).toIndexedSeq
+      .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
+      .toDF("word", "wc", "syms")
+      .repartition(artifactParts(CorpusPrep.BpeDictCap.toLong))
+      .write.mode("overwrite").parquet(s"$dir/bytebpe_vocab")
+  }
+
+  /** Load the persisted byte-BPE state as the encode-side
+    * `(word, word_ids)` dictionary, DISTRIBUTED: the merge table
+    * (≤ rounds rows) collects into a foldable minted-symbol→id map
+    * literal and the vocabulary's symbol arrays resolve through it in
+    * one narrow projection — the dict never round-trips the driver
+    * (it is corpus-vocabulary-sized, not cap-16-sized). Ids are the
+    * same pure function of the trained state as
+    * [[ByteBpe.symbolIds]]: byte value for 2-hex-char bases,
+    * 255 + first-minting round for minted symbols. */
+  def byteBpeLoadDict(spark: SparkSession, dir: String): DataFrame = {
+    val merges = spark.read.parquet(s"$dir/bytebpe_merges").collect()
+      .map(r => (r.getAs[Int]("round"), r.getAs[String]("p"),
+        r.getAs[String]("q")))
+    val minted: Map[String, Long] = merges.groupBy(m => m._2 + m._3)
+      .map { case (s, ms) => s -> (255L + ms.map(_._1).min) }
+    CorpusCache.checkpoint(spark.read.parquet(s"$dir/bytebpe_vocab")
+      .select(col("word"), transform(col("syms"), s =>
+        when(length(s) === 2, conv(s, 16, 10).cast("long"))
+          .otherwise(element_at(typedlit(minted), s))).as("word_ids")))
+  }
+
+  /** Per-document byte-BPE encode through a PERSISTED artifact —
+    * the identical encode core as [[ByteBpe.byteEncodeIds]], no
+    * training stage in the lineage; dict misses (cross-corpus) take
+    * the structural raw-byte fallback. */
+  def byteBpeEncodeIds(docs: DataFrame, dir: String): DataFrame =
+    ByteBpe.byteEncodeIdsFromDict(docs,
+      byteBpeLoadDict(docs.sparkSession, dir))
+
+  /** Encode through an ALREADY-LOADED byte-BPE dict — the streaming
+    * composition's per-batch body ([[bpeEncodeIdsWith]]'s seam for
+    * the fourth family). */
+  def byteBpeEncodeIdsWith(docs: DataFrame, dict: DataFrame): DataFrame =
+    ByteBpe.byteEncodeIdsFromDict(docs, dict)
+
   /** SAMPLED per-document encode stats through an ALREADY-LOADED
     * model frame — the subword-regularization streaming seam (VERDICT
     * r13 #4): k-best spans derive per batch from (batch word dict,
@@ -263,6 +323,15 @@ object TokenizerArtifact {
         lit(CorpusPrep.UnigramUnkCharCost).as("cost"))
     model.select(col("piece"), col("freq"), col("cost")).unionByName(unseen)
   }
+
+  /** The byte-BPE digest projection (n_fallback instead of n_unk —
+    * there is no unknown token in the byte family). */
+  private def byteDigest(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), col("n_tokens"), col("n_fallback"),
+        size(col("ids")).cast("long").as("n_ids"),
+        md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+          .as("ids_md5"))
+      .orderBy(col("doc_id"))
 
   /** The id-array digest projection shared with the in-lineage
     * encode gates (arrays cross the gate as count + md5). */
@@ -301,6 +370,28 @@ object TokenizerArtifact {
       val docs = Tables.documents(s, d)
       bpeWrite(docs, dir)
       idsDigest(bpeEncodeIds(docs, dir))
+    }),
+    // byte-level roundtrip: deep-train over byte symbols → persist →
+    // reload in a fresh lineage (distributed minted-map id resolve) →
+    // encode, hash-matched against bpe_byte_encode_ids' UNCHANGED
+    // oracle — artifact ≡ in-lineage for the fourth family too
+    "bpe_byte_artifact_roundtrip" -> ((s, d) => {
+      val dir = RunScratch.dir("bytebpe_artifact", d)
+      val docs = CorpusPrep.bertFixtureText(Tables.documents(s, d))
+      byteBpeWrite(docs, dir)
+      byteDigest(byteBpeEncodeIds(docs, dir))
+    }),
+    // byte-level cross-corpus: train on the even decorated half,
+    // encode the odd half — odd-half pre-tokens missing from the
+    // even-half dict land on the RAW-BYTE fallback, so the structural
+    // no-UNK path carries real oracle-checked traffic (n_fallback > 0
+    // and every token still encodes)
+    "bpe_byte_artifact_cross_encode" -> ((s, d) => {
+      val dir = RunScratch.dir("bytebpe_artifact_x", d)
+      val docs = CorpusPrep.bertFixtureText(Tables.documents(s, d))
+      byteBpeWrite(docs.filter(expr(TrainHalf)), dir)
+      byteDigest(byteBpeEncodeIds(
+        ByteBpe.crossExtraText(docs.filter(expr(EncodeHalf))), dir))
     }),
     // same proof for the unigram model, against
     // unigram_encode_stats' unchanged oracle
@@ -366,6 +457,14 @@ object TokenizerArtifact {
     * indistinguishable from the fused path. */
   val oracles: Map[String, String] = Map(
     "bpe_artifact_roundtrip" -> CorpusPrep.oracles("bpe_encode_ids"),
+    "bpe_byte_artifact_roundtrip" -> ByteBpe.oracles("bpe_byte_encode_ids"),
+    // byte merge chain + dict from the even decorated half ONLY;
+    // pre-token stream + digest spine from the odd half — dict-miss
+    // tokens take the inline raw-byte-id fallback in both engines
+    "bpe_byte_artifact_cross_encode" -> ByteBpe.byteEncodeOracleSql(
+      ByteBpe.ByteBpeRounds,
+      trainWhere = s" WHERE $TrainHalf", encodeWhere = s" WHERE $EncodeHalf",
+      encodeExtraSql = ByteBpe.CrossExtraSql),
     "unigram_artifact_roundtrip" -> CorpusPrep.oracles("unigram_encode_stats"),
     // merge chain + capped vocab from the train half ONLY; encode
     // stream + digest spine from the other half

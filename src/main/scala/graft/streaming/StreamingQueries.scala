@@ -1571,6 +1571,76 @@ object StreamingQueries {
     try { q.processAllAvailable() } finally q.stop()
   }
 
+  /** Streaming BYTE-LEVEL BPE encode-from-artifact — the fourth
+    * tokenizer family's streaming leg (the [[streamEncodeIds]]
+    * discipline): the byte-BPE model trains and persists ONCE, the
+    * `(word, word_ids)` dict loads once at stream start (distributed
+    * minted-map resolve), every micro-batch decorates its docs (the
+    * gate's deterministic per-doc_id decoration commutes with batch
+    * slicing) and encodes against the loaded dict, landing per-doc
+    * digests idempotently. Per-token purity (a pre-token's ids are a
+    * function of (token, dict) alone — dict misses take the raw-byte
+    * fallback) + one-batch-per-doc make the landed union hash-equal
+    * to the batch `bpe_byte_encode_ids` oracle VERBATIM. */
+  def streamByteBpeEncode(spark: SparkSession, dir: String,
+      nBatches: Int = 3): DataFrame = {
+    val base = prepareDedupStream(spark, dir, nBatches,
+      scratch = "stream_bytebpe")
+    val art = s"$base/artifact"
+    graft.ext.TokenizerArtifact.byteBpeWrite(
+      graft.ext.CorpusPrep.bertFixtureText(
+        graft.sources.Tables.documents(spark, dir)), art)
+    runByteBpeEncodeStream(spark, dir, base, art)
+    byteEncodeStreamOutput(spark, base)
+  }
+
+  /** Start (or RESTART against the same checkpoint) the byte-BPE
+    * encode stream and drain it — the crash-replay seam. */
+  def runByteBpeEncodeStream(spark: SparkSession, dir: String,
+      base: String, artifactDir: String,
+      afterWrites: Long => Unit = _ => ()): Unit = {
+    val docsSchema = graft.sources.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text")).schema
+    val dict = graft.ext.TokenizerArtifact
+      .byteBpeLoadDict(spark, artifactDir)
+    val stream = spark.readStream.schema(docsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .option("recursiveFileLookup", "true").parquet(s"$base/src")
+    val q = stream.writeStream
+      .option("checkpointLocation", s"$base/ckpt")
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            id: Long) =>
+        val enc = graft.ext.TokenizerArtifact.byteBpeEncodeIdsWith(
+          graft.ext.CorpusPrep.bertFixtureText(batch.toDF()), dict)
+          .select(col("doc_id"), col("n_tokens"), col("n_fallback"),
+            size(col("ids")).cast("long").as("n_ids"),
+            md5(array_join(transform(col("ids"), i => i.cast("string")),
+              " ")).as("ids_md5"))
+        writeBatchIdempotent(enc, id, s"$base/out")
+        afterWrites(id)
+      }
+      .start()
+    try { q.processAllAvailable() } finally q.stop()
+  }
+
+  /** The landed per-doc digests under `base`, in the
+    * bpe_byte_encode_ids gate output shape. */
+  def byteEncodeStreamOutput(spark: SparkSession, base: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField,
+      StructType}
+    graft.ext.Layout.readBack(spark, s"$base/out", StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("n_tokens", LongType),
+        StructField("n_fallback", LongType),
+        StructField("n_ids", LongType),
+        StructField("ids_md5", StringType),
+        StructField("batch_id", LongType))))
+      .select(col("doc_id"), col("n_tokens"), col("n_fallback"),
+        col("n_ids"), col("ids_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Streaming BPE-DROPOUT encode-from-artifact — the BPE side of the
     * subword-regularization streaming pair (VERDICT r13 #4; see
     * [[streamUnigramEncodeSampled]] for the unigram side). The
@@ -1886,7 +1956,8 @@ object StreamingQueries {
     "stream_unigram_encode" -> ((s, d) => streamUnigramEncode(s, d)),
     "stream_unigram_encode_sampled" -> ((s, d) =>
       streamUnigramEncodeSampled(s, d)),
-    "stream_bpe_encode_dropout" -> ((s, d) => streamBpeEncodeDropout(s, d))
+    "stream_bpe_encode_dropout" -> ((s, d) => streamBpeEncodeDropout(s, d)),
+    "stream_bpe_byte_encode" -> ((s, d) => streamByteBpeEncode(s, d))
   )
 
   val oracles: Map[String, String] = Map(
@@ -1916,6 +1987,11 @@ object StreamingQueries {
     // function of artifact + seed; docs arrive in exactly one batch)
     "stream_bpe_encode_dropout" ->
       graft.ext.CorpusPrep.oracles("bpe_encode_dropout"),
+    // the byte-BPE stream: landed per-doc digests vs the batch
+    // bpe_byte_encode_ids oracle VERBATIM (once-loaded dict, per-doc
+    // pure encode, one batch per doc)
+    "stream_bpe_byte_encode" ->
+      graft.ext.ByteBpe.oracles("bpe_byte_encode_ids"),
     // first-batch-wins over mod-3 micro-batches: a doc survives iff
     // no doc in a SMALLER mod class shares its fingerprint (same-fp
     // docs within one batch both survive — the anti-join semantics)

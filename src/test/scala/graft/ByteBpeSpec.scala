@@ -103,6 +103,24 @@ class ByteBpeSpec extends AnyFunSuite {
     assert(out.getAs[Long]("n_tokens") === 3L)
   }
 
+  test("artifact roundtrip: the loaded-dict distributed id resolve equals the in-lineage driver ids") {
+    import graft.ext.TokenizerArtifact
+    val docs = docsOf(
+      1L -> "the cat sat on the mat, the cat ran!",
+      2L -> "a cat and a bat met the rat 42 times")
+    val dir = java.nio.file.Files.createTempDirectory("bytebpe_art").toString
+    TokenizerArtifact.byteBpeWrite(docs, dir, rounds = 6)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getAs[scala.collection.Seq[Long]]("ids"),
+          r.getAs[Long]("n_fallback"))).toSeq
+    assert(canon(TokenizerArtifact.byteBpeEncodeIds(docs, dir))
+      === canon(ByteBpe.byteEncodeIdsWith(docs, docs, rounds = 6)))
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.toSeq.reverse.foreach(java.nio.file.Files.deleteIfExists(_))
+  }
+
   test("gate invariant: same-corpus encode has zero fallback, all ids in range") {
     val docs = docsOf(
       1L -> "spark scans parquet fast, very fast!",

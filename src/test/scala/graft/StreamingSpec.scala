@@ -961,6 +961,49 @@ class StreamingSpec extends AnyFunSuite {
       "epoch 2 sampled identically to epoch 1 - the epoch key is dead")
   }
 
+  test("streaming byte-BPE encode-from-artifact equals the batch encode; " +
+      "crash-replay converges") {
+    import graft.streaming.StreamingQueries
+    import graft.ext.{ByteBpe, CorpusPrep, TokenizerArtifact}
+    import graft.sources.Tables
+    val dir = "/root/testdata/sf0.001"
+    def canon(df: org.apache.spark.sql.DataFrame)
+        : Seq[(Long, Long, Long, Long, String)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getString(4))).toSeq
+    val expected = canon(
+      ByteBpe.byteEncodeIds(Tables.documents(spark, dir))
+        .select(col("doc_id"), col("n_tokens"), col("n_fallback"),
+          size(col("ids")).cast("long").as("n_ids"),
+          md5(array_join(transform(col("ids"), i => i.cast("string")), " "))
+            .as("ids_md5"))
+        .orderBy(col("doc_id")))
+    assert(expected.nonEmpty)
+    assert(canon(StreamingQueries.streamByteBpeEncode(spark, dir))
+      === expected)
+    val base = StreamingQueries.prepareDedupStream(spark, dir,
+      scratch = "stream_bytebpe_crash")
+    val art = s"$base/artifact"
+    TokenizerArtifact.byteBpeWrite(
+      CorpusPrep.bertFixtureText(Tables.documents(spark, dir)), art)
+    val crashed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val thrown = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      StreamingQueries.runByteBpeEncodeStream(spark, dir, base, art,
+        afterWrites = id =>
+          if (id == 1) {
+            crashed.set(true)
+            throw new RuntimeException("graft-test: injected crash after state write")
+          })
+    }
+    assert(crashed.get(), "the injected crash never fired - nothing was tested")
+    assert(thrown.getMessage.contains("injected crash"))
+    assert(new java.io.File(s"$base/out/batch_id=1").exists(),
+      "crash point must leave batch 1's landing on disk")
+    StreamingQueries.runByteBpeEncodeStream(spark, dir, base, art)
+    assert(canon(StreamingQueries.byteEncodeStreamOutput(spark, base))
+      === expected)
+  }
+
   test("streaming BPE-dropout encode equals the dropout batch twin; " +
       "crash-replay re-encodes identically") {
     import graft.streaming.StreamingQueries
