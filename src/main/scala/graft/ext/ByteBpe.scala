@@ -150,10 +150,27 @@ object ByteBpe {
     val (merges, dictRows, words) = trainDeep(trainDocs, rounds)
     val id = symbolIds(merges)
     // dict-bounded derived state (≤ dictCap rows by the collect
-    // contract) — same LocalRelation idiom as bpeTrainDeepDict
-    val dictDf = dictRows.zip(words).toIndexedSeq
-      .map { case ((w, _), syms) => (w, syms.toIndexedSeq.map(id)) }
-      .toDF("word", "word_ids")
+    // contract) — but NOT a `toDF` LocalRelation: the byte dict is
+    // corpus-VOCABULARY-sized (every distinct pre-token, unlike the
+    // char gate's cap-16 vocab), and a LocalRelation embeds every row
+    // in the PLAN — cheap solo, but the round-14 sf1.0 full-suite
+    // sweep measured the plan-embedded form melting 5× under session
+    // heap pressure (22 s vs 4.0 s solo, same fixture) while the
+    // artifact path's distributed frame held. Parallelize ships the
+    // rows as RDD partitions instead.
+    val rows = dictRows.zip(words).toIndexedSeq
+      .map { case ((w, _), syms) =>
+        org.apache.spark.sql.Row(w, syms.toIndexedSeq.map(id)) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("word_ids",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType))))
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 10000 + 1))
+    val dictDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, parts), schema)
     byteEncodeIdsFromDict(docs, dictDf)
   }
 

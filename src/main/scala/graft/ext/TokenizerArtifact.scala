@@ -251,10 +251,25 @@ object TokenizerArtifact {
     merges.toDF("round", "p", "q", "cnt")
       .repartition(artifactParts(rounds.toLong))
       .write.mode("overwrite").parquet(s"$dir/bytebpe_merges")
-    dictRows.zip(words).toIndexedSeq
-      .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
-      .toDF("word", "wc", "syms")
-      .repartition(artifactParts(CorpusPrep.BpeDictCap.toLong))
+    // parallelize, not toDF: the byte dict is corpus-vocabulary-sized
+    // and a plan-embedded LocalRelation of it melts under session
+    // heap pressure (see ByteBpe.byteEncodeIdsWith — the r14 sweep
+    // catch); the char-BPE writes above keep toDF because their
+    // tables are rounds/cap-bounded tiny
+    val rows = dictRows.zip(words).toIndexedSeq
+      .map { case ((w, wc), syms) =>
+        org.apache.spark.sql.Row(w, wc, syms.toIndexedSeq) }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("wc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("syms",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 10000 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
       .write.mode("overwrite").parquet(s"$dir/bytebpe_vocab")
   }
 
