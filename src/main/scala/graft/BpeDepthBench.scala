@@ -85,18 +85,27 @@ object BpeDepthBench {
     // same corpus — its merges/s is expected BELOW the BPE loop's
     // (every merge re-prices all pairs adjacent to three symbols),
     // and this run prices that intrinsic extra.
-    val wp = sys.env.get("SPARK_GRAFT_DEPTH_MODE").contains("wordpiece")
+    // SPARK_GRAFT_DEPTH_MODE=byte prices the BYTE-LEVEL loop (round
+    // 14): the same lazy-PQ machinery over hex-byte-pair symbols —
+    // initial sequences are ~1–2× longer than char splits (ASCII is
+    // 1 byte/char, so mostly equal here) and the alphabet is denser,
+    // which shifts pair-count fan-out; this run prices that.
+    val mode0 = sys.env.getOrElse("SPARK_GRAFT_DEPTH_MODE", "bpe")
+    val wp = mode0 == "wordpiece"
+    val byte = mode0 == "byte"
     val t0 = System.nanoTime()
     val dictRows =
       if (wp) graft.ext.CorpusPrep.wordPieceDictCollect(docs)
+      else if (byte) graft.ext.ByteBpe.byteDictCollect(docs)
       else graft.ext.CorpusPrep.bpeDictCollect(docs)
     val collectSec = (System.nanoTime() - t0) / 1e9
     val t1 = System.nanoTime()
     val n =
       if (wp) graft.ext.CorpusPrep.wordPieceDeepMerges(dictRows, rounds).length
+      else if (byte) graft.ext.ByteBpe.trainDeepMerges(dictRows, rounds).length
       else graft.ext.CorpusPrep.bpeDeepMerges(dictRows, rounds).length
     val loopSec = math.max((System.nanoTime() - t1) / 1e9, 0.001)
-    val mode = if (wp) "wordpiece" else "bpe"
+    val mode = if (wp) "wordpiece" else if (byte) "byte" else "bpe"
     println(f"""{"mode":"$mode%s","dict_words":${dictRows.length},"target_rounds":$rounds,"merges_done":$n,"collect_sec":$collectSec%.2f,"loop_sec":$loopSec%.2f,"rounds_per_sec":${n / loopSec}%.0f}""")
     spark.stop()
   }
