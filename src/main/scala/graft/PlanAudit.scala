@@ -70,6 +70,7 @@ object PlanAudit {
     "bpe_encode_dropout", // inherits bpe_encode_ids' broadcast(wordIds ≤ BpeVocabCap) through the conditionally-merged dropout dict — the bpe_encode_ids_deep class; the drop decision is a narrow per-word hash, no new broadcast (reviewed round 12 — the gate landed round 11 without an audit pass)
     "unigram_segment_sampled", // broadcast(vocab ≤ cap + alphabet) under the shared k-best fold — the unigram_segment_nbest class; the per-word selection-hash join is word-keyed shuffle (reviewed round 12 — same round-11 audit gap)
     "sim_ann_ivfpq",     // broadcast(probes ≤ queries × nProbe, qTables ≤ queries × m·kSub doubles, cand ≤ queries × k × rerank, qFull ≤ queries) — all query-side bounded BY CONTRACT; the corpus-sized codes frame streams through the cluster join (reviewed round 14)
+    "sim_ann_ivfpq_incremental", // the same bounded sides with the INGEST BATCH as the query side — broadcast-sized BY the ingest contract, the sim_ann_ivf_incremental class (reviewed round 14)
     "sim_ivfpq_recall")  // the sim_ann_ivfpq broadcasts inherited through the reused ivfPqTopK + bruteTopK's bounded query side (reviewed round 14)
 
   /** A UNIT pin — `explode(array(x))`, one row in, one row out — is

@@ -128,6 +128,9 @@ object SparkEntry {
       "ivfpq_codes" -> ((s, d) => S.ivfPqModelFor(s, d).get._1),
       "ivfpq_probes" -> ((s, d) => S.ivfPqModelFor(s, d).get._2),
       "ivfpq_qtables" -> ((s, d) => S.ivfPqModelFor(s, d).get._3),
+      "ivfpq_inc_codes" -> ((s, d) => S.ivfPqIncrementalFor(s, d).get._1),
+      "ivfpq_inc_probes" -> ((s, d) => S.ivfPqIncrementalFor(s, d).get._2),
+      "ivfpq_inc_qtables" -> ((s, d) => S.ivfPqIncrementalFor(s, d).get._3),
       "pq_codes" -> ((s, d) => S.pqModelFor(s, d).get._1),
       "pq_tables" -> ((s, d) => S.pqModelFor(s, d).get._2),
       "pq_norms" -> ((s, d) => {

@@ -952,6 +952,8 @@ object Similarity {
     (SparkSession, String), Option[(DataFrame, DataFrame, Seq[Seq[Double]])]]()
   private val ivfPqMemo = new java.util.concurrent.ConcurrentHashMap[
     (SparkSession, String), Option[(DataFrame, DataFrame, DataFrame)]]()
+  private val ivfPqIncMemo = new java.util.concurrent.ConcurrentHashMap[
+    (SparkSession, String), Option[(DataFrame, DataFrame, DataFrame)]]()
 
   /** IVF assignments for the fixture at `dir`, trained once per
     * (session, dir) and shared between the `sim_ann_ivf` gate query
@@ -1009,6 +1011,23 @@ object Similarity {
     ivfPqMemo.computeIfAbsent((spark, dir), { _ =>
       val emb = Tables.embeddings(spark, dir)
       ivfPqModel(emb, querySet(emb))
+    })
+
+  /** Incremental IVF-PQ ingest model: the coarse quantizer, residual
+    * codebooks, and codes all come from HISTORY ONLY; the new batch
+    * is only ever assigned probe lists + ADC tables against that
+    * frozen state — [[ivfIncrementalFor]]'s asymmetry composed with
+    * the PQ compression, which is precisely the production serving
+    * loop (retrain rarely; per ingest batch: probe + ADC + re-rank,
+    * cost proportional to the batch against an m+8-bytes/vector
+    * index). [[ivfPqModel]] already has the asymmetry: the corpus
+    * argument trains and encodes, the queries argument is only ever
+    * assigned. Trained once per (session, dir), shared with aux. */
+  def ivfPqIncrementalFor(spark: SparkSession, dir: String)
+      : Option[(DataFrame, DataFrame, DataFrame)] =
+    ivfPqIncMemo.computeIfAbsent((spark, dir), { _ =>
+      val (hist, newBatch) = ingestSplit(Tables.embeddings(spark, dir))
+      ivfPqModel(hist, newBatch)
     })
 
   /** Truncation widths the Matryoshka evaluation measures. */
@@ -1079,6 +1098,15 @@ object Similarity {
     "sim_ann_ivfpq" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       ivfPqTopK(emb, ivfPqModelFor(s, d), querySet(emb), k = GateK)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // incremental ingest through the COMPOSED index: the new batch
+    // probes the history-trained coarse quantizer, ADC-scans the
+    // history's residual codes, re-ranks exactly — neighbors always
+    // come from history, never the batch
+    "sim_ann_ivfpq_incremental" -> ((s, d) => {
+      val (hist, newBatch) = ingestSplit(Tables.embeddings(s, d))
+      ivfPqTopK(hist, ivfPqIncrementalFor(s, d), newBatch, k = GateK)
         .orderBy(col("query_id"), col("rank"))
     }),
     // recall@k of the composed index vs the gated brute-force truth —
@@ -1163,10 +1191,12 @@ object Similarity {
     * from the materialized model state (codes + probes with their
     * stored q·centroid dots + per-query tables), crank cut at
     * k·rerank — the independent SQL twin of [[ivfPqTopK]]'s scan. */
-  private def ivfPqCandCtes: String =
-    s"""codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_codes/*.parquet')),
-       |p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_probes/*.parquet')),
-       |qt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/ivfpq_qtables/*.parquet')),
+  private def ivfPqCandCtes: String = ivfPqCandCtes("ivfpq")
+
+  private def ivfPqCandCtes(prefix: String): String =
+    s"""codes AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/${prefix}_codes/*.parquet')),
+       |p AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/${prefix}_probes/*.parquet')),
+       |qt AS (SELECT * FROM read_parquet('__OUTDIR__/.aux/${prefix}_qtables/*.parquet')),
        |scored AS (
        |  SELECT p.query_id, codes.neighbor_id,
        |         (p.q_dot_c + list_sum(list_transform(range(1, ${PqM + 1}),
@@ -1184,6 +1214,21 @@ object Similarity {
   val oracles: Map[String, String] = Map(
     "sim_ann_ivfpq" ->
       s"""WITH $ivfPqCandCtes
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
+        |       round(sim, 6) AS sim FROM (
+        |  SELECT cand.query_id, cand.neighbor_id,
+        |         list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) AS sim,
+        |         row_number() OVER (PARTITION BY cand.query_id
+        |           ORDER BY list_cosine_similarity(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[]) DESC,
+        |                    cand.neighbor_id) AS rank
+        |  FROM cand JOIN embeddings qe ON qe.vec_id = cand.query_id
+        |            JOIN embeddings ce ON ce.vec_id = cand.neighbor_id)
+        |WHERE rank <= $GateK ORDER BY query_id, rank""".stripMargin,
+    // same candidate CTEs over the incremental aux: given the
+    // history-trained state the result set is fully deterministic,
+    // so the gate is an exact hash-match here too
+    "sim_ann_ivfpq_incremental" ->
+      s"""WITH ${ivfPqCandCtes("ivfpq_inc")}
         |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id,
         |       round(sim, 6) AS sim FROM (
         |  SELECT cand.query_id, cand.neighbor_id,
