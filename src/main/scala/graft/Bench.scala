@@ -97,11 +97,15 @@ object Bench {
     // is teardown noise, not signal, so it is also silenced for the
     // release (scoped to org.apache.spark.rdd, restored after).
     val rddLoggerName = "org.apache.spark.rdd"
+    // capture-and-restore, not hardcode-WARN (ADVICE r14): a user
+    // log4j config setting this logger to INFO/DEBUG must survive
+    val rddPrev = org.apache.logging.log4j.LogManager
+      .getLogger(rddLoggerName).getLevel
     org.apache.logging.log4j.core.config.Configurator
       .setLevel(rddLoggerName, org.apache.logging.log4j.Level.ERROR)
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     org.apache.logging.log4j.core.config.Configurator
-      .setLevel(rddLoggerName, org.apache.logging.log4j.Level.WARN)
+      .setLevel(rddLoggerName, rddPrev)
     println(line)
     // Persist the full per-gate map as a FILE too (VERDICT r9 item 8):
     // the driver's BENCH_r{N}.json tail capture truncates the ~6 KB

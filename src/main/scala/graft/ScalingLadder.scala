@@ -94,6 +94,11 @@ object ScalingLadder {
       println(f"""{"ladder":"$name","n1":$n1,"sec1":$s1%.2f,"rows1":$r1,"n2":$n2,"sec2":$s2%.2f,"rows2":$r2,"ratio":${s2 / s1}%.2f}""")
     }
 
+    // temp trees created by rung closures (state trees, synthetic
+    // event fixtures) — reclaimed in one pass AFTER every timed run,
+    // never inside one (ADVICE r13/r14)
+    val ladderTmp = scala.collection.mutable.ArrayBuffer.empty[String]
+
     val base = sys.env.getOrElse("SPARK_GRAFT_LADDER_DOCS", "25000").toLong
     // the ann_ivf_ingest rung's one-time frozen index (train + assign),
     // shared across its warm-up and both timed runs — rebuilding it per
@@ -308,12 +313,10 @@ object ScalingLadder {
       val rows = CompactedState.read(spark, root, content, 2L, Some(hit))
         .queryExecution.toRdd.count()
       // each ladder step writes an n-row parquet state tree under a
-      // fresh temp dir — reclaim it once the read has been measured
-      // (ADVICE r13: the rung leaked up to base*8 doublings per run)
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(root)).iterator()
-        .asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      // fresh temp dir — queue it for reclamation AFTER the ladder
+      // call (ADVICE r14: deleting inside this closure put the
+      // deletion time inside the rung's measured seconds)
+      ladderTmp += root
       rows
     }
 
@@ -363,7 +366,6 @@ object ScalingLadder {
     // fixture-dir symlink so its replay scratch/checkpoint is cold
     // (a reused checkpoint would replay nothing and time an empty run)
     val eventsData = scala.collection.mutable.Map.empty[Long, String]
-    val ladderTmp = scala.collection.mutable.ArrayBuffer.empty[String]
     def eventsFixture(n: Long): String = {
       val data = eventsData.getOrElseUpdate(n, {
         val d = java.nio.file.Files
@@ -379,18 +381,28 @@ object ScalingLadder {
         java.nio.file.Paths.get(data, "events.parquet"))
       call.toString
     }
+    // pre-build the synthetic events parquet for BOTH rung sizes
+    // (ADVICE r14: ladder() only warms up at n1, so the n2 fixture
+    // used to be generated and WRITTEN inside the timed run(n2)
+    // closure — sec2 and the reported ratio carried fixture-write
+    // cost n1 never paid). The timed closures below then only create
+    // the cheap per-call symlink dir.
+    if (only.forall(_.exists("stream_sessions_user".contains)))
+      Seq(base * 8, base * 16).foreach { n => eventsFixture(n); () }
     ladder("stream_sessions_user", base * 8) { n =>
       graft.streaming.StreamingQueries.replayAppendFlush(spark,
           eventsFixture(n), graft.streaming.StreamingQueries.qSessions)
         .filter(col("user_id") =!= -1L)
         .queryExecution.toRdd.count()
     }
-    // reclaim the synthetic event fixtures (the state_fold rung lesson)
-    import scala.jdk.CollectionConverters._
+    // reclaim every rung temp tree (state trees + synthetic event
+    // fixtures) — outside any timed closure, stream CLOSED (ADVICE
+    // r14: Files.walk streams were never closed here)
     ladderTmp.foreach { d =>
-      java.nio.file.Files.walk(java.nio.file.Paths.get(d)).iterator()
-        .asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.deleteIfExists(_))
+      val w = java.nio.file.Files.walk(java.nio.file.Paths.get(d))
+      try w.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      finally w.close()
     }
 
     graft.ext.CorpusCache.releaseAll()

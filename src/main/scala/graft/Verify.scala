@@ -71,11 +71,16 @@ object Verify {
     // releaseAll's per-RDD "locally checkpointed" WARNs are expected
     // teardown noise and would scroll any earlier "[verify] X failed"
     // line out of a captured tail — silence them, scoped.
+    // restore the logger's PRIOR level, not a hardcoded WARN (ADVICE
+    // r14: a user log4j config setting this logger to INFO/DEBUG was
+    // permanently reset by the release step)
+    val rddPrev = org.apache.logging.log4j.LogManager
+      .getLogger("org.apache.spark.rdd").getLevel
     org.apache.logging.log4j.core.config.Configurator
       .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.ERROR)
     graft.ext.CorpusCache.releaseAll() // run boundary: drop corpus caches
     org.apache.logging.log4j.core.config.Configurator
-      .setLevel("org.apache.spark.rdd", org.apache.logging.log4j.Level.WARN)
+      .setLevel("org.apache.spark.rdd", rddPrev)
     spark.stop()
   }
 }

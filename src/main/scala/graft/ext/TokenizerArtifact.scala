@@ -80,11 +80,38 @@ object TokenizerArtifact {
     merges.toDF("round", "p", "q", "cnt")
       .repartition(artifactParts(rounds.toLong))
       .write.mode("overwrite").parquet(s"$dir/bpe_merges")
-    dictRows.zip(words).toIndexedSeq
-      .map { case ((w, wc), syms) => (w, wc, syms.toIndexedSeq) }
-      .toDF("word", "wc", "syms")
-      .repartition(artifactParts(CorpusPrep.BpeDictCap.toLong))
-      .write.mode("overwrite").parquet(s"$dir/bpe_vocab")
+    // parallelize seam, not toDF (VERDICT r14 #2): the char-BPE dict
+    // is BpeDictCap-class (corpus-vocabulary-sized, 2²⁰ cap) — the
+    // same row class whose plan-embedded LocalRelation melted 5× under
+    // session heap pressure in the r14 sf1.0 sweep on the byte path.
+    writeDictDistributed(spark, dictRows.zip(words).toIndexedSeq
+      .map { case ((w, wc), syms) =>
+        org.apache.spark.sql.Row(w, wc, syms.toIndexedSeq) },
+      s"$dir/bpe_vocab")
+  }
+
+  /** Distributed write of a corpus-vocabulary-sized (word, wc, syms)
+    * dictionary: `parallelize` rows instead of embedding them as a
+    * `toDF` LocalRelation in the write plan (the r14 sweep catch —
+    * a vocabulary-sized LocalRelation re-serializes with every plan
+    * that references it and melts under session heap pressure).
+    * Fan-out tracks the actual row count, capped at the session's
+    * parallelism. Merge tables and cap-16/32 frames stay `toDF`:
+    * they are rounds/cap-bounded tiny. */
+  private def writeDictDistributed(spark: SparkSession,
+      rows: IndexedSeq[org.apache.spark.sql.Row], path: String): Unit = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("word",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("wc",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("syms",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.StringType))))
+    val parts = math.max(1, math.min(
+      spark.sparkContext.defaultParallelism, rows.length / 10000 + 1))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
+      .write.mode("overwrite").parquet(path)
   }
 
   /** Encode documents through a PERSISTED BPE artifact: load the
@@ -132,10 +159,19 @@ object TokenizerArtifact {
         r.getAs[String]("q")))
     var dict = spark.read.parquet(s"$dir/bpe_vocab")
       .select(col("word"), col("wc"), split(col("word"), "").as("syms"))
-    merges.foreach { case (rd, p, q) =>
+    merges.zipWithIndex.foreach { case ((rd, p, q), i) =>
       dict = CorpusPrep.bpeApplyMergeUnless(dict, p, q,
         graft.ext.Sampling.bucket(CorpusPrep.bpeDropKey(lit(rd)),
           CorpusPrep.BpeDropoutSeed) < lit(thr))
+      // checkpoint cadence (ADVICE r14): one bpeApplyMergeUnless per
+      // persisted merge chains an unbounded per-round projection —
+      // beyond ~18 rounds the nested plan overflows the executor
+      // stack (the known iterative-plan-depth failure mode). Truncate
+      // every 8 merges, matching the other deep loops' localCheckpoint
+      // discipline; the final checkpoint below covers the tail. Inert
+      // at today's 3-round bpeWrite default.
+      if ((i + 1) % 8 == 0 && i + 1 < merges.length)
+        dict = CorpusCache.checkpoint(dict)
     }
     CorpusCache.checkpoint(dict)
   }
@@ -253,24 +289,12 @@ object TokenizerArtifact {
       .write.mode("overwrite").parquet(s"$dir/bytebpe_merges")
     // parallelize, not toDF: the byte dict is corpus-vocabulary-sized
     // and a plan-embedded LocalRelation of it melts under session
-    // heap pressure (see ByteBpe.byteEncodeIdsWith — the r14 sweep
-    // catch); the char-BPE writes above keep toDF because their
-    // tables are rounds/cap-bounded tiny
-    val rows = dictRows.zip(words).toIndexedSeq
+    // heap pressure (the r14 sweep catch) — the shared seam
+    // [[writeDictDistributed]], same as the char-BPE vocab write.
+    writeDictDistributed(spark, dictRows.zip(words).toIndexedSeq
       .map { case ((w, wc), syms) =>
-        org.apache.spark.sql.Row(w, wc, syms.toIndexedSeq) }
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("word",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("wc",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("syms",
-        org.apache.spark.sql.types.ArrayType(
-          org.apache.spark.sql.types.StringType))))
-    val parts = math.max(1, math.min(
-      spark.sparkContext.defaultParallelism, rows.length / 10000 + 1))
-    spark.createDataFrame(spark.sparkContext.parallelize(rows, parts), schema)
-      .write.mode("overwrite").parquet(s"$dir/bytebpe_vocab")
+        org.apache.spark.sql.Row(w, wc, syms.toIndexedSeq) },
+      s"$dir/bytebpe_vocab")
   }
 
   /** Load the persisted byte-BPE state as the encode-side
