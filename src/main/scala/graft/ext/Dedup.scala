@@ -102,9 +102,12 @@ object Dedup {
     * → 1 string hash + 64 fixed-width hashes.
     */
   def minhashSignature(shingleHashes: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { s =>
-      array_min(transform(shingleHashes, h => xxhash64(h, lit(s))))
-    }: _*)
+    // native one-pass form (r15 optimization) — bit-identical to
+    //   array((0 until numHashes).map(s =>
+    //     array_min(transform(shingleHashes, h => xxhash64(h, lit(s))))))
+    // but without the k interpreted HOF passes and k array copies per
+    // document (DedupSpec pins the equality property)
+    graft.functions.MinhashSig64.minhash_sig64(shingleHashes, numHashes)
 
   /** The persisted featurized corpus (doc_id, sh): one narrow scan
     * computes shingle hashes (8-byte longs, never strings past this
@@ -117,10 +120,15 @@ object Dedup {
     * sweep) release it via [[CorpusCache.releaseAll]].
     */
   def minhashShingles(docs: DataFrame, shingleK: Int = 3): DataFrame =
+    // sorted ONCE at featurization (r15): every per-pair consumer
+    // (verify Jaccard here and in the streaming twin) intersects via
+    // the allocation-free sorted merge [[graft.functions
+    // .SortedIntersectCard]] instead of a per-pair hash set; the
+    // signature/banding/posting consumers are order-insensitive.
     CorpusCache.cache(docs
       .select(col("doc_id"),
-        array_distinct(graft.functions.NgramHash64.ngram_hash64(
-          tokensNorm(col("text")), shingleK)).as("sh"))
+        array_sort(array_distinct(graft.functions.NgramHash64.ngram_hash64(
+          tokensNorm(col("text")), shingleK))).as("sh"))
       .filter(size(col("sh")) > 0))
 
   /** Default LSH band count — named so consumers sizing per-batch
@@ -200,9 +208,12 @@ object Dedup {
         .hint("merge"), "doc_a")
       .join(prepped.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
         .hint("merge"), "doc_b")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("inter", graft.functions.SortedIntersectCard
+        .sorted_intersect_card(col("sh_a"), col("sh_b")))
+      // |A∪B| = |A|+|B|−|A∩B| on distinct sets — same double as
+      // size(array_intersect)/size(array_union), no per-pair arrays
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_a")) + size(col("sh_b")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -247,9 +258,10 @@ object Dedup {
       .join(minhashShingles(history, shingleK)
         .select(col("doc_id").as("doc_hist"), col("sh").as("sh_h"))
         .hint("merge"), "doc_hist")
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_n"), col("sh_h"))).cast("double") /
-          size(array_union(col("sh_n"), col("sh_h"))).cast("double"))
+      .withColumn("inter", graft.functions.SortedIntersectCard
+        .sorted_intersect_card(col("sh_n"), col("sh_h")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh_n")) + size(col("sh_h")) - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_new"), col("doc_hist"),
         round(col("jaccard"), 4).as("jaccard"))
@@ -393,9 +405,11 @@ object Dedup {
   def jaccardPairsBySource(docs: DataFrame, threshold: Double = 0.6,
                            targetSubBlock: Int = 64): DataFrame = {
     val spark = docs.sparkSession
+    // sorted once per doc (r15): the per-pair intersect below is the
+    // allocation-free sorted merge, not a hash set per candidate
     val withToks = docs.select(col("doc_id"), col("source"),
-      array_distinct(graft.functions.NgramHash64.ngram_hash64(
-        tokensNorm(col("text")), 1)).as("toks"))
+      array_sort(array_distinct(graft.functions.NgramHash64.ngram_hash64(
+        tokensNorm(col("text")), 1))).as("toks"))
       .withColumn("sz", size(col("toks")))
     // Sub-block count per source from a broadcast count join (tiny:
     // one row per distinct source); v = doc's own sub-block.
@@ -422,7 +436,8 @@ object Dedup {
       .filter((col("p") =!= col("q") || col("doc_a") < col("doc_b")) &&
         col("sz_b") * lit(threshold) <= col("sz_a") &&
         col("sz_a") * lit(threshold) <= col("sz_b"))
-      .withColumn("inter", size(array_intersect(col("toks_a"), col("toks_b"))).cast("double"))
+      .withColumn("inter", graft.functions.SortedIntersectCard
+        .sorted_intersect_card(col("toks_a"), col("toks_b")).cast("double"))
       .withColumn("jaccard",
         col("inter") / (col("sz_a") + col("sz_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

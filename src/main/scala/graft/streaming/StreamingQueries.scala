@@ -1479,9 +1479,15 @@ object StreamingQueries {
               col("sh").as("sh_n")).hint("merge"), "doc_new")
             .join(hSh.select(col("doc_id").as("doc_hist"),
               col("sh").as("sh_h")).hint("merge"), "doc_hist")
-            .filter(
-              size(array_intersect(col("sh_n"), col("sh_h"))).cast("double") /
-                size(array_union(col("sh_n"), col("sh_h"))).cast("double")
+            .withColumn("__inter", graft.functions.SortedIntersectCard
+              .sorted_intersect_card(col("sh_n"), col("sh_h")))
+            // sorted-merge intersect + derived union size (both sides
+            // are minhashShingles lineages, sorted at featurization —
+            // the batch's directly, the state by append of the same
+            // frame): same double, no per-candidate hash set
+            .filter(col("__inter").cast("double") /
+              (size(col("sh_n")) + size(col("sh_h")) - col("__inter"))
+                .cast("double")
                 >= Dedup.DefaultMinhashThreshold)
             .select(col("doc_new").as("doc_id")).distinct()
           val survivors = cached.toDF().select(col("doc_id"), col("source"))

@@ -1351,4 +1351,52 @@ class ExtSpec extends AnyFunSuite {
     // the fixture's IVF index is good: some query must recall > 0
     assert(r.map(_._2).sum > 0, "all-zero recall means the intersect is broken")
   }
+
+  test("minhash_sig64 is bit-identical to the composable HOF signature") {
+    // the r15 native one-pass signature must equal Spark's own
+    // array((0..k).map(s => array_min(transform(sh, h =>
+    // xxhash64(h, lit(s)))))) — the form it replaced — on real shingle
+    // arrays AND adversarial ones (empty, single, negative hashes)
+    import spark.implicits._
+    val k = 16
+    val fixture = Dedup.minhashShingles(Tables.documents(spark, dir))
+      .select(col("sh"))
+    val crafted = Seq(
+      Seq.empty[Long], Seq(0L), Seq(Long.MinValue, Long.MaxValue, -1L, 42L),
+      (1L to 100L).map(i => i * -7919L).toSeq).toDF("sh")
+    for (df <- Seq(fixture, crafted)) {
+      val hof = array((0 until k).map { s =>
+        array_min(transform(col("sh"), h => xxhash64(h, lit(s))))
+      }: _*)
+      val diff = df.select(
+        graft.functions.MinhashSig64.minhash_sig64(col("sh"), k).as("native"),
+        hof.as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count()
+      assert(diff === 0L)
+    }
+  }
+
+  test("sorted_intersect_card equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 200).map { _ =>
+      def arr() = rnd.shuffle((-50L to 50L).toVector)
+        .take(rnd.nextInt(40)).distinct.sorted
+      (arr(), arr())
+    } :+ ((Seq.empty[Long], Seq(1L, 2L))) :+ ((Seq(3L), Seq.empty[Long]))
+    val df = rows.toDF("a", "b")
+    val diff = df.select(
+      graft.functions.SortedIntersectCard.sorted_intersect_card(
+        col("a"), col("b")).as("native"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("native") =!= col("ref")).count()
+    assert(diff === 0L)
+    // and the derived union identity the verify stages rely on
+    val uDiff = df.select(
+      (size(col("a")) + size(col("b")) - graft.functions.SortedIntersectCard
+        .sorted_intersect_card(col("a"), col("b"))).as("derived"),
+      size(array_union(col("a"), col("b"))).as("ref"))
+      .filter(col("derived") =!= col("ref")).count()
+    assert(uDiff === 0L)
+  }
 }
