@@ -61,13 +61,14 @@ object CorpusPrep {
     * empty array when the doc is shorter than `n` (the `when` guard
     * matters: `sequence(0, negative)` would throw, not return empty).
     */
-  def wordGrams(text: Column, n: Int): Column = {
-    val w = TextAnalysis.tokens(text)
-    when(size(w) >= n,
-      transform(sequence(lit(0), size(w) - lit(n)),
-        i => array_join(slice(w, i + lit(1), lit(n)), " ")))
-      .otherwise(array().cast("array<string>"))
-  }
+  def wordGrams(text: Column, n: Int): Column =
+    // native one-pass form (r15) — bit-identical to
+    //   when(size(w) >= n, transform(sequence(0, size(w)-n),
+    //     i => array_join(slice(w, i+1, n), " "))).otherwise(array())
+    // without the per-gram slice array + joined-string HOF allocations
+    // (CorpusPrepSpec pins the equality property)
+    graft.functions.WordGramStrings.word_gram_strings(
+      TextAnalysis.tokens(text), n)
 
   /** (doc_id, g): the n-gram array materialized through two Generate
     * barriers so tokens and grams are each computed EXACTLY once per
@@ -87,10 +88,8 @@ object CorpusPrep {
       .select(col("doc_id"),
         explode(array(TextAnalysis.tokens(col("text")))).as("w"))
       .select(col("doc_id"),
-        explode(array(when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - lit(n)),
-            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>")))).as("g"))
+        explode(array(graft.functions.WordGramStrings
+          .word_gram_strings(col("w"), n))).as("g"))
 
   /** Distinct (doc_id, gram) pairs over [[DecontamN]]-grams. */
   private def gramPairs(docs: DataFrame): DataFrame =
@@ -220,10 +219,8 @@ object CorpusPrep {
       .select(col("doc_id"),
         explode(array(TextAnalysis.tokens(col("text")))).as("w"))
       .select(col("doc_id"), size(col("w")).cast("long").as("n_tokens"),
-        posexplode(when(size(col("w")) >= n,
-          transform(sequence(lit(0), size(col("w")) - lit(n)),
-            i => array_join(slice(col("w"), i + lit(1), lit(n)), " ")))
-          .otherwise(array().cast("array<string>"))).as(Seq("pos", "gram")))
+        posexplode(graft.functions.WordGramStrings
+          .word_gram_strings(col("w"), n)).as(Seq("pos", "gram")))
     val dup = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") > 1).select(col("gram"))
@@ -2203,7 +2200,18 @@ object CorpusPrep {
     // artifact-read frame the static planner guessed probes small
     // and broadcast it — the PlanAudit failure signature; the
     // in-lineage path already planned SMJ here)
+    // explicit fan-out before the DP projection (r15): the greedy
+    // fold below is CPU-per-word, but its input is tiny in BYTES, so
+    // AQE's byte-proportional coalescing squeezed the stage onto 2
+    // post-shuffle partitions (profiled: a ~2 s-of-CPU 2-task
+    // straggler at sf0.1). A user-specified hash repartition is
+    // exempt from AQE coalescing and spreads the fold across the
+    // session's cores (same-window A/B: bert encode 3.49 → 2.50 s);
+    // at scale the exchange moves dict-sized rows — noise next to
+    // the fold it parallelizes.
     val stepped = words.join(probes.hint("merge"), Seq("word"), "left")
+      .repartition(words.sparkSession.sparkContext.defaultParallelism,
+        col("word"))
       .withColumn("st", aggregate(
         sequence(lit(1), len),
         struct(lit(1).as("pos"), lit(0).as("np"), lit("").as("path"),

@@ -271,12 +271,20 @@ object Similarity {
       centroids = centroids.map { case (i, c) => (i, byId.getOrElse(i, c)) }
     }
 
-    val assigned = prepped.withColumn("__scores", scoresCol)
-      .withColumn("cluster", clusterCol)
-      .withColumn("center_cos",
-        least(greatest(array_max(col("__scores")), lit(-1.0)), lit(1.0)))
-      .select(col("vec_id"), col("e"), col("nrm"), col("cluster"),
-        acos(col("center_cos")).as("center_angle"))
+    // Persisted like `prepped` (r15): the k×d scoring sweep is the
+    // family's dominant map-side CPU and this frame feeds THREE+
+    // consumers per call (radii/count stats, BOTH verify-join sides) —
+    // unpersisted, each re-ran the full centroid scoring over the
+    // corpus (profiled ~8–10 s of task time per extra pass at sf0.1;
+    // same-window A/B: −0.3/−0.5 s wall on the two cosine gates).
+    // Same CacheManager plan-keyed lifecycle as `prepped`.
+    val assigned = CorpusCache.cache(
+      prepped.withColumn("__scores", scoresCol)
+        .withColumn("cluster", clusterCol)
+        .withColumn("center_cos",
+          least(greatest(array_max(col("__scores")), lit(-1.0)), lit(1.0)))
+        .select(col("vec_id"), col("e"), col("nrm"), col("cluster"),
+          acos(col("center_cos")).as("center_angle")))
 
     // k angular radii + member counts — inherently tiny driver state,
     // like the centroids

@@ -87,22 +87,35 @@ object ZOrder {
     events.withColumn("z",
       morton(col("user_id"), floor(col("value")).cast("long")))
 
+  /** Rows per z-clustered output file. r15: was 1 000 — at sf0.1 the
+    * write emitted ~430 thousand-row files (guide §6: tiny files pay
+    * open/footer cost twice) through a HARD-CODED 8-way range
+    * partition; the clustered write now fans out with the session's
+    * parallelism and cuts files of this size. Pruning is unaffected:
+    * files stay z-sorted, so footer AND row-group min/max stay tight,
+    * and the z-range conjunct still skips at both granularities
+    * (PlansSpec pins the pushed filter). A production lake would size
+    * by bytes (write.target-file-size); rows are the knob plain
+    * parquet exposes deterministically. */
+  val ZRecordsPerFile = 16384L
+
   /** Z-ordered layout round-trip: write events clustered by z (range
-    * partitioned + sorted within tasks, small files so every file
-    * carries a tight z range), then answer a 2-d box query through
-    * the z-range + exact predicates, aggregated per event type.
-    * The oracle runs the same box off the original table — layout and
-    * the redundant z conjunct must never change results, only cost.
-    * PlansSpec asserts the z bounds reach `PushedFilters`.
+    * partitioned by the session's parallelism + sorted within tasks,
+    * [[ZRecordsPerFile]]-row files so every file carries a tight z
+    * range), then answer a 2-d box query through the z-range + exact
+    * predicates, aggregated per event type. The oracle runs the same
+    * box off the original table — layout and the redundant z conjunct
+    * must never change results, only cost. PlansSpec asserts the z
+    * bounds reach `PushedFilters`.
     */
   def boxAggregate(spark: SparkSession, dir: String): DataFrame = {
     // fixed per-fixture path + overwrite, same rationale as
     // Layout.pruneAggregate: bench reruns rewrite one copy
     val tmp = graft.RunScratch.dir("zorder", dir)
     withZ(Tables.events(spark, dir))
-      .repartitionByRange(8, col("z"))
+      .repartitionByRange(spark.sparkContext.defaultParallelism, col("z"))
       .sortWithinPartitions(col("z"))
-      .write.option("maxRecordsPerFile", 1000L)
+      .write.option("maxRecordsPerFile", ZRecordsPerFile)
       .mode("overwrite").parquet(tmp)
     val zLo = morton(XLo, YLo.toLong)
     val zHi = morton(XHi, YHi.toLong)

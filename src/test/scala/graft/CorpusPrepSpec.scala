@@ -30,6 +30,30 @@ class CorpusPrepSpec extends AnyFunSuite {
     assert(rows(1).getSeq[String](1) === Seq("a b c d e", "b c d e f"))
   }
 
+  test("word_gram_strings is bit-identical to the composable HOF gram form") {
+    // the r15 native gram builder must equal the form it replaced —
+    // when(size(w) >= n, transform(sequence(0, size(w)-n),
+    //   i => array_join(slice(w, i+1, n), " "))).otherwise(array()) —
+    // on fixture docs AND the short/empty/multibyte edges
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("text"))
+      .unionByName(docsOf(1L -> "", 2L -> "one", 3L -> "a b",
+        4L -> "  spaced   out  tokens  ", 5L -> "汉字 词 语 例 子 多 字")
+        .select(col("text")))
+    for (n <- Seq(1, 2, 5)) {
+      val w = graft.ext.TextAnalysis.tokens(col("text"))
+      val hof = when(size(w) >= n,
+        transform(sequence(lit(0), size(w) - lit(n)),
+          i => array_join(slice(w, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>"))
+      val diff = docs.select(
+        graft.functions.WordGramStrings.word_gram_strings(w, n).as("native"),
+        hof.as("ref"))
+        .filter(not(col("native") <=> col("ref"))).count()
+      assert(diff === 0L, s"n=$n")
+    }
+  }
+
   test("decontaminate flags exactly the docs sharing a 5-gram with the eval set") {
     // doc 0 (0 % 97 == 0) is the benchmark; doc 1 embeds one of its
     // 5-grams verbatim; doc 2 shares words but no 5-long window.
