@@ -948,6 +948,14 @@ object CorpusPrep {
     val sentinel = struct(lit(Long.MaxValue).as("cost"),
       lit(Int.MaxValue).as("np"), lit(0L).as("cnt"), lit("").as("path"))
     rows
+      // CPU-dense fold over byte-tiny rows: exempt it from AQE's
+      // byte-proportional coalescing (the wordPieceEncodeWith r15
+      // rationale — A/B'd there and here: unigram family 22.5 → 19.2 s
+      // across 9 gates). Width = the SESSION's shuffle-partition knob,
+      // not the core count: streaming replays run micro-batches at a
+      // deliberately narrow setting and must not be widened per-batch.
+      .repartition(rows.sparkSession.sessionState.conf.numShufflePartitions,
+        col("word"))
       .withColumn("dp", aggregate(
         sequence(lit(1), length(col("word"))),
         array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"),
@@ -1447,6 +1455,11 @@ object CorpusPrep {
       .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
         .as("m"))
     words.join(maps, Seq("word"))
+      // NO fan-out repartition here (r15 measured): unlike
+      // viterbiFold, the n-best fold feeds Window.partitionBy("word")
+      // consumers — a same-window A/B of the extra exchange read
+      // flat-to-regressive, so the k-best path keeps the planner's
+      // partitioning
       .withColumn("dp", aggregate(
         sequence(lit(1), length(col("word"))),
         array(array(struct(lit(0L).as("cost"), lit(0).as("np"),
@@ -2210,7 +2223,7 @@ object CorpusPrep {
     // at scale the exchange moves dict-sized rows — noise next to
     // the fold it parallelizes.
     val stepped = words.join(probes.hint("merge"), Seq("word"), "left")
-      .repartition(words.sparkSession.sparkContext.defaultParallelism,
+      .repartition(words.sparkSession.sessionState.conf.numShufflePartitions,
         col("word"))
       .withColumn("st", aggregate(
         sequence(lit(1), len),
