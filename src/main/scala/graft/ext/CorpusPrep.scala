@@ -915,7 +915,19 @@ object CorpusPrep {
       .groupBy(col("word"))
       .agg(map_from_entries(collect_list(struct(col("key"), col("cost"))))
         .as("m"))
-    viterbiFold(words.join(probes, Seq("word")))
+    // CPU-dense fold over byte-tiny rows: exempt it from AQE's
+    // byte-proportional coalescing (the wordPieceEncodeWith r15
+    // rationale — A/B'd: unigram family 22.5 → 19.2 s across 9
+    // gates). Width = the SESSION's shuffle-partition knob, not the
+    // core count, so streaming replays (which deliberately run
+    // micro-batches narrow) are not widened per batch. Applied on
+    // THIS per-word path only: the EM-loss path's fold frame is
+    // (word, excluded-piece)-keyed — a word-keyed fan-out there
+    // measured 1.3× (fewer distinct keys + an extra exchange of a
+    // larger frame), so it keeps the planner's partitioning.
+    viterbiFold(words.join(probes, Seq("word"))
+        .repartition(words.sparkSession.sessionState.conf.numShufflePartitions,
+          col("word")))
       .select(col("word"), col("wc"), col("total_cost"), col("n_pieces"),
         col("n_best"), col("path"))
   }
@@ -948,14 +960,6 @@ object CorpusPrep {
     val sentinel = struct(lit(Long.MaxValue).as("cost"),
       lit(Int.MaxValue).as("np"), lit(0L).as("cnt"), lit("").as("path"))
     rows
-      // CPU-dense fold over byte-tiny rows: exempt it from AQE's
-      // byte-proportional coalescing (the wordPieceEncodeWith r15
-      // rationale — A/B'd there and here: unigram family 22.5 → 19.2 s
-      // across 9 gates). Width = the SESSION's shuffle-partition knob,
-      // not the core count: streaming replays run micro-batches at a
-      // deliberately narrow setting and must not be widened per-batch.
-      .repartition(rows.sparkSession.sessionState.conf.numShufflePartitions,
-        col("word"))
       .withColumn("dp", aggregate(
         sequence(lit(1), length(col("word"))),
         array(struct(lit(0L).as("cost"), lit(0).as("np"), lit(1L).as("cnt"),
